@@ -1,0 +1,122 @@
+"""Spherical / quasi-spherical distance kernels, fully vectorized.
+
+These are batch-first re-derivations of the reference's scalar kernels:
+
+- :func:`haversine` — the spherical law used by the reference's dimwise
+  pre-filter metric (``/root/reference/geodistpy/geodesic.py:893-915``).
+- :func:`great_circle` — spherical central angle (Vincenty special case for
+  numerical stability) plus the Andoyer-Lambert first-order flattening
+  correction (``geodesic.py:676-853``). ~19 m mean error vs exact geodesics,
+  no iteration — the cheap mid-accuracy kernel.
+- :func:`initial_bearing_sphere` — spherical forward azimuth (the engine's
+  SQL-checkable bearing variant; the exact ellipsoidal azimuth comes from
+  :mod:`.vincenty`).
+
+All functions take separate ``lat``/``lon`` column arrays in degrees
+(broadcastable) and return float64 arrays — they are designed to run inside
+``Dataset.map_batches`` on zero-copy Arrow columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ellipsoids import EARTH_RADIUS_M, WGS84_A, WGS84_F
+
+
+def haversine(lat1, lon1, lat2, lon2, radius: float = EARTH_RADIUS_M):
+    """Spherical haversine distance in meters (vectorized, broadcastable)."""
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
+    dlat = lat2 - lat1
+    dlon = lon2 - lon1
+    h = np.sin(dlat / 2.0) ** 2 + np.cos(lat1) * np.cos(lat2) * np.sin(dlon / 2.0) ** 2
+    # Clip guards fastmath-free rounding at antipodes (h can exceed 1 by 1 ulp).
+    return 2.0 * radius * np.arcsin(np.sqrt(np.clip(h, 0.0, 1.0)))
+
+
+def great_circle(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS84_F):
+    """Great-circle distance with Andoyer-Lambert flattening correction (meters).
+
+    Matches the reference's ``great_circle`` scalar semantics including the
+    degenerate-case guards (coincident → 0; ``S == 0`` or ``C == 0`` →
+    ``2·ω·a``, e.g. pole-to-pole / equatorial antipodes;
+    ``geodesic.py:735-767``), but evaluated lane-wise over whole columns.
+    """
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
+
+    sin1, cos1 = np.sin(lat1), np.cos(lat1)
+    sin2, cos2 = np.sin(lat2), np.cos(lat2)
+    dlon = np.abs(lon2 - lon1)
+    sind, cosd = np.sin(dlon), np.cos(dlon)
+
+    # Vincenty-form central angle: stable at small and near-antipodal angles.
+    sigma = np.arctan2(
+        np.sqrt((cos2 * sind) ** 2 + (cos1 * sin2 - sin1 * cos2 * cosd) ** 2),
+        sin1 * sin2 + cos1 * cos2 * cosd,
+    )
+
+    mean_lat = (lat1 + lat2) / 2.0
+    half_dlat = (lat1 - lat2) / 2.0
+    half_dlon = dlon / 2.0
+
+    sinF2, cosF2 = np.sin(mean_lat) ** 2, np.cos(mean_lat) ** 2
+    sinG2, cosG2 = np.sin(half_dlat) ** 2, np.cos(half_dlat) ** 2
+    sinL2, cosL2 = np.sin(half_dlon) ** 2, np.cos(half_dlon) ** 2
+
+    S = sinG2 * cosL2 + cosF2 * sinL2
+    C = cosG2 * cosL2 + sinF2 * sinL2
+    omega = np.arctan2(np.sqrt(S), np.sqrt(C))
+
+    degenerate = (S == 0.0) | (C == 0.0) | (omega == 0.0)
+    S_safe = np.where(S == 0.0, 1.0, S)
+    C_safe = np.where(C == 0.0, 1.0, C)
+    omega_safe = np.where(omega == 0.0, 1.0, omega)
+
+    R = np.sqrt(S * C) / omega_safe
+    D = 2.0 * omega * a
+    H1 = (3.0 * R - 1.0) / (2.0 * C_safe)
+    H2 = (3.0 * R + 1.0) / (2.0 * S_safe)
+    corrected = D * (1.0 + f * (H1 * sinF2 * cosG2 - H2 * cosF2 * sinG2))
+
+    out = np.where(degenerate, D, corrected)
+    return np.where(sigma == 0.0, 0.0, out)
+
+
+def initial_bearing_sphere(lat1, lon1, lat2, lon2):
+    """Spherical initial bearing in degrees [0, 360), vectorized."""
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
+    dlon = lon2 - lon1
+    y = np.sin(dlon) * np.cos(lat2)
+    x = np.cos(lat1) * np.sin(lat2) - np.sin(lat1) * np.cos(lat2) * np.cos(dlon)
+    return np.degrees(np.arctan2(y, x)) % 360.0
+
+
+def haversine_dimwise_sq(lat1, lon1, lat2, lon2, radius: float = EARTH_RADIUS_M):
+    """Per-dimension squared haversine components in meters² (vectorized).
+
+    Returns ``(dlat_m_sq, dlon_m_sq)`` — the split-dimension squared metric
+    the reference exposes as ``geodist_dimwise_harvesine``
+    (``geodesic.py:856-919``), broadcastable instead of materializing (n,n,d).
+    """
+    lat1 = np.asarray(lat1, dtype=np.float64)
+    lon1 = np.asarray(lon1, dtype=np.float64)
+    lat2 = np.asarray(lat2, dtype=np.float64)
+    lon2 = np.asarray(lon2, dtype=np.float64)
+    dlat = np.abs(np.radians(lat1 - lat2))
+    dlng = np.abs(np.radians(lon1 - lon2))
+    sin_half_dlat = np.sin(dlat / 2.0)
+    dlat_m_sq = (radius * 2.0 * np.arcsin(np.abs(sin_half_dlat))) ** 2
+    inner = (
+        1.0 - sin_half_dlat**2 - np.sin(np.radians(lat1 + lat2) / 2.0) ** 2
+    ) * np.sin(dlng / 2.0) ** 2
+    dlon_m_sq = (radius * 2.0 * np.arcsin(np.sqrt(np.clip(inner, 0.0, None)))) ** 2
+    return dlat_m_sq, dlon_m_sq

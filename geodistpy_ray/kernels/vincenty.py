@@ -1,0 +1,273 @@
+"""Vectorized Vincenty inverse / direct solvers with per-lane convergence masks.
+
+The reference computes these as Numba scalar loops
+(``/root/reference/geodistpy/geodesic.py:84-201`` inverse, ``:431-559``
+inverse-full, ``:562-673`` direct). Here the same iteration — 200 iterations
+max, 1e-11 convergence threshold, identical sentinel semantics — is
+re-expressed as whole-column NumPy with an *active-lane* worklist: every
+iteration operates only on the not-yet-converged subset (gather/compute/
+scatter), so a batch where 99% of lanes converge in <10 iterations doesn't pay
+for the stragglers.
+
+Sentinels (identical to the reference so the fallback pass composes):
+- inverse: distance ``-1.0`` marks non-convergence (patched by Karney).
+- direct: ``(nan, nan)`` marks non-convergence.
+
+Inputs are degree columns (1-D float64 arrays or scalars); outputs are
+float64 arrays. Meters throughout.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ellipsoids import WGS84_A, WGS84_F
+
+MAX_ITERATIONS = 200
+CONVERGENCE_THRESHOLD = 1e-11
+
+
+def _as1d(*arrays):
+    out = [np.atleast_1d(np.asarray(x, dtype=np.float64)) for x in arrays]
+    shape = np.broadcast_shapes(*(a.shape for a in out))
+    return [np.broadcast_to(a, shape).ravel() for a in out], shape
+
+
+def vincenty_inverse(
+    lat1,
+    lon1,
+    lat2,
+    lon2,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+    with_azimuths: bool = False,
+):
+    """Vectorized Vincenty inverse problem.
+
+    Returns ``dist`` (meters; ``-1.0`` = non-converged sentinel), or a tuple
+    ``(dist, az_fwd, az_back)`` with azimuths in degrees [0, 360) when
+    ``with_azimuths`` is set (the reference's "full" variant; coincident and
+    non-converged lanes report azimuth 0.0 like ``geodesic.py:455``).
+    """
+    (lat1v, lon1v, lat2v, lon2v), shape = _as1d(lat1, lon1, lat2, lon2)
+    n = lat1v.size
+    b = a * (1.0 - f)
+
+    dist = np.full(n, -1.0)
+    az_fwd = np.zeros(n)
+    az_back = np.zeros(n)
+
+    coincident = (lat1v == lat2v) & (lon1v == lon2v)
+    dist[coincident] = 0.0
+
+    active = np.flatnonzero(~coincident)
+    if active.size:
+        u1 = np.arctan((1.0 - f) * np.tan(np.radians(lat1v[active])))
+        u2 = np.arctan((1.0 - f) * np.tan(np.radians(lat2v[active])))
+        L = np.radians(lon2v[active] - lon1v[active])
+        sin_u1, cos_u1 = np.sin(u1), np.cos(u1)
+        sin_u2, cos_u2 = np.sin(u2), np.cos(u2)
+        lam = L.copy()
+
+        # Per-lane quantities captured at the iteration where the lane converges.
+        fin_sin_sigma = np.zeros(n)
+        fin_cos_sigma = np.zeros(n)
+        fin_sigma = np.zeros(n)
+        fin_cos_sq_alpha = np.zeros(n)
+        fin_cos_2sigma_m = np.zeros(n)
+        fin_sin_lam = np.zeros(n)
+        fin_cos_lam = np.zeros(n)
+        converged = np.zeros(n, dtype=bool)
+        zero_sigma = np.zeros(n, dtype=bool)
+
+        # Worklist state, compacted to the active subset each round.
+        w_idx = active
+        w_L, w_lam = L, lam
+        w_su1, w_cu1, w_su2, w_cu2 = sin_u1, cos_u1, sin_u2, cos_u2
+
+        for _ in range(MAX_ITERATIONS):
+            sin_lam = np.sin(w_lam)
+            cos_lam = np.cos(w_lam)
+            t1 = w_cu2 * sin_lam
+            t2 = w_cu1 * w_su2 - w_su1 * w_cu2 * cos_lam
+            sin_sigma = np.sqrt(t1 * t1 + t2 * t2)
+
+            # sin_sigma == 0 → coincident via wraparound; distance 0.
+            zs = sin_sigma == 0.0
+            if zs.any():
+                zero_sigma[w_idx[zs]] = True
+                converged[w_idx[zs]] = True
+
+            cos_sigma = w_su1 * w_su2 + w_cu1 * w_cu2 * cos_lam
+            sigma = np.arctan2(sin_sigma, cos_sigma)
+            safe_sin_sigma = np.where(zs, 1.0, sin_sigma)
+            sin_alpha = w_cu1 * w_cu2 * sin_lam / safe_sin_sigma
+            cos_sq_alpha = 1.0 - sin_alpha * sin_alpha
+            nz = cos_sq_alpha != 0.0
+            safe_csa = np.where(nz, cos_sq_alpha, 1.0)
+            cos_2sigma_m = np.where(
+                nz, cos_sigma - 2.0 * w_su1 * w_su2 / safe_csa, 0.0
+            )
+            c = np.where(
+                nz, f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha)), 0.0
+            )
+            new_lam = w_L + (1.0 - c) * f * sin_alpha * (
+                sigma
+                + c
+                * sin_sigma
+                * (cos_2sigma_m + c * cos_sigma * (-1.0 + 2.0 * cos_2sigma_m**2))
+            )
+            done = (np.abs(new_lam - w_lam) < CONVERGENCE_THRESHOLD) | zs
+            if done.any():
+                gi = w_idx[done]
+                converged[gi] = True
+                fin_sin_sigma[gi] = sin_sigma[done]
+                fin_cos_sigma[gi] = cos_sigma[done]
+                fin_sigma[gi] = sigma[done]
+                fin_cos_sq_alpha[gi] = cos_sq_alpha[done]
+                fin_cos_2sigma_m[gi] = cos_2sigma_m[done]
+                fin_sin_lam[gi] = sin_lam[done]
+                fin_cos_lam[gi] = cos_lam[done]
+            keep = ~done
+            if not keep.any():
+                break
+            w_idx = w_idx[keep]
+            w_L = w_L[keep]
+            w_lam = new_lam[keep]
+            w_su1, w_cu1 = w_su1[keep], w_cu1[keep]
+            w_su2, w_cu2 = w_su2[keep], w_cu2[keep]
+
+        ok = converged & ~zero_sigma & ~coincident
+        if ok.any():
+            csa = fin_cos_sq_alpha[ok]
+            ss, cs = fin_sin_sigma[ok], fin_cos_sigma[ok]
+            sg, c2m = fin_sigma[ok], fin_cos_2sigma_m[ok]
+            u_sq = csa * (a * a - b * b) / (b * b)
+            A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+            B = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+            delta_sigma = (
+                B
+                * ss
+                * (
+                    c2m
+                    + B
+                    / 4.0
+                    * (
+                        cs * (-1.0 + 2.0 * c2m**2)
+                        - B / 6.0 * c2m * (-3.0 + 4.0 * ss**2) * (-3.0 + 4.0 * c2m**2)
+                    )
+                )
+            )
+            dist[ok] = b * A * (sg - delta_sigma)
+            if with_azimuths:
+                su1, cu1 = np.sin(
+                    np.arctan((1.0 - f) * np.tan(np.radians(lat1v[ok])))
+                ), np.cos(np.arctan((1.0 - f) * np.tan(np.radians(lat1v[ok]))))
+                su2 = np.sin(np.arctan((1.0 - f) * np.tan(np.radians(lat2v[ok]))))
+                cu2 = np.cos(np.arctan((1.0 - f) * np.tan(np.radians(lat2v[ok]))))
+                sl, cl = fin_sin_lam[ok], fin_cos_lam[ok]
+                az_fwd[ok] = np.degrees(np.arctan2(cu2 * sl, cu1 * su2 - su1 * cu2 * cl)) % 360.0
+                az_back[ok] = np.degrees(np.arctan2(cu1 * sl, -su1 * cu2 + cu1 * su2 * cl)) % 360.0
+        dist[zero_sigma] = 0.0
+
+    dist = dist.reshape(shape)
+    if with_azimuths:
+        return dist, az_fwd.reshape(shape), az_back.reshape(shape)
+    return dist
+
+
+def vincenty_direct(
+    lat,
+    lon,
+    azimuth_deg,
+    distance_m,
+    a: float = WGS84_A,
+    f: float = WGS84_F,
+):
+    """Vectorized Vincenty direct problem → ``(lat2, lon2)`` degrees.
+
+    Non-converged lanes are ``(nan, nan)`` (reference ``geodesic.py:643-644``).
+    Longitudes are NOT normalized here — callers decide (the reference's
+    public API normalizes to [-180, 180] at ``distance.py:272``).
+    """
+    (latv, lonv, azv, dv), shape = _as1d(lat, lon, azimuth_deg, distance_m)
+    n = latv.size
+    b = a * (1.0 - f)
+
+    alpha1 = np.radians(azv)
+    sin_alpha1, cos_alpha1 = np.sin(alpha1), np.cos(alpha1)
+    tan_u1 = (1.0 - f) * np.tan(np.radians(latv))
+    cos_u1 = 1.0 / np.sqrt(1.0 + tan_u1 * tan_u1)
+    sin_u1 = tan_u1 * cos_u1
+
+    sigma1 = np.arctan2(tan_u1, cos_alpha1)
+    sin_alpha = cos_u1 * sin_alpha1
+    cos_sq_alpha = 1.0 - sin_alpha * sin_alpha
+
+    u_sq = cos_sq_alpha * (a * a - b * b) / (b * b)
+    A = 1.0 + u_sq / 16384.0 * (4096.0 + u_sq * (-768.0 + u_sq * (320.0 - 175.0 * u_sq)))
+    B = u_sq / 1024.0 * (256.0 + u_sq * (-128.0 + u_sq * (74.0 - 47.0 * u_sq)))
+
+    sigma0 = dv / (b * A)
+    sigma = sigma0.copy()
+    fin_sigma = np.full(n, np.nan)
+
+    w_idx = np.arange(n)
+    w_sigma, w_sigma0 = sigma, sigma0
+    w_sigma1, w_B = sigma1, B
+    for _ in range(MAX_ITERATIONS):
+        cos_2sigma_m = np.cos(2.0 * w_sigma1 + w_sigma)
+        sin_sigma = np.sin(w_sigma)
+        cos_sigma = np.cos(w_sigma)
+        delta_sigma = (
+            w_B
+            * sin_sigma
+            * (
+                cos_2sigma_m
+                + w_B
+                / 4.0
+                * (
+                    cos_sigma * (-1.0 + 2.0 * cos_2sigma_m**2)
+                    - w_B
+                    / 6.0
+                    * cos_2sigma_m
+                    * (-3.0 + 4.0 * sin_sigma**2)
+                    * (-3.0 + 4.0 * cos_2sigma_m**2)
+                )
+            )
+        )
+        new_sigma = w_sigma0 + delta_sigma
+        done = np.abs(new_sigma - w_sigma) < CONVERGENCE_THRESHOLD
+        if done.any():
+            fin_sigma[w_idx[done]] = new_sigma[done]
+        keep = ~done
+        if not keep.any():
+            break
+        w_idx = w_idx[keep]
+        w_sigma = new_sigma[keep]
+        w_sigma0 = w_sigma0[keep]
+        w_sigma1 = w_sigma1[keep]
+        w_B = w_B[keep]
+
+    sigma = fin_sigma  # nan where non-converged
+    sin_sigma = np.sin(sigma)
+    cos_sigma = np.cos(sigma)
+    cos_2sigma_m = np.cos(2.0 * sigma1 + sigma)
+
+    lat2 = np.arctan2(
+        sin_u1 * cos_sigma + cos_u1 * sin_sigma * cos_alpha1,
+        (1.0 - f)
+        * np.sqrt(
+            sin_alpha**2 + (sin_u1 * sin_sigma - cos_u1 * cos_sigma * cos_alpha1) ** 2
+        ),
+    )
+    lam = np.arctan2(
+        sin_sigma * sin_alpha1, cos_u1 * cos_sigma - sin_u1 * sin_sigma * cos_alpha1
+    )
+    c = f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha))
+    L = lam - (1.0 - c) * f * sin_alpha * (
+        sigma
+        + c * np.sin(sigma) * (cos_2sigma_m + c * np.cos(sigma) * (-1.0 + 2.0 * cos_2sigma_m**2))
+    )
+    lon2 = np.radians(lonv) + L
+    return np.degrees(lat2).reshape(shape), np.degrees(lon2).reshape(shape)

@@ -1,0 +1,184 @@
+"""Kernel conformance vs the reference's golden values and metric-space laws.
+
+Golden constants are pinned from the reference's test suite
+(``/root/reference/tests/test_geodist.py:42-74,136-139,358-403``) — NOT its
+docstrings, which are stale (SURVEY.md §0).
+"""
+
+import numpy as np
+import pytest
+
+from geodistpy_ray.kernels import (
+    geodesic_direct,
+    geodesic_inverse,
+    great_circle,
+    haversine,
+    initial_bearing_sphere,
+    resolve_ellipsoid,
+    unit_factor,
+    vincenty_direct,
+    vincenty_inverse,
+)
+
+BERLIN = (52.5200, 13.4050)
+PARIS = (48.8566, 2.3522)
+MILE = 1609.344
+
+
+class TestGoldenValues:
+    def test_berlin_paris_km(self):
+        d = vincenty_inverse(*BERLIN, *PARIS)
+        assert d * 1e-3 == pytest.approx(879.699316, rel=1e-6)
+
+    def test_us_cities_miles(self):
+        d = vincenty_inverse(
+            np.array([37.7749, 34.0522]),
+            np.array([-122.4194, -118.2437]),
+            np.array([40.7128, 41.8781]),
+            np.array([-74.0060, -87.6298]),
+        )
+        np.testing.assert_allclose(
+            d / MILE, [2571.945757, 1745.768063], rtol=1e-6
+        )
+
+    def test_pole_to_pole(self):
+        assert vincenty_inverse(90.0, 0.0, -90.0, 0.0) == pytest.approx(
+            20003931.458623, rel=1e-9
+        )
+
+    def test_antimeridian(self):
+        d = vincenty_inverse(0.0, 179.0, 0.0, -179.0)
+        assert d * 1e-3 == pytest.approx(222.4, rel=0.01)
+
+    def test_coincident_zero(self):
+        assert vincenty_inverse(37.7749, -122.4194, 37.7749, -122.4194) == 0.0
+
+    def test_great_circle_equator_to_pole(self):
+        assert great_circle(0.0, 0.0, 90.0, 0.0) == pytest.approx(
+            10001965.729, rel=1e-3
+        )
+
+    def test_great_circle_close_to_vincenty(self):
+        gc = great_circle(*BERLIN, *PARIS)
+        vi = vincenty_inverse(*BERLIN, *PARIS)
+        assert abs(gc - vi) < 50.0  # Andoyer-Lambert ~19 m mean error class
+
+    def test_haversine_sane(self):
+        h = haversine(*BERLIN, *PARIS)
+        assert abs(h - 879699.0) < 5000.0
+
+
+class TestMetricProperties:
+    @pytest.fixture(scope="class")
+    def pts(self):
+        rng = np.random.default_rng(42)
+        n = 200
+        return (
+            rng.uniform(-85, 85, n),
+            rng.uniform(-180, 180, n),
+            rng.uniform(-85, 85, n),
+            rng.uniform(-180, 180, n),
+        )
+
+    def test_symmetry(self, pts):
+        lat1, lon1, lat2, lon2 = pts
+        d12 = geodesic_inverse(lat1, lon1, lat2, lon2)
+        d21 = geodesic_inverse(lat2, lon2, lat1, lon1)
+        np.testing.assert_allclose(d12, d21, rtol=1e-9)
+
+    def test_non_negative(self, pts):
+        lat1, lon1, lat2, lon2 = pts
+        assert (geodesic_inverse(lat1, lon1, lat2, lon2) >= 0).all()
+
+    def test_triangle_inequality(self, pts):
+        lat1, lon1, lat2, lon2 = pts
+        latm = np.zeros_like(lat1)
+        lonm = np.full_like(lon1, 10.0)
+        d12 = geodesic_inverse(lat1, lon1, lat2, lon2)
+        d1m = geodesic_inverse(lat1, lon1, latm, lonm)
+        dm2 = geodesic_inverse(latm, lonm, lat2, lon2)
+        assert (d12 <= d1m + dm2 + 1e-6).all()
+
+
+class TestInverseFull:
+    def test_bearing_berlin_paris(self):
+        _, az, _ = vincenty_inverse(*BERLIN, *PARIS, with_azimuths=True)
+        assert 240.0 < az < 250.0
+
+    def test_cardinal_bearings(self):
+        _, az_e, _ = vincenty_inverse(0.0, 0.0, 0.0, 1.0, with_azimuths=True)
+        _, az_n, _ = vincenty_inverse(0.0, 0.0, 1.0, 0.0, with_azimuths=True)
+        _, az_s, _ = vincenty_inverse(1.0, 0.0, 0.0, 0.0, with_azimuths=True)
+        _, az_w, _ = vincenty_inverse(0.0, 1.0, 0.0, 0.0, with_azimuths=True)
+        assert az_e == pytest.approx(90.0, abs=0.01)
+        assert az_n == pytest.approx(0.0, abs=0.01) or az_n == pytest.approx(360.0, abs=0.01)
+        assert az_s == pytest.approx(180.0, abs=0.01)
+        assert az_w == pytest.approx(270.0, abs=0.01)
+
+    def test_spherical_bearing_close(self):
+        _, az, _ = vincenty_inverse(*BERLIN, *PARIS, with_azimuths=True)
+        sb = initial_bearing_sphere(*BERLIN, *PARIS)
+        assert abs(az - sb) < 0.5
+
+
+class TestDirect:
+    def test_roundtrip(self):
+        rng = np.random.default_rng(7)
+        n = 500
+        lat1 = rng.uniform(-80, 80, n)
+        lon1 = rng.uniform(-180, 180, n)
+        lat2 = rng.uniform(-80, 80, n)
+        lon2 = rng.uniform(-180, 180, n)
+        d, az, _ = vincenty_inverse(lat1, lon1, lat2, lon2, with_azimuths=True)
+        ok = d > 0
+        la, lo = vincenty_direct(lat1[ok], lon1[ok], az[ok], d[ok])
+        lo = ((lo + 180.0) % 360.0) - 180.0
+        np.testing.assert_allclose(la, lat2[ok], atol=1e-8)
+        np.testing.assert_allclose(lo, lon2[ok], atol=1e-8)
+
+    def test_equator_east_degree(self):
+        # 111.32 km east on the equator lands at ~(0, 1)
+        la, lo = geodesic_direct(0.0, 0.0, 90.0, 111320.0)
+        assert la == pytest.approx(0.0, abs=1e-6)
+        assert lo == pytest.approx(1.0, abs=0.01)
+
+
+class TestEllipsoidsUnits:
+    def test_named_ellipsoids_all_resolve(self):
+        from geodistpy_ray.kernels import ELLIPSOIDS
+
+        for name in ELLIPSOIDS:
+            a, f = resolve_ellipsoid(name)
+            d = vincenty_inverse(*BERLIN, *PARIS, a=a, f=f)
+            assert 870e3 < d < 890e3
+
+    def test_clarke_differs(self):
+        a, f = resolve_ellipsoid("Clarke (1880)")
+        d_clarke = vincenty_inverse(*BERLIN, *PARIS, a=a, f=f)
+        d_wgs = vincenty_inverse(*BERLIN, *PARIS)
+        assert abs(d_clarke - d_wgs) > 10.0
+
+    def test_custom_tuple(self):
+        a, f = resolve_ellipsoid((6378137.0, 1 / 298.257223563))
+        assert a == 6378137.0
+
+    def test_bad_ellipsoid(self):
+        with pytest.raises(ValueError):
+            resolve_ellipsoid("Mars")
+        with pytest.raises(ValueError):
+            resolve_ellipsoid((-1.0, 0.003))
+        with pytest.raises(ValueError):
+            resolve_ellipsoid((6378137.0, 1.5))
+
+    def test_unit_factors(self):
+        assert unit_factor("meter") == 1.0
+        assert unit_factor("km") == 1e-3
+        assert unit_factor("mile") == 1 / 1609.344
+        assert unit_factor("nmi") == 1 / 1852.0
+        with pytest.raises(ValueError):
+            unit_factor("furlong")
+
+    def test_unit_consistency(self):
+        d_m = vincenty_inverse(*BERLIN, *PARIS)
+        assert d_m * unit_factor("km") * 1000 == pytest.approx(d_m)
+        assert d_m * unit_factor("mile") * MILE == pytest.approx(d_m)
