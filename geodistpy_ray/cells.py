@@ -1,0 +1,155 @@
+"""Homegrown hierarchical grid-cell index (H3/S2 stand-in, pure NumPy).
+
+The engine's one shuffle currency: every wide op (spatial join, kNN, radius
+join, tile aggregation) partitions by ``cell`` (SURVEY.md §7.4). Neither H3
+nor S2 is installable in this environment (SURVEY.md §4.3), so cells are an
+equiangular lat/lon grid at a configurable resolution:
+
+    lat_idx = floor((lat + 90) / cell_deg)   clamped to [0, nlat-1]
+    lon_idx = floor((lon + 180) / cell_deg)  clamped to [0, nlon-1]
+    cell    = lat_idx * nlon + lon_idx       (int64, row-major)
+
+Row-major int ids keep the encoding trivially expressible in ANSI SQL (the
+DuckDB correctness oracle recomputes it exactly — see
+``geodistpy_ray.functions.geocode.cell_sql``), while
+``parent`` / ``neighbors`` / ``disc_cover`` provide the hierarchy and ring
+ops the query layer needs. At 100 TB scale the partitioning story is: pick
+``cell_deg`` so hot cells stay under the per-group row cap, then salt the
+remaining hot cells (``stages/``) — latitude-band locality of row-major ids
+makes range partitioning by ``cell`` geographically contiguous.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+#: meters per degree of latitude, lower bound (used for conservative covers).
+MIN_M_PER_DEG_LAT = 110_567.0
+#: meters per degree of longitude at the equator, upper bound for shrink rate.
+M_PER_DEG_LON_EQ = 111_320.0
+
+DEFAULT_CELL_DEG = 2.0
+
+
+def grid_shape(cell_deg: float = DEFAULT_CELL_DEG) -> tuple[int, int]:
+    nlat = int(round(180.0 / cell_deg))
+    nlon = int(round(360.0 / cell_deg))
+    return nlat, nlon
+
+
+def cell_id(lat, lon, cell_deg: float = DEFAULT_CELL_DEG):
+    """Encode lat/lon degree columns to int64 cell ids (vectorized)."""
+    nlat, nlon = grid_shape(cell_deg)
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    lat_idx = np.minimum(np.floor((lat + 90.0) / cell_deg), nlat - 1).astype(np.int64)
+    lon_idx = np.minimum(np.floor((lon + 180.0) / cell_deg), nlon - 1).astype(np.int64)
+    lat_idx = np.maximum(lat_idx, 0)
+    lon_idx = np.maximum(lon_idx, 0)
+    return lat_idx * nlon + lon_idx
+
+
+def cell_indices(cell, cell_deg: float = DEFAULT_CELL_DEG):
+    """Decode int64 cell ids back to (lat_idx, lon_idx)."""
+    _, nlon = grid_shape(cell_deg)
+    cell = np.asarray(cell, dtype=np.int64)
+    return cell // nlon, cell % nlon
+
+
+def cell_center(cell, cell_deg: float = DEFAULT_CELL_DEG):
+    """Center (lat, lon) of each cell."""
+    lat_idx, lon_idx = cell_indices(cell, cell_deg)
+    lat = lat_idx * cell_deg - 90.0 + cell_deg / 2.0
+    lon = lon_idx * cell_deg - 180.0 + cell_deg / 2.0
+    return lat, lon
+
+
+def cell_bounds(cell, cell_deg: float = DEFAULT_CELL_DEG):
+    """(min_lat, max_lat, min_lon, max_lon) of each cell."""
+    lat_idx, lon_idx = cell_indices(cell, cell_deg)
+    min_lat = lat_idx * cell_deg - 90.0
+    min_lon = lon_idx * cell_deg - 180.0
+    return min_lat, min_lat + cell_deg, min_lon, min_lon + cell_deg
+
+
+def parent_cell(cell, cell_deg: float, factor: int):
+    """Coarsen cells by an integer factor (hierarchical tile aggregation).
+
+    ``factor`` must divide the grid shape (e.g. cell_deg=1 → factor 2/3/4...).
+    """
+    nlat, nlon = grid_shape(cell_deg)
+    if nlon % factor or nlat % factor:
+        raise ValueError(f"factor {factor} must divide grid {nlat}x{nlon}")
+    lat_idx, lon_idx = cell_indices(cell, cell_deg)
+    return (lat_idx // factor) * (nlon // factor) + (lon_idx // factor)
+
+
+def neighbor_cells(cell, cell_deg: float = DEFAULT_CELL_DEG, ring: int = 1):
+    """All cells within ``ring`` steps (Chebyshev) of each input cell.
+
+    Longitude wraps; latitude clamps at the poles (a cell touching a pole
+    treats the pole row as its own neighborhood — disc covers near poles are
+    handled by :func:`disc_cover` with full-ring expansion instead).
+
+    Returns ``(src_positions, neighbor_ids)`` flattened pairs so callers can
+    build an exploded (cell → neighbor) table without ragged arrays.
+    """
+    nlat, nlon = grid_shape(cell_deg)
+    cell = np.atleast_1d(np.asarray(cell, dtype=np.int64))
+    lat_idx, lon_idx = cell // nlon, cell % nlon
+    offs = np.arange(-ring, ring + 1)
+    dlat, dlon = np.meshgrid(offs, offs, indexing="ij")
+    dlat, dlon = dlat.ravel(), dlon.ravel()
+    la = lat_idx[:, None] + dlat[None, :]
+    lo = (lon_idx[:, None] + dlon[None, :]) % nlon
+    valid = (la >= 0) & (la < nlat)
+    src = np.broadcast_to(np.arange(cell.size)[:, None], la.shape)[valid]
+    neigh = (la * nlon + lo)[valid]
+    return src, neigh
+
+
+def disc_cover(lat, lon, radius_m, cell_deg: float = DEFAULT_CELL_DEG):
+    """Conservative cell cover of geodesic discs (vectorized, ragged output).
+
+    Returns ``(src_positions, cell_ids)`` — for each input point i, the set of
+    cells that could contain a point within ``radius_m`` of it. Guaranteed a
+    superset (uses a lower bound on meters-per-degree); callers apply the
+    exact geodesic test afterwards (radius-join semantics, SURVEY.md §2 P8).
+    """
+    nlat, nlon = grid_shape(cell_deg)
+    lat = np.atleast_1d(np.asarray(lat, dtype=np.float64))
+    lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
+    radius_m = np.broadcast_to(np.asarray(radius_m, dtype=np.float64), lat.shape)
+
+    dlat_deg = radius_m / MIN_M_PER_DEG_LAT
+    lat_lo = np.maximum(lat - dlat_deg, -90.0)
+    lat_hi = np.minimum(lat + dlat_deg, 90.0)
+    # Shrink factor for longitude degrees at the extreme latitude of the band.
+    extreme = np.maximum(np.abs(lat_lo), np.abs(lat_hi))
+    cos_lat = np.cos(np.radians(np.minimum(extreme, 89.999)))
+    dlon_deg = radius_m / (MIN_M_PER_DEG_LAT * cos_lat)
+    full_ring = (dlon_deg >= 180.0) | (lat_hi >= 90.0 - 1e-9) | (lat_lo <= -90.0 + 1e-9)
+
+    lat_idx_lo = np.clip(np.floor((lat_lo + 90.0) / cell_deg), 0, nlat - 1).astype(np.int64)
+    lat_idx_hi = np.clip(np.floor((lat_hi + 90.0) / cell_deg), 0, nlat - 1).astype(np.int64)
+    lon_idx = np.clip(np.floor((lon + 180.0) / cell_deg), 0, nlon - 1).astype(np.int64)
+    half_w = np.where(
+        full_ring,
+        nlon // 2,
+        np.minimum(np.ceil(dlon_deg / cell_deg), nlon // 2).astype(np.int64),
+    ).astype(np.int64)
+
+    srcs = []
+    cells_out = []
+    n_lat_rows = (lat_idx_hi - lat_idx_lo + 1).astype(np.int64)
+    n_lon_cols = np.minimum(2 * half_w + 1, nlon)
+    for i in range(lat.size):
+        rows = np.arange(lat_idx_lo[i], lat_idx_hi[i] + 1)
+        cols = (lon_idx[i] + np.arange(-half_w[i], half_w[i] + 1)) % nlon
+        cols = np.unique(cols)[: n_lon_cols[i]]
+        grid = rows[:, None] * nlon + cols[None, :]
+        cells_out.append(grid.ravel())
+        srcs.append(np.full(grid.size, i, dtype=np.int64))
+    if not srcs:
+        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    return np.concatenate(srcs), np.concatenate(cells_out)

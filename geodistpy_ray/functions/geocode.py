@@ -1,0 +1,121 @@
+"""Deterministic synthetic geocoder — the engine's pages→(lat, lon) model.
+
+The reference has no geocoder (its inputs are already coordinates); the
+north-star pipeline geocodes Common-Crawl-style pages in a stateful stage.
+Since no external geo data exists in this sandbox, geocoding is a
+deterministic *arithmetic* model over the record key: records cluster around
+``N_CENTERS`` synthetic "city" centers (driving realistic cell skew), with a
+per-record jitter. Every formula below is pure int64/float64 arithmetic so
+the DuckDB correctness oracle can recompute it **bit-identically** — the SQL
+renderings in this module are kept in lockstep with the NumPy ones; tests
+assert equality.
+
+Latitudes land in [-81, 81] by construction (no clamp branch); longitudes
+are wrapped with an always-positive-dividend mod so NumPy and SQL agree.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+N_CENTERS = 211  # prime → doc_id % N_CENTERS cycles through all centers
+_LAT_MUL = 7919
+_LON_MUL = 104729
+_JLAT_MUL = 2654435761
+_JLON_MUL = 998244353
+_JMOD = 2000001
+_JDIV = 1000000.0
+
+
+def center_latlon(center_id):
+    """City-center coordinates for integer center ids (vectorized)."""
+    c = np.asarray(center_id, dtype=np.int64)
+    clat = ((c * _LAT_MUL) % 160).astype(np.float64) - 79.5
+    clon = ((c * _LON_MUL) % 360).astype(np.float64) - 179.5
+    return clat, clon
+
+
+def geocode_ids(doc_id):
+    """doc_id column → (lat, lon) float64 columns, bit-reproducible in SQL."""
+    d = np.asarray(doc_id, dtype=np.int64)
+    clat, clon = center_latlon(d % N_CENTERS)
+    jlat = ((d * _JLAT_MUL) % _JMOD).astype(np.float64) / _JDIV - 1.0
+    jlon = ((d * _JLON_MUL) % _JMOD).astype(np.float64) / _JDIV - 1.0
+    lat = clat + 1.5 * jlat
+    lon = clon + 1.5 * jlon
+    lon = ((lon + 540.0) % 360.0) - 180.0
+    return lat, lon
+
+
+def geocode_sql(id_col: str = "doc_id") -> tuple[str, str]:
+    """(lat_expr, lon_expr) SQL mirroring :func:`geocode_ids` bit-for-bit."""
+    c = f"({id_col} % {N_CENTERS})"
+    clat = f"(CAST(({c} * {_LAT_MUL}) % 160 AS DOUBLE) - 79.5)"
+    clon = f"(CAST(({c} * {_LON_MUL}) % 360 AS DOUBLE) - 179.5)"
+    jlat = f"(CAST(({id_col} * {_JLAT_MUL}) % {_JMOD} AS DOUBLE) / {_JDIV} - 1.0)"
+    jlon = f"(CAST(({id_col} * {_JLON_MUL}) % {_JMOD} AS DOUBLE) / {_JDIV} - 1.0)"
+    lat = f"({clat} + 1.5 * {jlat})"
+    lon = f"((({clon} + 1.5 * {jlon}) + 540.0) % 360.0 - 180.0)"
+    return lat, lon
+
+
+def cell_sql(lat_expr: str, lon_expr: str, cell_deg: float) -> str:
+    """SQL for ``geodistpy_ray.cells.cell_id`` over the given lat/lon exprs."""
+    nlat = int(round(180.0 / cell_deg))
+    nlon = int(round(360.0 / cell_deg))
+    lat_idx = (
+        f"GREATEST(LEAST(CAST(FLOOR(({lat_expr} + 90.0) / {cell_deg}) AS BIGINT), "
+        f"{nlat - 1}), 0)"
+    )
+    lon_idx = (
+        f"GREATEST(LEAST(CAST(FLOOR(({lon_expr} + 180.0) / {cell_deg}) AS BIGINT), "
+        f"{nlon - 1}), 0)"
+    )
+    return f"({lat_idx} * {nlon} + {lon_idx})"
+
+
+def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """SQL haversine (meters, R=6371009) matching ``kernels.haversine``.
+
+    Trig results may differ from NumPy's by ulps — consumers must round
+    (typically to 1e-3 m) before comparing/hashing.
+    """
+    h = (
+        f"(POW(SIN(RADIANS({lat2} - {lat1}) / 2), 2) + "
+        f"COS(RADIANS({lat1})) * COS(RADIANS({lat2})) * "
+        f"POW(SIN(RADIANS({lon2} - {lon1}) / 2), 2))"
+    )
+    return f"(2.0 * 6371009.0 * ASIN(SQRT(LEAST(GREATEST({h}, 0.0), 1.0))))"
+
+
+# ── Fixed query points for the kNN / radius correctness pipelines ─────────
+N_QUERIES = 24
+_QLAT_MUL = 6151
+_QLON_MUL = 3571
+
+
+def query_points(n: int = N_QUERIES):
+    """Deterministic query set: half near city centers, half elsewhere."""
+    q = np.arange(n, dtype=np.int64)
+    near = q % 2 == 0
+    clat, clon = center_latlon((q * 13) % N_CENTERS)
+    alat = ((q * _QLAT_MUL) % 140).astype(np.float64) - 69.5
+    alon = ((q * _QLON_MUL) % 360).astype(np.float64) - 179.5
+    lat = np.where(near, clat + 0.25, alat)
+    lon = np.where(near, clon - 0.25, alon)
+    return q, lat, lon
+
+
+def query_points_sql(n: int = N_QUERIES) -> str:
+    """SQL relation (query_id, qlat, qlon) mirroring :func:`query_points`."""
+    c = f"((q * 13) % {N_CENTERS})"
+    clat = f"(CAST(({c} * {_LAT_MUL}) % 160 AS DOUBLE) - 79.5)"
+    clon = f"(CAST(({c} * {_LON_MUL}) % 360 AS DOUBLE) - 179.5)"
+    alat = f"(CAST((q * {_QLAT_MUL}) % 140 AS DOUBLE) - 69.5)"
+    alon = f"(CAST((q * {_QLON_MUL}) % 360 AS DOUBLE) - 179.5)"
+    return (
+        f"(SELECT q AS query_id, "
+        f"CASE WHEN q % 2 = 0 THEN {clat} + 0.25 ELSE {alat} END AS qlat, "
+        f"CASE WHEN q % 2 = 0 THEN {clon} - 0.25 ELSE {alon} END AS qlon "
+        f"FROM (SELECT CAST(UNNEST(RANGE({n})) AS BIGINT) AS q))"
+    )

@@ -1,0 +1,174 @@
+"""Core geo stages: geocode, cell assignment, distance columns.
+
+Every stage is ``Dataset -> Dataset`` built on
+``map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)`` — Arrow
+columns are viewed as NumPy arrays without copying, kernels run vectorized,
+and payload columns (``html``/``text``) pass through untouched
+(byte-identity invariant, BASELINE.json input_hint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..cells import DEFAULT_CELL_DEG, cell_id
+from ..functions.geocode import geocode_ids
+from ..kernels import (
+    geodesic_inverse,
+    great_circle,
+    haversine,
+    resolve_ellipsoid,
+    unit_factor,
+)
+
+
+def col_np(batch: pa.Table, name: str) -> np.ndarray:
+    """Arrow column → NumPy view (zero-copy for non-null numeric columns)."""
+    return batch.column(name).combine_chunks().to_numpy(zero_copy_only=False)
+
+
+def add_geocode(ds, id_col: str = "doc_id", lat_col: str = "lat", lon_col: str = "lon"):
+    """Append deterministic (lat, lon) derived from an integer key column.
+
+    Stateless fast path of the geocoder (the actor-pool variant with loaded
+    state is :class:`GeocoderActor`).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat, lon = geocode_ids(col_np(batch, id_col))
+        batch = batch.append_column(lat_col, pa.array(lat, pa.float64()))
+        return batch.append_column(lon_col, pa.array(lon, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+class GeocoderActor:
+    """Stateful geocoder for actor pools: lookup state built once per actor.
+
+    Mirrors the north-star's "IP/URL-derived lat-lon in a stateful actor-pool
+    stage": ``__init__`` builds the city-center lookup table (standing in for
+    loading a real GeoIP database — done once per actor, not per batch);
+    ``__call__`` vectorizes over the batch. Use as::
+
+        ds.map_batches(GeocoderActor, fn_constructor_kwargs={"id_col": "doc_id"},
+                       batch_format="pyarrow", concurrency=4, batch_size=8192)
+    """
+
+    def __init__(self, id_col: str = "doc_id"):
+        from ..functions.geocode import N_CENTERS, center_latlon
+
+        self.id_col = id_col
+        centers = np.arange(N_CENTERS, dtype=np.int64)
+        self.center_lat, self.center_lon = center_latlon(centers)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = col_np(batch, self.id_col).astype(np.int64)
+        from ..functions.geocode import _JDIV, _JLAT_MUL, _JLON_MUL, _JMOD, N_CENTERS
+
+        c = d % N_CENTERS
+        jlat = ((d * _JLAT_MUL) % _JMOD).astype(np.float64) / _JDIV - 1.0
+        jlon = ((d * _JLON_MUL) % _JMOD).astype(np.float64) / _JDIV - 1.0
+        lat = self.center_lat[c] + 1.5 * jlat
+        lon = self.center_lon[c] + 1.5 * jlon
+        lon = ((lon + 540.0) % 360.0) - 180.0
+        batch = batch.append_column("lat", pa.array(lat, pa.float64()))
+        return batch.append_column("lon", pa.array(lon, pa.float64()))
+
+
+def add_cell(ds, cell_deg: float = DEFAULT_CELL_DEG, lat_col="lat", lon_col="lon", out_col="cell"):
+    """Append the int64 grid-cell id (the shuffle key for all wide geo ops)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        c = cell_id(col_np(batch, lat_col), col_np(batch, lon_col), cell_deg)
+        return batch.append_column(out_col, pa.array(c, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_KERNELS = {
+    "haversine": lambda la1, lo1, la2, lo2, a, f: haversine(la1, lo1, la2, lo2),
+    "great_circle": lambda la1, lo1, la2, lo2, a, f: great_circle(la1, lo1, la2, lo2, a, f),
+    "vincenty": geodesic_inverse,
+    "karney": None,  # resolved lazily below
+}
+
+
+def distance_kernel(name: str):
+    """Kernel registry: haversine | great_circle | vincenty | karney.
+
+    Mirrors the reference's method split (``geodesic.py``): haversine = cheap
+    pre-filter, great_circle = Andoyer-Lambert mid-accuracy, vincenty =
+    exact fast path with Karney patching, karney = exact always.
+    """
+    if name == "karney":
+        from ..kernels import karney_inverse
+
+        return lambda la1, lo1, la2, lo2, a, f: karney_inverse(la1, lo1, la2, lo2, a, f)[0]
+    try:
+        return _KERNELS[name]
+    except KeyError:
+        raise ValueError(
+            f"Unknown kernel '{name}'. Available: haversine, great_circle, vincenty, karney"
+        ) from None
+
+
+def add_distance_to_point(
+    ds,
+    point: tuple[float, float],
+    kernel: str = "vincenty",
+    metric: str = "meter",
+    ellipsoid="WGS-84",
+    lat_col="lat",
+    lon_col="lon",
+    out_col="dist",
+):
+    """Append distance from every row to a fixed point (D4 one-to-many as a map).
+
+    The origin is a broadcast scalar closed over by the task — shipped once
+    per task by Ray's closure serialization, never per batch.
+    """
+    a, f = resolve_ellipsoid(ellipsoid)
+    conv = unit_factor(metric)
+    kfn = distance_kernel(kernel)
+    qlat, qlon = float(point[0]), float(point[1])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d = kfn(col_np(batch, lat_col), col_np(batch, lon_col), qlat, qlon, a, f) * conv
+        return batch.append_column(out_col, pa.array(d, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_elementwise_distance(
+    ds,
+    lat1_col: str,
+    lon1_col: str,
+    lat2_col: str,
+    lon2_col: str,
+    kernel: str = "vincenty",
+    metric: str = "meter",
+    ellipsoid="WGS-84",
+    out_col="dist",
+):
+    """dist[i] = d(A[i], B[i]) over two coordinate pairs carried in each row
+    (the reference's ``geodist`` elementwise semantics, ``distance.py:94-163``)."""
+    a, f = resolve_ellipsoid(ellipsoid)
+    conv = unit_factor(metric)
+    kfn = distance_kernel(kernel)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d = (
+            kfn(
+                col_np(batch, lat1_col),
+                col_np(batch, lon1_col),
+                col_np(batch, lat2_col),
+                col_np(batch, lon2_col),
+                a,
+                f,
+            )
+            * conv
+        )
+        return batch.append_column(out_col, pa.array(d, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

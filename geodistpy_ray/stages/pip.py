@@ -1,0 +1,143 @@
+"""Point-in-polygon spatial join: cell-bucketed ray casting.
+
+The polygon side is preprocessed driver-side into cell buckets and broadcast
+**once** via ``ray.put`` (the classic small-side broadcast join — no shuffle
+of the big point table). Each map task:
+
+1. looks up candidate polygons by the point's grid cell (prune),
+2. runs an exact vectorized even-odd ray-casting test per candidate polygon,
+3. emits ``(id, poly_id)`` match rows.
+
+Antimeridian-crossing polygons are supported by expressing their rings in
+continuing longitudes (>180) and remapping candidate point longitudes into
+the ring's frame. Pole-containing polygons are out of scope for the planar
+even-odd rule and documented as such (use a polar-cap predicate instead).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+
+from ..cells import DEFAULT_CELL_DEG, grid_shape
+from .geo import col_np
+
+
+def _ring_contains(lat: np.ndarray, lon: np.ndarray, rlats: np.ndarray, rlons: np.ndarray):
+    """Vectorized even-odd ray casting: points (n,) vs one closed ring (v,)."""
+    y1, y2 = rlats[:-1, None], rlats[1:, None]
+    x1, x2 = rlons[:-1, None], rlons[1:, None]
+    cond = (y1 > lat[None, :]) != (y2 > lat[None, :])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xint = x1 + (lat[None, :] - y1) / (y2 - y1) * (x2 - x1)
+    cross = cond & (lon[None, :] < xint)
+    return (cross.sum(axis=0) % 2) == 1
+
+
+def build_polygon_index(polygons: pa.Table, cell_deg: float = DEFAULT_CELL_DEG):
+    """Driver-side: polygon table → (rings, bboxes, cell→poly bucket dict)."""
+    nlat, nlon = grid_shape(cell_deg)
+    rings = []
+    n = polygons.num_rows
+    min_lat = polygons.column("min_lat").to_numpy()
+    max_lat = polygons.column("max_lat").to_numpy()
+    min_lon = polygons.column("min_lon").to_numpy()
+    max_lon = polygons.column("max_lon").to_numpy()
+    poly_ids = polygons.column("poly_id").to_numpy()
+    lats_list = polygons.column("ring_lats").to_pylist()
+    lons_list = polygons.column("ring_lons").to_pylist()
+    buckets: dict[int, list[int]] = {}
+    for i in range(n):
+        rings.append(
+            (np.asarray(lats_list[i], dtype=np.float64), np.asarray(lons_list[i], dtype=np.float64))
+        )
+        la_lo = int(np.clip(np.floor((min_lat[i] + 90.0) / cell_deg), 0, nlat - 1))
+        la_hi = int(np.clip(np.floor((max_lat[i] + 90.0) / cell_deg), 0, nlat - 1))
+        lo_lo = int(np.floor((min_lon[i] + 180.0) / cell_deg))
+        lo_hi = int(np.floor((max_lon[i] + 180.0) / cell_deg))
+        for la in range(la_lo, la_hi + 1):
+            for lo in range(lo_lo, lo_hi + 1):
+                buckets.setdefault(la * nlon + (lo % nlon), []).append(i)
+    buckets_np = {c: np.asarray(v, dtype=np.int64) for c, v in buckets.items()}
+    return {
+        "rings": rings,
+        "poly_ids": poly_ids,
+        "min_lon": min_lon,
+        "max_lon": max_lon,
+        "buckets": buckets_np,
+    }
+
+
+class PolygonJoiner:
+    """Actor-pool map stage holding the broadcast polygon index.
+
+    ``__init__`` fetches the ``ray.put`` index once per actor (zero-copy from
+    the local object store); ``__call__`` tests one Arrow batch.
+    """
+
+    def __init__(self, index_ref, id_col: str, cell_deg: float):
+        self.idx = ray.get(index_ref)
+        self.id_col = id_col
+        self.cell_deg = cell_deg
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..cells import cell_id
+
+        lat = col_np(batch, "lat")
+        lon = col_np(batch, "lon")
+        ids = col_np(batch, self.id_col)
+        cells = cell_id(lat, lon, self.cell_deg)
+        out_ids, out_pids = [], []
+        order = np.argsort(cells, kind="stable")
+        cells_s = cells[order]
+        bounds = np.flatnonzero(np.diff(cells_s)) + 1
+        starts = np.concatenate([[0], bounds])
+        ends = np.concatenate([bounds, [cells_s.size]])
+        buckets = self.idx["buckets"]
+        for s, e in zip(starts, ends):
+            cand = buckets.get(int(cells_s[s]))
+            if cand is None:
+                continue
+            sel = order[s:e]
+            plat, plon = lat[sel], lon[sel]
+            for pi in cand:
+                rlats, rlons = self.idx["rings"][pi]
+                lon_t = plon
+                if self.idx["max_lon"][pi] > 180.0:
+                    # ring uses continuing longitudes; map points into its frame
+                    lon_t = np.where(plon < self.idx["min_lon"][pi], plon + 360.0, plon)
+                hit = _ring_contains(plat, lon_t, rlats, rlons)
+                if hit.any():
+                    out_ids.append(ids[sel][hit])
+                    out_pids.append(
+                        np.full(int(hit.sum()), self.idx["poly_ids"][pi], dtype=np.int64)
+                    )
+        if not out_ids:
+            return pa.table(
+                {self.id_col: pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {self.id_col: np.concatenate(out_ids), "poly_id": np.concatenate(out_pids)}
+        )
+
+
+def point_in_polygon_join(
+    ds,
+    polygons: pa.Table,
+    id_col: str = "doc_id",
+    cell_deg: float = DEFAULT_CELL_DEG,
+    concurrency: int | tuple[int, int] = 4,
+    batch_size: int = 16384,
+):
+    """Spatial join → Dataset (id, poly_id); points must carry lat/lon."""
+    index_ref = ray.put(build_polygon_index(polygons, cell_deg))
+    return ds.map_batches(
+        PolygonJoiner,
+        fn_constructor_kwargs={"index_ref": index_ref, "id_col": id_col, "cell_deg": cell_deg},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -1,0 +1,49 @@
+"""Raster↔vector tile aggregation over grid cells.
+
+Partial-then-final pattern: each batch pre-aggregates its rows per cell
+(``np.unique`` + grouped sums — the combiner), the shuffle then moves one
+row per (cell × batch) instead of one per input row, and a small
+``groupby(cell).aggregate(Sum...)`` finishes. This is the reference's
+missing aggregation layer re-expressed for scale (SURVEY.md §2.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+from ..cells import DEFAULT_CELL_DEG, parent_cell
+from .geo import col_np
+
+
+def tile_aggregate(
+    ds,
+    cell_col: str = "cell",
+    value_cols: tuple[str, ...] = (),
+    cell_deg: float = DEFAULT_CELL_DEG,
+    coarsen_factor: int | None = None,
+):
+    """Per-cell counts (plus optional value sums) → Dataset (cell, n, sum_*).
+
+    With ``coarsen_factor`` the aggregation happens at the parent resolution
+    (hierarchical raster roll-up).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cells = col_np(batch, cell_col)
+        if coarsen_factor:
+            cells = parent_cell(cells, cell_deg, coarsen_factor)
+        uniq, inv, counts = np.unique(cells, return_inverse=True, return_counts=True)
+        cols = {"cell": uniq, "part_n": counts.astype(np.int64)}
+        for vc in value_cols:
+            v = col_np(batch, vc).astype(np.float64)
+            cols[f"part_sum_{vc}"] = np.bincount(inv, weights=v, minlength=uniq.size)
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Sum("part_n", alias_name="n")]
+    for vc in value_cols:
+        aggs.append(Sum(f"part_sum_{vc}", alias_name=f"sum_{vc}"))
+    return partials.groupby("cell").aggregate(*aggs)
