@@ -1,0 +1,203 @@
+"""Similarity search over embedding columns (``list<float>``).
+
+- :func:`ann_topk` — brute-force cosine top-k against a broadcast query
+  matrix: per-batch ``numpy`` matmul + partial top-k (the combiner), then a
+  small per-query merge. The corpus streams; only k·Q rows per batch shuffle.
+- :func:`lsh_ann_topk` — random-hyperplane LSH bucketing as the scale path:
+  signature → ``groupby(bucket)`` → per-bucket exact search. Approximate
+  (recall < 1) by construction; multiple probe tables raise recall.
+- :func:`embedding_near_dup_pairs` — cosine near-duplicate pairs via the
+  close-pair idiom on LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .geo import col_np
+
+
+def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col).combine_chunks()
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    return flat.reshape(len(arr), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.maximum(n, 1e-30)
+
+
+def ann_topk(
+    ds,
+    query_matrix: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tie_round: int = 6,
+):
+    """Exact cosine top-k per query row → (query_id, {id_col}, sim, rank).
+
+    ``query_matrix`` is (Q, d); it is closed over (broadcast once per task).
+    Deterministic tie-break: (-round(sim), id).
+    """
+    q = _normalize(np.asarray(query_matrix, dtype=np.float32))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        ids = col_np(batch, id_col)
+        sims = emb @ q.T  # (B, Q)
+        kk = min(k, ids.size)
+        out_q, out_i, out_s = [], [], []
+        for j in range(q.shape[0]):
+            s = sims[:, j]
+            part = np.argpartition(-s, kk - 1)[:kk] if kk < ids.size else np.arange(ids.size)
+            out_q.append(np.full(part.size, j, dtype=np.int64))
+            out_i.append(ids[part])
+            out_s.append(s[part].astype(np.float64))
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.assign(_key=(-g["sim"]).round(tie_round))
+            .sort_values(["_key", id_col])
+            .head(k)
+            .drop(columns="_key")
+        )
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+class HyperplaneLSH:
+    """Seeded random-hyperplane signatures (state built once per actor)."""
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 7):
+        rng = np.random.default_rng(seed)
+        self.planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+        self.weights = (1 << np.arange(n_bits, dtype=np.int64))
+
+    def bucket(self, emb: np.ndarray) -> np.ndarray:
+        bits = (emb @ self.planes) > 0
+        return bits @ self.weights
+
+
+def lsh_ann_topk(
+    ds,
+    query_matrix: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bits: int = 8,
+    seed: int = 7,
+):
+    """Approximate cosine top-k: search only the query's LSH bucket.
+
+    The scale path for corpora too large for brute force; recall depends on
+    n_bits (fewer bits → bigger buckets → higher recall, more compute).
+    """
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    lsh = HyperplaneLSH(qm.shape[1], n_bits, seed)
+    q_buckets = lsh.bucket(qm)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        ids = col_np(batch, id_col)
+        buckets = lsh.bucket(emb)
+        out_q, out_i, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            m = buckets == q_buckets[j]
+            if not m.any():
+                continue
+            s = emb[m] @ qm[j]
+            kk = min(k, s.size)
+            part = np.argpartition(-s, kk - 1)[:kk] if kk < s.size else np.arange(s.size)
+            out_q.append(np.full(part.size, j, dtype=np.int64))
+            out_i.append(ids[m][part])
+            out_s.append(s[part].astype(np.float64))
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def embedding_near_dup_pairs(
+    ds,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_bits: int = 6,
+    seed: int = 7,
+):
+    """Cosine near-duplicate pairs via LSH-bucketed exact comparison.
+
+    Bucket rows by hyperplane signature (``groupby``), compare all pairs
+    within a bucket exactly. Like all single-table LSH this trades recall
+    for never materializing the N² similarity matrix.
+    """
+
+    lsh_holder = {}
+
+    def sig(batch: pa.Table) -> pa.Table:
+        emb = _normalize(_emb_matrix(batch, emb_col))
+        if "lsh" not in lsh_holder:
+            lsh_holder["lsh"] = HyperplaneLSH(emb.shape[1], n_bits, seed)
+        buckets = lsh_holder["lsh"].bucket(emb)
+        return pa.table(
+            {
+                "bucket": buckets.astype(np.int64),
+                id_col: col_np(batch, id_col),
+                "emb_flat": pa.array(list(emb.astype(np.float64)), pa.list_(pa.float64())),
+            }
+        )
+
+    bucketed = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy()
+        if ids.size < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
+                {"id_a": np.int64, "id_b": np.int64, "sim": np.float64}
+            )
+        emb = np.stack(g["emb_flat"].to_numpy())
+        sims = emb @ emb.T
+        ii, jj = np.triu_indices(ids.size, k=1)
+        keep = sims[ii, jj] >= threshold
+        a, b = ids[ii][keep], ids[jj][keep]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ii, jj][keep]})
+
+    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")

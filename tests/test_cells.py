@@ -1,0 +1,105 @@
+"""Grid-cell index: encode/decode roundtrips, covers are supersets, parents."""
+
+import numpy as np
+import pytest
+
+from geodistpy_ray.cells import (
+    cell_bounds,
+    cell_center,
+    cell_id,
+    cell_indices,
+    disc_cover,
+    grid_shape,
+    neighbor_cells,
+    parent_cell,
+)
+from geodistpy_ray.kernels import haversine
+
+
+class TestEncode:
+    def test_roundtrip_center(self):
+        rng = np.random.default_rng(5)
+        lat = rng.uniform(-90, 90, 500)
+        lon = rng.uniform(-180, 180, 500)
+        c = cell_id(lat, lon, 2.0)
+        mn_lat, mx_lat, mn_lon, mx_lon = cell_bounds(c, 2.0)
+        assert ((lat >= mn_lat) & (lat <= mx_lat)).all()
+        assert ((lon >= mn_lon) & (lon <= mx_lon)).all()
+
+    def test_poles_and_antimeridian(self):
+        c = cell_id(np.array([90.0, -90.0, 0.0]), np.array([180.0, -180.0, 0.0]), 2.0)
+        nlat, nlon = grid_shape(2.0)
+        assert (c >= 0).all() and (c < nlat * nlon).all()
+
+    def test_indices_decode(self):
+        c = cell_id(10.0, 20.0, 2.0)
+        la, lo = cell_indices(c, 2.0)
+        assert la == int((10.0 + 90) / 2.0)
+        assert lo == int((20.0 + 180) / 2.0)
+
+
+class TestHierarchy:
+    def test_parent_consistent(self):
+        rng = np.random.default_rng(6)
+        lat = rng.uniform(-90, 90, 200)
+        lon = rng.uniform(-180, 180, 200)
+        fine = cell_id(lat, lon, 1.0)
+        parent = parent_cell(fine, 1.0, 4)
+        coarse = cell_id(lat, lon, 4.0)
+        np.testing.assert_array_equal(parent, coarse)
+
+    def test_parent_bad_factor(self):
+        with pytest.raises(ValueError):
+            parent_cell(np.array([0]), 1.0, 7)
+
+
+class TestNeighbors:
+    def test_ring1_size_interior(self):
+        c = cell_id(0.0, 0.0, 2.0)
+        src, neigh = neighbor_cells(c, 2.0, ring=1)
+        assert neigh.size == 9
+        assert c in neigh
+
+    def test_lon_wrap(self):
+        c = cell_id(0.0, -179.9, 2.0)
+        _, neigh = neighbor_cells(c, 2.0, ring=1)
+        other_side = cell_id(0.0, 179.9, 2.0)
+        assert other_side in neigh
+
+    def test_pole_clamp(self):
+        c = cell_id(89.9, 0.0, 2.0)
+        _, neigh = neighbor_cells(c, 2.0, ring=1)
+        assert neigh.size == 6  # top row clipped
+
+
+class TestDiscCover:
+    def test_cover_is_superset(self):
+        # every point within radius must land in a covered cell
+        rng = np.random.default_rng(7)
+        centers_lat = rng.uniform(-85, 85, 20)
+        centers_lon = rng.uniform(-180, 180, 20)
+        radius = 300_000.0
+        for i in range(20):
+            src, cover = disc_cover(centers_lat[i], centers_lon[i], radius, 2.0)
+            cover = set(cover.tolist())
+            # sample points on the disc rim and inside
+            for ang in np.linspace(0, 360, 36):
+                for frac in (0.3, 0.9, 1.0):
+                    dlat = frac * radius / 111_000 * np.cos(np.radians(ang))
+                    dlon = (
+                        frac
+                        * radius
+                        / (111_000 * max(np.cos(np.radians(centers_lat[i])), 0.05))
+                        * np.sin(np.radians(ang))
+                    )
+                    plat = np.clip(centers_lat[i] + dlat, -90, 90)
+                    plon = ((centers_lon[i] + dlon + 540) % 360) - 180
+                    if haversine(centers_lat[i], centers_lon[i], plat, plon) <= radius:
+                        assert cell_id(plat, plon, 2.0) in cover
+
+    def test_polar_cover_full_ring(self):
+        src, cover = disc_cover(89.5, 0.0, 500_000.0, 2.0)
+        # near-pole discs cover the full longitude ring at the top band
+        nlat, nlon = grid_shape(2.0)
+        top_band = set(range((nlat - 1) * nlon, nlat * nlon))
+        assert top_band.issubset(set(cover.tolist()))
