@@ -1,16 +1,13 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the geodistpy_ray engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline on sf0.001. ``queries()`` exposes one
+callable per implemented operator/pipeline (SURVEY.md §2 + the
+training-data extensions); ``oracle_sql()`` gives the DuckDB-equivalent SQL
+for every SQL-expressible query — column names match exactly, float outputs
+are either bit-reproducible arithmetic (geocode/cell/ppm ratios/integer
+cents) or rounded trig (documented per query).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Never calls ray.init/shutdown (driver owns the session).
 """
 
 from __future__ import annotations
@@ -18,27 +15,565 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+CELL_DEG = 2.0
+ORIGIN = (52.52, 13.405)  # Berlin, the reference's canonical test point
+RADIUS_M = 750_000.0
+PAIR_DIST_M = 150_000.0
+KNN_K = 5
+ANN_K = 10
+NEAR_DUP_T = 0.40
+
+
+def _round_col(ds, col, digits, out=None, div=1.0):
+    """round(col / div, digits) — division (not reciprocal multiply) so the
+    float path is bit-identical to the oracle's ``ROUND(x / div, n)``."""
+    out = out or col
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import numpy as _np
+
+        v = _np.round(batch.column(col).to_numpy(zero_copy_only=False) / div, digits)
+        i = batch.schema.get_field_index(col)
+        return batch.set_column(i, out, pa.array(v, pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ── entry ────────────────────────────────────────────────────────────────
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from geodistpy_ray.pipelines import flagship_pipeline
+
+    return flagship_pipeline("/root/testdata/sf0.001", cell_deg=CELL_DEG)
+
+
+# ── query implementations ────────────────────────────────────────────────
+
+
+def _docs_geo(sf_dir, columns=("doc_id",)):
+    import ray.data as rd
+
+    from geodistpy_ray.stages import add_geocode
+
+    return add_geocode(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns)))
+
+
+def q_geocode_cells(sf_dir):
+    from geodistpy_ray.stages import add_cell
+
+    return add_cell(_docs_geo(sf_dir), CELL_DEG)
+
+
+def q_cell_counts(sf_dir):
+    from geodistpy_ray.stages import add_cell
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    ds = add_cell(_docs_geo(sf_dir, ("doc_id", "n_chars")), CELL_DEG)
+    return grouped_sum(ds, ["cell"], int_sum_cols={"n_chars": "sum_chars"}, count_col="n_docs")
+
+
+def q_tile_coarse(sf_dir):
+    from geodistpy_ray.cells import parent_cell
+    from geodistpy_ray.stages import add_cell
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    ds = add_cell(_docs_geo(sf_dir), 1.0)
+
+    def coarsen(batch: pa.Table) -> pa.Table:
+        c4 = parent_cell(batch.column("cell").to_numpy(), 1.0, 4)
+        return batch.append_column("cell4", pa.array(c4, pa.int64()))
+
+    ds = ds.map_batches(coarsen, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_sum(ds, ["cell4"], count_col="n_docs")
+
+
+def q_dist_to_origin(sf_dir):
+    from geodistpy_ray.stages import add_distance_to_point
+
+    ds = add_distance_to_point(_docs_geo(sf_dir), ORIGIN, kernel="haversine", out_col="dist_km")
+    ds = _round_col(ds, "dist_km", 6, div=1000.0)
+    return ds.select_columns(["doc_id", "dist_km"])
+
+
+def q_radius(sf_dir):
+    from geodistpy_ray.functions.geocode import query_points
+    from geodistpy_ray.stages import radius_join
+
+    qid, qlat, qlon = query_points(8)
+    ds = radius_join(_docs_geo(sf_dir), qid, qlat, qlon, RADIUS_M, kernel="haversine")
+    ds = _round_col(ds, "dist", 6, out="dist", div=1000.0)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["query_id", "doc_id", "dist_km"])
+
+    return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_knn(sf_dir):
+    from geodistpy_ray.functions.geocode import query_points
+    from geodistpy_ray.stages import knn_join
+
+    qid, qlat, qlon = query_points(12)
+    ds = knn_join(_docs_geo(sf_dir), qid, qlat, qlon, k=KNN_K, kernel="haversine", tie_round=6)
+    return ds.select_columns(["query_id", "doc_id", "rank"])
+
+
+def q_pip(sf_dir):
+    from geodistpy_ray.sources.polygons import diamond_polygons
+    from geodistpy_ray.stages import point_in_polygon_join
+
+    return point_in_polygon_join(_docs_geo(sf_dir), diamond_polygons(), id_col="doc_id", cell_deg=CELL_DEG, concurrency=2)
+
+
+def q_bearing(sf_dir):
+    from geodistpy_ray.kernels import initial_bearing_sphere
+    from geodistpy_ray.stages.geo import col_np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        b = initial_bearing_sphere(col_np(batch, "lat"), col_np(batch, "lon"), ORIGIN[0], ORIGIN[1])
+        return batch.append_column("brg", pa.array(np.round(b, 6), pa.float64()))
+
+    return _docs_geo(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).select_columns(["doc_id", "brg"])
+
+
+def q_close_pairs(sf_dir):
+    from geodistpy_ray.stages.pairs import close_pairs
+
+    ds = close_pairs(_docs_geo(sf_dir), PAIR_DIST_M, kernel="haversine", cell_deg=CELL_DEG)
+    ds = _round_col(ds, "dist", 6, out="dist", div=1000.0)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["id_left", "id_right", "dist_km"])
+
+    return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_dedup_exact(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import exact_dedup
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return exact_dedup(docs)
+
+
+def q_token_counts(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import add_token_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return add_token_count(docs).select_columns(["doc_id", "n_tokens"])
+
+
+def q_quality(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import add_quality_score
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = add_quality_score(docs)
+
+    def ppm(batch: pa.Table) -> pa.Table:
+        ns = batch.column("n_spaces").to_numpy().astype(np.float64)
+        nc = np.maximum(batch.column("n_chars_q").to_numpy(), 1).astype(np.float64)
+        v = np.floor(ns * 1000000.0 / nc).astype(np.int64)
+        return batch.append_column("space_ratio_ppm", pa.array(v, pa.int64()))
+
+    return ds.map_batches(ppm, batch_format="pyarrow", zero_copy_batch=True).select_columns(
+        ["doc_id", "n_chars_q", "n_spaces", "space_ratio_ppm"]
+    )
+
+
+def q_lang_counts(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    return grouped_sum(docs, ["lang"], count_col="n_docs")
+
+
+def q_fingerprints(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import add_fingerprint
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return add_fingerprint(docs).select_columns(["doc_id", "fingerprint"])
+
+
+def q_lang_id(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import add_lang_id
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return add_lang_id(docs).select_columns(["doc_id", "lang_pred"])
+
+
+def q_minhash_pairs(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = minhash_lsh_pairs(docs, threshold=0.5)
+    return _round_col(ds, "jaccard", 6)
+
+
+def q_simhash_pairs(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import simhash_near_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return simhash_near_pairs(docs, max_hamming=3)
+
+
+def _query_vectors(sf_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    q = con.execute(
+        f"SELECT vec_id, embedding FROM read_parquet('{sf_dir}/embeddings.parquet') "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    return np.array([row[1] for row in q], dtype=np.float64)
+
+
+def q_ann_topk(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import ann_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ann_topk(emb, _query_vectors(sf_dir), k=ANN_K, tie_round=6)
+    return ds.select_columns(["query_id", "vec_id", "rank"])
+
+
+def q_lsh_ann(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import lsh_ann_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return lsh_ann_topk(emb, _query_vectors(sf_dir), k=ANN_K, n_bits=6)
+
+
+def q_embed_near_dup(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import exact_near_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = exact_near_dup_pairs(emb, NEAR_DUP_T)
+    return _round_col(ds, "sim", 6)
+
+
+def q_image_features(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.media import decode_images, extract_image_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payload = [t.encode() for t in batch.column("text").to_pylist()]
+        return batch.append_column("payload", pa.array(payload, pa.binary()))
+
+    ds = docs.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+    ds = decode_images(ds, payload_col="payload", concurrency=2)
+    ds = extract_image_features(ds, concurrency=2)
+    return ds.select_columns(["doc_id", "payload_bytes", "img_h", "img_w", "img_feat"])
+
+
+def q_q1_pricing(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_sum(
+        li,
+        ["l_returnflag", "l_linestatus"],
+        int_sum_cols={"l_quantity": "sum_qty"},
+        cent_sum_cols={"l_extendedprice": "sum_price_cents"},
+        count_col="n",
+    )
+
+
+def q_top_customers(sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    agg = grouped_sum(
+        orders, ["o_custkey"], cent_sum_cols={"o_totalprice": "total_cents"}, count_col="n_orders"
+    )
+    top = agg.to_pandas().sort_values(
+        ["total_cents", "o_custkey"], ascending=[False, True]
+    ).head(10)
+    # customer is a small dimension table → broadcast-join driver-side
+    con = duckdb.connect()
+    cust = con.execute(
+        f"SELECT c_custkey, c_name FROM read_parquet('{sf_dir}/customer.parquet')"
+    ).df()
+    con.close()
+    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    return out[["c_custkey", "c_name", "total_cents", "n_orders"]].reset_index(drop=True)
+
+
+def q_orders_by_month(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import add_month_key, grouped_sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    ds = add_month_key(orders, "o_orderdate", "ym")
+    return grouped_sum(ds, ["ym"], cent_sum_cols={"o_totalprice": "sum_cents"}, count_col="n_orders")
+
+
+def q_events_agg(sf_dir):
+    import pandas as pd
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+    partial = grouped_sum(
+        ev, ["user_id", "event_type"], cent_sum_cols={"value": "sum_value_cents"}, count_col="n"
+    )
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [int(g["n"].sum())],
+                "n_types": [int(g["event_type"].nunique())],
+                "sum_value_cents": [int(g["sum_value_cents"].sum())],
+            }
+        )
+
+    return partial.groupby("user_id").map_groups(per_user, batch_format="pandas")
+
+
+def q_filter_project(sf_dir):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_quantity"]
+    )
+    return li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 45.0)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_interpolate(sf_dir):
+    import pandas as pd
+
+    from geodistpy_ray.api import interpolate
+    from geodistpy_ray.functions.geocode import center_latlon
+
+    rows = []
+    clat, clon = center_latlon(np.arange(20))
+    for p in range(10):
+        wps = interpolate((clat[2 * p], clon[2 * p]), (clat[2 * p + 1], clon[2 * p + 1]), n_points=4)
+        for s, (la, lo) in enumerate(wps):
+            rows.append({"pair_id": p, "seq": s, "lat": la, "lon": lo})
+    return pd.DataFrame(rows)
+
+
+def q_destinations(sf_dir):
+    import pandas as pd
+
+    from geodistpy_ray.api import destination
+    from geodistpy_ray.functions.geocode import center_latlon
+
+    clat, clon = center_latlon(np.arange(20))
+    rows = []
+    for c in range(20):
+        la, lo = destination((clat[c], clon[c]), 45.0, 100.0, metric="km")
+        rows.append({"center_id": c, "lat2": la, "lon2": lo})
+    return pd.DataFrame(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    return {
+        "geocode_cells": q_geocode_cells,
+        "cell_counts": q_cell_counts,
+        "tile_coarse": q_tile_coarse,
+        "dist_to_origin": q_dist_to_origin,
+        "radius_join": q_radius,
+        "knn": q_knn,
+        "pip_join": q_pip,
+        "bearing_origin": q_bearing,
+        "close_pairs": q_close_pairs,
+        "dedup_exact": q_dedup_exact,
+        "token_counts": q_token_counts,
+        "quality": q_quality,
+        "lang_counts": q_lang_counts,
+        "fingerprints": q_fingerprints,
+        "lang_id": q_lang_id,
+        "minhash_pairs": q_minhash_pairs,
+        "simhash_pairs": q_simhash_pairs,
+        "ann_topk": q_ann_topk,
+        "lsh_ann": q_lsh_ann,
+        "embed_near_dup": q_embed_near_dup,
+        "image_features": q_image_features,
+        "q1_pricing": q_q1_pricing,
+        "top_customers": q_top_customers,
+        "orders_by_month": q_orders_by_month,
+        "events_agg": q_events_agg,
+        "filter_project": q_filter_project,
+        "interpolate_waypoints": q_interpolate,
+        "destinations": q_destinations,
+    }
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ── oracle SQL ───────────────────────────────────────────────────────────
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from geodistpy_ray.functions.geocode import (
+        cell_sql,
+        geocode_sql,
+        haversine_sql,
+        query_points_sql,
+    )
+    from geodistpy_ray.sources.polygons import diamond_polygons_sql
+
+    lat, lon = geocode_sql("doc_id")
+    cell = cell_sql(lat, lon, CELL_DEG)
+    cell4 = cell_sql(lat, lon, 4.0)
+    hav_o = haversine_sql(lat, lon, str(ORIGIN[0]), str(ORIGIN[1]))
+    qpts = query_points_sql(8)
+    qpts12 = query_points_sql(12)
+    hav_q = haversine_sql(lat, lon, "q.qlat", "q.qlon")
+
+    lat_a, lon_a = geocode_sql("a.doc_id")
+    lat_b, lon_b = geocode_sql("b.doc_id")
+    hav_ab = haversine_sql(lat_a, lon_a, lat_b, lon_b)
+
+    brg_raw = (
+        f"DEGREES(ATAN2("
+        f"SIN(RADIANS({ORIGIN[1]} - {lon})) * COS(RADIANS({ORIGIN[0]})), "
+        f"COS(RADIANS({lat})) * SIN(RADIANS({ORIGIN[0]})) - "
+        f"SIN(RADIANS({lat})) * COS(RADIANS({ORIGIN[0]})) * COS(RADIANS({ORIGIN[1]} - {lon}))))"
+    )
+    brg = f"({brg_raw} - FLOOR({brg_raw} / 360.0) * 360.0)"
+
+    return {
+        "geocode_cells": (
+            f"SELECT doc_id, {lat} AS lat, {lon} AS lon, {cell} AS cell FROM documents"
+        ),
+        "cell_counts": (
+            f"SELECT {cell} AS cell, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
+        ),
+        "tile_coarse": (
+            f"SELECT {cell4} AS cell4, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            f"FROM documents GROUP BY 1"
+        ),
+        "dist_to_origin": (
+            f"SELECT doc_id, ROUND({hav_o} / 1000.0, 6) AS dist_km FROM documents"
+        ),
+        "radius_join": (
+            f"SELECT q.query_id, d.doc_id, ROUND({hav_q.replace('doc_id', 'd.doc_id')} / 1000.0, 6) AS dist_km "
+            f"FROM documents d, {qpts} q WHERE {hav_q.replace('doc_id', 'd.doc_id')} <= {RADIUS_M}"
+        ),
+        "knn": (
+            f"SELECT query_id, doc_id, rank FROM ("
+            f"SELECT q.query_id, d.doc_id, ROW_NUMBER() OVER ("
+            f"PARTITION BY q.query_id "
+            f"ORDER BY ROUND({hav_q.replace('doc_id', 'd.doc_id')}, 6), d.doc_id) AS rank "
+            f"FROM documents d, {qpts12} q) WHERE rank <= {KNN_K}"
+        ),
+        "pip_join": (
+            f"SELECT d.doc_id, p.poly_id FROM documents d, {diamond_polygons_sql()} p "
+            f"WHERE ABS({lat} - p.clat) / p.half_lat + ABS({lon} - p.clon) / p.half_lon < 1.0"
+        ),
+        "bearing_origin": f"SELECT doc_id, ROUND({brg}, 6) AS brg FROM documents",
+        "close_pairs": (
+            f"SELECT a.doc_id AS id_left, b.doc_id AS id_right, "
+            f"ROUND({hav_ab} / 1000.0, 6) AS dist_km "
+            f"FROM documents a, documents b "
+            f"WHERE a.doc_id < b.doc_id AND {hav_ab} <= {PAIR_DIST_M}"
+        ),
+        "dedup_exact": (
+            "SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, "
+            "CAST(COUNT(*) AS BIGINT) AS n_dups FROM documents GROUP BY 1"
+        ),
+        "token_counts": (
+            "SELECT doc_id, CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) "
+            "AS n_tokens FROM documents"
+        ),
+        "quality": (
+            "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_q, "
+            "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, "
+            "CAST(FLOOR(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) "
+            "* 1000000.0 / GREATEST(length(text), 1)) AS BIGINT) AS space_ratio_ppm "
+            "FROM documents"
+        ),
+        "lang_counts": (
+            "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
+        ),
+        "ann_topk": (
+            f"SELECT query_id, vec_id, rank FROM ("
+            f"SELECT q.vec_id AS query_id, e.vec_id, ROW_NUMBER() OVER ("
+            f"PARTITION BY q.vec_id ORDER BY "
+            f"ROUND(-list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            f"CAST(q.embedding AS DOUBLE[])), 6), e.vec_id) AS rank "
+            f"FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q"
+            f") WHERE rank <= {ANN_K}"
+        ),
+        "embed_near_dup": (
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            f"ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            f"CAST(b.embedding AS DOUBLE[])), 6) AS sim "
+            f"FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND "
+            f"list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            f"CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_T}"
+        ),
+        "q1_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_price_cents, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem GROUP BY 1, 2"
+        ),
+        "top_customers": (
+            "SELECT c.c_custkey, c.c_name, j.total_cents, j.n_orders FROM ("
+            "SELECT o_custkey, CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) "
+            "AS BIGINT) AS total_cents, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders GROUP BY 1) j JOIN customer c ON c.c_custkey = j.o_custkey "
+            "ORDER BY j.total_cents DESC, c.c_custkey LIMIT 10"
+        ),
+        "orders_by_month": (
+            "SELECT CAST(YEAR(o_orderdate) * 100 + MONTH(o_orderdate) AS BIGINT) AS ym, "
+            "CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1"
+        ),
+        "events_agg": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types, "
+            "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_cents FROM events GROUP BY 1"
+        ),
+        "filter_project": (
+            "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45.0"
+        ),
+    }

@@ -1,0 +1,47 @@
+"""Flagship pipeline: the north-star shape end to end.
+
+documents/pages → geocode (actor pool) → cell assign → point-in-polygon
+spatial join (broadcast cell-bucketed polygons) → per-cell tile roll-up of
+match counts. Every stage streams; the only materialization is the final
+small per-cell aggregate.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from ..sources.polygons import diamond_polygons
+from ..stages.geo import GeocoderActor, add_cell
+from ..stages.pip import point_in_polygon_join
+
+
+def flagship_pipeline(sf_dir: str, cell_deg: float = 2.0):
+    """Returns a Dataset (cell, n_matches) of spatial-join matches per cell."""
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    docs = docs.map_batches(
+        GeocoderActor,
+        fn_constructor_kwargs={"id_col": "doc_id"},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=2,
+        batch_size=8192,
+    )
+    matches = point_in_polygon_join(docs, diamond_polygons(), id_col="doc_id", cell_deg=cell_deg, concurrency=2)
+
+    # join matches back to coordinates for the tile roll-up: re-derive lat/lon
+    # from doc_id arithmetically (cheaper than a shuffle join at this scale)
+    from ..cells import cell_id as _cell_id
+    from ..functions.geocode import geocode_ids
+
+    def with_cell(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        ids = batch.column("doc_id").to_numpy()
+        lat, lon = geocode_ids(ids)
+        return batch.append_column("cell", pa.array(_cell_id(lat, lon, cell_deg), pa.int64()))
+
+    matches = matches.map_batches(with_cell, batch_format="pyarrow", zero_copy_batch=True)
+    return matches.groupby("cell").aggregate(Count(alias_name="n_matches"))

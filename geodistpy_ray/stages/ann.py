@@ -19,11 +19,11 @@ import pyarrow as pa
 from .geo import col_np
 
 
-def _emb_matrix(batch: pa.Table, col: str) -> np.ndarray:
+def _emb_matrix(batch: pa.Table, col: str, dtype=np.float64) -> np.ndarray:
     arr = batch.column(col).combine_chunks()
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
-    flat = arr.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    flat = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
     return flat.reshape(len(arr), -1)
 
 
@@ -45,10 +45,10 @@ def ann_topk(
     ``query_matrix`` is (Q, d); it is closed over (broadcast once per task).
     Deterministic tie-break: (-round(sim), id).
     """
-    q = _normalize(np.asarray(query_matrix, dtype=np.float32))
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
 
     def partial(batch: pa.Table) -> pa.Table:
-        emb = _normalize(_emb_matrix(batch, emb_col))
+        emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
         ids = col_np(batch, id_col)
         sims = emb @ q.T  # (B, Q)
         kk = min(k, ids.size)
@@ -114,7 +114,7 @@ def lsh_ann_topk(
     q_buckets = lsh.bucket(qm)
 
     def partial(batch: pa.Table) -> pa.Table:
-        emb = _normalize(_emb_matrix(batch, emb_col))
+        emb = _normalize(_emb_matrix(batch, emb_col, np.float32))
         ids = col_np(batch, id_col)
         buckets = lsh.bucket(emb)
         out_q, out_i, out_s = [], [], []
@@ -154,6 +154,45 @@ def lsh_ann_topk(
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def exact_near_dup_pairs(
+    ds,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+):
+    """Exact cosine near-duplicate pairs via a broadcast right side.
+
+    The full (normalized) embedding matrix is ``ray.put`` once and streamed
+    against batch-by-batch — O(N·B) per batch, never an N² materialization
+    on one worker. Exactness makes it SQL-oracle-checkable; for corpora
+    whose matrix exceeds broadcast budget, use
+    :func:`embedding_near_dup_pairs` (LSH-bucketed, approximate).
+    """
+    import ray
+
+    all_pd = ds.select_columns([id_col, emb_col]).to_pandas()
+    all_ids = all_pd[id_col].to_numpy()
+    all_emb = _normalize(np.stack(all_pd[emb_col].to_numpy()).astype(np.float64))
+    ref = ray.put((all_ids, all_emb))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ids_r, emb_r = ray.get(ref)
+        emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
+        ids = col_np(batch, id_col)
+        sims = emb @ emb_r.T  # (B, N)
+        mask = (sims >= threshold) & (ids[:, None] < ids_r[None, :])
+        bi, ri = np.nonzero(mask)
+        return pa.table(
+            {
+                "id_a": ids[bi],
+                "id_b": ids_r[ri],
+                "sim": sims[bi, ri],
+            }
+        )
+
+    return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def embedding_near_dup_pairs(
     ds,
     threshold: float = 0.95,
@@ -172,7 +211,7 @@ def embedding_near_dup_pairs(
     lsh_holder = {}
 
     def sig(batch: pa.Table) -> pa.Table:
-        emb = _normalize(_emb_matrix(batch, emb_col))
+        emb = _normalize(_emb_matrix(batch, emb_col, np.float32))
         if "lsh" not in lsh_holder:
             lsh_holder["lsh"] = HyperplaneLSH(emb.shape[1], n_bits, seed)
         buckets = lsh_holder["lsh"].bucket(emb)

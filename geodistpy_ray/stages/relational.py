@@ -1,0 +1,81 @@
+"""Relational stages: partial-aggregate groupbys with deterministic money math.
+
+Demonstrates the engine's generic (non-geodesic) query capability over the
+TPC-H-ish tables. Two scale rules baked in:
+
+1. **Partial aggregation**: every batch pre-aggregates per key inside
+   ``map_batches`` (the combiner), so the ``groupby`` shuffle moves one row
+   per (key × batch), not one per input row.
+2. **Integer money math**: monetary doubles are converted to integer cents
+   before summing — distributed float summation is order-dependent, integer
+   sums are exact and bit-reproducible against the SQL oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Sum
+
+from .geo import col_np
+
+
+def cents(x: np.ndarray) -> np.ndarray:
+    """Dollars (float64) → integer cents, round-half-even like SQL ROUND? No:
+    both sides use the same ``floor(x*100 + 0.5)`` convention to avoid
+    banker's-rounding mismatches between NumPy and DuckDB."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 100.0 + 0.5).astype(np.int64)
+
+
+def grouped_sum(
+    ds,
+    key_cols: list[str],
+    int_sum_cols: dict[str, str] | None = None,
+    cent_sum_cols: dict[str, str] | None = None,
+    count_col: str = "n",
+):
+    """Partial-then-final grouped aggregation.
+
+    ``int_sum_cols``: {input_col: output_name} summed as int64 (rounded to
+    nearest int first). ``cent_sum_cols``: {input_col: output_name} summed as
+    integer cents. A count column is always emitted.
+    """
+    int_sum_cols = int_sum_cols or {}
+    cent_sum_cols = cent_sum_cols or {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(
+            key_cols + list(int_sum_cols) + list(cent_sum_cols)
+        ).to_pandas()
+        for c in int_sum_cols:
+            df[c] = np.floor(df[c].to_numpy(dtype=np.float64) + 0.5).astype(np.int64)
+        for c in cent_sum_cols:
+            df[c] = cents(df[c].to_numpy())
+        g = df.groupby(key_cols, as_index=False, sort=False).agg(
+            **{out: (c, "sum") for c, out in int_sum_cols.items()},
+            **{out: (c, "sum") for c, out in cent_sum_cols.items()},
+            **{count_col: (key_cols[0], "size")},
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    aggs = [Sum(out, alias_name=out) for out in int_sum_cols.values()]
+    aggs += [Sum(out, alias_name=out) for out in cent_sum_cols.values()]
+    aggs.append(Sum(count_col, alias_name=count_col))
+    return partials.groupby(key_cols if len(key_cols) > 1 else key_cols[0]).aggregate(*aggs)
+
+
+def add_month_key(ds, ts_col: str, out_col: str = "ym"):
+    """timestamp column → integer year*100+month key (SQL-mirrorable)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).combine_chunks().to_numpy(zero_copy_only=False)
+        ym = (
+            pd.DatetimeIndex(ts).year.to_numpy() * 100
+            + pd.DatetimeIndex(ts).month.to_numpy()
+        ).astype(np.int64)
+        return batch.append_column(out_col, pa.array(ym, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
