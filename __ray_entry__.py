@@ -126,7 +126,7 @@ def q_pip(sf_dir):
     from geodistpy_ray.sources.polygons import diamond_polygons
     from geodistpy_ray.stages import point_in_polygon_join
 
-    return point_in_polygon_join(_docs_geo(sf_dir), diamond_polygons(), id_col="doc_id", cell_deg=CELL_DEG, concurrency=2)
+    return point_in_polygon_join(_docs_geo(sf_dir), diamond_polygons(), id_col="doc_id", cell_deg=CELL_DEG)
 
 
 def q_bearing(sf_dir):

@@ -1,0 +1,242 @@
+"""Benchmark harness: headline pipelines over $GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": headline_sec, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ..., "num_cpus": N,
+     "rows": {...}, "rows_per_sec": {...}}
+
+``--scaling`` runs the headline pipeline in two fresh processes
+(num_cpus=8 and num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency (the sandbox stand-in for N vs 4N
+cluster nodes — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _spatial_pipeline(sf_dir: str):
+    """Headline: lineitem points → geocode → cell → polygon join → tile agg.
+
+    600k rows at sf0.1; the full north-star shape (geocode, cell shuffle
+    currency, broadcast spatial join, partial+final aggregation).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodistpy_ray.sources.polygons import diamond_polygons
+    from geodistpy_ray.stages import add_cell, add_geocode, point_in_polygon_join
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = batch.column("l_orderkey").to_numpy() * 8 + batch.column("l_linenumber").to_numpy()
+        return pa.table({"point_id": k.astype(np.int64)})
+
+    pts = li.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+    pts = add_geocode(pts, id_col="point_id")
+    matches = point_in_polygon_join(pts, diamond_polygons(), id_col="point_id", cell_deg=2.0)
+
+    def with_cell(batch: pa.Table) -> pa.Table:
+        from geodistpy_ray.cells import cell_id
+        from geodistpy_ray.functions.geocode import geocode_ids
+
+        lat, lon = geocode_ids(batch.column("point_id").to_numpy())
+        import numpy as np
+
+        return batch.append_column("cell", pa.array(cell_id(lat, lon, 2.0), pa.int64()))
+
+    matches = matches.map_batches(with_cell, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sum(matches, ["cell"], count_col="n_matches")
+    return out.count()
+
+
+def _vincenty_scan(sf_dir: str):
+    """600k exact Vincenty distances (kernel throughput)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodistpy_ray.stages import add_distance_to_point, add_geocode
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = batch.column("l_orderkey").to_numpy() * 8 + batch.column("l_linenumber").to_numpy()
+        return pa.table({"point_id": k.astype(np.int64)})
+
+    pts = add_geocode(li.map_batches(key, batch_format="pyarrow", zero_copy_batch=True), id_col="point_id")
+    ds = add_distance_to_point(pts, (52.52, 13.405), kernel="vincenty", out_col="dist_m")
+    # consume without materializing: sum aggregate
+    return ds.sum("dist_m")
+
+
+def _knn_orders(sf_dir: str):
+    """Geodesic kNN: 24 queries × 150k candidates, exact Vincenty."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodistpy_ray.functions.geocode import query_points
+    from geodistpy_ray.stages import add_geocode, knn_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table({"point_id": batch.column("o_orderkey").to_numpy()})
+
+    pts = add_geocode(orders.map_batches(key, batch_format="pyarrow", zero_copy_batch=True), id_col="point_id")
+    qid, qlat, qlon = query_points(24)
+    res = knn_join(pts, qid, qlat, qlon, k=10, id_col="point_id", kernel="vincenty")
+    return res.count()
+
+
+def _close_pairs_orders(sf_dir: str):
+    """Cell-bucketed self-join: orders points within 25 km."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodistpy_ray.stages import add_geocode
+    from geodistpy_ray.stages.pairs import close_pairs
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+
+    def key(batch: pa.Table) -> pa.Table:
+        return pa.table({"point_id": batch.column("o_orderkey").to_numpy()})
+
+    pts = add_geocode(orders.map_batches(key, batch_format="pyarrow", zero_copy_batch=True), id_col="point_id")
+    return close_pairs(pts, 25_000.0, id_col="point_id", kernel="haversine", cell_deg=1.0).count()
+
+
+def _q1(sf_dir: str):
+    import __ray_entry__ as m
+
+    return m.q_q1_pricing(sf_dir).count()
+
+
+def _dedup(sf_dir: str):
+    import __ray_entry__ as m
+
+    return m.q_dedup_exact(sf_dir).count()
+
+
+def _tokens(sf_dir: str):
+    import __ray_entry__ as m
+
+    return m.q_token_counts(sf_dir).count()
+
+
+BENCH = {
+    "spatial_pipeline": (_spatial_pipeline, "lineitem"),
+    "vincenty_scan": (_vincenty_scan, "lineitem"),
+    "knn_orders": (_knn_orders, "orders"),
+    "close_pairs_orders": (_close_pairs_orders, "orders"),
+    "q1_pricing": (_q1, "lineitem"),
+    "dedup_exact": (_dedup, "documents"),
+    "token_counts": (_tokens, "documents"),
+}
+
+
+def table_rows(sf_dir: str, table: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
+
+
+def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    # warm the page cache + Ray workers with one untimed read
+    import ray.data as rd
+
+    rd.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    times, rows, rps = {}, {}, {}
+    for name, (fn, table) in BENCH.items():
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        fn(sf_dir)
+        dt = time.perf_counter() - t0
+        times[name] = round(dt, 4)
+        rows[name] = table_rows(sf_dir, table)
+        rps[name] = round(rows[name] / dt)
+
+    headline = times.get("spatial_pipeline", sum(times.values()))
+    result = {
+        "metric": "spatial-join+geodesic-kNN pipeline seconds (headline: spatial_pipeline over lineitem)",
+        "value": headline,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "rows_per_sec": rps,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling(sf_dir: str) -> dict:
+    """Same job, fresh processes, num_cpus=8 vs 32 → scaling efficiency."""
+    out = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SF_DIR=sf_dir)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--headline-only"],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+        )
+        out[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
+    t8 = out[8]["value"]
+    t32 = out[32]["value"]
+    n_rows = out[32]["rows"]["spatial_pipeline"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling efficiency, spatial_pipeline @ num_cpus 8 vs 32 (N vs 4N stand-in)",
+        "sec_8": t8,
+        "sec_32": t32,
+        "rows": n_rows,
+        "rows_per_sec_8": round(n_rows / t8),
+        "rows_per_sec_32": round(n_rows / t32),
+        "scaling_efficiency": round(eff, 3),
+        "sf": sf_dir,
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR)))
+    elif "--headline-only" in sys.argv:
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS, only={"spatial_pipeline"})))
+    else:
+        print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

