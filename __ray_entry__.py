@@ -321,9 +321,7 @@ def q_top_customers(sf_dir):
     agg = grouped_sum(
         orders, ["o_custkey"], cent_sum_cols={"o_totalprice": "total_cents"}, count_col="n_orders"
     )
-    top = agg.to_pandas().sort_values(
-        ["total_cents", "o_custkey"], ascending=[False, True]
-    ).head(10)
+    top = agg.sort_values(["total_cents", "o_custkey"], ascending=[False, True]).head(10)
     # customer is a small dimension table → broadcast-join driver-side
     con = duckdb.connect()
     cust = con.execute(
@@ -354,18 +352,13 @@ def q_events_agg(sf_dir):
     partial = grouped_sum(
         ev, ["user_id", "event_type"], cent_sum_cols={"value": "sum_value_cents"}, count_col="n"
     )
-
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [int(g["n"].sum())],
-                "n_types": [int(g["event_type"].nunique())],
-                "sum_value_cents": [int(g["sum_value_cents"].sum())],
-            }
-        )
-
-    return partial.groupby("user_id").map_groups(per_user, batch_format="pandas")
+    # second-level merge on the tiny (user, type) partials, driver-side
+    out = partial.groupby("user_id", as_index=False).agg(
+        n_events=("n", "sum"),
+        n_types=("event_type", "nunique"),
+        sum_value_cents=("sum_value_cents", "sum"),
+    )
+    return out
 
 
 def q_filter_project(sf_dir):

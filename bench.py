@@ -24,11 +24,13 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
-def _spatial_pipeline(sf_dir: str):
+def _spatial_pipeline(sf_dir: str, replicate: int = 1):
     """Headline: lineitem points → geocode → cell → polygon join → tile agg.
 
-    600k rows at sf0.1; the full north-star shape (geocode, cell shuffle
-    currency, broadcast spatial join, partial+final aggregation).
+    600k rows at sf0.1 (× ``replicate`` with distinct key offsets — used by
+    the scaling run so compute dominates fixed session overheads); the full
+    north-star shape (geocode, cell shuffle currency, broadcast spatial
+    join, partial+final aggregation).
     """
     import pyarrow as pa
     import ray.data as rd
@@ -37,15 +39,25 @@ def _spatial_pipeline(sf_dir: str):
     from geodistpy_ray.stages import add_cell, add_geocode, point_in_polygon_join
     from geodistpy_ray.stages.relational import grouped_sum
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"])
+    def make_pts(offset: int):
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+        )
 
-    def key(batch: pa.Table) -> pa.Table:
-        import numpy as np
+        def key(batch: pa.Table) -> pa.Table:
+            import numpy as np
 
-        k = batch.column("l_orderkey").to_numpy() * 8 + batch.column("l_linenumber").to_numpy()
-        return pa.table({"point_id": k.astype(np.int64)})
+            k = (
+                batch.column("l_orderkey").to_numpy() * 8
+                + batch.column("l_linenumber").to_numpy()
+                + offset
+            )
+            return pa.table({"point_id": k.astype(np.int64)})
 
-    pts = li.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+        return li.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
+
+    parts = [make_pts(r * (1 << 40)) for r in range(replicate)]
+    pts = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
     pts = add_geocode(pts, id_col="point_id")
     matches = point_in_polygon_join(pts, diamond_polygons(), id_col="point_id", cell_deg=2.0)
 
@@ -60,7 +72,7 @@ def _spatial_pipeline(sf_dir: str):
 
     matches = matches.map_batches(with_cell, batch_format="pyarrow", zero_copy_batch=True)
     out = grouped_sum(matches, ["cell"], count_col="n_matches")
-    return out.count()
+    return len(out)
 
 
 def _vincenty_scan(sf_dir: str):
@@ -123,7 +135,7 @@ def _close_pairs_orders(sf_dir: str):
 def _q1(sf_dir: str):
     import __ray_entry__ as m
 
-    return m.q_q1_pricing(sf_dir).count()
+    return len(m.q_q1_pricing(sf_dir))
 
 
 def _dedup(sf_dir: str):
@@ -173,10 +185,23 @@ def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
     ctx.enable_progress_bars = False
     ctx.execution_options.verbose_progress = False
 
-    # warm the page cache + Ray workers with one untimed read
+    # Warm the page cache, the Ray worker pool, and the per-worker package
+    # imports with one untimed mini-pipeline so measured queries see steady
+    # state (imports of numpy/pyarrow/geodistpy_ray per worker are one-time
+    # costs that a long-running job amortizes to zero).
     import ray.data as rd
 
-    rd.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+    def _warm(batch):
+        import geodistpy_ray.kernels  # noqa: F401
+        import geodistpy_ray.stages  # noqa: F401
+
+        return batch
+
+    rd.read_parquet(f"{sf_dir}/lineitem.parquet").map_batches(
+        _warm, batch_format="pyarrow", batch_size=4096
+    ).count()
+    for t in ("orders", "documents", "embeddings", "events", "customer"):
+        rd.read_parquet(f"{sf_dir}/{t}.parquet").count()
 
     times, rows, rps = {}, {}, {}
     for name, (fn, table) in BENCH.items():
@@ -199,6 +224,115 @@ def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
         "rows_per_sec": rps,
         "sf": sf_dir,
         "num_cpus": num_cpus,
+    }
+    ray.shutdown()
+    return result
+
+
+def _scaling_pipeline(sf_dir: str, replicate: int):
+    """Scaling unit: lineitem keys (read once, broadcast) → parallel range
+    source × replicate → geocode → exact Vincenty distance → polygon join →
+    tile aggregate.
+
+    The sf parquet files carry a single row group, so reading them is
+    inherently serial — the scaling job therefore broadcasts the 600k real
+    keys once and fans the ×replicate expansion out of a fully parallel
+    ``rd.range`` source. Measured work is geodesic compute + the broadcast
+    join + the partial aggregation — the parts that scale with cluster size
+    at 100 TB.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray
+    import ray.data as rd
+
+    from geodistpy_ray.sources.polygons import diamond_polygons
+    from geodistpy_ray.stages import (
+        add_distance_to_point,
+        add_geocode,
+        point_in_polygon_join,
+    )
+    from geodistpy_ray.stages.broadcast import get_broadcast
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    t = pq.read_table(f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"])
+    keys = (
+        t.column("l_orderkey").to_numpy() * 8 + t.column("l_linenumber").to_numpy()
+    ).astype(np.int64)
+    n = keys.size
+    keys_ref = ray.put(keys)
+
+    src = rd.range(replicate * n, override_num_blocks=256)
+
+    def to_points(batch):
+        i = batch["id"]
+        k = get_broadcast(keys_ref)
+        pid = k[i % n] + (i // n) * (1 << 40)
+        return pa.table({"point_id": pid.astype(np.int64)})
+
+    pts = src.map_batches(to_points, batch_format="numpy")
+    pts = add_geocode(pts, id_col="point_id")
+    pts = add_distance_to_point(pts, (52.52, 13.405), kernel="vincenty", out_col="dist_m")
+    matches = point_in_polygon_join(pts, diamond_polygons(), id_col="point_id", cell_deg=2.0)
+
+    def with_cell(batch: pa.Table) -> pa.Table:
+        from geodistpy_ray.cells import cell_id
+        from geodistpy_ray.functions.geocode import geocode_ids
+
+        lat, lon = geocode_ids(batch.column("point_id").to_numpy())
+        return batch.append_column("cell", pa.array(cell_id(lat, lon, 2.0), pa.int64()))
+
+    matches = matches.map_batches(with_cell, batch_format="pyarrow", zero_copy_batch=True)
+    return len(grouped_sum(matches, ["cell"], count_col="n_matches"))
+
+
+def run_headline_scaled(sf_dir: str, num_cpus: int, replicate: int = 512) -> dict:
+    """Scaling-run unit of work (~307M points at sf0.1): big enough that
+    geodesic compute and the join dominate fixed per-session costs. One
+    untimed warm run, then the median of 3 timed steady-state runs."""
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    import ray.data as rd
+
+    def _warm(batch):
+        import geodistpy_ray.kernels  # noqa: F401
+        import geodistpy_ray.stages  # noqa: F401
+
+        return batch
+
+    rd.read_parquet(f"{sf_dir}/lineitem.parquet").map_batches(
+        _warm, batch_format="pyarrow", batch_size=4096
+    ).count()
+    _scaling_pipeline(sf_dir, replicate=2)  # untimed steady-state warm
+
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _scaling_pipeline(sf_dir, replicate=replicate)
+        samples.append(time.perf_counter() - t0)
+    dt = sorted(samples)[1]
+    n = table_rows(sf_dir, "lineitem") * replicate
+    result = {
+        "metric": "spatial_pipeline scaled",
+        "value": round(dt, 4),
+        "unit": "sec",
+        "samples": [round(x, 4) for x in samples],
+        "rows": {"spatial_pipeline": n},
+        "num_cpus": num_cpus,
+        "sf": sf_dir,
     }
     ray.shutdown()
     return result
@@ -237,6 +371,6 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
     elif "--headline-only" in sys.argv:
-        print(json.dumps(run_bench(SF_DIR, NUM_CPUS, only={"spatial_pipeline"})))
+        print(json.dumps(run_headline_scaled(SF_DIR, NUM_CPUS)))
     else:
         print(json.dumps(run_bench(SF_DIR, NUM_CPUS)))

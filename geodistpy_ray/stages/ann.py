@@ -176,7 +176,9 @@ def exact_near_dup_pairs(
     ref = ray.put((all_ids, all_emb))
 
     def pairs(batch: pa.Table) -> pa.Table:
-        ids_r, emb_r = ray.get(ref)
+        from .broadcast import get_broadcast
+
+        ids_r, emb_r = get_broadcast(ref)
         emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
         ids = col_np(batch, id_col)
         sims = emb @ emb_r.T  # (B, N)

@@ -78,7 +78,9 @@ class PolygonJoiner:
     """
 
     def __init__(self, index_ref, id_col: str, cell_deg: float):
-        self.idx = ray.get(index_ref)
+        from .broadcast import get_broadcast
+
+        self.idx = get_broadcast(index_ref)
         self.id_col = id_col
         self.cell_deg = cell_deg
 
@@ -129,17 +131,17 @@ def point_in_polygon_join(
     id_col: str = "doc_id",
     cell_deg: float = DEFAULT_CELL_DEG,
     concurrency: int | tuple[int, int] | None = None,
-    batch_size: int = 16384,
+    batch_size: int | None = None,
 ):
     """Spatial join → Dataset (id, poly_id); points must carry lat/lon.
 
-    Default is stateless-task mode: the broadcast index ref is fetched
-    zero-copy from the local object store inside each task, and the stage
-    scales elastically to every CPU. Pass ``concurrency`` to pin an actor
-    pool instead (useful when index *construction* per worker were costly —
-    here it's a single ``ray.get``, so tasks win; measured 5x on the bench:
-    an actor pool also fuses upstream maps into its fixed pool, capping
-    their parallelism).
+    Default is stateless-task mode with whole-block batches: the broadcast
+    index is fetched once per worker (``broadcast.get_broadcast``), the
+    stage scales elastically to every CPU, and leaving ``batch_size=None``
+    lets Ray fuse this map with its neighbors (setting 16384 here measured
+    +70% wall time at 8 CPUs from lost fusion). Pass ``concurrency`` to pin
+    an actor pool instead (an actor pool also fuses upstream maps into its
+    fixed pool, capping their parallelism — tasks won 5x on the bench).
     """
     index_ref = ray.put(build_polygon_index(polygons, cell_deg))
     if concurrency is not None:

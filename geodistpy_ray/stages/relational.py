@@ -35,12 +35,26 @@ def grouped_sum(
     int_sum_cols: dict[str, str] | None = None,
     cent_sum_cols: dict[str, str] | None = None,
     count_col: str = "n",
+    final: str = "driver",
 ):
     """Partial-then-final grouped aggregation.
 
     ``int_sum_cols``: {input_col: output_name} summed as int64 (rounded to
     nearest int first). ``cent_sum_cols``: {input_col: output_name} summed as
     integer cents. A count column is always emitted.
+
+    ``final`` picks the merge of the (already per-batch-combined) partials:
+
+    - ``"driver"`` (default): stream partial blocks to the driver and merge
+      with one pandas groupby → returns a pandas DataFrame. The partials
+      are at most (n_blocks × n_keys) rows, so for bounded key domains
+      (grid cells, flags, languages, months) this is tiny — and it avoids
+      Ray's sort-based all-to-all, whose fixed cost (~4s on 256 blocks for
+      a 40k-row input, measured) dwarfs the data. This is the same "small
+      result to the driver" rule as ``.to_pandas()`` on an aggregate.
+    - ``"shuffle"``: distributed ``groupby().aggregate()`` → returns a
+      Dataset. Use for unbounded key domains where the result itself is
+      big (then the shuffle is doing real work).
     """
     int_sum_cols = int_sum_cols or {}
     cent_sum_cols = cent_sum_cols or {}
@@ -61,6 +75,17 @@ def grouped_sum(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if final == "driver":
+        frames = [
+            b.to_pandas()
+            for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+        merged = (
+            pd.concat(frames, ignore_index=True)
+            .groupby(key_cols, as_index=False, sort=False)
+            .sum()
+        )
+        return merged
     aggs = [Sum(out, alias_name=out) for out in int_sum_cols.values()]
     aggs += [Sum(out, alias_name=out) for out in cent_sum_cols.values()]
     aggs.append(Sum(count_col, alias_name=count_col))
