@@ -1,0 +1,159 @@
+"""Dedup (exact / MinHash-LSH / SimHash) and text-analysis stages."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geodistpy_ray.stages.dedup import (
+    MinHasher,
+    ngram_jaccard,
+    simhash64,
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(ray_session):
+    """Small corpus with planted exact and near duplicates."""
+    import ray.data as rd
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy cat again and again today"
+    rows = {
+        "doc_id": list(range(8)),
+        "text": [
+            base,
+            base,  # exact dup of 0
+            near,  # near dup of 0
+            "completely different content about ray data pipelines and arrow",
+            "another unrelated snippet mentioning geodesic kernels and cells",
+            base,  # exact dup of 0
+            "short text",
+            "data engine shuffle batch stream arrow cell page crawl web index",
+        ],
+    }
+    return rd.from_arrow(pa.table(rows))
+
+
+class TestExactDedup:
+    def test_groups(self, planted_docs):
+        from geodistpy_ray.stages.dedup import exact_dedup
+
+        out = exact_dedup(planted_docs).to_pandas()
+        h = hashlib.md5(
+            b"the quick brown fox jumps over the lazy dog again and again today"
+        ).hexdigest()
+        grp = out[out.text_hash == h]
+        assert len(grp) == 1
+        assert grp["keep_id"].iloc[0] == 0
+        assert grp["n_dups"].iloc[0] == 3
+        assert out["n_dups"].sum() == 8
+
+
+class TestMinHash:
+    def test_signature_deterministic(self):
+        h = MinHasher(num_perm=64)
+        a = h.signature("alpha beta gamma delta epsilon zeta")
+        b = h.signature("alpha beta gamma delta epsilon zeta")
+        np.testing.assert_array_equal(a, b)
+
+    def test_signature_similarity_estimates_jaccard(self):
+        h = MinHasher(num_perm=256)
+        t1 = " ".join(f"w{i}" for i in range(100))
+        t2 = " ".join(f"w{i}" for i in range(20, 120))
+        est = (h.signature(t1) == h.signature(t2)).mean()
+        true = ngram_jaccard(t1, t2)
+        assert abs(est - true) < 0.15
+
+    def test_lsh_finds_planted_pairs(self, planted_docs):
+        from geodistpy_ray.stages.dedup import minhash_lsh_pairs
+
+        pairs = minhash_lsh_pairs(planted_docs, threshold=0.4).to_pandas()
+        got = set(zip(pairs["id_a"].tolist(), pairs["id_b"].tolist()))
+        # exact dups (jaccard 1.0) must all be found
+        assert {(0, 1), (0, 5), (1, 5)} <= got
+        # the near dup should be found too (1-word change in 13)
+        assert (0, 2) in got or (1, 2) in got or (2, 5) in got
+
+
+class TestSimHash:
+    def test_identical_texts_same_hash(self):
+        assert simhash64("a b c d") == simhash64("a b c d")
+
+    def test_near_texts_low_hamming(self):
+        a = simhash64(" ".join(f"tok{i}" for i in range(60)))
+        b = simhash64(" ".join(f"tok{i}" for i in range(59)) + " tokX")
+        ham = bin(a ^ b).count("1")
+        assert ham <= 12
+
+    def test_near_pairs_stage(self, planted_docs):
+        from geodistpy_ray.stages.dedup import simhash_near_pairs
+
+        pairs = simhash_near_pairs(planted_docs, max_hamming=3).to_pandas()
+        got = set(zip(pairs["id_a"].tolist(), pairs["id_b"].tolist()))
+        assert {(0, 1), (0, 5), (1, 5)} <= got
+        assert (pairs["hamming"] <= 3).all()
+
+
+class TestJaccard:
+    def test_identity(self):
+        assert ngram_jaccard("a b c d e", "a b c d e") == 1.0
+
+    def test_disjoint(self):
+        assert ngram_jaccard("a b c d e", "v w x y z") == 0.0
+
+
+class TestTextStages:
+    def test_token_count(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import add_token_count
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": [0, 1, 2], "text": ["a b  c", "", "  x "]})
+        )
+        out = add_token_count(ds).to_pandas().sort_values("doc_id")
+        assert out["n_tokens"].tolist() == [3, 0, 1]
+
+    def test_quality_features(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import add_quality_score
+
+        ds = rd.from_arrow(pa.table({"doc_id": [0], "text": ["ab cd ef"]}))
+        out = add_quality_score(ds).to_pandas()
+        assert out["n_chars_q"].iloc[0] == 8
+        assert out["n_spaces"].iloc[0] == 2
+        assert out["space_ratio"].iloc[0] == pytest.approx(0.25)
+
+    def test_lang_id_heuristic(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import add_lang_id
+
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [0, 1, 2],
+                    "text": [
+                        "the cat and the dog of a house in that town is for it",
+                        "der hund und die katze ist nicht ein problem zu haben mit den",
+                        "le chat et la maison est un des que pour les",
+                    ],
+                }
+            )
+        )
+        out = add_lang_id(ds).to_pandas().sort_values("doc_id")
+        assert out["lang_pred"].tolist() == ["en", "de", "fr"]
+
+    def test_fingerprint_normalizes_whitespace(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import add_fingerprint
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": [0, 1], "text": ["a  b   c", "a b c"]})
+        )
+        out = add_fingerprint(ds).to_pandas()
+        assert out["fingerprint"].nunique() == 1

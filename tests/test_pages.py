@@ -1,0 +1,100 @@
+"""Pages table fixture + the byte-identity invariant end to end.
+
+BASELINE.json input_hint: the ``text`` column must pass through every engine
+stage byte-identical per url — verified by hashing text per url before and
+after a full geocode → cell → spatial-join-carrying pipeline.
+"""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from geodistpy_ray.sources.pages import PAGES_SCHEMA, generate_pages, write_pages
+
+
+class TestGeneration:
+    def test_schema(self):
+        t = generate_pages(200)
+        assert t.schema.equals(PAGES_SCHEMA)
+        assert t.num_rows == 200
+
+    def test_deterministic(self):
+        a = generate_pages(100, seed=7)
+        b = generate_pages(100, seed=7)
+        assert a.equals(b)
+        c = generate_pages(100, seed=8)
+        assert not a.equals(c)
+
+    def test_urls_unique(self):
+        t = generate_pages(500)
+        urls = t.column("url").to_pylist()
+        assert len(set(urls)) == 500
+
+    def test_text_embedded_in_html(self):
+        t = generate_pages(50)
+        for url, html, text in zip(
+            t.column("url").to_pylist()[:10],
+            t.column("html").to_pylist()[:10],
+            t.column("text").to_pylist()[:10],
+        ):
+            assert text.encode() in html
+
+    def test_fragmented_write(self, tmp_path):
+        import glob
+
+        out = write_pages(str(tmp_path / "pages"), 400, n_fragments=8)
+        files = glob.glob(f"{out}/*.parquet")
+        assert len(files) == 8
+
+
+class TestByteIdentity:
+    def test_text_survives_pipeline(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geodistpy_ray.stages import add_cell
+        from geodistpy_ray.stages.geo import col_np
+
+        out = write_pages(str(tmp_path / "pages"), 300, n_fragments=4)
+        src = pa.concat_tables(
+            [pa.parquet.read_table(f) for f in sorted(__import__("glob").glob(f"{out}/*.parquet"))]
+        )
+        before = {
+            u: hashlib.sha256(t.encode()).hexdigest()
+            for u, t in zip(src.column("url").to_pylist(), src.column("text").to_pylist())
+        }
+
+        ds = rd.read_parquet(out)
+
+        # geocode pages by url hash (no integer key → derive one from the url)
+        def geocode_url(batch: pa.Table) -> pa.Table:
+            urls = batch.column("url").to_pylist()
+            key = np.array(
+                [
+                    int.from_bytes(hashlib.blake2b(u.encode(), digest_size=8).digest(), "little")
+                    >> 24
+                    for u in urls
+                ],
+                dtype=np.int64,
+            )
+            from geodistpy_ray.functions.geocode import geocode_ids
+
+            lat, lon = geocode_ids(key)
+            batch = batch.append_column("lat", pa.array(lat, pa.float64()))
+            return batch.append_column("lon", pa.array(lon, pa.float64()))
+
+        ds = ds.map_batches(geocode_url, batch_format="pyarrow", zero_copy_batch=True)
+        ds = add_cell(ds, 2.0)
+        sink = str(tmp_path / "sink")
+        ds.write_parquet(sink)
+
+        import glob
+
+        got = pa.concat_tables([pa.parquet.read_table(f) for f in glob.glob(f"{sink}/*.parquet")])
+        after = {
+            u: hashlib.sha256(t.encode()).hexdigest()
+            for u, t in zip(got.column("url").to_pylist(), got.column("text").to_pylist())
+        }
+        assert before == after
+        assert "cell" in got.schema.names
