@@ -122,6 +122,23 @@ def q_knn(sf_dir):
     return ds.select_columns(["query_id", "doc_id", "rank"])
 
 
+def q_knn_cells(sf_dir):
+    import pyarrow as _pa
+    import ray.data as rd
+
+    from geodistpy_ray.functions.geocode import query_points
+    from geodistpy_ray.stages.knn import knn_join_cells
+
+    qid, qlat, qlon = query_points(16)
+    queries = rd.from_arrow(
+        _pa.table({"query_id": qid, "lat": qlat, "lon": qlon})
+    )
+    ds = knn_join_cells(
+        _docs_geo(sf_dir), queries, k=KNN_K, kernel="haversine", tie_round=6
+    )
+    return ds.select_columns(["query_id", "doc_id", "rank"])
+
+
 def q_pip(sf_dir):
     from geodistpy_ray.sources.polygons import diamond_polygons
     from geodistpy_ray.stages import point_in_polygon_join
@@ -361,6 +378,24 @@ def q_events_agg(sf_dir):
     return out
 
 
+def q_events_hourly(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import tumbling_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return tumbling_window_agg(ev, "user_id", "ts", 3_600_000_000, value_col="value")
+
+
+def q_sessions(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import sessionize
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    return sessionize(ev, "user_id", "ts", 1_800_000_000, order_tiebreak_col="event_id")
+
+
 def q_filter_project(sf_dir):
     import pyarrow.compute as pc
     import ray.data as rd
@@ -412,6 +447,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dist_to_origin": q_dist_to_origin,
         "radius_join": q_radius,
         "knn": q_knn,
+        "knn_cells": q_knn_cells,
         "pip_join": q_pip,
         "bearing_origin": q_bearing,
         "close_pairs": q_close_pairs,
@@ -432,6 +468,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": q_orders_by_month,
         "events_agg": q_events_agg,
         "filter_project": q_filter_project,
+        "events_hourly": q_events_hourly,
+        "sessions": q_sessions,
         "interpolate_waypoints": q_interpolate,
         "destinations": q_destinations,
     }
@@ -455,6 +493,7 @@ def oracle_sql() -> dict[str, str]:
     hav_o = haversine_sql(lat, lon, str(ORIGIN[0]), str(ORIGIN[1]))
     qpts = query_points_sql(8)
     qpts12 = query_points_sql(12)
+    qpts16 = query_points_sql(16)
     hav_q = haversine_sql(lat, lon, "q.qlat", "q.qlon")
 
     lat_a, lon_a = geocode_sql("a.doc_id")
@@ -494,6 +533,13 @@ def oracle_sql() -> dict[str, str]:
             f"PARTITION BY q.query_id "
             f"ORDER BY ROUND({hav_q.replace('doc_id', 'd.doc_id')}, 6), d.doc_id) AS rank "
             f"FROM documents d, {qpts12} q) WHERE rank <= {KNN_K}"
+        ),
+        "knn_cells": (
+            f"SELECT query_id, doc_id, rank FROM ("
+            f"SELECT q.query_id, d.doc_id, ROW_NUMBER() OVER ("
+            f"PARTITION BY q.query_id "
+            f"ORDER BY ROUND({hav_q.replace('doc_id', 'd.doc_id')}, 6), d.doc_id) AS rank "
+            f"FROM documents d, {qpts16} q) WHERE rank <= {KNN_K}"
         ),
         "pip_join": (
             f"SELECT d.doc_id, p.poly_id FROM documents d, {diamond_polygons_sql()} p "
@@ -568,5 +614,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "filter_project": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45.0"
+        ),
+        "events_hourly": (
+            "SELECT user_id, epoch_us(ts) // 3600000000 AS window_key, "
+            "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_cents, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "sessions": (
+            "SELECT user_id, CAST(SUM(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions FROM ("
+            "SELECT user_id, epoch_us(ts) AS us, "
+            "LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us "
+            "FROM events) GROUP BY 1"
         ),
     }

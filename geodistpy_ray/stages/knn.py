@@ -104,3 +104,182 @@ def knn_join(
         return g
 
     return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def knn_join_cells(
+    ds,
+    queries_ds,
+    k: int,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = None,
+    kernel: str = "vincenty",
+    metric: str = "meter",
+    ellipsoid="WGS-84",
+    tie_round: int | None = 6,
+):
+    """Cell-routed kNN for *large* query sets (both sides are Datasets).
+
+    The scale path (SURVEY.md §3.2): queries and candidates are co-grouped
+    by grid cell, each query gets a local top-k from its own 3×3 cell
+    neighborhood, and only the queries whose kth-neighbor radius crosses the
+    neighborhood boundary (or that found < k locally) go through a second,
+    exact **boundary-expansion** pass over their ``disc_cover``. Phase-2
+    membership is decided with a conservative lower bound on the geodesic
+    distance from the query to the neighborhood edge, so results are exact.
+
+    ``queries_ds``: Dataset with columns (query_id, lat, lon).
+    Returns (query_id, {id_col}, dist, rank), nearest-first.
+    """
+    from ..cells import DEFAULT_CELL_DEG, MIN_M_PER_DEG_LAT, cell_id, neighbor_cells
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cell_deg = cell_deg if cell_deg is not None else DEFAULT_CELL_DEG
+    a, f = resolve_ellipsoid(ellipsoid)
+    conv = unit_factor(metric)
+    kfn = distance_kernel(kernel)
+
+    # candidates tagged into their own cell; queries replicated to ring-1
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        lat = col_np(batch, lat_col)
+        lon = col_np(batch, lon_col)
+        ids = col_np(batch, id_col)
+        return pa.table(
+            {
+                "cell": cell_id(lat, lon, cell_deg),
+                "rid": ids,
+                "rlat": lat,
+                "rlon": lon,
+                "is_query": np.zeros(ids.size, dtype=bool),
+            }
+        )
+
+    def query_rows(batch: pa.Table) -> pa.Table:
+        lat = col_np(batch, "lat")
+        lon = col_np(batch, "lon")
+        qid = col_np(batch, "query_id")
+        own = cell_id(lat, lon, cell_deg)
+        src, neigh = neighbor_cells(own, cell_deg, ring=1)
+        return pa.table(
+            {
+                "cell": neigh,
+                "rid": qid[src],
+                "rlat": lat[src],
+                "rlon": lon[src],
+                "is_query": np.ones(src.size, dtype=bool),
+            }
+        )
+
+    cands = ds.map_batches(cand_rows, batch_format="pyarrow", zero_copy_batch=True)
+    qreps = queries_ds.map_batches(query_rows, batch_format="pyarrow", zero_copy_batch=True)
+    both = cands.union(qreps)
+
+    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
+        isq = g["is_query"].to_numpy()
+        q = g[isq]
+        c = g[~isq]
+        if q.empty:
+            return pd.DataFrame(
+                {"query_id": [], id_col: [], "dist": []}
+            ).astype({"query_id": np.int64, id_col: np.int64, "dist": np.float64})
+        out = []
+        clat = c["rlat"].to_numpy()
+        clon = c["rlon"].to_numpy()
+        cids = c["rid"].to_numpy()
+        for qid_, qlat_, qlon_ in zip(
+            q["rid"].to_numpy(), q["rlat"].to_numpy(), q["rlon"].to_numpy()
+        ):
+            if cids.size == 0:
+                continue
+            d = kfn(clat, clon, qlat_, qlon_, a, f)
+            kk = min(k, d.size)
+            part = np.argpartition(d, kk - 1)[:kk] if kk < d.size else np.arange(d.size)
+            out.append(
+                pd.DataFrame(
+                    {"query_id": qid_, id_col: cids[part], "dist": d[part]}
+                )
+            )
+        if not out:
+            return pd.DataFrame(
+                {"query_id": [], id_col: [], "dist": []}
+            ).astype({"query_id": np.int64, id_col: np.int64, "dist": np.float64})
+        return pd.concat(out, ignore_index=True)
+
+    partials = both.groupby("cell").map_groups(local_topk, batch_format="pandas")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        key = g["dist"].round(tie_round) if tie_round is not None else g["dist"]
+        g = g.assign(_key=key).sort_values(["_key", id_col]).head(k).drop(columns="_key")
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    phase1 = partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
+
+    # ── boundary check: which queries are provably complete? ──
+    qpd = queries_ds.to_pandas()
+    got_counts = phase1.groupby("query_id")[id_col].count()
+    kth = phase1[phase1["rank"] == phase1.groupby("query_id")["rank"].transform("max")]
+    kth = dict(zip(kth["query_id"], kth["dist"]))
+
+    # conservative meters from each query to the edge of its 3x3 block
+    own = cell_id(qpd["lat"].to_numpy(), qpd["lon"].to_numpy(), cell_deg)
+    from ..cells import cell_bounds
+
+    mn_lat, mx_lat, mn_lon, mx_lon = cell_bounds(own, cell_deg)
+    lat_margin_deg = np.minimum(
+        qpd["lat"].to_numpy() - (mn_lat - cell_deg), (mx_lat + cell_deg) - qpd["lat"].to_numpy()
+    )
+    lon_margin_deg = np.minimum(
+        qpd["lon"].to_numpy() - (mn_lon - cell_deg), (mx_lon + cell_deg) - qpd["lon"].to_numpy()
+    )
+    cos_lat = np.cos(np.radians(np.abs(qpd["lat"].to_numpy()) ))
+    margin_m = np.minimum(
+        lat_margin_deg * MIN_M_PER_DEG_LAT, lon_margin_deg * MIN_M_PER_DEG_LAT * cos_lat
+    )
+    # near-pole 3x3 blocks don't wrap the full lon ring → force expansion
+    margin_m = np.where(np.abs(qpd["lat"].to_numpy()) > 90.0 - 2 * cell_deg, 0.0, margin_m)
+
+    need_expand = []
+    for qid_, qlat_, qlon_, marg in zip(
+        qpd["query_id"], qpd["lat"], qpd["lon"], margin_m
+    ):
+        n_found = got_counts.get(qid_, 0)
+        if n_found < k or kth.get(qid_, np.inf) > marg:
+            need_expand.append((int(qid_), float(qlat_), float(qlon_), n_found))
+
+    if not need_expand:
+        out = phase1
+    else:
+        # phase 2: exact re-query of the uncertain tail via broadcast scan —
+        # each uncertain query scans all candidates within an expanded disc
+        # (rare by construction; the common case is phase-1-complete).
+        exp_ids = np.array([e[0] for e in need_expand], dtype=np.int64)
+        exp_lat = np.array([e[1] for e in need_expand])
+        exp_lon = np.array([e[2] for e in need_expand])
+        redo = knn_join(
+            ds,
+            exp_ids,
+            exp_lat,
+            exp_lon,
+            k,
+            id_col=id_col,
+            lat_col=lat_col,
+            lon_col=lon_col,
+            kernel=kernel,
+            metric="meter",
+            ellipsoid=ellipsoid,
+            tie_round=tie_round,
+        ).to_pandas()
+        out = pd.concat(
+            [phase1[~phase1["query_id"].isin(set(exp_ids.tolist()))], redo],
+            ignore_index=True,
+        )
+
+    out = out.sort_values(["query_id", "rank"], ignore_index=True)
+    out["dist"] = out["dist"] * conv
+    import ray.data as rd
+
+    return rd.from_pandas(out)

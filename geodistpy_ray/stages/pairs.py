@@ -43,11 +43,29 @@ def close_pairs(
     metric: str = "meter",
     ellipsoid="WGS-84",
     member_chunk: int = 4096,
+    salt: int = 1,
 ):
-    """All pairs with geodesic distance ≤ max_dist_m → (id_left, id_right, dist)."""
+    """All pairs with geodesic distance ≤ max_dist_m → (id_left, id_right, dist).
+
+    ``salt`` splits every cell's *primary* rows into ``salt`` hash subgroups
+    and replicates the candidate side into each — the explicit hot-cell
+    (city) skew treatment the north rule requires: a cell with C points
+    costs max(P/S)·C per group instead of P·C in one. Exactly-once pair
+    emission is preserved (a pair is still owned by the left point's unique
+    (cell, salt-of-left) group). Candidate replication is ×S, so production
+    applies salting per-cell from a stats pass; here it is a global knob.
+    """
     a, f = resolve_ellipsoid(ellipsoid)
     conv = unit_factor(metric)
     kfn = distance_kernel(kernel)
+    salt = int(salt)
+    if salt < 1:
+        raise ValueError("salt must be >= 1")
+
+    def _salt_of(ids: np.ndarray) -> np.ndarray:
+        return ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)).astype(
+            np.int64
+        ) % salt
 
     def replicate(batch: pa.Table) -> pa.Table:
         lat = col_np(batch, lat_col)
@@ -55,13 +73,31 @@ def close_pairs(
         ids = col_np(batch, id_col)
         own = cell_id(lat, lon, cell_deg)
         src, cover = disc_cover(lat, lon, max_dist_m, cell_deg)
+        if salt == 1:
+            return pa.table(
+                {
+                    "cell": cover,
+                    id_col: ids[src],
+                    lat_col: lat[src],
+                    lon_col: lon[src],
+                    "is_primary": own[src] == cover,
+                }
+            )
+        # replicate each covered (row, cell) into all salt subgroups;
+        # primary only in the row's own (cell, salt-of-id) subgroup
+        s_of = _salt_of(ids)
+        reps = np.arange(salt, dtype=np.int64)
+        n = src.size
+        src_r = np.repeat(src, salt)
+        cover_r = np.repeat(cover, salt)
+        salt_r = np.tile(reps, n)
         return pa.table(
             {
-                "cell": cover,
-                id_col: ids[src],
-                lat_col: lat[src],
-                lon_col: lon[src],
-                "is_primary": own[src] == cover,
+                "cell": cover_r * salt + salt_r,
+                id_col: ids[src_r],
+                lat_col: lat[src_r],
+                lon_col: lon[src_r],
+                "is_primary": (own[src_r] == cover_r) & (s_of[src_r] == salt_r),
             }
         )
 

@@ -1,0 +1,73 @@
+"""Streaming-shaped window operators over an (ordered, keyed) event log.
+
+Ray Data has no event-time windows or watermarks (SURVEY.md §2.4); the
+engine treats the events table as a keyed log: partition by key
+(``groupby``), sort by timestamp *within* the key's group, and compute the
+window semantics there. Late data is therefore handled by re-running the
+partition (batch semantics), and ordering is only guaranteed within a key —
+both stated assumptions, matching the reference's batch-only model.
+
+Timestamps are handled as integer microseconds throughout so results are
+bit-reproducible against the SQL oracle (``epoch_us``-based expressions).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .geo import col_np
+from .relational import cents
+
+
+def _us(batch: pa.Table, ts_col: str) -> np.ndarray:
+    ts = batch.column(ts_col).combine_chunks()
+    return ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+
+def tumbling_window_agg(
+    ds,
+    key_col: str,
+    ts_col: str,
+    window_us: int,
+    value_col: str | None = None,
+):
+    """Per-(key, tumbling-window) counts (+ value cents sum) — partial+final.
+
+    Window assignment is stateless (``epoch_us // window_us``), so this is a
+    pure ``map_batches`` combiner followed by the grouped merge — no per-key
+    ordering needed at all.
+    """
+    from .relational import grouped_sum
+
+    def assign(batch: pa.Table) -> pa.Table:
+        w = _us(batch, ts_col) // window_us
+        return batch.append_column("window_key", pa.array(w, pa.int64()))
+
+    ds2 = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    cent_cols = {value_col: "sum_value_cents"} if value_col else None
+    return grouped_sum(ds2, [key_col, "window_key"], cent_sum_cols=cent_cols, count_col="n")
+
+
+def sessionize(
+    ds,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    order_tiebreak_col: str | None = None,
+):
+    """Session counts per key with an inactivity gap → (key, n_sessions).
+
+    ``groupby(key).map_groups``: sort the key's events by (ts, tiebreak),
+    count gaps > ``gap_us`` (+1). The session count is invariant to the
+    ordering of exact-tie timestamps, so only ts ordering is load-bearing.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        order = [ts_col] + ([order_tiebreak_col] if order_tiebreak_col else [])
+        us = g.sort_values(order)[ts_col].astype("int64").to_numpy()
+        gaps = int((np.diff(us) > gap_us).sum()) + 1 if us.size else 0
+        return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": [gaps]})
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

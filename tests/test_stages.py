@@ -185,3 +185,93 @@ class TestRelational:
         ).fetchnumpy()
         con.close()
         np.testing.assert_array_equal(cents(x), list(sql.values())[0])
+
+
+class TestSalting:
+    def test_salted_pairs_identical(self, docs_geo, truth):
+        from geodistpy_ray.stages.pairs import close_pairs
+
+        ids, lat, lon = truth
+        r = 200_000.0
+        base = (
+            close_pairs(docs_geo, r, kernel="haversine", cell_deg=2.0)
+            .to_pandas()
+            .sort_values(["id_left", "id_right"], ignore_index=True)
+        )
+        salted = (
+            close_pairs(docs_geo, r, kernel="haversine", cell_deg=2.0, salt=3)
+            .to_pandas()
+            .sort_values(["id_left", "id_right"], ignore_index=True)
+        )
+        assert base[["id_left", "id_right"]].equals(salted[["id_left", "id_right"]])
+
+    def test_bad_salt(self, docs_geo):
+        from geodistpy_ray.stages.pairs import close_pairs
+
+        with pytest.raises(ValueError):
+            close_pairs(docs_geo, 1000.0, salt=0)
+
+
+class TestCellRoutedKnn:
+    def test_vs_broadcast_knn(self, docs_geo, truth):
+        import pyarrow as _pa
+        import ray.data as rd
+
+        from geodistpy_ray.stages import knn_join
+        from geodistpy_ray.stages.knn import knn_join_cells
+
+        ids, lat, lon = truth
+        qid, qlat, qlon = query_points(8)
+        queries = rd.from_arrow(_pa.table({"query_id": qid, "lat": qlat, "lon": qlon}))
+        a = (
+            knn_join_cells(docs_geo, queries, k=3, kernel="vincenty", cell_deg=4.0)
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        b = (
+            knn_join(docs_geo, qid, qlat, qlon, k=3, kernel="vincenty")
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        assert a[["query_id", "doc_id", "rank"]].equals(b[["query_id", "doc_id", "rank"]])
+
+
+class TestWindows:
+    def test_tumbling_vs_pandas(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from geodistpy_ray.stages.windows import tumbling_window_agg
+
+        sf = SF
+        ev = rd.read_parquet(f"{sf}/events.parquet", columns=["user_id", "ts", "value"])
+        out = tumbling_window_agg(ev, "user_id", "ts", 3_600_000_000, value_col="value")
+        exp = duckdb.sql(
+            f"SELECT user_id, epoch_us(ts) // 3600000000 AS window_key, "
+            f"CAST(COUNT(*) AS BIGINT) AS n FROM read_parquet('{sf}/events.parquet') GROUP BY 1,2"
+        ).df()
+        a = out[["user_id", "window_key", "n"]].sort_values(
+            ["user_id", "window_key"], ignore_index=True
+        )
+        b = exp.sort_values(["user_id", "window_key"], ignore_index=True).astype(
+            {"n": np.int64}
+        )
+        assert a.equals(b)
+
+    def test_sessionize_single_user(self, ray_session):
+        import ray.data as rd
+
+        base = np.datetime64("2026-01-01T00:00:00", "us")
+        ts = base + np.array([0, 60, 120, 4000, 4100, 9000], dtype="timedelta64[s]").astype(
+            "timedelta64[us]"
+        )
+        ds = rd.from_arrow(
+            pa.table({"user_id": [1] * 6, "ts": pa.array(ts, pa.timestamp("us")), "event_id": list(range(6))})
+        )
+        out = sessionize_df = (
+            __import__("geodistpy_ray.stages.windows", fromlist=["sessionize"])
+            .sessionize(ds, "user_id", "ts", 1_800_000_000, order_tiebreak_col="event_id")
+            .to_pandas()
+        )
+        # gaps: 120→4000 (>30min? 3880s > 1800s yes), 4100→9000 (4900s yes) → 3 sessions
+        assert out["n_sessions"].iloc[0] == 3
