@@ -396,6 +396,103 @@ def q_sessions(sf_dir):
     return sessionize(ev, "user_id", "ts", 1_800_000_000, order_tiebreak_col="event_id")
 
 
+EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
+RANGE_STEP_US = 66 * 3_600_000_000
+RANGE_LEN_US = 72 * 3_600_000_000
+N_RANGES = 10
+
+
+def q_order_lines_join(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    return shuffle_equi_join(orders, li, "o_orderkey", "l_orderkey")
+
+
+def q_mktsegment_revenue(sf_dir):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import broadcast_join
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
+    joined = broadcast_join(orders, cust, "o_custkey", right_keys="c_custkey")
+    return grouped_sum(
+        joined, ["c_mktsegment"], cent_sum_cols={"o_totalprice": "sum_cents"}, count_col="n_orders"
+    )
+
+
+def _events_by_type(sf_dir, etype, rename=None):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("event_type"), etype)).drop_columns(["event_type"])
+        if rename:
+            t = t.rename_columns([rename.get(c, c) for c in t.column_names])
+        return t
+
+    return ev.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_asof_click_view(sf_dir):
+    from geodistpy_ray.stages.joins import asof_join
+
+    clicks = _events_by_type(sf_dir, "click")
+    views = _events_by_type(sf_dir, "view", rename={"event_id": "view_id"})
+    joined = asof_join(clicks, views, key="user_id", ts="ts")
+    return joined.select_columns(["event_id", "view_id"])
+
+
+def q_range_buckets(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import range_join_broadcast
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+
+    def to_us(batch: pa.Table) -> pa.Table:
+        return batch.append_column("ts_us", batch.column("ts").cast(pa.int64()))
+
+    ev = ev.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+    los = EPOCH_2024_US + np.arange(N_RANGES, dtype=np.int64) * RANGE_STEP_US
+    ranges = pa.table(
+        {
+            "range_id": np.arange(N_RANGES, dtype=np.int64),
+            "lo": los,
+            "hi": los + RANGE_LEN_US,
+        }
+    )
+    out = range_join_broadcast(ev, ranges, value_col="ts_us")
+    return out.select_columns(["range_id", "event_id"])
+
+
+def q_gc_dist_to_origin(sf_dir):
+    from geodistpy_ray.stages import add_distance_to_point
+
+    ds = add_distance_to_point(_docs_geo(sf_dir), ORIGIN, kernel="great_circle", out_col="dist_km")
+    ds = _round_col(ds, "dist_km", 6, div=1000.0)
+    return ds.select_columns(["doc_id", "dist_km"])
+
+
+def q_distinct_parts(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import distinct
+
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    return distinct(li, ["l_partkey"], final="shuffle")
+
+
 def q_filter_project(sf_dir):
     import pyarrow.compute as pc
     import ray.data as rd
@@ -468,6 +565,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": q_orders_by_month,
         "events_agg": q_events_agg,
         "filter_project": q_filter_project,
+        "order_lines_join": q_order_lines_join,
+        "mktsegment_revenue": q_mktsegment_revenue,
+        "asof_click_view": q_asof_click_view,
+        "range_buckets": q_range_buckets,
+        "gc_dist_to_origin": q_gc_dist_to_origin,
+        "distinct_parts": q_distinct_parts,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "interpolate_waypoints": q_interpolate,
@@ -482,6 +585,7 @@ def oracle_sql() -> dict[str, str]:
     from geodistpy_ray.functions.geocode import (
         cell_sql,
         geocode_sql,
+        great_circle_sql,
         haversine_sql,
         query_points_sql,
     )
@@ -615,6 +719,35 @@ def oracle_sql() -> dict[str, str]:
         "filter_project": (
             "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem WHERE l_quantity > 45.0"
         ),
+        "order_lines_join": (
+            "SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_quantity "
+            "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+        ),
+        "mktsegment_revenue": (
+            "SELECT c.c_mktsegment, "
+            "CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_cents, CAST(COUNT(*) AS BIGINT) AS n_orders "
+            "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey GROUP BY 1"
+        ),
+        "asof_click_view": (
+            "SELECT c.event_id, v.view_id FROM "
+            "(SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c "
+            "ASOF JOIN "
+            "(SELECT event_id AS view_id, user_id, ts FROM events WHERE event_type = 'view') v "
+            "ON c.user_id = v.user_id AND c.ts >= v.ts"
+        ),
+        "range_buckets": (
+            f"SELECT r.range_id, e.event_id FROM events e, "
+            f"(SELECT CAST(UNNEST(RANGE({N_RANGES})) AS BIGINT) AS range_id) r "
+            f"WHERE epoch_us(e.ts) >= {EPOCH_2024_US} + r.range_id * {RANGE_STEP_US} "
+            f"AND epoch_us(e.ts) < {EPOCH_2024_US} + r.range_id * {RANGE_STEP_US} + {RANGE_LEN_US}"
+        ),
+        "gc_dist_to_origin": (
+            f"SELECT doc_id, "
+            f"ROUND({great_circle_sql(lat, lon, str(ORIGIN[0]), str(ORIGIN[1]))} / 1000.0, 6) "
+            f"AS dist_km FROM documents"
+        ),
+        "distinct_parts": "SELECT DISTINCT l_partkey FROM lineitem",
         "events_hourly": (
             "SELECT user_id, epoch_us(ts) // 3600000000 AS window_key, "
             "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "

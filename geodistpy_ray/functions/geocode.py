@@ -88,6 +88,29 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     return f"(2.0 * 6371009.0 * ASIN(SQRT(LEAST(GREATEST({h}, 0.0), 1.0))))"
 
 
+def great_circle_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
+    """SQL Andoyer-Lambert great-circle distance (meters) matching
+    ``kernels.great_circle`` for non-degenerate pairs (coincident /
+    pole-to-pole guard branches are omitted — callers compare rounded
+    values over general-position points). WGS-84 a/f baked in."""
+    a = "6378137.0"
+    f = "(1.0 / 298.257223563)"
+    F = f"((RADIANS({lat1}) + RADIANS({lat2})) / 2.0)"
+    G = f"((RADIANS({lat1}) - RADIANS({lat2})) / 2.0)"
+    L = f"(ABS(RADIANS({lon2}) - RADIANS({lon1})) / 2.0)"
+    sF2, cF2 = f"POW(SIN({F}), 2)", f"POW(COS({F}), 2)"
+    sG2, cG2 = f"POW(SIN({G}), 2)", f"POW(COS({G}), 2)"
+    sL2, cL2 = f"POW(SIN({L}), 2)", f"POW(COS({L}), 2)"
+    S = f"({sG2} * {cL2} + {cF2} * {sL2})"
+    C = f"({cG2} * {cL2} + {sF2} * {sL2})"
+    omega = f"ATAN2(SQRT({S}), SQRT({C}))"
+    R = f"(SQRT({S} * {C}) / {omega})"
+    D = f"(2.0 * {omega} * {a})"
+    H1 = f"((3.0 * {R} - 1.0) / (2.0 * {C}))"
+    H2 = f"((3.0 * {R} + 1.0) / (2.0 * {S}))"
+    return f"({D} * (1.0 + {f} * ({H1} * {sF2} * {cG2} - {H2} * {cF2} * {sG2})))"
+
+
 # ── Fixed query points for the kNN / radius correctness pipelines ─────────
 N_QUERIES = 24
 _QLAT_MUL = 6151

@@ -1,0 +1,262 @@
+"""Generic join stages: broadcast hash join, shuffle (bucketed) equi-join,
+as-of join, and broadcast range join.
+
+The reference's only "joins" are dense all-pairs kernels
+(`/root/reference/geodistpy/geodesic.py:243-276`) and the radius/kNN
+semi-joins (`distance.py:390-540`); a complete engine also needs relational
+joins over the star-schema side tables. Scale rules:
+
+- **Broadcast join** (`broadcast_join`): the small side is `ray.put` ONCE and
+  joined per batch with Acero (`pyarrow.Table.join`) — no shuffle at all.
+  This is the right shape whenever one side fits in a worker's heap
+  (dimension tables, query sets).
+- **Shuffle join** (`shuffle_equi_join`): both sides large. Each side is
+  hash-bucketed on the key, the two sides are unioned into one stream (the
+  non-owned columns null-padded so the schemas line up), and ONE sort-based
+  shuffle on `__bucket` co-locates matching keys; each bucket then joins
+  locally with Acero. One all-to-all total — the same exchange count as a
+  classic distributed hash join. Bucket count scales with data size; a
+  pathologically hot key bounds a single bucket (document: pre-aggregate or
+  broadcast instead when one key dominates).
+- **As-of join** (`asof_join`): same bucketed co-location, then
+  `pandas.merge_asof(by=key, on=ts)` per bucket — the classic
+  "latest right row at or before the left timestamp" semantics
+  (DuckDB `ASOF JOIN` is the oracle).
+- **Range join** (`range_join_broadcast`): a small set of [lo, hi) intervals
+  is broadcast and each batch emits one row per (row, containing-interval) —
+  intervals may overlap; no shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from .broadcast import get_broadcast
+
+
+def _hash_bucket(values: np.ndarray, n_buckets: int) -> np.ndarray:
+    """Deterministic per-value bucket id (stable across worker processes)."""
+    h = pd.util.hash_array(np.asarray(values), categorize=False)
+    return (h % np.uint64(n_buckets)).astype(np.int64)
+
+
+def broadcast_join(ds, right: pa.Table, keys, right_keys=None, join_type: str = "inner"):
+    """Join every batch against a broadcast small-side table (no shuffle).
+
+    ``right`` is shipped to the object store once; each map task fetches it
+    once per worker (per-worker cache) and runs an Acero hash join per batch.
+    """
+    if isinstance(keys, str):
+        keys = [keys]
+    if isinstance(right_keys, str):
+        right_keys = [right_keys]
+    ref = ray.put(right)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        r = get_broadcast(ref)
+        return batch.join(r, keys=keys, right_keys=right_keys, join_type=join_type)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _pad_side(side, key_out, own_key, lvals, rvals, ltypes, rtypes, n_buckets):
+    """Build the schema-harmonized + bucketed map fn for one join side."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        key = batch.column(own_key)
+        cols: dict[str, object] = {key_out: key}
+        for c in lvals:
+            cols[c] = batch.column(c) if side == 0 else pa.nulls(n, ltypes[c])
+        for c in rvals:
+            cols[c] = batch.column(c) if side == 1 else pa.nulls(n, rtypes[c])
+        cols["__bucket"] = pa.array(
+            _hash_bucket(key.to_numpy(zero_copy_only=False), n_buckets), pa.int64()
+        )
+        cols["__side"] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    return fn
+
+
+def _union_bucketed(left, right, left_key, right_key, n_buckets):
+    """Harmonize schemas, tag sides, bucket on key hash, union the streams.
+
+    Returns ``(combined_ds, lvals, rvals)`` where the value-column lists are
+    every non-key column of each side (must be disjoint across sides).
+    """
+    ls, rs = left.schema(), right.schema()
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    lvals = [c for c in ls.names if c != left_key]
+    rvals = [c for c in rs.names if c != right_key]
+    overlap = set(lvals) & set(rvals)
+    if overlap:
+        raise ValueError(f"column name collision across join sides: {sorted(overlap)}")
+    mk = _pad_side(0, left_key, left_key, lvals, rvals, ltypes, rtypes, n_buckets)
+    mk_r = _pad_side(1, left_key, right_key, lvals, rvals, ltypes, rtypes, n_buckets)
+    l2 = left.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
+    r2 = right.map_batches(mk_r, batch_format="pyarrow", zero_copy_batch=True)
+    return l2.union(r2), lvals, rvals
+
+
+def shuffle_equi_join(
+    left,
+    right,
+    left_key: str,
+    right_key: str | None = None,
+    join_type: str = "inner",
+    n_buckets: int = 64,
+):
+    """Distributed equi-join of two large Datasets via one bucketed shuffle.
+
+    The output key column takes the left side's name; all other columns pass
+    through with their exact Arrow types (the per-bucket join is Acero, so
+    no pandas dtype laundering happens). Row order is unspecified.
+    """
+    right_key = right_key or left_key
+    combined, lvals, rvals = _union_bucketed(left, right, left_key, right_key, n_buckets)
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        side = t.column("__side")
+        l = t.filter(pc.equal(side, 0)).select([left_key] + lvals)
+        r = t.filter(pc.equal(side, 1)).select([left_key] + rvals)
+        out = l.join(r, keys=[left_key], join_type=join_type)
+        # Acero may reorder columns for right/outer types; normalize.
+        want = [c for c in [left_key] + lvals + rvals if c in out.column_names]
+        return out.select(want)
+
+    return combined.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def asof_join(
+    left,
+    right,
+    key: str,
+    ts: str,
+    right_ts_key: str | None = None,
+    direction: str = "backward",
+    n_buckets: int = 32,
+):
+    """As-of join: for each left row, the single right row with the greatest
+    ``ts`` satisfying ``right.ts <= left.ts`` (direction="backward") for the
+    same ``key``. Inner semantics (unmatched left rows dropped) — the DuckDB
+    ``ASOF JOIN`` equivalent. Right-side timestamp column may be renamed via
+    ``right_ts_key`` if the two sides share the name ``ts`` plus other
+    colliding columns (they must otherwise be disjoint).
+    """
+    right_ts = right_ts_key or ts
+    ls, rs = left.schema(), right.schema()
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    lvals = [c for c in ls.names if c not in (key, ts)]
+    rvals = [c for c in rs.names if c not in (key, right_ts)]
+    overlap = set(lvals) & set(rvals)
+    if overlap:
+        raise ValueError(f"column name collision across join sides: {sorted(overlap)}")
+
+    def pad(side):
+        own_ts = ts if side == 0 else right_ts
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            cols: dict[str, object] = {
+                key: batch.column(key),
+                "__ts": batch.column(own_ts),
+            }
+            for c in lvals:
+                cols[c] = batch.column(c) if side == 0 else pa.nulls(n, ltypes[c])
+            for c in rvals:
+                cols[c] = batch.column(c) if side == 1 else pa.nulls(n, rtypes[c])
+            cols["__bucket"] = pa.array(
+                _hash_bucket(batch.column(key).to_numpy(zero_copy_only=False), n_buckets),
+                pa.int64(),
+            )
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())
+            return pa.table(cols)
+
+        return fn
+
+    l2 = left.map_batches(pad(0), batch_format="pyarrow", zero_copy_batch=True)
+    r2 = right.map_batches(pad(1), batch_format="pyarrow", zero_copy_batch=True)
+    combined = l2.union(r2)
+
+    out_schema = pa.schema(
+        [pa.field(key, ltypes.get(key) or rtypes[key]), pa.field("__ts", ltypes.get(ts) or rtypes[right_ts])]
+        + [pa.field(c, ltypes[c]) for c in lvals]
+        + [pa.field(c, rtypes[c]) for c in rvals]
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        l = df[df["__side"] == 0].sort_values("__ts", kind="mergesort")
+        r = df[df["__side"] == 1].sort_values("__ts", kind="mergesort")
+        out = pd.merge_asof(
+            l[[key, "__ts"] + lvals],
+            r[[key, "__ts"] + rvals],
+            on="__ts",
+            by=key,
+            direction=direction,
+            allow_exact_matches=True,
+        )
+        if rvals:  # inner semantics: drop left rows with no as-of match
+            out = out.dropna(subset=rvals[:1])
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        # null-padding round-trips ints through float64 in pandas; cast back
+        return tbl.select(out_schema.names).cast(out_schema)
+
+    joined = combined.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+    def restore_ts(batch: pa.Table) -> pa.Table:
+        names = [ts if c == "__ts" else c for c in batch.column_names]
+        return batch.rename_columns(names)
+
+    return joined.map_batches(restore_ts, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def range_join_broadcast(
+    ds,
+    ranges: pa.Table,
+    value_col: str,
+    range_id_col: str = "range_id",
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+):
+    """Interval-containment join against a broadcast set of [lo, hi) ranges.
+
+    Ranges may overlap (a row can match several); each batch emits the input
+    columns plus ``range_id`` once per containing interval. The small side is
+    broadcast — no shuffle, streaming-friendly at any left-side size.
+    """
+    ref = ray.put(
+        {
+            "id": ranges.column(range_id_col).to_numpy(zero_copy_only=False),
+            "lo": ranges.column(lo_col).to_numpy(zero_copy_only=False),
+            "hi": ranges.column(hi_col).to_numpy(zero_copy_only=False),
+        }
+    )
+
+    def fn(batch: pa.Table) -> pa.Table:
+        r = get_broadcast(ref)
+        v = batch.column(value_col).to_numpy(zero_copy_only=False)
+        idx_parts, rid_parts = [], []
+        for rid, lo, hi in zip(r["id"], r["lo"], r["hi"]):
+            hit = np.nonzero((v >= lo) & (v < hi))[0]
+            if hit.size:
+                idx_parts.append(hit)
+                rid_parts.append(np.full(hit.size, rid, dtype=np.int64))
+        if not idx_parts:
+            empty = batch.slice(0, 0)
+            return empty.append_column(range_id_col, pa.array([], pa.int64()))
+        idx = np.concatenate(idx_parts)
+        out = batch.take(pa.array(idx))
+        return out.append_column(
+            range_id_col, pa.array(np.concatenate(rid_parts), pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -92,6 +92,36 @@ def grouped_sum(
     return partials.groupby(key_cols if len(key_cols) > 1 else key_cols[0]).aggregate(*aggs)
 
 
+def distinct(ds, cols: list[str], final: str = "shuffle"):
+    """Exact distinct over ``cols`` — per-batch dedup first, then a final merge.
+
+    Per-batch ``drop_duplicates`` is the combiner: the shuffle (or driver
+    merge) sees at most one row per (key × batch). ``final="shuffle"`` keeps
+    it fully distributed (unbounded key domains at 100 TB);
+    ``final="driver"`` streams the tiny partials to the driver for bounded
+    domains and returns a pandas DataFrame.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(cols).to_pandas().drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if final == "driver":
+        frames = [
+            b.to_pandas()
+            for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+        return pd.concat(frames, ignore_index=True).drop_duplicates().reset_index(drop=True)
+
+    def dedup_group(t: pa.Table) -> pa.Table:
+        return t.slice(0, 1)
+
+    return partials.groupby(cols if len(cols) > 1 else cols[0]).map_groups(
+        dedup_group, batch_format="pyarrow"
+    )
+
+
 def add_month_key(ds, ts_col: str, out_col: str = "ym"):
     """timestamp column → integer year*100+month key (SQL-mirrorable)."""
 
