@@ -493,6 +493,59 @@ def q_distinct_parts(sf_dir):
     return distinct(li, ["l_partkey"], final="shuffle")
 
 
+def q_semi_open_orders(sf_dir):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"])
+    open_orders = orders.map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderstatus"], "P")).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return shuffle_equi_join(cust, open_orders, "c_custkey", "o_custkey", join_type="left semi")
+
+
+def q_anti_max_qty(sf_dir):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+
+    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
+    heavy = li.map_batches(
+        lambda t: t.filter(pc.greater(t["l_quantity"], 49.0)).select(["l_partkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return shuffle_equi_join(part, heavy, "p_partkey", "l_partkey", join_type="left anti")
+
+
+def q_top_events_per_user(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import top_k_per_group
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
+    out = top_k_per_group(ev, "user_id", "value", k=3, ascending=False, tiebreak_col="event_id")
+    return out.select_columns(["user_id", "event_id", "rank"])
+
+
+def q_hopping_windows(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import hopping_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return hopping_window_agg(
+        ev, "user_id", "ts", window_us=3 * 3_600_000_000, hop_us=3_600_000_000, value_col="value"
+    )
+
+
 def q_filter_project(sf_dir):
     import pyarrow.compute as pc
     import ray.data as rd
@@ -571,6 +624,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_buckets": q_range_buckets,
         "gc_dist_to_origin": q_gc_dist_to_origin,
         "distinct_parts": q_distinct_parts,
+        "semi_open_orders": q_semi_open_orders,
+        "anti_max_qty": q_anti_max_qty,
+        "top_events_per_user": q_top_events_per_user,
+        "hopping_windows": q_hopping_windows,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "interpolate_waypoints": q_interpolate,
@@ -748,6 +805,29 @@ def oracle_sql() -> dict[str, str]:
             f"AS dist_km FROM documents"
         ),
         "distinct_parts": "SELECT DISTINCT l_partkey FROM lineitem",
+        "semi_open_orders": (
+            "SELECT c.c_custkey, c.c_name FROM customer c WHERE EXISTS ("
+            "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+            "AND o.o_orderstatus = 'P')"
+        ),
+        "anti_max_qty": (
+            "SELECT p.p_partkey, p.p_name FROM part p WHERE NOT EXISTS ("
+            "SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey "
+            "AND l.l_quantity > 49.0)"
+        ),
+        "top_events_per_user": (
+            "SELECT user_id, event_id, rank FROM ("
+            "SELECT user_id, event_id, ROW_NUMBER() OVER ("
+            "PARTITION BY user_id ORDER BY value DESC, event_id) AS rank "
+            "FROM events) WHERE rank <= 3"
+        ),
+        "hopping_windows": (
+            "SELECT user_id, epoch_us(ts) // 3600000000 - j AS window_key, "
+            "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_cents, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events, (SELECT CAST(UNNEST(RANGE(3)) AS BIGINT) AS j) "
+            "GROUP BY 1, 2"
+        ),
         "events_hourly": (
             "SELECT user_id, epoch_us(ts) // 3600000000 AS window_key, "
             "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "

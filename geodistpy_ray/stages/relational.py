@@ -92,6 +92,42 @@ def grouped_sum(
     return partials.groupby(key_cols if len(key_cols) > 1 else key_cols[0]).aggregate(*aggs)
 
 
+def top_k_per_group(
+    ds,
+    key_col: str,
+    order_col: str,
+    k: int,
+    ascending: bool = False,
+    tiebreak_col: str | None = None,
+    rank_col: str = "rank",
+):
+    """Exact per-key top-k with deterministic tie-breaking.
+
+    Scale shape: every batch keeps at most k rows per key (the combiner —
+    mirrors the reference's ``argpartition`` selection,
+    ``/root/reference/geodistpy/distance.py:533-537``), so the ``groupby``
+    shuffle moves ≤ k×keys×batches rows; the per-key finalizer re-selects
+    and emits a 1-based ``rank`` column ordered by
+    ``(order_col [asc|desc], tiebreak_col asc)``.
+    """
+    order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+    asc = [ascending] + [True] * (len(order) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(order, ascending=asc, kind="mergesort")
+        return pa.Table.from_pandas(df.groupby(key_col, sort=False).head(k), preserve_index=False)
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, ascending=asc, kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g[rank_col] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partials.groupby(key_col).map_groups(final, batch_format="pandas")
+
+
 def distinct(ds, cols: list[str], final: str = "shuffle"):
     """Exact distinct over ``cols`` — per-batch dedup first, then a final merge.
 

@@ -50,6 +50,41 @@ def tumbling_window_agg(
     return grouped_sum(ds2, [key_col, "window_key"], cent_sum_cols=cent_cols, count_col="n")
 
 
+def hopping_window_agg(
+    ds,
+    key_col: str,
+    ts_col: str,
+    window_us: int,
+    hop_us: int,
+    value_col: str | None = None,
+):
+    """Per-(key, hopping-window) counts (+ value cents sum).
+
+    ``window_us`` must be an integer multiple of ``hop_us``; each event lands
+    in ``window_us // hop_us`` overlapping windows (window k covers
+    ``[k*hop, k*hop + window)``). Assignment is a stateless row replication
+    inside ``map_batches`` (zero-copy ``take``), then the same partial+final
+    grouped merge as the tumbling case — no per-key ordering needed.
+    """
+    from .relational import grouped_sum
+
+    if window_us % hop_us:
+        raise ValueError("window_us must be an integer multiple of hop_us")
+    m = window_us // hop_us
+
+    def assign(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        base = _us(batch, ts_col) // hop_us
+        idx = np.repeat(np.arange(n, dtype=np.int64), m)
+        wk = np.repeat(base, m) - np.tile(np.arange(m, dtype=np.int64), n)
+        out = batch.take(pa.array(idx))
+        return out.append_column("window_key", pa.array(wk, pa.int64()))
+
+    ds2 = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    cent_cols = {value_col: "sum_value_cents"} if value_col else None
+    return grouped_sum(ds2, [key_col, "window_key"], cent_sum_cols=cent_cols, count_col="n")
+
+
 def sessionize(
     ds,
     key_col: str,

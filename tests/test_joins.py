@@ -158,3 +158,74 @@ def test_distinct_both_finals(ray_session):
     got_shuffle = distinct(ds, ["a", "b"], final="shuffle").to_pandas()
     assert _sorted(got_driver).equals(want)
     assert _sorted(got_shuffle).equals(want)
+
+
+def test_semi_anti_join(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame({"k": [1, 2, 3, 4], "lv": [10, 20, 30, 40]})
+    right = pd.DataFrame({"k": [2, 2, 4], "rv": [1, 2, 3]})
+    lds = rd.from_arrow(pa.Table.from_pandas(left))
+    rds = rd.from_arrow(pa.Table.from_pandas(right))
+    semi = shuffle_equi_join(lds, rds, "k", join_type="left semi").to_pandas()
+    anti = shuffle_equi_join(lds, rds, "k", join_type="left anti").to_pandas()
+    assert sorted(semi["k"].tolist()) == [2, 4]  # no duplication from dup right keys
+    assert sorted(anti["k"].tolist()) == [1, 3]
+    assert list(semi.columns) == ["k", "lv"]
+
+
+def test_top_k_per_group(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import top_k_per_group
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 10, 400),
+            "id": np.arange(400),
+            "v": rng.integers(0, 50, 400).astype(np.float64),  # many ties
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(6)
+    got = top_k_per_group(ds, "g", "v", k=3, ascending=False, tiebreak_col="id").to_pandas()
+    want = df.copy()
+    want["rank"] = (
+        want.sort_values(["v", "id"], ascending=[False, True])
+        .groupby("g", sort=False)
+        .cumcount()
+        + 1
+    )
+    want = want[want["rank"] <= 3]
+    assert _sorted(got, ["g", "id", "rank"]).equals(_sorted(want, ["g", "id", "rank"]))
+
+
+def test_hopping_window_counts(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import hopping_window_agg
+
+    rng = np.random.default_rng(9)
+    ts = pd.to_datetime(rng.integers(0, 100_000, 300), unit="s")
+    df = pd.DataFrame({"u": rng.integers(0, 5, 300), "ts": ts, "val": rng.uniform(0, 10, 300)})
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    hop, win = 10_000_000_000, 30_000_000_000  # 10k s hop, 30k s window (µs)
+    got = hopping_window_agg(ds, "u", "ts", win, hop, value_col="val")
+    got = got.sort_values(["u", "window_key"], ignore_index=True)
+    us = df["ts"].astype("int64").to_numpy()
+    rows = {}
+    for i in range(len(df)):
+        base = us[i] // hop
+        for j in range(3):
+            key = (df["u"][i], base - j)
+            n, c = rows.get(key, (0, 0))
+            rows[key] = (n + 1, c + int(np.floor(df["val"][i] * 100.0 + 0.5)))
+    want = pd.DataFrame(
+        [
+            {"u": k[0], "window_key": k[1], "sum_value_cents": v[1], "n": v[0]}
+            for k, v in rows.items()
+        ]
+    ).sort_values(["u", "window_key"], ignore_index=True)
+    assert got[["u", "window_key", "n", "sum_value_cents"]].equals(
+        want[["u", "window_key", "n", "sum_value_cents"]]
+    )
