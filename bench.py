@@ -132,6 +132,19 @@ def _close_pairs_orders(sf_dir: str):
     return close_pairs(pts, 25_000.0, id_col="point_id", kernel="haversine", cell_deg=1.0).count()
 
 
+def _join_orders_lines(sf_dir: str):
+    """Bucketed shuffle equi-join: 150k orders × 600k lineitem rows."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    return shuffle_equi_join(orders, li, "o_orderkey", "l_orderkey", n_buckets=64).count()
+
+
 def _q1(sf_dir: str):
     import __ray_entry__ as m
 
@@ -155,6 +168,7 @@ BENCH = {
     "vincenty_scan": (_vincenty_scan, "lineitem"),
     "knn_orders": (_knn_orders, "orders"),
     "close_pairs_orders": (_close_pairs_orders, "orders"),
+    "join_orders_lines": (_join_orders_lines, "lineitem"),
     "q1_pricing": (_q1, "lineitem"),
     "dedup_exact": (_dedup, "documents"),
     "token_counts": (_tokens, "documents"),
