@@ -560,33 +560,45 @@ def q_filter_project(sf_dir):
     )
 
 
-def q_interpolate(sf_dir):
-    import pandas as pd
+def _center_pairs_ds(n_pairs):
+    """Dataset of (pair_id, lat1, lon1, lat2, lon2) from deterministic centers."""
+    import ray.data as rd
 
-    from geodistpy_ray.api import interpolate
     from geodistpy_ray.functions.geocode import center_latlon
 
-    rows = []
-    clat, clon = center_latlon(np.arange(20))
-    for p in range(10):
-        wps = interpolate((clat[2 * p], clon[2 * p]), (clat[2 * p + 1], clon[2 * p + 1]), n_points=4)
-        for s, (la, lo) in enumerate(wps):
-            rows.append({"pair_id": p, "seq": s, "lat": la, "lon": lo})
-    return pd.DataFrame(rows)
+    clat, clon = center_latlon(np.arange(2 * n_pairs))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "pair_id": np.arange(n_pairs, dtype=np.int64),
+                "lat1": clat[0::2],
+                "lon1": clon[0::2],
+                "lat2": clat[1::2],
+                "lon2": clon[1::2],
+            }
+        )
+    )
+
+
+def q_interpolate(sf_dir):
+    from geodistpy_ray.stages.geo import interpolate_waypoints
+
+    ds = interpolate_waypoints(_center_pairs_ds(10), n_points=4)
+    return ds.select_columns(["pair_id", "seq", "lat", "lon"])
 
 
 def q_destinations(sf_dir):
-    import pandas as pd
+    import ray.data as rd
 
-    from geodistpy_ray.api import destination
     from geodistpy_ray.functions.geocode import center_latlon
+    from geodistpy_ray.stages.geo import add_destination
 
     clat, clon = center_latlon(np.arange(20))
-    rows = []
-    for c in range(20):
-        la, lo = destination((clat[c], clon[c]), 45.0, 100.0, metric="km")
-        rows.append({"center_id": c, "lat2": la, "lon2": lo})
-    return pd.DataFrame(rows)
+    centers = rd.from_arrow(
+        pa.table({"center_id": np.arange(20, dtype=np.int64), "lat": clat, "lon": clon})
+    )
+    ds = add_destination(centers, bearing=45.0, distance=100.0, metric="km")
+    return ds.select_columns(["center_id", "lat2", "lon2"])
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

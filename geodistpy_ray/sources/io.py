@@ -1,0 +1,84 @@
+"""Generic schema-enforced readers and a key-partitioned parquet sink.
+
+The reference's only ingestion surface is in-memory arrays / pandas frames
+(`/root/reference/geodistpy/pandas_support.py:25-136`). A standalone engine
+also needs file sources: parquet (columnar, column-pruned at the read), CSV
+and JSONL (row formats for raw crawl exports). All readers enforce a target
+schema — missing columns raise, extra columns are dropped, convertible types
+are cast (e.g. ISO-8601 strings → timestamp[us] coming out of CSV/JSONL) —
+so every downstream stage sees ONE schema regardless of source format.
+
+The sink writes parquet partitioned by a bucketed key column (directory per
+bucket), giving failed runs resumable units and giving downstream readers
+partition pruning on the engine's shuffle currency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def enforce_schema(ds, schema: pa.Schema):
+    """Cast every batch to ``schema`` (select + cast; raises on missing cols)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        missing = [n for n in schema.names if n not in batch.column_names]
+        if missing:
+            raise ValueError(f"source missing required columns: {missing}")
+        return batch.select(schema.names).cast(schema)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_table(paths, schema: pa.Schema | None = None, format: str = "parquet", **kwargs):
+    """Read parquet/CSV/JSONL into a Dataset with an enforced schema.
+
+    Parquet pushes column pruning into the read (only ``schema``'s columns
+    leave storage); CSV/JSONL read whole rows then project+cast per batch —
+    at scale, prefer parquet sources.
+    """
+    import ray.data as rd
+
+    if format == "parquet":
+        cols = list(schema.names) if schema is not None else None
+        ds = rd.read_parquet(paths, columns=cols, **kwargs)
+    elif format == "csv":
+        ds = rd.read_csv(paths, **kwargs)
+    elif format in ("json", "jsonl"):
+        ds = rd.read_json(paths, **kwargs)
+    else:
+        raise ValueError(f"unknown format '{format}' (parquet|csv|json)")
+    return enforce_schema(ds, schema) if schema is not None else ds
+
+
+def write_partitioned(
+    ds,
+    out_dir: str,
+    by_col: str,
+    n_buckets: int = 64,
+    bucket_col: str = "bucket",
+):
+    """Write parquet partitioned into ``n_buckets`` hash buckets of ``by_col``.
+
+    Output layout ``out_dir/bucket=K/*.parquet`` — one directory per key
+    bucket, so (a) a resumed run can skip completed buckets, (b) readers can
+    prune partitions by key, (c) no single giant file exists. Integer keys
+    bucket by value-mod (contiguity-friendly for cell ids); other types by
+    a deterministic hash.
+    """
+    import pandas as pd
+
+    def assign(batch: pa.Table) -> pa.Table:
+        v = batch.column(by_col).to_numpy(zero_copy_only=False)
+        if np.issubdtype(np.asarray(v).dtype, np.integer):
+            b = np.asarray(v) % n_buckets
+        else:
+            b = pd.util.hash_array(np.asarray(v), categorize=False) % np.uint64(n_buckets)
+        return batch.append_column(bucket_col, pa.array(b.astype(np.int64), pa.int64()))
+
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True).write_parquet(
+        out_dir, partition_cols=[bucket_col]
+    )
+    return out_dir

@@ -172,3 +172,92 @@ def add_elementwise_distance(
         return batch.append_column(out_col, pa.array(d, pa.float64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_destination(
+    ds,
+    bearing,
+    distance,
+    metric: str = "meter",
+    ellipsoid="WGS-84",
+    lat_col="lat",
+    lon_col="lon",
+    out_lat="lat2",
+    out_lon="lon2",
+):
+    """Vincenty-direct destination per row (the reference's ``destination``,
+    ``/root/reference/geodistpy/distance.py:220-273``, as a batch map).
+
+    ``bearing`` / ``distance`` are either scalars or column names; distance
+    is converted from ``metric`` to meters BEFORE the solve (matching
+    ``distance.py:261-262``); output longitude is normalized to [-180, 180].
+    """
+    from ..kernels import geodesic_direct
+
+    a, f = resolve_ellipsoid(ellipsoid)
+    conv = unit_factor(metric)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = col_np(batch, lat_col)
+        lon = col_np(batch, lon_col)
+        brg = col_np(batch, bearing) if isinstance(bearing, str) else np.full(len(lat), float(bearing))
+        dist_m = (
+            col_np(batch, distance) if isinstance(distance, str) else np.full(len(lat), float(distance))
+        ) / conv
+        la2, lo2 = geodesic_direct(lat, lon, brg, dist_m, a, f)
+        lo2 = ((np.asarray(lo2) + 540.0) % 360.0) - 180.0
+        batch = batch.append_column(out_lat, pa.array(np.atleast_1d(la2), pa.float64()))
+        return batch.append_column(out_lon, pa.array(np.atleast_1d(lo2), pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def interpolate_waypoints(
+    ds,
+    n_points: int,
+    lat1_col="lat1",
+    lon1_col="lon1",
+    lat2_col="lat2",
+    lon2_col="lon2",
+    ellipsoid="WGS-84",
+    seq_col="seq",
+    out_lat="lat",
+    out_lon="lon",
+):
+    """``n_points`` evenly-spaced interior waypoints per row, exploded to one
+    output row per waypoint with a ``seq`` column (the reference's
+    ``interpolate``, ``distance.py:279-356``, vectorized ACROSS rows for each
+    step — the step loop is over ``n_points``, not rows).
+
+    Coincident endpoints repeat the point (``distance.py:332-343``).
+    """
+    from ..kernels import geodesic_direct, geodesic_inverse
+
+    a, f = resolve_ellipsoid(ellipsoid)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        la1, lo1 = col_np(batch, lat1_col), col_np(batch, lon1_col)
+        la2, lo2 = col_np(batch, lat2_col), col_np(batch, lon2_col)
+        n = len(la1)
+        total, az_fwd, _ = geodesic_inverse(la1, lo1, la2, lo2, a, f, with_azimuths=True)
+        total = np.atleast_1d(total)
+        az_fwd = np.atleast_1d(az_fwd)
+        seg = total / (n_points + 1)
+        coincident = total == 0.0
+        out_las = np.empty((n_points, n))
+        out_los = np.empty((n_points, n))
+        for i in range(1, n_points + 1):  # loop over steps, vectorized over rows
+            wla, wlo = geodesic_direct(la1, lo1, az_fwd, seg * i, a, f)
+            wlo = ((np.asarray(wlo) + 540.0) % 360.0) - 180.0
+            out_las[i - 1] = np.where(coincident, la1, np.atleast_1d(wla))
+            out_los[i - 1] = np.where(coincident, lo1, wlo)
+        idx = np.tile(np.arange(n, dtype=np.int64), n_points)
+        out = batch.take(pa.array(idx))
+        out = out.append_column(
+            seq_col,
+            pa.array(np.repeat(np.arange(n_points, dtype=np.int64), n), pa.int64()),
+        )
+        out = out.append_column(out_lat, pa.array(out_las.ravel(), pa.float64()))
+        return out.append_column(out_lon, pa.array(out_los.ravel(), pa.float64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

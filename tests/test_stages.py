@@ -275,3 +275,69 @@ class TestWindows:
         )
         # gaps: 120→4000 (>30min? 3880s > 1800s yes), 4100→9000 (4900s yes) → 3 sessions
         assert out["n_sessions"].iloc[0] == 3
+
+
+def test_add_destination_matches_scalar_api(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.api import destination
+    from geodistpy_ray.functions.geocode import center_latlon
+    from geodistpy_ray.stages.geo import add_destination
+
+    clat, clon = center_latlon(np.arange(12))
+    ds = rd.from_arrow(
+        pa.table({"cid": np.arange(12, dtype=np.int64), "lat": clat, "lon": clon})
+    ).repartition(3)
+    got = (
+        add_destination(ds, bearing=45.0, distance=100.0, metric="km")
+        .to_pandas()
+        .sort_values("cid", ignore_index=True)
+    )
+    for i in range(12):
+        la, lo = destination((clat[i], clon[i]), 45.0, 100.0, metric="km")
+        assert abs(got["lat2"][i] - la) < 1e-12
+        assert abs(got["lon2"][i] - lo) < 1e-12
+
+
+def test_interpolate_waypoints_matches_scalar_api(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.api import interpolate
+    from geodistpy_ray.functions.geocode import center_latlon
+    from geodistpy_ray.stages.geo import interpolate_waypoints
+
+    clat, clon = center_latlon(np.arange(10))
+    tbl = pa.table(
+        {
+            "pid": np.arange(5, dtype=np.int64),
+            "lat1": clat[0::2],
+            "lon1": clon[0::2],
+            "lat2": clat[1::2],
+            "lon2": clon[1::2],
+        }
+    )
+    got = (
+        interpolate_waypoints(rd.from_arrow(tbl).repartition(2), n_points=4)
+        .to_pandas()
+        .sort_values(["pid", "seq"], ignore_index=True)
+    )
+    for p in range(5):
+        wps = interpolate((clat[2 * p], clon[2 * p]), (clat[2 * p + 1], clon[2 * p + 1]), n_points=4)
+        sub = got[got.pid == p].reset_index(drop=True)
+        assert len(sub) == 4
+        for s, (la, lo) in enumerate(wps):
+            assert abs(sub["lat"][s] - la) < 1e-9
+            assert abs(sub["lon"][s] - lo) < 1e-9
+
+
+def test_interpolate_waypoints_coincident_repeats_point(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.geo import interpolate_waypoints
+
+    tbl = pa.table(
+        {"pid": [0], "lat1": [10.0], "lon1": [20.0], "lat2": [10.0], "lon2": [20.0]}
+    )
+    got = interpolate_waypoints(rd.from_arrow(tbl), n_points=3).to_pandas()
+    assert len(got) == 3
+    assert (got["lat"] == 10.0).all() and (got["lon"] == 20.0).all()
