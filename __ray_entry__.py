@@ -310,6 +310,23 @@ def q_image_features(sf_dir):
     return ds.select_columns(["doc_id", "payload_bytes", "img_h", "img_w", "img_feat"])
 
 
+def q_audio_features(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.media import decode_audio, extract_audio_features
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        payload = [t.encode() for t in batch.column("text").to_pylist()]
+        return batch.append_column("payload", pa.array(payload, pa.binary()))
+
+    ds = docs.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
+    ds = decode_audio(ds, payload_col="payload", concurrency=2)
+    ds = extract_audio_features(ds, concurrency=2)
+    return ds.select_columns(["doc_id", "audio_sr", "n_samples", "audio_feat"])
+
+
 def q_q1_pricing(sf_dir):
     import ray.data as rd
 
@@ -625,6 +642,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_ann": q_lsh_ann,
         "embed_near_dup": q_embed_near_dup,
         "image_features": q_image_features,
+        "audio_features": q_audio_features,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
         "orders_by_month": q_orders_by_month,

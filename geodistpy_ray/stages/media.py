@@ -113,3 +113,136 @@ def sample_frames(ds, every_n: int = 2, frame_col: str = "image"):
         return batch.take(pa.array(idx[idx % every_n == 0]))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024)
+
+
+class AudioDecodeActor:
+    """binary payload → fixed-rate PCM samples + metadata (deterministic fake).
+
+    Mirrors the image path: ``real_codec=True`` raises (no audio libs here);
+    the fake emits ``n_samples`` int16 samples seeded from the payload hash,
+    so the surrounding plumbing (schema, batching, actor lifecycle) is real.
+    """
+
+    def __init__(
+        self,
+        payload_col: str = "html",
+        sample_rate: int = 8000,
+        n_samples: int = 2048,
+        real_codec: bool = False,
+    ):
+        if real_codec:
+            raise NotImplementedError(
+                "No audio codec available in this environment; "
+                "run with real_codec=False for the deterministic fake."
+            )
+        self.payload_col = payload_col
+        self.sr = sample_rate
+        self.n = n_samples
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        waves = np.empty((len(payloads), self.n), dtype=np.int16)
+        for i, p in enumerate(payloads):
+            seed = int.from_bytes(
+                hashlib.blake2b(p or b"", digest_size=8).digest(), "little"
+            )
+            waves[i] = np.random.default_rng(seed).integers(
+                -32768, 32768, size=self.n, dtype=np.int16
+            )
+        batch = batch.append_column(
+            "pcm", pa.array(list(waves), pa.list_(pa.int16()))
+        )
+        batch = batch.append_column(
+            "audio_sr", pa.array(np.full(len(payloads), self.sr), pa.int32())
+        )
+        return batch.append_column(
+            "n_samples", pa.array(np.full(len(payloads), self.n), pa.int64())
+        )
+
+
+class AudioFeatureActor:
+    """PCM → per-window RMS energy feature vector (real DSP, vectorized)."""
+
+    def __init__(self, n_windows: int = 16):
+        self.n_windows = n_windows
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        pcm = batch.column("pcm").combine_chunks()
+        n = batch.column("n_samples")[0].as_py()
+        flat = pcm.values.to_numpy(zero_copy_only=False).reshape(len(pcm), n)
+        w = n // self.n_windows
+        x = flat[:, : w * self.n_windows].reshape(len(pcm), self.n_windows, w)
+        rms = np.sqrt((x.astype(np.float64) ** 2).mean(axis=2)) / 32768.0
+        return batch.append_column(
+            "audio_feat", pa.array([row for row in rms], pa.list_(pa.float64()))
+        )
+
+
+def decode_audio(ds, payload_col: str = "html", concurrency=2, batch_size: int = 1024):
+    """Actor-pool audio decode stage (fake codec; real plumbing)."""
+    return ds.map_batches(
+        AudioDecodeActor,
+        fn_constructor_kwargs={"payload_col": payload_col},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def extract_audio_features(ds, concurrency=2, batch_size: int = 1024):
+    return ds.map_batches(
+        AudioFeatureActor,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def resize_images(ds, factor: int = 2, batch_size: int = 1024):
+    """Block-mean downsample of decoded images by ``factor`` (real kernel —
+    no codec needed; operates on the fixed-shape ``image`` column)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        imgs = batch.column("image").combine_chunks()
+        h = batch.column("img_h")[0].as_py()
+        w = batch.column("img_w")[0].as_py()
+        flat = imgs.values.to_numpy(zero_copy_only=False).reshape(len(imgs), h, w)
+        h2, w2 = h // factor, w // factor
+        if h2 == 0 or w2 == 0:
+            raise ValueError(
+                f"resize factor {factor} exceeds image dims ({h}x{w}); "
+                f"result would be empty"
+            )
+        small = (
+            flat[:, : h2 * factor, : w2 * factor]
+            .reshape(len(imgs), h2, factor, w2, factor)
+            .mean(axis=(2, 4))
+            .astype(np.uint8)
+        )
+        names = batch.column_names
+        batch = batch.set_column(
+            names.index("image"),
+            "image",
+            pa.array(list(small.reshape(len(imgs), -1)), pa.list_(pa.uint8())),
+        )
+        batch = batch.set_column(
+            names.index("img_h"), "img_h", pa.array(np.full(len(imgs), h2), pa.int32())
+        )
+        return batch.set_column(
+            names.index("img_w"), "img_w", pa.array(np.full(len(imgs), w2), pa.int32())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size)
+
+
+def sample_frames_keyed(ds, frame_no_col: str, every_n: int = 2):
+    """Keep frames whose ``frame_no % every_n == 0`` — deterministic per-video
+    frame sampling (position-independent, safe under any block split)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        fno = batch.column(frame_no_col).to_numpy(zero_copy_only=False)
+        return batch.take(pa.array(np.nonzero(fno % every_n == 0)[0]))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, batch_size=1024)

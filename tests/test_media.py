@@ -48,3 +48,62 @@ class TestDecode:
         ds = rd.from_arrow(pa.table({"frame_no": list(range(10))}))
         out = sample_frames(ds, every_n=2).to_pandas()
         assert len(out) == 5
+
+
+def test_audio_pipeline_plumbing(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.media import decode_audio, extract_audio_features
+
+    tbl = pa.table(
+        {"doc_id": [0, 1, 2], "payload": [b"aa", b"bb", b""]}
+    )
+    ds = decode_audio(rd.from_arrow(tbl), payload_col="payload", concurrency=1)
+    ds = extract_audio_features(ds, concurrency=1)
+    got = ds.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert got["audio_sr"].tolist() == [8000] * 3
+    assert all(len(f) == 16 for f in got["audio_feat"])
+    # deterministic: same payload → same features
+    ds2 = extract_audio_features(
+        decode_audio(rd.from_arrow(tbl), payload_col="payload", concurrency=1), concurrency=1
+    )
+    got2 = ds2.to_pandas().sort_values("doc_id", ignore_index=True)
+    assert np.allclose(np.stack(got["audio_feat"]), np.stack(got2["audio_feat"]))
+    # uniform-random int16 PCM → RMS near 1/sqrt(3)
+    assert abs(float(np.stack(got["audio_feat"]).mean()) - 0.577) < 0.05
+
+
+def test_audio_real_codec_gated(ray_session):
+    from geodistpy_ray.stages.media import AudioDecodeActor
+
+    with pytest.raises(NotImplementedError):
+        AudioDecodeActor(real_codec=True)
+
+
+def test_resize_images_halves_dims(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.media import decode_images, resize_images
+
+    tbl = pa.table({"doc_id": [0, 1], "payload": [b"x", b"y"]})
+    ds = decode_images(rd.from_arrow(tbl), payload_col="payload", concurrency=1)
+    got = resize_images(ds, factor=2).to_pandas()
+    assert got["img_h"].tolist() == [8, 8] and got["img_w"].tolist() == [8, 8]
+    assert all(len(i) == 64 for i in got["image"])
+
+
+def test_sample_frames_keyed(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.media import sample_frames_keyed
+
+    tbl = pa.table(
+        {
+            "video_id": np.repeat([0, 1], 10),
+            "frame_no": np.tile(np.arange(10, dtype=np.int64), 2),
+        }
+    )
+    got = sample_frames_keyed(rd.from_arrow(tbl).repartition(4), "frame_no", every_n=3).to_pandas()
+    # position-independent: exactly frames 0,3,6,9 per video regardless of blocks
+    assert sorted(got[got.video_id == 0]["frame_no"].tolist()) == [0, 3, 6, 9]
+    assert sorted(got[got.video_id == 1]["frame_no"].tolist()) == [0, 3, 6, 9]
