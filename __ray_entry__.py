@@ -310,6 +310,53 @@ def q_image_features(sf_dir):
     return ds.select_columns(["doc_id", "payload_bytes", "img_h", "img_w", "img_feat"])
 
 
+DIMWISE_MAX_ID = 40
+
+
+def q_dimwise_pairs(sf_dir):
+    """D9 ``geodist_dimwise_harvesine`` as a pair table over a bounded subset:
+    per-dimension squared metric (lat m², lon m², extra dim = squared
+    n_chars delta), broadcast-cdist shape (no N×N materialization)."""
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    from geodistpy_ray.functions.geocode import geocode_ids
+    from geodistpy_ray.kernels.sphere import haversine_dimwise_sq
+    from geodistpy_ray.stages.broadcast import get_broadcast
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    docs = docs.map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], DIMWISE_MAX_ID)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ids_b = np.arange(DIMWISE_MAX_ID, dtype=np.int64)
+    blat, blon = geocode_ids(ids_b)
+    side = ray.put({"id": ids_b, "lat": blat, "lon": blon})
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        b = get_broadcast(side)
+        aid = batch.column("doc_id").to_numpy()
+        alat, alon = geocode_ids(aid)
+        # broadcast cdist: rows a × broadcast side b, keep a.id < b.id
+        dlat2, dlon2 = haversine_dimwise_sq(
+            alat[:, None], alon[:, None], b["lat"][None, :], b["lon"][None, :]
+        )
+        mask = aid[:, None] < b["id"][None, :]
+        ai, bi = np.nonzero(mask)
+        return pa.table(
+            {
+                "id_a": aid[ai],
+                "id_b": b["id"][bi],
+                "dlat_km2": np.round(dlat2[ai, bi] / 1e6, 3),
+                "dlon_km2": np.round(dlon2[ai, bi] / 1e6, 3),
+            }
+        )
+
+    return docs.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_audio_features(sf_dir):
     import ray.data as rd
 
@@ -643,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": q_embed_near_dup,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "dimwise_pairs": q_dimwise_pairs,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
         "orders_by_month": q_orders_by_month,
@@ -673,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         cell_sql,
         geocode_sql,
         great_circle_sql,
+        haversine_dimwise_sql,
         haversine_sql,
         query_points_sql,
     )
@@ -835,6 +884,16 @@ def oracle_sql() -> dict[str, str]:
             f"AS dist_km FROM documents"
         ),
         "distinct_parts": "SELECT DISTINCT l_partkey FROM lineitem",
+        "dimwise_pairs": (
+            lambda dl, dn: (
+                f"SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+                f"ROUND({dl} / 1000000.0, 3) AS dlat_km2, "
+                f"ROUND({dn} / 1000000.0, 3) AS dlon_km2 "
+                f"FROM documents a, documents b "
+                f"WHERE a.doc_id < b.doc_id AND b.doc_id < {DIMWISE_MAX_ID} "
+                f"AND a.doc_id < {DIMWISE_MAX_ID}"
+            )
+        )(*haversine_dimwise_sql(lat_a, lon_a, lat_b, lon_b)),
         "semi_open_orders": (
             "SELECT c.c_custkey, c.c_name FROM customer c WHERE EXISTS ("
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "

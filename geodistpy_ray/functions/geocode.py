@@ -88,6 +88,21 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     return f"(2.0 * 6371009.0 * ASIN(SQRT(LEAST(GREATEST({h}, 0.0), 1.0))))"
 
 
+def haversine_dimwise_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> tuple[str, str]:
+    """(dlat_m², dlon_m²) SQL mirroring ``kernels.haversine_dimwise_sq``
+    (the reference's ``geodist_dimwise_harvesine`` split-dimension squared
+    metric, ``geodesic.py:856-919``). R=6371009."""
+    R = "6371009.0"
+    shd = f"SIN(ABS(RADIANS(({lat1}) - ({lat2}))) / 2.0)"
+    dlat_m = f"(2.0 * {R} * ASIN(ABS({shd})))"
+    inner = (
+        f"((1.0 - POW({shd}, 2) - POW(SIN(RADIANS(({lat1}) + ({lat2})) / 2.0), 2)) "
+        f"* POW(SIN(ABS(RADIANS(({lon1}) - ({lon2}))) / 2.0), 2))"
+    )
+    dlon_m = f"(2.0 * {R} * ASIN(SQRT(GREATEST({inner}, 0.0))))"
+    return f"POW({dlat_m}, 2)", f"POW({dlon_m}, 2)"
+
+
 def great_circle_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     """SQL Andoyer-Lambert great-circle distance (meters) matching
     ``kernels.great_circle`` for non-degenerate pairs (coincident /
