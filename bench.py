@@ -123,7 +123,14 @@ def _close_pairs_orders(sf_dir: str):
     from geodistpy_ray.stages import add_geocode
     from geodistpy_ray.stages.pairs import close_pairs
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    # 16 blocks ≈ 10k rows each: right-sizes the groupby(cell) sort exchange
+    # at this input scale. The sort's wall time is dominated by fixed
+    # per-block orchestration (its actual compute is <0.5s of a ~3s query,
+    # per ds.stats()); fewer/larger blocks trim that, though run-to-run
+    # variance on this box is of the same order (~±0.4s).
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"], override_num_blocks=16
+    )
 
     def key(batch: pa.Table) -> pa.Table:
         return pa.table({"point_id": batch.column("o_orderkey").to_numpy()})

@@ -1,0 +1,66 @@
+"""Reproduce the engine kernel numbers recorded in BASELINE.md.
+
+Single-core pairs/s for each kernel over seeded random pairs (same seeds as
+the reference's accuracy benchmark, `/root/reference/benchmark.py:210-212`),
+plus Vincenty-vs-Karney accuracy stats and the pinned golden values.
+
+No Ray involved — these are the pure NumPy kernels that run inside
+``map_batches``; multiply by cores × parallel-efficiency (bench.py
+--scaling) for pipeline-level throughput.
+
+Usage: python scripts/kernel_bench.py [n_pairs]
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from geodistpy_ray.kernels import geodesic_inverse, karney_inverse
+from geodistpy_ray.kernels.sphere import great_circle, haversine
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 500_000
+
+rng1 = np.random.default_rng(100)
+rng2 = np.random.default_rng(200)
+lat1 = rng1.uniform(-85, 85, N)
+lon1 = rng1.uniform(-180, 180, N)
+lat2 = rng2.uniform(-85, 85, N)
+lon2 = rng2.uniform(-180, 180, N)
+
+out = {"n_pairs": N}
+
+for name, fn in [
+    ("haversine", lambda: haversine(lat1, lon1, lat2, lon2)),
+    ("great_circle", lambda: great_circle(lat1, lon1, lat2, lon2)),
+    ("vincenty_exact", lambda: geodesic_inverse(lat1, lon1, lat2, lon2)),
+]:
+    fn()  # warm (allocator, caches)
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        fn()
+        samples.append(time.perf_counter() - t0)
+    out[f"{name}_pairs_per_sec_core"] = round(N / sorted(samples)[1])
+
+# accuracy: Vincenty(+Karney patch) vs pure Karney on 5000 pairs
+M = 5000
+dv = geodesic_inverse(lat1[:M], lon1[:M], lat2[:M], lon2[:M])
+dk = karney_inverse(lat1[:M], lon1[:M], lat2[:M], lon2[:M])[0]
+err = np.abs(dv - dk)
+out["vincenty_vs_karney_mean_abs_m"] = float(np.mean(err))
+out["vincenty_vs_karney_max_abs_m"] = float(np.max(err))
+
+# pinned goldens (reference test suite values)
+gold = {
+    "berlin_paris_m": (52.5200, 13.4050, 48.8566, 2.3522, 879699.316),
+    "pole_to_pole_m": (90.0, 0.0, -90.0, 0.0, 20003931.458623),
+}
+for k, (a, b, c, d, want) in gold.items():
+    got = float(geodesic_inverse(np.array([a]), np.array([b]), np.array([c]), np.array([d]))[0])
+    out[k] = {"engine": round(got, 3), "reference": want, "abs_err_m": round(abs(got - want), 6)}
+
+print(json.dumps(out, indent=2))
