@@ -310,6 +310,51 @@ def q_image_features(sf_dir):
     return ds.select_columns(["doc_id", "payload_bytes", "img_h", "img_w", "img_feat"])
 
 
+MIN_TOKENS = 40
+MAX_SPACE_PPM = 180_000
+
+
+def q_clean_corpus(sf_dir):
+    """The canonical training-data cleaning pipeline, composed from engine
+    stages: exact dedup (keep lowest doc_id) → language filter → quality
+    gate (token count + space-ratio band) → surviving doc stats. Fully
+    SQL-expressible, so the whole composition is oracle-checked."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import exact_dedup
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+    from geodistpy_ray.stages.text import add_quality_score, add_token_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    keep = exact_dedup(docs.select_columns(["doc_id", "text"])).select_columns(["keep_id"])
+    docs_en = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    # distributed semi-join against the dedup survivors (no driver collect)
+    ds = shuffle_equi_join(docs_en, keep, "doc_id", "keep_id", join_type="left semi")
+    ds = add_token_count(ds)
+    ds = add_quality_score(ds)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        nt = batch.column("n_tokens").to_numpy()
+        ns = batch.column("n_spaces").to_numpy().astype(np.float64)
+        nc = np.maximum(batch.column("n_chars_q").to_numpy(), 1).astype(np.float64)
+        ppm = np.floor(ns * 1000000.0 / nc).astype(np.int64)
+        mask = (nt >= MIN_TOKENS) & (ppm <= MAX_SPACE_PPM)
+        return batch.filter(pa.array(mask)).select(["doc_id", "n_tokens"])
+
+    return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_events_union(sf_dir):
+    """Explicit Dataset.union of two filtered streams (clicks ∪ purchases)."""
+    joined = _events_by_type(sf_dir, "click").union(_events_by_type(sf_dir, "purchase"))
+    return joined.select_columns(["event_id", "user_id"])
+
+
 DIMWISE_MAX_ID = 40
 
 
@@ -691,6 +736,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "dimwise_pairs": q_dimwise_pairs,
+        "clean_corpus": q_clean_corpus,
+        "events_union": q_events_union,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
         "orders_by_month": q_orders_by_month,
@@ -894,6 +941,19 @@ def oracle_sql() -> dict[str, str]:
                 f"AND a.doc_id < {DIMWISE_MAX_ID}"
             )
         )(*haversine_dimwise_sql(lat_a, lon_a, lat_b, lon_b)),
+        "clean_corpus": (
+            f"WITH keep AS (SELECT MIN(doc_id) AS keep_id FROM documents GROUP BY md5(text)) "
+            f"SELECT d.doc_id, CAST(length(regexp_extract_all(d.text, '\\S+')) AS BIGINT) "
+            f"AS n_tokens FROM documents d JOIN keep k ON d.doc_id = k.keep_id "
+            f"WHERE d.lang = 'en' "
+            f"AND length(regexp_extract_all(d.text, '\\S+')) >= {MIN_TOKENS} "
+            f"AND FLOOR(CAST(length(d.text) - length(replace(d.text, ' ', '')) AS DOUBLE) "
+            f"* 1000000.0 / GREATEST(length(d.text), 1)) <= {MAX_SPACE_PPM}"
+        ),
+        "events_union": (
+            "SELECT event_id, user_id FROM events "
+            "WHERE event_type IN ('click', 'purchase')"
+        ),
         "semi_open_orders": (
             "SELECT c.c_custkey, c.c_name FROM customer c WHERE EXISTS ("
             "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
