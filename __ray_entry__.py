@@ -349,6 +349,34 @@ def q_clean_corpus(sf_dir):
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_user_median_value(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_median
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ds = grouped_median(ev, "user_id", "value", out_col="median_value")
+    return _round_col(ds, "median_value", 6)
+
+
+def q_running_totals(sf_dir):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import running_total
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
+    )
+    small = ev.map_batches(
+        lambda t: t.filter(pc.less(t["user_id"], 20)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = running_total(small, "user_id", "ts", "value", tiebreak_col="event_id")
+    return ds.select_columns(["user_id", "event_id", "running_cents"])
+
+
 def q_events_union(sf_dir):
     """Explicit Dataset.union of two filtered streams (clicks ∪ purchases)."""
     joined = _events_by_type(sf_dir, "click").union(_events_by_type(sf_dir, "purchase"))
@@ -738,6 +766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dimwise_pairs": q_dimwise_pairs,
         "clean_corpus": q_clean_corpus,
         "events_union": q_events_union,
+        "user_median_value": q_user_median_value,
+        "running_totals": q_running_totals,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
         "orders_by_month": q_orders_by_month,
@@ -953,6 +983,16 @@ def oracle_sql() -> dict[str, str]:
         "events_union": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type IN ('click', 'purchase')"
+        ),
+        "user_median_value": (
+            "SELECT user_id, ROUND(MEDIAN(value), 6) AS median_value "
+            "FROM events GROUP BY 1"
+        ),
+        "running_totals": (
+            "SELECT user_id, event_id, "
+            "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) OVER ("
+            "PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS running_cents "
+            "FROM events WHERE user_id < 20"
         ),
         "semi_open_orders": (
             "SELECT c.c_custkey, c.c_name FROM customer c WHERE EXISTS ("

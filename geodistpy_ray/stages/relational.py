@@ -170,3 +170,39 @@ def add_month_key(ds, ts_col: str, out_col: str = "ym"):
         return batch.append_column(out_col, pa.array(ym, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_median(ds, key_col: str, value_col: str, out_col: str = "median_value"):
+    """Exact per-key median (even-count keys average the two middle values,
+    matching SQL ``MEDIAN``). Median is not decomposable, so this is a true
+    ``groupby(key).map_groups`` — each key's values must co-locate; use only
+    when per-key cardinality fits a worker (else switch to an approximate
+    quantile sketch)."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {key_col: [g[key_col].iloc[0]], out_col: [float(np.median(g[value_col].to_numpy()))]}
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def running_total(
+    ds,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    out_col: str = "running_cents",
+    tiebreak_col: str | None = None,
+):
+    """Per-key running total of integer cents, ordered by ``order_col``
+    (SQL ``SUM() OVER (PARTITION BY key ORDER BY ...)``). Requires the key's
+    rows co-located and sorted — a ``map_groups`` window, batch semantics."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        g[out_col] = np.cumsum(cents(g[value_col].to_numpy()))
+        return g
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")

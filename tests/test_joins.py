@@ -229,3 +229,32 @@ def test_hopping_window_counts(ray_session):
     assert got[["u", "window_key", "n", "sum_value_cents"]].equals(
         want[["u", "window_key", "n", "sum_value_cents"]]
     )
+
+
+def test_grouped_median_and_running_total(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import cents, grouped_median, running_total
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame(
+        {
+            "u": rng.integers(0, 6, 200),
+            "o": rng.permutation(200),
+            "id": np.arange(200),
+            "v": np.round(rng.uniform(0, 50, 200), 2),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+    med = grouped_median(ds, "u", "v").to_pandas().sort_values("u", ignore_index=True)
+    want_med = df.groupby("u")["v"].median()
+    for _, row in med.iterrows():
+        assert abs(row["median_value"] - want_med[row["u"]]) < 1e-12
+    run = running_total(ds, "u", "o", "v", tiebreak_col="id").to_pandas()
+    want = df.sort_values(["o", "id"], kind="mergesort").copy()
+    want["running_cents"] = want.groupby("u")["v"].transform(
+        lambda s: np.cumsum(cents(s.to_numpy()))
+    )
+    got = run.set_index("id")["running_cents"]
+    for i, w in zip(want["id"], want["running_cents"]):
+        assert got[i] == w
