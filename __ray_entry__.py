@@ -283,6 +283,15 @@ def q_lsh_ann(sf_dir):
     return lsh_ann_topk(emb, _query_vectors(sf_dir), k=ANN_K, n_bits=6)
 
 
+def q_ivf_ann(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import ivf_ann_topk
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return ivf_ann_topk(emb, _query_vectors(sf_dir), k=ANN_K, n_centroids=8, n_probe=3)
+
+
 def q_embed_near_dup(sf_dir):
     import ray.data as rd
 
@@ -760,6 +769,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "ann_topk": q_ann_topk,
         "lsh_ann": q_lsh_ann,
+        "ivf_ann": q_ivf_ann,
         "embed_near_dup": q_embed_near_dup,
         "image_features": q_image_features,
         "audio_features": q_audio_features,

@@ -104,7 +104,12 @@ def _knn_orders(sf_dir: str):
     from geodistpy_ray.functions.geocode import query_points
     from geodistpy_ray.stages import add_geocode, knn_join
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    # 16 blocks: the broadcast-kNN map does per-task setup (query matrix,
+    # partial top-k merge) that dominates with 64 tiny blocks — measured
+    # 0.57s vs 1.48s for the identical query.
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey"], override_num_blocks=16
+    )
 
     def key(batch: pa.Table) -> pa.Table:
         return pa.table({"point_id": batch.column("o_orderkey").to_numpy()})

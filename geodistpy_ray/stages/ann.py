@@ -242,3 +242,106 @@ def embedding_near_dup_pairs(
         return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ii, jj][keep]})
 
     return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+
+
+def train_ivf_centroids(
+    sample: np.ndarray, n_centroids: int, n_iters: int = 8
+) -> np.ndarray:
+    """Deterministic spherical k-means on a (bounded, driver-side) sample.
+
+    Init = the first ``n_centroids`` sample rows (deterministic — no RNG);
+    Lloyd iterations with cosine assignment; empty clusters keep their
+    previous centroid. Mirrors real IVF practice: the coarse quantizer is
+    trained on a sample, then applied streaming to the full corpus.
+    """
+    x = _normalize(np.asarray(sample, dtype=np.float64))
+    if x.shape[0] < n_centroids:
+        raise ValueError(f"need >= {n_centroids} sample rows, got {x.shape[0]}")
+    c = x[:n_centroids].copy()
+    for _ in range(n_iters):
+        assign = np.argmax(x @ c.T, axis=1)
+        for j in range(n_centroids):
+            m = assign == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+        c = _normalize(c)
+    return c
+
+
+def ivf_ann_topk(
+    ds,
+    query_matrix: np.ndarray,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    train_sample: int = 4096,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tie_round: int = 6,
+):
+    """IVF approximate cosine top-k: coarse-quantize the corpus into
+    ``n_centroids`` inverted lists; each query searches only its ``n_probe``
+    nearest lists.
+
+    The scale path complement to :func:`lsh_ann_topk`: centroids are trained
+    once on a bounded sample (driver side, like real IVF training), then
+    broadcast; assignment + probe filtering run vectorized per batch, and
+    only k·Q candidate rows per batch reach the per-query merge.
+    """
+    import ray
+
+    from .broadcast import get_broadcast
+
+    sample_pd = ds.select_columns([emb_col]).limit(train_sample).to_pandas()
+    cents = train_ivf_centroids(np.stack(sample_pd[emb_col].to_numpy()), n_centroids)
+
+    qm = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    # probe lists: each query's n_probe nearest centroids
+    q_cent = np.argsort(-(qm @ cents.T), axis=1)[:, :n_probe]
+    ref = ray.put(cents)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        c = get_broadcast(ref)
+        emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
+        ids = col_np(batch, id_col)
+        assign = np.argmax(emb @ c.T, axis=1)
+        out_q, out_i, out_s = [], [], []
+        for j in range(qm.shape[0]):
+            m = np.isin(assign, q_cent[j])
+            if not m.any():
+                continue
+            s = emb[m] @ qm[j]
+            kk = min(k, s.size)
+            part = np.argpartition(-s, kk - 1)[:kk] if kk < s.size else np.arange(s.size)
+            out_q.append(np.full(part.size, j, dtype=np.int64))
+            out_i.append(ids[m][part])
+            out_s.append(s[part])
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "sim": np.concatenate(out_s),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            g.assign(_key=(-g["sim"]).round(tie_round))
+            .sort_values(["_key", id_col])
+            .head(k)
+            .drop(columns="_key")
+        )
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")

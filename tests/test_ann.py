@@ -89,3 +89,46 @@ class TestNearDup:
         exact = set(zip(ids[ii].tolist(), ids[jj].tolist()))
         got = set(zip(res["id_a"].tolist(), res["id_b"].tolist()))
         assert got <= exact
+
+
+def test_ivf_ann_recall_vs_exact(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import ann_topk, ivf_ann_topk
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    q = con.execute(
+        f"SELECT embedding FROM read_parquet('{sf}/embeddings.parquet') WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    qm = np.array([r[0] for r in q], dtype=np.float64)
+    emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = ann_topk(emb, qm, k=10).to_pandas()
+    ivf = ivf_ann_topk(emb, qm, k=10, n_centroids=8, n_probe=3, train_sample=512).to_pandas()
+    # deterministic across runs
+    ivf2 = ivf_ann_topk(emb, qm, k=10, n_centroids=8, n_probe=3, train_sample=512).to_pandas()
+    import pandas as pd
+    pd.testing.assert_frame_equal(
+        ivf.sort_values(["query_id", "rank"], ignore_index=True),
+        ivf2.sort_values(["query_id", "rank"], ignore_index=True),
+    )
+    # recall vs exact: probing 3/8 lists should still recover most true neighbors
+    recalls = []
+    for j in range(5):
+        e = set(exact[exact.query_id == j]["vec_id"])
+        a = set(ivf[ivf.query_id == j]["vec_id"])
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.5, recalls
+    # each query's own vector is its nearest neighbor and must survive probing
+    for j in range(5):
+        top = ivf[(ivf.query_id == j) & (ivf["rank"] == 1)]["vec_id"].iloc[0]
+        assert top == j
+
+
+def test_ivf_train_requires_enough_samples(ray_session):
+    from geodistpy_ray.stages.ann import train_ivf_centroids
+
+    with pytest.raises(ValueError, match="sample rows"):
+        train_ivf_centroids(np.ones((4, 8)), n_centroids=8)
