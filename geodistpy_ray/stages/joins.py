@@ -112,14 +112,53 @@ def shuffle_equi_join(
     right_key: str | None = None,
     join_type: str = "inner",
     n_buckets: int = 64,
+    hot_keys=None,
+    n_salt: int = 8,
 ):
     """Distributed equi-join of two large Datasets via one bucketed shuffle.
 
     The output key column takes the left side's name; all other columns pass
     through with their exact Arrow types (the per-bucket join is Acero, so
     no pandas dtype laundering happens). Row order is unspecified.
+
+    **Skew**: a hot key normally lands in ONE bucket, serializing its work.
+    Pass ``hot_keys`` (iterable of key values, found e.g. by a cheap
+    pre-count) to salt them: each hot RIGHT row gets a deterministic salt in
+    [0, n_salt) and each hot LEFT row is REPLICATED once per salt, so the
+    hot key's pairs spread over ``n_salt`` buckets. Supported for
+    ``join_type="inner"`` only (semi/anti/outer would double-count under
+    replication).
     """
     right_key = right_key or left_key
+    if hot_keys is not None:
+        if join_type != "inner":
+            raise ValueError("hot_keys salting supports join_type='inner' only")
+        hot = np.asarray(list(hot_keys))
+
+        def salt_left(batch: pa.Table) -> pa.Table:
+            k = batch.column(left_key).to_numpy(zero_copy_only=False)
+            is_hot = np.isin(k, hot)
+            n = batch.num_rows
+            # replicate hot rows n_salt times, cold rows once (salt 0)
+            reps = np.where(is_hot, n_salt, 1)
+            idx = np.repeat(np.arange(n), reps)
+            salts = np.concatenate(
+                [np.arange(r, dtype=np.int64) for r in reps]
+            ) if n else np.array([], dtype=np.int64)
+            out = batch.take(pa.array(idx))
+            return out.append_column("__salt", pa.array(salts, pa.int64()))
+
+        def salt_right(batch: pa.Table) -> pa.Table:
+            k = batch.column(right_key).to_numpy(zero_copy_only=False)
+            is_hot = np.isin(k, hot)
+            h = pd.util.hash_array(np.arange(batch.num_rows) + 1, categorize=False)
+            salts = np.where(is_hot, (h % np.uint64(n_salt)).astype(np.int64), 0)
+            return batch.append_column("__salt", pa.array(salts, pa.int64()))
+
+        left = left.map_batches(salt_left, batch_format="pyarrow", zero_copy_batch=True)
+        right = right.map_batches(salt_right, batch_format="pyarrow", zero_copy_batch=True)
+        joined = _salted_inner_join(left, right, left_key, right_key, n_buckets)
+        return joined
     combined, lvals, rvals = _union_bucketed(left, right, left_key, right_key, n_buckets)
 
     def join_bucket(t: pa.Table) -> pa.Table:
@@ -128,6 +167,55 @@ def shuffle_equi_join(
         r = t.filter(pc.equal(side, 1)).select([left_key] + rvals)
         out = l.join(r, keys=[left_key], join_type=join_type)
         # Acero may reorder columns for right/outer types; normalize.
+        want = [c for c in [left_key] + lvals + rvals if c in out.column_names]
+        return out.select(want)
+
+    return combined.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
+
+
+def _salted_inner_join(left, right, left_key, right_key, n_buckets):
+    """Inner join of pre-salted sides: co-partition on (key, __salt), join
+    per bucket on BOTH columns, drop the salt column."""
+    ls, rs = left.schema(), right.schema()
+    ltypes = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    lvals = [c for c in ls.names if c not in (left_key, "__salt")]
+    rvals = [c for c in rs.names if c not in (right_key, "__salt")]
+    overlap = set(lvals) & set(rvals)
+    if overlap:
+        raise ValueError(f"column name collision across join sides: {sorted(overlap)}")
+
+    def pad(side):
+        own_key = left_key if side == 0 else right_key
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            key = batch.column(own_key)
+            salt = batch.column("__salt").to_numpy(zero_copy_only=False)
+            cols: dict[str, object] = {left_key: key, "__salt": batch.column("__salt")}
+            for c in lvals:
+                cols[c] = batch.column(c) if side == 0 else pa.nulls(n, ltypes[c])
+            for c in rvals:
+                cols[c] = batch.column(c) if side == 1 else pa.nulls(n, rtypes[c])
+            base = pd.util.hash_array(key.to_numpy(zero_copy_only=False), categorize=False)
+            cols["__bucket"] = pa.array(
+                ((base + np.uint64(0x9E3779B9) * salt.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
+                pa.int64(),
+            )
+            cols["__side"] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())
+            return pa.table(cols)
+
+        return fn
+
+    combined = left.map_batches(pad(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        right.map_batches(pad(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def join_bucket(t: pa.Table) -> pa.Table:
+        side = t.column("__side")
+        l = t.filter(pc.equal(side, 0)).select([left_key, "__salt"] + lvals)
+        r = t.filter(pc.equal(side, 1)).select([left_key, "__salt"] + rvals)
+        out = l.join(r, keys=[left_key, "__salt"], join_type="inner")
         want = [c for c in [left_key] + lvals + rvals if c in out.column_names]
         return out.select(want)
 

@@ -258,3 +258,31 @@ def test_grouped_median_and_running_total(ray_session):
     got = run.set_index("id")["running_cents"]
     for i, w in zip(want["id"], want["running_cents"]):
         assert got[i] == w
+
+
+def test_salted_join_matches_unsalted(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(21)
+    # key 7 is hot: 60% of both sides
+    lk = np.where(rng.uniform(size=500) < 0.6, 7, rng.integers(0, 30, 500))
+    rk = np.where(rng.uniform(size=300) < 0.6, 7, rng.integers(0, 30, 300))
+    left = pd.DataFrame({"k": lk, "lv": np.arange(500)})
+    right = pd.DataFrame({"rk": rk, "rv": np.arange(300) + 10_000})
+    lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(5)
+    rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(4)
+    plain = shuffle_equi_join(lds, rds, "k", "rk", n_buckets=8).to_pandas()
+    salted = shuffle_equi_join(
+        lds, rds, "k", "rk", n_buckets=8, hot_keys=[7], n_salt=4
+    ).to_pandas()
+    assert _sorted(salted, ["k", "lv", "rv"]).equals(_sorted(plain, ["k", "lv", "rv"]))
+    assert len(salted) == len(left.merge(right.rename(columns={"rk": "k"}), on="k"))
+
+
+def test_salted_join_rejects_non_inner(ray_session):
+    import ray.data as rd
+
+    lds = rd.from_arrow(pa.table({"k": [1], "lv": [1]}))
+    rds = rd.from_arrow(pa.table({"k": [1], "rv": [1]}))
+    with pytest.raises(ValueError, match="inner"):
+        shuffle_equi_join(lds, rds, "k", join_type="left semi", hot_keys=[1])
