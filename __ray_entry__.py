@@ -113,6 +113,25 @@ def q_radius(sf_dir):
     return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_radius_cells(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.functions.geocode import query_points
+    from geodistpy_ray.stages.radius import radius_join_cells
+
+    qid, qlat, qlon = query_points(16)
+    queries = rd.from_arrow(pa.table({"query_id": qid, "lat": qlat, "lon": qlon}))
+    ds = radius_join_cells(
+        _docs_geo(sf_dir), queries, RADIUS_M, kernel="haversine", cell_deg=CELL_DEG
+    )
+    ds = _round_col(ds, "dist", 6, out="dist", div=1000.0)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["query_id", "doc_id", "dist_km"])
+
+    return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_knn(sf_dir):
     from geodistpy_ray.functions.geocode import query_points
     from geodistpy_ray.stages import knn_join
@@ -754,6 +773,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_coarse": q_tile_coarse,
         "dist_to_origin": q_dist_to_origin,
         "radius_join": q_radius,
+        "radius_cells": q_radius_cells,
         "knn": q_knn,
         "knn_cells": q_knn_cells,
         "pip_join": q_pip,
@@ -853,6 +873,10 @@ def oracle_sql() -> dict[str, str]:
         "radius_join": (
             f"SELECT q.query_id, d.doc_id, ROUND({hav_q.replace('doc_id', 'd.doc_id')} / 1000.0, 6) AS dist_km "
             f"FROM documents d, {qpts} q WHERE {hav_q.replace('doc_id', 'd.doc_id')} <= {RADIUS_M}"
+        ),
+        "radius_cells": (
+            f"SELECT q.query_id, d.doc_id, ROUND({hav_q.replace('doc_id', 'd.doc_id')} / 1000.0, 6) AS dist_km "
+            f"FROM documents d, {qpts16} q WHERE {hav_q.replace('doc_id', 'd.doc_id')} <= {RADIUS_M}"
         ),
         "knn": (
             f"SELECT query_id, doc_id, rank FROM ("

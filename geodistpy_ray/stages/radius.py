@@ -79,3 +79,93 @@ def radius_join(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def radius_join_cells(
+    ds,
+    queries_ds,
+    radius,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float | None = None,
+    kernel: str = "vincenty",
+    metric: str = "meter",
+    ellipsoid="WGS-84",
+):
+    """Cell-routed radius join for *large* query sets (both sides Datasets).
+
+    The scale path for P8: candidates are tagged into their own grid cell;
+    each query is replicated to every cell of its ``disc_cover`` (a
+    guaranteed superset of the geodesic disc), and ONE ``groupby(cell)``
+    co-groups them. The exact boundary-inclusive test (``dist <= radius``,
+    reference ``distance.py:453``) runs vectorized inside each cell group.
+    No second pass and no pair dedup are needed: a candidate lives in
+    exactly one cell, so each (query, candidate) pair is tested exactly once.
+
+    ``queries_ds``: Dataset with columns (query_id, lat, lon).
+    Returns (query_id, {id_col}, dist).
+    """
+    from ..cells import DEFAULT_CELL_DEG, cell_id, disc_cover
+
+    radius = float(radius)
+    if radius < 0:
+        raise ValueError("radius must be non-negative")
+    cell_deg = cell_deg if cell_deg is not None else DEFAULT_CELL_DEG
+    a, f = resolve_ellipsoid(ellipsoid)
+    conv = unit_factor(metric)
+    kfn = distance_kernel(kernel)
+    radius_m = radius / conv
+
+    def cand_rows(batch: pa.Table) -> pa.Table:
+        lat = col_np(batch, lat_col)
+        lon = col_np(batch, lon_col)
+        return pa.table(
+            {
+                "cell": cell_id(lat, lon, cell_deg),
+                "rid": col_np(batch, id_col),
+                "rlat": lat,
+                "rlon": lon,
+                "is_query": np.zeros(batch.num_rows, dtype=bool),
+            }
+        )
+
+    def query_rows(batch: pa.Table) -> pa.Table:
+        lat = col_np(batch, "lat")
+        lon = col_np(batch, "lon")
+        qid = col_np(batch, "query_id")
+        src, cover = disc_cover(lat, lon, radius_m, cell_deg)
+        return pa.table(
+            {
+                "cell": cover,
+                "rid": qid[src],
+                "rlat": lat[src],
+                "rlon": lon[src],
+                "is_query": np.ones(src.size, dtype=bool),
+            }
+        )
+
+    import pandas as pd
+
+    both = ds.map_batches(cand_rows, batch_format="pyarrow", zero_copy_batch=True).union(
+        queries_ds.map_batches(query_rows, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def local_filter(g: pd.DataFrame) -> pd.DataFrame:
+        isq = g["is_query"].to_numpy()
+        q, c = g[isq], g[~isq]
+        empty = pd.DataFrame({"query_id": [], id_col: [], "dist": []}).astype(
+            {"query_id": np.int64, id_col: np.int64, "dist": np.float64}
+        )
+        if q.empty or c.empty:
+            return empty
+        clat, clon, cids = c["rlat"].to_numpy(), c["rlon"].to_numpy(), c["rid"].to_numpy()
+        out = []
+        for qid_, qlat_, qlon_ in zip(q["rid"].to_numpy(), q["rlat"].to_numpy(), q["rlon"].to_numpy()):
+            d = kfn(clat, clon, qlat_, qlon_, a, f) * conv
+            m = d <= radius
+            if m.any():
+                out.append(pd.DataFrame({"query_id": qid_, id_col: cids[m], "dist": d[m]}))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    return both.groupby("cell").map_groups(local_filter, batch_format="pandas")

@@ -341,3 +341,41 @@ def test_interpolate_waypoints_coincident_repeats_point(ray_session):
     got = interpolate_waypoints(rd.from_arrow(tbl), n_points=3).to_pandas()
     assert len(got) == 3
     assert (got["lat"] == 10.0).all() and (got["lon"] == 20.0).all()
+
+
+def test_radius_join_cells_vs_brute_force(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.kernels import haversine
+    from geodistpy_ray.stages.radius import radius_join_cells
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    plat = rng.uniform(-89, 89, n)
+    plon = rng.uniform(-180, 180, n)
+    pts = rd.from_arrow(
+        pa.table({"doc_id": np.arange(n, dtype=np.int64), "lat": plat, "lon": plon})
+    ).repartition(4)
+    # stress: near-pole and antimeridian queries with a huge radius
+    qlat = np.array([88.5, -88.5, 10.0, 0.0, -45.0])
+    qlon = np.array([0.0, 120.0, 179.9, -179.9, 60.0])
+    queries = rd.from_arrow(
+        pa.table({"query_id": np.arange(5, dtype=np.int64), "lat": qlat, "lon": qlon})
+    )
+    R = 1_500_000.0
+    got = (
+        radius_join_cells(pts, queries, R, kernel="haversine", cell_deg=3.0)
+        .to_pandas()
+        .sort_values(["query_id", "doc_id"], ignore_index=True)
+    )
+    rows = []
+    for j in range(5):
+        d = haversine(plat, plon, qlat[j], qlon[j])
+        m = d <= R
+        for i in np.nonzero(m)[0]:
+            rows.append({"query_id": j, "doc_id": i, "dist": d[i]})
+    want = pd.DataFrame(rows).sort_values(["query_id", "doc_id"], ignore_index=True)
+    assert len(got) == len(want)
+    assert got["query_id"].equals(want["query_id"].astype(np.int64))
+    assert got["doc_id"].equals(want["doc_id"].astype(np.int64))
+    assert np.allclose(got["dist"], want["dist"])
