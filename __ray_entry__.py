@@ -158,6 +158,25 @@ def q_knn_cells(sf_dir):
     return ds.select_columns(["query_id", "doc_id", "rank"])
 
 
+def q_knn_indexed(sf_dir):
+    import duckdb
+    import ray.data as rd
+
+    from geodistpy_ray.functions.geocode import geocode_ids, query_points
+    from geodistpy_ray.stages.knn import knn_join_indexed
+
+    con = duckdb.connect()
+    ids = con.execute(
+        f"SELECT doc_id FROM read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+    ).df()["doc_id"].to_numpy()
+    con.close()
+    clat, clon = geocode_ids(ids)
+    qid, qlat, qlon = query_points(20)
+    queries = rd.from_arrow(pa.table({"query_id": qid, "lat": qlat, "lon": qlon}))
+    ds = knn_join_indexed(queries, ids, clat, clon, k=KNN_K, kernel="haversine", tie_round=6)
+    return ds.select_columns(["query_id", "doc_id", "rank"])
+
+
 def q_pip(sf_dir):
     from geodistpy_ray.sources.polygons import diamond_polygons
     from geodistpy_ray.stages import point_in_polygon_join
@@ -776,6 +795,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "radius_cells": q_radius_cells,
         "knn": q_knn,
         "knn_cells": q_knn_cells,
+        "knn_indexed": q_knn_indexed,
         "pip_join": q_pip,
         "bearing_origin": q_bearing,
         "close_pairs": q_close_pairs,
@@ -841,6 +861,7 @@ def oracle_sql() -> dict[str, str]:
     qpts = query_points_sql(8)
     qpts12 = query_points_sql(12)
     qpts16 = query_points_sql(16)
+    qpts20 = query_points_sql(20)
     hav_q = haversine_sql(lat, lon, "q.qlat", "q.qlon")
 
     lat_a, lon_a = geocode_sql("a.doc_id")
@@ -891,6 +912,13 @@ def oracle_sql() -> dict[str, str]:
             f"PARTITION BY q.query_id "
             f"ORDER BY ROUND({hav_q.replace('doc_id', 'd.doc_id')}, 6), d.doc_id) AS rank "
             f"FROM documents d, {qpts16} q) WHERE rank <= {KNN_K}"
+        ),
+        "knn_indexed": (
+            f"SELECT query_id, doc_id, rank FROM ("
+            f"SELECT q.query_id, d.doc_id, ROW_NUMBER() OVER ("
+            f"PARTITION BY q.query_id "
+            f"ORDER BY ROUND({hav_q.replace('doc_id', 'd.doc_id')}, 6), d.doc_id) AS rank "
+            f"FROM documents d, {qpts20} q) WHERE rank <= {KNN_K}"
         ),
         "pip_join": (
             f"SELECT d.doc_id, p.poly_id FROM documents d, {diamond_polygons_sql()} p "

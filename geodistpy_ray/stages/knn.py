@@ -283,3 +283,137 @@ def knn_join_cells(
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+class KnnIndexActor:
+    """Per-worker stateful kNN index: a sorted-latitude candidate index is
+    built ONCE in ``__init__`` (from a broadcast ref), then each *query*
+    batch is answered exactly via expanding latitude-band search.
+
+    This is the SURVEY §2.4 "per-tile index actor" pattern: expensive setup
+    per actor, cheap vectorized work per batch. The stream is the QUERY
+    table (arbitrarily large); the candidate side must fit a worker's heap
+    (broadcast), exactly like the reference's in-memory candidate array
+    (``distance.py:463-540``) but answered with index pruning instead of a
+    full scan per query.
+
+    Exactness: spherical-law bound — any point within geodesic distance d of
+    the query lies within ``d * (1 + SLOP) / MIN_M_PER_DEG_LAT`` degrees of
+    latitude. The band expands until the kth-best distance certifies the
+    remaining latitudes can't compete.
+    """
+
+    SLOP = 0.006  # haversine-vs-ellipsoid relative gap bound (< 0.56%)
+
+    def __init__(self, cand_ref, k, kernel="vincenty", metric="meter", ellipsoid="WGS-84", tie_round=6):
+        import ray
+
+        from ..cells import MIN_M_PER_DEG_LAT
+
+        ids, lats, lons = ray.get(cand_ref)
+        order = np.argsort(lats, kind="mergesort")
+        self.ids = ids[order]
+        self.lats = lats[order]
+        self.lons = lons[order]
+        self.k = k
+        self.a, self.f = resolve_ellipsoid(ellipsoid)
+        self.conv = unit_factor(metric)
+        self.kfn = distance_kernel(kernel)
+        self.tie_round = tie_round
+        self.m_per_deg = MIN_M_PER_DEG_LAT
+
+    def _one(self, qid, qlat, qlon):
+        n = self.ids.size
+        band_deg = 2.0
+        while True:
+            lo = np.searchsorted(self.lats, qlat - band_deg, side="left")
+            hi = np.searchsorted(self.lats, qlat + band_deg, side="right")
+            if hi - lo >= min(self.k, n):
+                d = self.kfn(self.lats[lo:hi], self.lons[lo:hi], qlat, qlon, self.a, self.f)
+                kk = min(self.k, d.size)
+                part = np.argpartition(d, kk - 1)[:kk] if kk < d.size else np.arange(d.size)
+                kth = d[part].max()
+                # certified complete if the kth distance can't be beaten
+                # by anything outside the band
+                if (hi - lo == n) or kth * (1.0 + self.SLOP) <= band_deg * self.m_per_deg:
+                    ids = self.ids[lo:hi][part]
+                    dd = d[part] * self.conv
+                    key = np.round(dd, self.tie_round) if self.tie_round is not None else dd
+                    order = np.lexsort((ids, key))
+                    return ids[order], dd[order], np.full(kk, qid, dtype=np.int64)
+            if hi - lo == n:
+                # whole index scanned and still not certified → it IS complete
+                band_deg = 181.0
+                continue
+            band_deg *= 2.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = col_np(batch, "query_id")
+        qlats = col_np(batch, "lat")
+        qlons = col_np(batch, "lon")
+        out_i, out_d, out_q = [], [], []
+        for j in range(qids.size):
+            ids, dd, qq = self._one(qids[j], qlats[j], qlons[j])
+            out_i.append(ids)
+            out_d.append(dd)
+            out_q.append(qq)
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "dist": pa.array([], pa.float64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        ranks = np.concatenate([np.arange(1, x.size + 1, dtype=np.int64) for x in out_i])
+        return pa.table(
+            {
+                "query_id": np.concatenate(out_q),
+                "doc_id": np.concatenate(out_i),
+                "dist": np.concatenate(out_d),
+                "rank": ranks,
+            }
+        )
+
+
+def knn_join_indexed(
+    queries_ds,
+    cand_ids,
+    cand_lats,
+    cand_lons,
+    k: int,
+    kernel: str = "vincenty",
+    metric: str = "meter",
+    ellipsoid="WGS-84",
+    tie_round: int | None = 6,
+    concurrency=2,
+    batch_size: int = 1024,
+):
+    """Actor-pool kNN over a streaming QUERY Dataset: the candidate index is
+    broadcast once and built per actor in ``__init__``; each query batch is
+    answered by :class:`KnnIndexActor`'s exact band-pruned search."""
+    import ray
+
+    ref = ray.put(
+        (
+            np.asarray(cand_ids, dtype=np.int64),
+            np.asarray(cand_lats, dtype=np.float64),
+            np.asarray(cand_lons, dtype=np.float64),
+        )
+    )
+    return queries_ds.map_batches(
+        KnnIndexActor,
+        fn_constructor_kwargs={
+            "cand_ref": ref,
+            "k": k,
+            "kernel": kernel,
+            "metric": metric,
+            "ellipsoid": ellipsoid,
+            "tie_round": tie_round,
+        },
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )

@@ -379,3 +379,48 @@ def test_radius_join_cells_vs_brute_force(ray_session):
     assert got["query_id"].equals(want["query_id"].astype(np.int64))
     assert got["doc_id"].equals(want["doc_id"].astype(np.int64))
     assert np.allclose(got["dist"], want["dist"])
+
+
+def test_knn_index_actor_matches_broadcast_knn(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.functions.geocode import geocode_ids
+    from geodistpy_ray.stages import knn_join
+    from geodistpy_ray.stages.knn import knn_join_indexed
+
+    n = 3000
+    cids = np.arange(n, dtype=np.int64)
+    clat, clon = geocode_ids(cids)
+    rng = np.random.default_rng(17)
+    nq = 40
+    qids = np.arange(nq, dtype=np.int64)
+    qlat = rng.uniform(-85, 85, nq)
+    qlon = rng.uniform(-180, 180, nq)
+
+    cands = rd.from_arrow(pa.table({"doc_id": cids, "lat": clat, "lon": clon}))
+    want = (
+        knn_join(cands, qids, qlat, qlon, k=7, kernel="haversine")
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    queries = rd.from_arrow(pa.table({"query_id": qids, "lat": qlat, "lon": qlon})).repartition(3)
+    got = (
+        knn_join_indexed(queries, cids, clat, clon, k=7, kernel="haversine", concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got[["query_id", "doc_id", "rank"]].equals(want[["query_id", "doc_id", "rank"]])
+    assert np.allclose(got["dist"], want["dist"])
+
+
+def test_knn_index_actor_k_exceeds_n(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.knn import knn_join_indexed
+
+    cids = np.array([0, 1, 2], dtype=np.int64)
+    clat = np.array([0.0, 10.0, 20.0])
+    clon = np.array([0.0, 10.0, 20.0])
+    queries = rd.from_arrow(pa.table({"query_id": [0], "lat": [5.0], "lon": [5.0]}))
+    got = knn_join_indexed(queries, cids, clat, clon, k=10, kernel="haversine", concurrency=1).to_pandas()
+    assert len(got) == 3 and sorted(got["rank"]) == [1, 2, 3]
