@@ -396,6 +396,27 @@ def q_clean_corpus(sf_dir):
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_dataset_splits(sf_dir):
+    """Deterministic train/val/test split + per-split doc and token totals."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_sum
+    from geodistpy_ray.stages.text import add_split, add_token_count
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = add_token_count(add_split(docs))
+    return grouped_sum(ds, ["split"], int_sum_cols={"n_tokens": "sum_tokens"}, count_col="n_docs")
+
+
+def q_sample_10pct(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import sample_fraction
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return sample_fraction(docs, pct=10)
+
+
 def q_user_median_value(sf_dir):
     import ray.data as rd
 
@@ -816,6 +837,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dimwise_pairs": q_dimwise_pairs,
         "clean_corpus": q_clean_corpus,
         "events_union": q_events_union,
+        "dataset_splits": q_dataset_splits,
+        "sample_10pct": q_sample_10pct,
         "user_median_value": q_user_median_value,
         "running_totals": q_running_totals,
         "q1_pricing": q_q1_pricing,
@@ -1045,6 +1068,17 @@ def oracle_sql() -> dict[str, str]:
         "events_union": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type IN ('click', 'purchase')"
+        ),
+        "dataset_splits": (
+            lambda split_expr: (
+                f"SELECT {split_expr} AS split, "
+                f"CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens, "
+                f"CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
+            )
+        )(__import__("geodistpy_ray.stages.text", fromlist=["split_sql"]).split_sql()),
+        "sample_10pct": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE ((doc_id + 7) * 2654435761) % 1000000 < 100000"
         ),
         "user_median_value": (
             "SELECT user_id, ROUND(MEDIAN(value), 6) AS median_value "

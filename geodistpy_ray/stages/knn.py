@@ -319,8 +319,26 @@ class KnnIndexActor:
         self.a, self.f = resolve_ellipsoid(ellipsoid)
         self.conv = unit_factor(metric)
         self.kfn = distance_kernel(kernel)
+        self.kernel_name = kernel
         self.tie_round = tie_round
         self.m_per_deg = MIN_M_PER_DEG_LAT
+
+    def _band_dists(self, lo, hi, qlat, qlon):
+        """Distances for the band slice — exact kernels get the same provably
+        safe haversine pre-prune as ``knn_join`` (kernel only on the sliver
+        within 1.013x of the kth haversine, +1 m for degenerate zeros)."""
+        from ..kernels.sphere import haversine
+
+        lats, lons = self.lats[lo:hi], self.lons[lo:hi]
+        if self.kernel_name == "haversine" or (hi - lo) <= 4 * self.k:
+            return self.kfn(lats, lons, qlat, qlon, self.a, self.f)
+        hav = haversine(lats, lons, qlat, qlon)
+        kk = min(self.k, hav.size)
+        kth_h = np.partition(hav, kk - 1)[kk - 1]
+        keep = hav <= kth_h * 1.013 + 1.0
+        d = np.full(hav.size, np.inf)
+        d[keep] = self.kfn(lats[keep], lons[keep], qlat, qlon, self.a, self.f)
+        return d
 
     def _one(self, qid, qlat, qlon):
         n = self.ids.size
@@ -329,7 +347,7 @@ class KnnIndexActor:
             lo = np.searchsorted(self.lats, qlat - band_deg, side="left")
             hi = np.searchsorted(self.lats, qlat + band_deg, side="right")
             if hi - lo >= min(self.k, n):
-                d = self.kfn(self.lats[lo:hi], self.lons[lo:hi], qlat, qlon, self.a, self.f)
+                d = self._band_dists(lo, hi, qlat, qlon)
                 kk = min(self.k, d.size)
                 part = np.argpartition(d, kk - 1)[:kk] if kk < d.size else np.arange(d.size)
                 kth = d[part].max()

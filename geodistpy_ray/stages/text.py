@@ -126,3 +126,52 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
         return batch.append_column(out_col, pa.array(fp, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_SPLIT_MUL = 2654435761
+_SPLIT_MOD = 1_000_000
+
+
+def add_split(ds, id_col: str = "doc_id", val_pct: int = 10, test_pct: int = 10, out_col: str = "split"):
+    """Deterministic train/val/test assignment by integer-hash of the id.
+
+    ``bucket = (id * 2654435761) % 1e6`` → val if < val_pct%, test if next
+    test_pct%, else train. Pure arithmetic (no RNG), so the assignment is
+    stable across runs/partitions and bit-reproducible in SQL — the property
+    a training-data pipeline needs so a document never migrates between
+    splits between runs.
+    """
+    val_cut = val_pct * (_SPLIT_MOD // 100)
+    test_cut = (val_pct + test_pct) * (_SPLIT_MOD // 100)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (ids * _SPLIT_MUL) % _SPLIT_MOD
+        split = np.where(b < val_cut, "val", np.where(b < test_cut, "test", "train"))
+        return batch.append_column(out_col, pa.array(split, pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def split_sql(id_col: str = "doc_id", val_pct: int = 10, test_pct: int = 10) -> str:
+    """SQL expression mirroring :func:`add_split` bit-for-bit."""
+    val_cut = val_pct * (_SPLIT_MOD // 100)
+    test_cut = (val_pct + test_pct) * (_SPLIT_MOD // 100)
+    b = f"(({id_col} * {_SPLIT_MUL}) % {_SPLIT_MOD})"
+    return (
+        f"(CASE WHEN {b} < {val_cut} THEN 'val' "
+        f"WHEN {b} < {test_cut} THEN 'test' ELSE 'train' END)"
+    )
+
+
+def sample_fraction(ds, pct: int, id_col: str = "doc_id", salt: int = 7):
+    """Deterministic ~pct% sample by id hash (no RNG — rerunnable, and a
+    row's membership never depends on partitioning). The scale-honest
+    alternative to ``Dataset.random_sample`` for reproducible pipelines."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = ((ids + salt) * _SPLIT_MUL) % _SPLIT_MOD
+        return batch.filter(pa.array(b < pct * (_SPLIT_MOD // 100)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -424,3 +424,33 @@ def test_knn_index_actor_k_exceeds_n(ray_session):
     queries = rd.from_arrow(pa.table({"query_id": [0], "lat": [5.0], "lon": [5.0]}))
     got = knn_join_indexed(queries, cids, clat, clon, k=10, kernel="haversine", concurrency=1).to_pandas()
     assert len(got) == 3 and sorted(got["rank"]) == [1, 2, 3]
+
+
+def test_knn_index_actor_vincenty_prune_exact(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.functions.geocode import geocode_ids
+    from geodistpy_ray.stages import knn_join
+    from geodistpy_ray.stages.knn import knn_join_indexed
+
+    n = 2000
+    cids = np.arange(n, dtype=np.int64)
+    clat, clon = geocode_ids(cids)
+    rng = np.random.default_rng(23)
+    nq = 15
+    qids = np.arange(nq, dtype=np.int64)
+    qlat = rng.uniform(-80, 80, nq)
+    qlon = rng.uniform(-180, 180, nq)
+    cands = rd.from_arrow(pa.table({"doc_id": cids, "lat": clat, "lon": clon}))
+    want = (
+        knn_join(cands, qids, qlat, qlon, k=6, kernel="vincenty")
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    queries = rd.from_arrow(pa.table({"query_id": qids, "lat": qlat, "lon": qlon}))
+    got = (
+        knn_join_indexed(queries, cids, clat, clon, k=6, kernel="vincenty", concurrency=1)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    assert got[["query_id", "doc_id", "rank"]].equals(want[["query_id", "doc_id", "rank"]])
