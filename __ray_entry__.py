@@ -396,6 +396,23 @@ def q_clean_corpus(sf_dir):
     return ds.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_user_value_range(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_minmax
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    return grouped_minmax(ev, ["user_id"], "value")
+
+
+def q_cell_doc_lists(sf_dir):
+    from geodistpy_ray.stages import add_cell
+    from geodistpy_ray.stages.relational import grouped_string_agg
+
+    ds = add_cell(_docs_geo(sf_dir), 8.0)
+    return grouped_string_agg(ds, "cell", "doc_id", out_col="doc_list")
+
+
 def q_dataset_splits(sf_dir):
     """Deterministic train/val/test split + per-split doc and token totals."""
     import ray.data as rd
@@ -837,6 +854,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dimwise_pairs": q_dimwise_pairs,
         "clean_corpus": q_clean_corpus,
         "events_union": q_events_union,
+        "user_value_range": q_user_value_range,
+        "cell_doc_lists": q_cell_doc_lists,
         "dataset_splits": q_dataset_splits,
         "sample_10pct": q_sample_10pct,
         "user_median_value": q_user_median_value,
@@ -1069,6 +1088,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id FROM events "
             "WHERE event_type IN ('click', 'purchase')"
         ),
+        "user_value_range": (
+            "SELECT user_id, MIN(value) AS min_value, MAX(value) AS max_value "
+            "FROM events GROUP BY 1"
+        ),
+        "cell_doc_lists": (
+            lambda cell8: (
+                f"SELECT {cell8} AS cell, "
+                f"STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS doc_list "
+                f"FROM documents GROUP BY 1"
+            )
+        )(cell_sql(lat, lon, 8.0)),
         "dataset_splits": (
             lambda split_expr: (
                 f"SELECT {split_expr} AS split, "

@@ -206,3 +206,52 @@ def running_total(
         return g
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def grouped_minmax(ds, key_cols: list[str], value_col: str, final: str = "driver"):
+    """Per-key min/max of a float column — partial per batch, tiny final merge
+    (min/max are decomposable, so the shuffle moves one row per key × batch)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(key_cols + [value_col]).to_pandas()
+        g = df.groupby(key_cols, as_index=False, sort=False).agg(
+            min_value=(value_col, "min"), max_value=(value_col, "max")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if final == "driver":
+        frames = [
+            b.to_pandas()
+            for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+        return (
+            pd.concat(frames, ignore_index=True)
+            .groupby(key_cols, as_index=False, sort=False)
+            .agg(min_value=("min_value", "min"), max_value=("max_value", "max"))
+        )
+    from ray.data.aggregate import Max, Min
+
+    return partials.groupby(key_cols if len(key_cols) > 1 else key_cols[0]).aggregate(
+        Min("min_value", alias_name="min_value"), Max("max_value", alias_name="max_value")
+    )
+
+
+def grouped_string_agg(
+    ds, key_col: str, value_col: str, sep: str = ",", out_col: str = "agg_values"
+):
+    """Per-key ordered string aggregation (SQL ``STRING_AGG(x, sep ORDER BY x)``).
+
+    Order-sensitive → values must co-locate and sort per key: a true
+    ``groupby(key).map_groups``. Use for bounded per-key cardinality
+    (id lists per tile, hosts per cell); unbounded keys want the pair table
+    representation instead of a giant string.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        vals = np.sort(g[value_col].to_numpy())
+        return pd.DataFrame(
+            {key_col: [g[key_col].iloc[0]], out_col: [sep.join(str(v) for v in vals)]}
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
