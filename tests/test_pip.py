@@ -101,3 +101,67 @@ class TestJoin:
         for cand in idx["buckets"].values():
             seen.update(cand.tolist())
         assert len(seen) == len(idx["poly_ids"])
+
+
+def _winding_number_contains(px, py, ring_x, ring_y):
+    """Independent oracle: winding-number point-in-polygon (different
+    algorithm family than the stage's even-odd ray casting)."""
+    wn = 0
+    n = len(ring_x) - 1
+    for i in range(n):
+        x1, y1, x2, y2 = ring_x[i], ring_y[i], ring_x[i + 1], ring_y[i + 1]
+        if y1 <= py:
+            if y2 > py and (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) > 0:
+                wn += 1
+        elif y2 <= py and (x2 - x1) * (py - y1) - (px - x1) * (y2 - y1) < 0:
+            wn -= 1
+    return wn != 0
+
+
+def test_concave_star_polygon_conformance(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages import point_in_polygon_join
+
+    # 5-pointed star (concave) centered at (10, 20)
+    ang = np.linspace(0.5 * np.pi, 2.5 * np.pi, 11)[:-1]
+    r = np.where(np.arange(10) % 2 == 0, 6.0, 2.5)
+    ring_lats = list(10.0 + r * np.sin(ang)) + [10.0 + r[0] * np.sin(ang[0])]
+    ring_lons = list(20.0 + r * np.cos(ang)) + [20.0 + r[0] * np.cos(ang[0])]
+    polys = pa.table(
+        {
+            "poly_id": pa.array([0], pa.int64()),
+            "ring_lats": pa.array([ring_lats], pa.list_(pa.float64())),
+            "ring_lons": pa.array([ring_lons], pa.list_(pa.float64())),
+            "min_lat": pa.array([min(ring_lats)], pa.float64()),
+            "max_lat": pa.array([max(ring_lats)], pa.float64()),
+            "min_lon": pa.array([min(ring_lons)], pa.float64()),
+            "max_lon": pa.array([max(ring_lons)], pa.float64()),
+        }
+    )
+    rng = np.random.default_rng(41)
+    n = 3000
+    plat = rng.uniform(2, 18, n)
+    plon = rng.uniform(12, 28, n)
+    pts = rd.from_arrow(
+        pa.table({"doc_id": np.arange(n, dtype=np.int64), "lat": plat, "lon": plon})
+    ).repartition(3)
+    got = set(
+        point_in_polygon_join(pts, polys, id_col="doc_id", cell_deg=4.0)
+        .to_pandas()["doc_id"]
+    )
+    want = {
+        i
+        for i in range(n)
+        if _winding_number_contains(plon[i], plat[i], ring_lons, ring_lats)
+    }
+    assert got == want
+    # a concave star must exclude points between its arms: the bounding-box
+    # hull minus the star is non-empty, so got must be a strict subset
+    bbox = {
+        i
+        for i in range(n)
+        if min(ring_lats) <= plat[i] <= max(ring_lats)
+        and min(ring_lons) <= plon[i] <= max(ring_lons)
+    }
+    assert len(got) < len(bbox)
