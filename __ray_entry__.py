@@ -434,6 +434,16 @@ def q_sample_10pct(sf_dir):
     return sample_fraction(docs, pct=10)
 
 
+def q_user_p90_value(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_quantile
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ds = grouped_quantile(ev, "user_id", "value", q=0.9, out_col="p90_value")
+    return _round_col(ds, "p90_value", 6)
+
+
 def q_user_median_value(sf_dir):
     import ray.data as rd
 
@@ -859,6 +869,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_splits": q_dataset_splits,
         "sample_10pct": q_sample_10pct,
         "user_median_value": q_user_median_value,
+        "user_p90_value": q_user_p90_value,
         "running_totals": q_running_totals,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
@@ -1112,6 +1123,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "user_median_value": (
             "SELECT user_id, ROUND(MEDIAN(value), 6) AS median_value "
+            "FROM events GROUP BY 1"
+        ),
+        "user_p90_value": (
+            "SELECT user_id, ROUND(QUANTILE_CONT(value, 0.9), 6) AS p90_value "
             "FROM events GROUP BY 1"
         ),
         "running_totals": (

@@ -255,3 +255,21 @@ def grouped_string_agg(
         )
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def grouped_quantile(
+    ds, key_col: str, value_col: str, q: float, out_col: str = "quantile_value"
+):
+    """Exact per-key quantile with linear interpolation (SQL
+    ``QUANTILE_CONT``). Like the median, not decomposable → per-key
+    ``map_groups``; for unbounded per-key cardinality swap in a sketch."""
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                out_col: [float(np.quantile(g[value_col].to_numpy(), q))],
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
