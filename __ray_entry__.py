@@ -195,6 +195,20 @@ def q_bearing(sf_dir):
     return _docs_geo(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).select_columns(["doc_id", "brg"])
 
 
+def q_dist_table(sf_dir):
+    from geodistpy_ray.functions.geocode import query_points
+    from geodistpy_ray.stages.pairs import distance_table
+
+    qid, qlat, qlon = query_points(6)
+    ds = distance_table(_docs_geo(sf_dir), qid, qlat, qlon, kernel="haversine")
+    ds = _round_col(ds, "dist", 6, out="dist", div=1000.0)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["query_id", "doc_id", "dist_km"])
+
+    return ds.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_close_pairs(sf_dir):
     from geodistpy_ray.stages.pairs import close_pairs
 
@@ -846,6 +860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_indexed": q_knn_indexed,
         "pip_join": q_pip,
         "bearing_origin": q_bearing,
+        "dist_table": q_dist_table,
         "close_pairs": q_close_pairs,
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
@@ -915,6 +930,7 @@ def oracle_sql() -> dict[str, str]:
     qpts12 = query_points_sql(12)
     qpts16 = query_points_sql(16)
     qpts20 = query_points_sql(20)
+    qpts6 = query_points_sql(6)
     hav_q = haversine_sql(lat, lon, "q.qlat", "q.qlon")
 
     lat_a, lon_a = geocode_sql("a.doc_id")
@@ -978,6 +994,11 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE ABS({lat} - p.clat) / p.half_lat + ABS({lon} - p.clon) / p.half_lon < 1.0"
         ),
         "bearing_origin": f"SELECT doc_id, ROUND({brg}, 6) AS brg FROM documents",
+        "dist_table": (
+            f"SELECT q.query_id, d.doc_id, "
+            f"ROUND({hav_q.replace('doc_id', 'd.doc_id')} / 1000.0, 6) AS dist_km "
+            f"FROM documents d, {qpts6} q"
+        ),
         "close_pairs": (
             f"SELECT a.doc_id AS id_left, b.doc_id AS id_right, "
             f"ROUND({hav_ab} / 1000.0, 6) AS dist_km "

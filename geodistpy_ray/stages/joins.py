@@ -45,6 +45,39 @@ def _hash_bucket(values: np.ndarray, n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
+def detect_hot_keys(ds, key_col: str, frac_threshold: float = 0.05, top_n: int = 64):
+    """Find keys whose row share exceeds ``frac_threshold`` — the skew
+    pre-pass for :func:`shuffle_equi_join`'s salting.
+
+    Distributed: per-batch ``value_counts`` partials (top ``top_n`` only, so
+    the driver sees ≤ top_n × n_batches rows), driver merge, threshold.
+    Costs one extra pass over ``ds``; run it on the column-pruned dataset.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(key_col).to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(v, return_counts=True)
+        if keys.size > top_n:
+            keep = np.argsort(-counts)[:top_n]
+            keys, counts = keys[keep], counts[keep]
+        return pa.table({key_col: keys, "__n": counts.astype(np.int64), "__tot": np.full(keys.size, v.size, dtype=np.int64)})
+
+    parts = [
+        b.to_pandas()
+        for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ]
+    if not parts:
+        return []
+    df = pd.concat(parts, ignore_index=True)
+    # total rows = one __tot value per batch partial
+    total_rows = sum(p["__tot"].iloc[0] for p in parts if len(p))
+    agg = df.groupby(key_col)["__n"].sum()
+    hot = agg[agg >= frac_threshold * max(total_rows, 1)]
+    return hot.index.tolist()
+
+
 def broadcast_join(ds, right: pa.Table, keys, right_keys=None, join_type: str = "inner"):
     """Join every batch against a broadcast small-side table (no shuffle).
 

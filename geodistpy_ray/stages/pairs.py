@@ -143,3 +143,48 @@ def close_pairs(
         )
 
     return replicated.groupby("cell").map_groups(group_pairs, batch_format="pandas")
+
+
+def distance_table(
+    ds,
+    point_ids,
+    point_lats,
+    point_lons,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    kernel: str = "vincenty",
+    metric: str = "meter",
+    ellipsoid="WGS-84",
+):
+    """D2 ``cdist`` as a streaming pair table: every row × every broadcast
+    point → (query_id, {id_col}, dist). The reference materializes the
+    (n1, n2) matrix (`/root/reference/geodistpy/geodesic.py:261-276`); here
+    the left side streams and only the small side is dense — output is rows,
+    never a matrix. For two LARGE sides use the cell-bucketed joins instead.
+    """
+    from ..kernels import resolve_ellipsoid, unit_factor
+    from .geo import col_np, distance_kernel
+
+    qid = np.asarray(point_ids, dtype=np.int64)
+    qlat = np.asarray(point_lats, dtype=np.float64)
+    qlon = np.asarray(point_lons, dtype=np.float64)
+    a, f = resolve_ellipsoid(ellipsoid)
+    conv = unit_factor(metric)
+    kfn = distance_kernel(kernel)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = col_np(batch, lat_col)
+        lon = col_np(batch, lon_col)
+        ids = col_np(batch, id_col)
+        n, q = ids.size, qid.size
+        d = kfn(lat[:, None], lon[:, None], qlat[None, :], qlon[None, :], a, f) * conv
+        return pa.table(
+            {
+                "query_id": np.tile(qid, n),
+                id_col: np.repeat(ids, q),
+                "dist": d.ravel(),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

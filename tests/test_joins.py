@@ -286,3 +286,22 @@ def test_salted_join_rejects_non_inner(ray_session):
     rds = rd.from_arrow(pa.table({"k": [1], "rv": [1]}))
     with pytest.raises(ValueError, match="inner"):
         shuffle_equi_join(lds, rds, "k", join_type="left semi", hot_keys=[1])
+
+
+def test_detect_hot_keys_and_auto_salted_join(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import detect_hot_keys
+
+    rng = np.random.default_rng(29)
+    lk = np.where(rng.uniform(size=1000) < 0.4, 99, rng.integers(0, 200, 1000))
+    left = pd.DataFrame({"k": lk, "lv": np.arange(1000)})
+    lds = rd.from_arrow(pa.Table.from_pandas(left)).repartition(4)
+    hot = detect_hot_keys(lds, "k", frac_threshold=0.05)
+    assert hot == [99]
+    # end-to-end: detected keys feed the salted join and match the plain join
+    right = pd.DataFrame({"rk": np.where(rng.uniform(size=300) < 0.4, 99, rng.integers(0, 200, 300)), "rv": np.arange(300)})
+    rds = rd.from_arrow(pa.Table.from_pandas(right)).repartition(3)
+    plain = shuffle_equi_join(lds, rds, "k", "rk").to_pandas()
+    salted = shuffle_equi_join(lds, rds, "k", "rk", hot_keys=hot, n_salt=4).to_pandas()
+    assert _sorted(salted, ["k", "lv", "rv"]).equals(_sorted(plain, ["k", "lv", "rv"]))
