@@ -258,6 +258,15 @@ def q_quality(sf_dir):
     )
 
 
+def q_source_stats(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    return grouped_sum(docs, ["source"], int_sum_cols={"n_chars": "sum_chars"}, count_col="n_docs")
+
+
 def q_lang_counts(sf_dir):
     import ray.data as rd
 
@@ -866,6 +875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "quality": q_quality,
         "lang_counts": q_lang_counts,
+        "source_stats": q_source_stats,
         "fingerprints": q_fingerprints,
         "lang_id": q_lang_id,
         "minhash_pairs": q_minhash_pairs,
@@ -1022,6 +1032,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_counts": (
             "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
+        ),
+        "source_stats": (
+            "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
         ),
         "ann_topk": (
             f"SELECT query_id, vec_id, rank FROM ("

@@ -175,3 +175,23 @@ def sample_fraction(ds, pct: int, id_col: str = "doc_id", salt: int = 7):
         return batch.filter(pa.array(b < pct * (_SPLIT_MOD // 100)))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+
+
+def add_host(ds, url_col: str = "url", out_col: str = "host"):
+    """url column → host column (vectorized regex extract; the SURVEY §2.4
+    url→host scalar function). Unparseable urls get empty-string hosts."""
+    import re
+
+    pat = re.compile(_HOST_RE)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        s = pd.Series(batch.column(url_col).to_pylist(), dtype="object")
+        host = s.str.extract(pat.pattern, expand=False).fillna("")
+        return batch.append_column(out_col, pa.array(host.tolist(), pa.string()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

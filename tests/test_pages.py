@@ -98,3 +98,24 @@ class TestByteIdentity:
         }
         assert before == after
         assert "cell" in got.schema.names
+
+
+def test_add_host_parses_pages_urls(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from geodistpy_ray.sources.pages import generate_pages
+    from geodistpy_ray.stages.text import add_host
+
+    tbl = generate_pages(500, seed=3)
+    pq.write_table(tbl, tmp_path / "pages.parquet")
+    ds = rd.read_parquet(str(tmp_path / "pages.parquet"), columns=["url"])
+    got = add_host(ds).to_pandas()
+    assert (got["host"].str.match(r"^host\d+\.example\.com$")).all()
+    # zipf skew: the most popular host dominates
+    counts = got["host"].value_counts()
+    assert counts.iloc[0] > counts.iloc[-1]
+    # unparseable url → empty host, no crash
+    bad = rd.from_arrow(pa.table({"url": ["not a url", "ftp://x.y/z", ""]}))
+    got_bad = add_host(bad).to_pandas()
+    assert got_bad["host"].tolist() == ["", "x.y", ""]
