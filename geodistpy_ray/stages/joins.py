@@ -153,6 +153,9 @@ def shuffle_equi_join(
     The output key column takes the left side's name; all other columns pass
     through with their exact Arrow types (the per-bucket join is Acero, so
     no pandas dtype laundering happens). Row order is unspecified.
+    ``join_type`` accepts Acero's names: inner, left outer, full outer,
+    left semi, left anti — outer types are bucket-safe because every key
+    (matched or not) lives in exactly one bucket.
 
     **Skew**: a hot key normally lands in ONE bucket, serializing its work.
     Pass ``hot_keys`` (iterable of key values, found e.g. by a cheap

@@ -22,8 +22,10 @@ from .relational import cents
 
 
 def _us(batch: pa.Table, ts_col: str) -> np.ndarray:
+    # Explicit µs cast first: a timestamp[ns] column cast straight to int64
+    # silently yields NANOseconds (caught by tests/test_joins.py offset test).
     ts = batch.column(ts_col).combine_chunks()
-    return ts.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
 def tumbling_window_agg(
@@ -57,12 +59,14 @@ def hopping_window_agg(
     window_us: int,
     hop_us: int,
     value_col: str | None = None,
+    offset_us: int = 0,
 ):
     """Per-(key, hopping-window) counts (+ value cents sum).
 
     ``window_us`` must be an integer multiple of ``hop_us``; each event lands
     in ``window_us // hop_us`` overlapping windows (window k covers
-    ``[k*hop, k*hop + window)``). Assignment is a stateless row replication
+    ``[offset + k*hop, offset + k*hop + window)`` — ``offset_us`` shifts the
+    whole window grid for unaligned schedules). Assignment is a stateless row replication
     inside ``map_batches`` (zero-copy ``take``), then the same partial+final
     grouped merge as the tumbling case — no per-key ordering needed.
     """
@@ -74,7 +78,7 @@ def hopping_window_agg(
 
     def assign(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
-        base = _us(batch, ts_col) // hop_us
+        base = (_us(batch, ts_col) - offset_us) // hop_us
         idx = np.repeat(np.arange(n, dtype=np.int64), m)
         wk = np.repeat(base, m) - np.tile(np.arange(m, dtype=np.int64), n)
         out = batch.take(pa.array(idx))

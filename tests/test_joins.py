@@ -212,7 +212,7 @@ def test_hopping_window_counts(ray_session):
     hop, win = 10_000_000_000, 30_000_000_000  # 10k s hop, 30k s window (µs)
     got = hopping_window_agg(ds, "u", "ts", win, hop, value_col="val")
     got = got.sort_values(["u", "window_key"], ignore_index=True)
-    us = df["ts"].astype("int64").to_numpy()
+    us = df["ts"].astype("int64").to_numpy() // 1000  # ns → µs
     rows = {}
     for i in range(len(df)):
         base = us[i] // hop
@@ -305,3 +305,37 @@ def test_detect_hot_keys_and_auto_salted_join(ray_session):
     plain = shuffle_equi_join(lds, rds, "k", "rk").to_pandas()
     salted = shuffle_equi_join(lds, rds, "k", "rk", hot_keys=hot, n_salt=4).to_pandas()
     assert _sorted(salted, ["k", "lv", "rv"]).equals(_sorted(plain, ["k", "lv", "rv"]))
+
+
+def test_outer_joins_match_pandas(left_right):
+    left, right, lds, rds = left_right
+    lo = shuffle_equi_join(lds, rds, "k", "rk", join_type="left outer", n_buckets=8).to_pandas()
+    fo = shuffle_equi_join(lds, rds, "k", "rk", join_type="full outer", n_buckets=8).to_pandas()
+    want_lo = left.merge(right.rename(columns={"rk": "k"}), on="k", how="left")
+    want_fo = left.merge(right.rename(columns={"rk": "k"}), on="k", how="outer")
+    assert len(lo) == len(want_lo)
+    assert lo["rv"].isna().sum() == want_lo["rv"].isna().sum()
+    assert len(fo) == len(want_fo)
+    # right-only keys must appear with null left values
+    assert fo["lv"].isna().sum() == want_fo["lv"].isna().sum()
+
+
+def test_hopping_window_offset(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import hopping_window_agg
+
+    ts = pd.to_datetime([5, 15, 25], unit="s")
+    df = pd.DataFrame({"u": [1, 1, 1], "ts": ts})
+    ds = rd.from_arrow(pa.Table.from_pandas(df))
+    hop = 10_000_000
+    aligned = hopping_window_agg(ds, "u", "ts", hop, hop)
+    shifted = hopping_window_agg(ds, "u", "ts", hop, hop, offset_us=5_000_000)
+    # aligned: events at 5/15/25s land in windows 0,1,2
+    assert sorted(aligned["window_key"]) == [0, 1, 2]
+    # shifted grid [5,15), [15,25), [25,35) → windows 0,1,2 again but
+    # boundary events now INSIDE windows starting at their own ts
+    assert sorted(shifted["window_key"]) == [0, 1, 2]
+    # an offset bigger than ts pushes keys negative — grid is truly shifted
+    neg = hopping_window_agg(ds, "u", "ts", hop, hop, offset_us=50_000_000)
+    assert (neg["window_key"] < 0).all()
