@@ -184,6 +184,19 @@ def q_pip(sf_dir):
     return point_in_polygon_join(_docs_geo(sf_dir), diamond_polygons(), id_col="doc_id", cell_deg=CELL_DEG)
 
 
+def q_polar_caps(sf_dir):
+    from geodistpy_ray.stages.pip import polar_cap_join
+
+    caps = pa.table(
+        {
+            "cap_id": np.array([0, 1], dtype=np.int64),
+            "pole": np.array([1, -1], dtype=np.int64),
+            "colat_deg": np.array([15.0, 20.0]),
+        }
+    )
+    return polar_cap_join(_docs_geo(sf_dir), caps)
+
+
 def q_bearing(sf_dir):
     from geodistpy_ray.kernels import initial_bearing_sphere
     from geodistpy_ray.stages.geo import col_np
@@ -475,6 +488,22 @@ def q_user_median_value(sf_dir):
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     ds = grouped_median(ev, "user_id", "value", out_col="median_value")
     return _round_col(ds, "median_value", 6)
+
+
+def q_rolling_counts(sf_dir):
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import rolling_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+    small = ev.map_batches(
+        lambda t: t.filter(pc.less(t["user_id"], 30)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = rolling_count(small, "user_id", "ts", 6 * 3_600_000_000, tiebreak_col="event_id")
+    return ds.select_columns(["user_id", "event_id", "n_in_window"])
 
 
 def q_running_totals(sf_dir):
@@ -868,6 +897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_cells": q_knn_cells,
         "knn_indexed": q_knn_indexed,
         "pip_join": q_pip,
+        "polar_caps": q_polar_caps,
         "bearing_origin": q_bearing,
         "dist_table": q_dist_table,
         "close_pairs": q_close_pairs,
@@ -896,6 +926,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_median_value": q_user_median_value,
         "user_p90_value": q_user_p90_value,
         "running_totals": q_running_totals,
+        "rolling_counts": q_rolling_counts,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
         "orders_by_month": q_orders_by_month,
@@ -1004,6 +1035,13 @@ def oracle_sql() -> dict[str, str]:
             f"WHERE ABS({lat} - p.clat) / p.half_lat + ABS({lon} - p.clon) / p.half_lon < 1.0"
         ),
         "bearing_origin": f"SELECT doc_id, ROUND({brg}, 6) AS brg FROM documents",
+        "polar_caps": (
+            f"SELECT d.doc_id, c.cap_id FROM documents d, "
+            f"(SELECT 0 AS cap_id, 1 AS pole, 15.0 AS colat UNION ALL "
+            f"SELECT 1, -1, 20.0) c "
+            f"WHERE (c.pole = 1 AND (90.0 - {lat}) <= c.colat) "
+            f"OR (c.pole = -1 AND (90.0 + {lat}) <= c.colat)"
+        ),
         "dist_table": (
             f"SELECT q.query_id, d.doc_id, "
             f"ROUND({hav_q.replace('doc_id', 'd.doc_id')} / 1000.0, 6) AS dist_km "
@@ -1163,6 +1201,12 @@ def oracle_sql() -> dict[str, str]:
         "user_p90_value": (
             "SELECT user_id, ROUND(QUANTILE_CONT(value, 0.9), 6) AS p90_value "
             "FROM events GROUP BY 1"
+        ),
+        "rolling_counts": (
+            "SELECT user_id, event_id, CAST(COUNT(*) OVER ("
+            "PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 21599999999 PRECEDING AND CURRENT ROW) AS BIGINT) "
+            "AS n_in_window FROM events WHERE user_id < 30"
         ),
         "running_totals": (
             "SELECT user_id, event_id, "

@@ -160,3 +160,31 @@ def point_in_polygon_join(
     return ds.map_batches(
         joiner, batch_format="pyarrow", zero_copy_batch=True, batch_size=batch_size
     )
+
+
+def polar_cap_join(ds, caps: pa.Table, id_col: str = "doc_id", lat_col: str = "lat"):
+    """Membership join against polar caps — the predicate the planar
+    even-odd rule can't express (module docstring): a cap is
+    ``(cap_id, pole ∈ {1,-1}, colat_deg)`` and contains every point within
+    ``colat_deg`` of its pole (inclusive). Pure latitude comparison —
+    stateless vectorized map, broadcast caps, no shuffle."""
+    cap_ids = caps.column("cap_id").to_numpy()
+    poles = caps.column("pole").to_numpy()
+    colat = caps.column("colat_deg").to_numpy()
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = col_np(batch, lat_col)
+        ids = col_np(batch, id_col)
+        out_i, out_c = [], []
+        for j in range(cap_ids.size):
+            m = (90.0 - poles[j] * lat) <= colat[j] if poles[j] == 1 else (90.0 + lat) <= colat[j]
+            if m.any():
+                out_i.append(ids[m])
+                out_c.append(np.full(int(m.sum()), cap_ids[j], dtype=np.int64))
+        if not out_i:
+            return pa.table(
+                {id_col: pa.array([], pa.int64()), "cap_id": pa.array([], pa.int64())}
+            )
+        return pa.table({id_col: np.concatenate(out_i), "cap_id": np.concatenate(out_c)})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -110,3 +110,31 @@ def sessionize(
         return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": [gaps]})
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+
+
+def rolling_count(
+    ds,
+    key_col: str,
+    ts_col: str,
+    window_us: int,
+    out_col: str = "n_in_window",
+    tiebreak_col: str | None = None,
+):
+    """Per-event trailing-window count: for each row, how many same-key rows
+    have ``ts`` in ``(row.ts - window_us, row.ts]`` (inclusive of self).
+
+    SQL ``COUNT(*) OVER (PARTITION BY key ORDER BY ts RANGE BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``. Per-key sort + two
+    ``searchsorted`` passes — vectorized inside ``map_groups``.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        lo = np.searchsorted(us, us - window_us + 1, side="left")
+        hi = np.searchsorted(us, us, side="right")
+        g[out_col] = (hi - lo).astype(np.int64)
+        return g
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
