@@ -594,6 +594,41 @@ def q_audio_features(sf_dir):
     return ds.select_columns(["doc_id", "audio_sr", "n_samples", "audio_feat"])
 
 
+def q_video_pipeline(sf_dir):
+    """Composed multimodal pipeline: synthetic frame table (video_id,
+    frame_no, payload) → keyed frame sampling → decode → resize → features.
+    Codecs are deterministic fakes (no media libs here); the Ray-side
+    plumbing — schemas, batching, actor lifecycle, composition — is real."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.media import (
+        decode_images,
+        extract_image_features,
+        resize_images,
+        sample_frames_keyed,
+    )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def to_frames(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        payload = [t.encode() for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "video_id": ids // 10,
+                "frame_no": ids % 10,
+                "payload": pa.array(payload, pa.binary()),
+            }
+        )
+
+    ds = docs.map_batches(to_frames, batch_format="pyarrow", zero_copy_batch=True)
+    ds = sample_frames_keyed(ds, "frame_no", every_n=2)
+    ds = decode_images(ds, payload_col="payload", concurrency=2)
+    ds = resize_images(ds, factor=2)
+    ds = extract_image_features(ds, concurrency=2)
+    return ds.select_columns(["video_id", "frame_no", "img_h", "img_w", "img_feat"])
+
+
 def q_q1_pricing(sf_dir):
     import ray.data as rd
 
@@ -916,6 +951,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embed_near_dup": q_embed_near_dup,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
+        "video_pipeline": q_video_pipeline,
         "dimwise_pairs": q_dimwise_pairs,
         "clean_corpus": q_clean_corpus,
         "events_union": q_events_union,
