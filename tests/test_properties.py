@@ -69,3 +69,64 @@ def test_kernel_ordering_bounds(a, b):
         # equatorial radius (~34 km off pole-to-pole, same as the
         # reference); away from it the ~19 m-class accuracy holds
         assert abs(g - v) < max(500.0, v * 1e-3)
+
+
+# ── cell index invariants (load-bearing for radius/kNN correctness) ──────
+
+from geodistpy_ray.cells import (  # noqa: E402
+    cell_id,
+    cell_indices,
+    disc_cover,
+    grid_shape,
+    neighbor_cells,
+)
+
+cell_deg_s = st.sampled_from([1.0, 2.0, 4.0, 8.0])
+
+
+@settings(max_examples=50, deadline=None)
+@given(p=point, deg=cell_deg_s)
+def test_cell_id_indices_roundtrip(p, deg):
+    c = cell_id(np.array([p[0]]), np.array([p[1]]), deg)
+    la, lo = cell_indices(c, deg)
+    nlat, nlon = grid_shape(deg)
+    assert 0 <= la[0] < nlat and 0 <= lo[0] < nlon
+    assert c[0] == la[0] * nlon + lo[0]
+
+
+@settings(max_examples=40, deadline=None)
+@given(p=point, deg=cell_deg_s)
+def test_own_cell_in_ring(p, deg):
+    c = cell_id(np.array([p[0]]), np.array([p[1]]), deg)
+    _, neigh = neighbor_cells(c, deg, ring=1)
+    assert c[0] in set(neigh.tolist())
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    q=point,
+    r=st.floats(1.0, 3_000_000.0, allow_nan=False),
+    bearing=st.floats(0.0, 360.0),
+    frac=st.floats(0.0, 1.0),
+    deg=cell_deg_s,
+)
+def test_disc_cover_is_superset(q, r, bearing, frac, deg):
+    """THE invariant radius/kNN correctness rests on: any point within
+    geodesic distance r of q must lie in a cell of disc_cover(q, r).
+    The candidate is CONSTRUCTED inside the disc (destination at frac*r
+    along a random bearing) so every example exercises the assertion."""
+    from geodistpy_ray.kernels import geodesic_direct
+
+    bla, blo = geodesic_direct(
+        np.array([q[0]]), np.array([q[1]]), np.array([bearing]), np.array([frac * r])
+    )
+    bla = float(np.atleast_1d(bla)[0])
+    blo = ((float(np.atleast_1d(blo)[0]) + 540.0) % 360.0) - 180.0
+    if not np.isfinite(bla):
+        return
+    d = float(haversine(q[0], q[1], bla, blo))
+    if d > r:  # ellipsoid-vs-sphere slack can push just outside; skip those
+        return
+    _, cover = disc_cover(np.array([q[0]]), np.array([q[1]]), r, deg)
+    bc = cell_id(np.array([bla]), np.array([blo]), deg)
+    assert bc[0] in set(cover.tolist()), (q, r, bearing, frac, deg, d)
