@@ -52,6 +52,12 @@ def detect_hot_keys(ds, key_col: str, frac_threshold: float = 0.05, top_n: int =
     Distributed: per-batch ``value_counts`` partials (top ``top_n`` only, so
     the driver sees ≤ top_n × n_batches rows), driver merge, threshold.
     Costs one extra pass over ``ds``; run it on the column-pruned dataset.
+
+    Approximation caveat: a key must land in some batch's per-batch top
+    ``top_n`` to be counted at all. Any key above ``frac_threshold``
+    globally is orders of magnitude above a typical batch's 64th-most-common
+    key, so misses require adversarial key distributions; raise ``top_n``
+    if thresholds below ~1% are needed.
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -273,6 +279,12 @@ def asof_join(
     ``ASOF JOIN`` equivalent. Right-side timestamp column may be renamed via
     ``right_ts_key`` if the two sides share the name ``ts`` plus other
     colliding columns (they must otherwise be disjoint).
+
+    Determinism caveat: when the RIGHT side has duplicate ``(key, ts)``
+    rows, which duplicate wins follows the within-bucket sort order and may
+    vary with partitioning (DuckDB's ASOF has the same unspecified-tie
+    behavior). Ensure right-side timestamps are unique per key (e.g. add a
+    microsecond jitter or pre-dedup) when exact reproducibility matters.
     """
     right_ts = right_ts_key or ts
     ls, rs = left.schema(), right.schema()
