@@ -66,7 +66,10 @@ def detect_hot_keys(ds, key_col: str, frac_threshold: float = 0.05, top_n: int =
         if keys.size > top_n:
             keep = np.argsort(-counts)[:top_n]
             keys, counts = keys[keep], counts[keep]
-        return pa.table({key_col: keys, "__n": counts.astype(np.int64), "__tot": np.full(keys.size, v.size, dtype=np.int64)})
+        tot = np.zeros(keys.size, dtype=np.int64)
+        if keys.size:
+            tot[0] = v.size  # one total per partial; summing stays exact after block merges
+        return pa.table({key_col: keys, "__n": counts.astype(np.int64), "__tot": tot})
 
     parts = [
         b.to_pandas()
@@ -77,8 +80,7 @@ def detect_hot_keys(ds, key_col: str, frac_threshold: float = 0.05, top_n: int =
     if not parts:
         return []
     df = pd.concat(parts, ignore_index=True)
-    # total rows = one __tot value per batch partial
-    total_rows = sum(p["__tot"].iloc[0] for p in parts if len(p))
+    total_rows = int(df["__tot"].sum())
     agg = df.groupby(key_col)["__n"].sum()
     hot = agg[agg >= frac_threshold * max(total_rows, 1)]
     return hot.index.tolist()
@@ -137,6 +139,11 @@ def _union_bucketed(left, right, left_key, right_key, n_buckets):
     overlap = set(lvals) & set(rvals)
     if overlap:
         raise ValueError(f"column name collision across join sides: {sorted(overlap)}")
+    if left_key in rvals or right_key in lvals:
+        raise ValueError(
+            f"a non-key column matches the other side's key name "
+            f"({left_key!r}/{right_key!r}) — rename it before joining"
+        )
     mk = _pad_side(0, left_key, left_key, lvals, rvals, ltypes, rtypes, n_buckets)
     mk_r = _pad_side(1, left_key, right_key, lvals, rvals, ltypes, rtypes, n_buckets)
     l2 = left.map_batches(mk, batch_format="pyarrow", zero_copy_batch=True)
@@ -184,9 +191,13 @@ def shuffle_equi_join(
             # replicate hot rows n_salt times, cold rows once (salt 0)
             reps = np.where(is_hot, n_salt, 1)
             idx = np.repeat(np.arange(n), reps)
-            salts = np.concatenate(
-                [np.arange(r, dtype=np.int64) for r in reps]
-            ) if n else np.array([], dtype=np.int64)
+            # within-run counters 0..rep-1, fully vectorized
+            starts = np.cumsum(reps) - reps
+            salts = (
+                np.arange(idx.size, dtype=np.int64) - np.repeat(starts, reps)
+                if n
+                else np.array([], dtype=np.int64)
+            )
             out = batch.take(pa.array(idx))
             return out.append_column("__salt", pa.array(salts, pa.int64()))
 
@@ -226,6 +237,11 @@ def _salted_inner_join(left, right, left_key, right_key, n_buckets):
     overlap = set(lvals) & set(rvals)
     if overlap:
         raise ValueError(f"column name collision across join sides: {sorted(overlap)}")
+    if left_key in rvals or right_key in lvals:
+        raise ValueError(
+            f"a non-key column matches the other side's key name "
+            f"({left_key!r}/{right_key!r}) — rename it before joining"
+        )
 
     def pad(side):
         own_key = left_key if side == 0 else right_key
@@ -295,6 +311,11 @@ def asof_join(
     overlap = set(lvals) & set(rvals)
     if overlap:
         raise ValueError(f"column name collision across join sides: {sorted(overlap)}")
+    if ts in rvals or right_ts in lvals:
+        raise ValueError(
+            f"a non-timestamp column matches the other side's timestamp name "
+            f"({ts!r}/{right_ts!r}) — rename it before joining"
+        )
 
     def pad(side):
         own_ts = ts if side == 0 else right_ts
@@ -309,6 +330,13 @@ def asof_join(
                 cols[c] = batch.column(c) if side == 0 else pa.nulls(n, ltypes[c])
             for c in rvals:
                 cols[c] = batch.column(c) if side == 1 else pa.nulls(n, rtypes[c])
+            # match sentinel: always-1 on right rows → NaN after merge_asof
+            # marks a truly unmatched left row, independent of value nulls
+            cols["__matched"] = (
+                pa.array(np.ones(n, dtype=np.int8), pa.int8())
+                if side == 1
+                else pa.nulls(n, pa.int8())
+            )
             cols["__bucket"] = pa.array(
                 _hash_bucket(batch.column(key).to_numpy(zero_copy_only=False), n_buckets),
                 pa.int64(),
@@ -334,17 +362,22 @@ def asof_join(
         r = df[df["__side"] == 1].sort_values("__ts", kind="mergesort")
         out = pd.merge_asof(
             l[[key, "__ts"] + lvals],
-            r[[key, "__ts"] + rvals],
+            r[[key, "__ts"] + rvals + ["__matched"]],
             on="__ts",
             by=key,
             direction=direction,
             allow_exact_matches=True,
         )
-        if rvals:  # inner semantics: drop left rows with no as-of match
-            out = out.dropna(subset=rvals[:1])
-        tbl = pa.Table.from_pandas(out, preserve_index=False)
-        # null-padding round-trips ints through float64 in pandas; cast back
-        return tbl.select(out_schema.names).cast(out_schema)
+        # inner semantics: drop left rows with no as-of match (sentinel NaN)
+        out = out[out["__matched"].notna()]
+        # null-padding round-trips ints through float64 in pandas;
+        # per-column from_pandas conversion maps NaN → null (a plain cast
+        # would raise on NaN → int for right columns that are genuinely null)
+        arrays = [
+            pa.array(out[f.name], type=f.type, from_pandas=True)
+            for f in out_schema
+        ]
+        return pa.Table.from_arrays(arrays, schema=out_schema)
 
     joined = combined.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 

@@ -242,13 +242,21 @@ def knn_join_cells(
     # near-pole 3x3 blocks don't wrap the full lon ring → force expansion
     margin_m = np.where(np.abs(qpd["lat"].to_numpy()) > 90.0 - 2 * cell_deg, 0.0, margin_m)
 
-    need_expand = []
-    for qid_, qlat_, qlon_, marg in zip(
-        qpd["query_id"], qpd["lat"], qpd["lon"], margin_m
-    ):
-        n_found = got_counts.get(qid_, 0)
-        if n_found < k or kth.get(qid_, np.inf) > marg:
-            need_expand.append((int(qid_), float(qlat_), float(qlon_), n_found))
+    # vectorized completeness test (O(Q) driver bookkeeping — the result
+    # set itself is k×Q; distributing this bookkeeping is a round-2 item)
+    qids_np = qpd["query_id"].to_numpy()
+    n_found_arr = got_counts.reindex(qids_np).fillna(0).to_numpy()
+    kth_arr = pd.Series(kth).reindex(qids_np).fillna(np.inf).to_numpy(dtype=np.float64)
+    expand_mask = (n_found_arr < k) | (kth_arr > margin_m)
+    need_expand = [
+        (int(q), float(la), float(lo), int(nf))
+        for q, la, lo, nf in zip(
+            qids_np[expand_mask],
+            qpd["lat"].to_numpy()[expand_mask],
+            qpd["lon"].to_numpy()[expand_mask],
+            n_found_arr[expand_mask],
+        )
+    ]
 
     if not need_expand:
         out = phase1
@@ -342,6 +350,9 @@ class KnnIndexActor:
 
     def _one(self, qid, qlat, qlon):
         n = self.ids.size
+        if n == 0:
+            e = np.array([], dtype=np.int64)
+            return e, np.array([], dtype=np.float64), e
         band_deg = 2.0
         while True:
             lo = np.searchsorted(self.lats, qlat - band_deg, side="left")
@@ -359,10 +370,8 @@ class KnnIndexActor:
                     key = np.round(dd, self.tie_round) if self.tie_round is not None else dd
                     order = np.lexsort((ids, key))
                     return ids[order], dd[order], np.full(kk, qid, dtype=np.int64)
-            if hi - lo == n:
-                # whole index scanned and still not certified → it IS complete
-                band_deg = 181.0
-                continue
+            # hi-lo == n can't reach here (the full-scan case returns inside
+            # the certificate branch above), so widening is always productive
             band_deg *= 2.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:

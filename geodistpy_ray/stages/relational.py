@@ -80,6 +80,9 @@ def grouped_sum(
             b.to_pandas()
             for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
         ]
+        if not frames:  # empty input: typed empty frame, not a concat error
+            cols = key_cols + list(int_sum_cols.values()) + list(cent_sum_cols.values()) + [count_col]
+            return pd.DataFrame({c: [] for c in cols})
         merged = (
             pd.concat(frames, ignore_index=True)
             .groupby(key_cols, as_index=False, sort=False)
@@ -148,6 +151,8 @@ def distinct(ds, cols: list[str], final: str = "shuffle"):
             b.to_pandas()
             for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
         ]
+        if not frames:
+            return pd.DataFrame({c: [] for c in cols})
         return pd.concat(frames, ignore_index=True).drop_duplicates().reset_index(drop=True)
 
     def dedup_group(t: pa.Table) -> pa.Table:
@@ -225,6 +230,8 @@ def grouped_minmax(ds, key_cols: list[str], value_col: str, final: str = "driver
             b.to_pandas()
             for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
         ]
+        if not frames:
+            return pd.DataFrame({c: [] for c in key_cols + ["min_value", "max_value"]})
         return (
             pd.concat(frames, ignore_index=True)
             .groupby(key_cols, as_index=False, sort=False)

@@ -17,9 +17,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .geo import col_np
-from .relational import cents
-
 
 def _us(batch: pa.Table, ts_col: str) -> np.ndarray:
     # Explicit µs cast first: a timestamp[ns] column cast straight to int64
@@ -105,7 +102,7 @@ def sessionize(
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
         order = [ts_col] + ([order_tiebreak_col] if order_tiebreak_col else [])
-        us = g.sort_values(order)[ts_col].astype("int64").to_numpy()
+        us = g.sort_values(order)[ts_col].to_numpy("datetime64[us]").astype(np.int64)
         gaps = int((np.diff(us) > gap_us).sum()) + 1 if us.size else 0
         return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": [gaps]})
 

@@ -339,3 +339,96 @@ def test_hopping_window_offset(ray_session):
     # an offset bigger than ts pushes keys negative — grid is truly shifted
     neg = hopping_window_agg(ds, "u", "ts", hop, hop, offset_us=50_000_000)
     assert (neg["window_key"] < 0).all()
+
+
+# ── regression tests for the round-1 self-review findings ────────────────
+
+
+def test_sessionize_ns_timestamps(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import sessionize
+
+    # ns-typed timestamps (pandas default); 2 sessions separated by 1 hour
+    ts = pd.to_datetime([0, 60, 120, 3720], unit="s")
+    df = pd.DataFrame({"u": [1] * 4, "ts": ts, "eid": range(4)})
+    got = sessionize(
+        rd.from_arrow(pa.Table.from_pandas(df)), "u", "ts", 1_800_000_000, order_tiebreak_col="eid"
+    ).to_pandas()
+    assert got["n_sessions"].tolist() == [2]
+
+
+def test_join_key_name_collision_raises(ray_session):
+    import ray.data as rd
+
+    left = rd.from_arrow(pa.table({"id": [1], "lv": [1]}))
+    right = rd.from_arrow(pa.table({"rid": [1], "id": [9]}))  # carries left's key name
+    with pytest.raises(ValueError, match="key name"):
+        shuffle_equi_join(left, right, "id", "rid")
+
+
+def test_asof_keeps_matches_with_null_values(ray_session):
+    import ray.data as rd
+
+    left = pd.DataFrame(
+        {"u": [1, 1], "t": pd.to_datetime([10, 20], unit="s"), "lid": [0, 1]}
+    )
+    right = pd.DataFrame(
+        {
+            "u": [1, 1],
+            "t": pd.to_datetime([5, 15], unit="s"),
+            "rv": pd.array([pd.NA, 7], dtype="Int64"),  # first match value is NULL
+        }
+    )
+    got = asof_join(
+        rd.from_arrow(pa.Table.from_pandas(left)),
+        rd.from_arrow(pa.Table.from_pandas(right)),
+        key="u",
+        ts="t",
+    ).to_pandas()
+    # both left rows HAVE an as-of match; the null rv must not drop row lid=0
+    assert sorted(got["lid"]) == [0, 1]
+    assert got.set_index("lid")["rv"].isna()[0]
+    assert got.set_index("lid")["rv"][1] == 7
+
+
+def test_knn_indexed_empty_candidates(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.knn import knn_join_indexed
+
+    queries = rd.from_arrow(pa.table({"query_id": [0], "lat": [1.0], "lon": [2.0]}))
+    got = knn_join_indexed(
+        queries, np.array([], dtype=np.int64), np.array([]), np.array([]), k=3,
+        kernel="haversine", concurrency=1,
+    ).to_pandas()
+    assert len(got) == 0
+
+
+def test_grouped_sum_empty_input(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import distinct, grouped_minmax, grouped_sum
+
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}))
+    g = grouped_sum(empty, ["k"], cent_sum_cols={"v": "s"})
+    assert len(g) == 0 and list(g.columns) == ["k", "s", "n"]
+    m = grouped_minmax(empty, ["k"], "v")
+    assert len(m) == 0
+    d = distinct(empty, ["k"], final="driver")
+    assert len(d) == 0
+
+
+def test_detect_hot_keys_total_survives_block_merge(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import detect_hot_keys
+
+    # many tiny batches merged into few blocks: totals must still sum to n
+    rng = np.random.default_rng(51)
+    k = np.where(rng.uniform(size=20_000) < 0.10, 5, rng.integers(100, 5000, 20_000))
+    ds = rd.from_arrow(pa.table({"k": k})).repartition(2)
+    hot = detect_hot_keys(ds, "k", frac_threshold=0.05)
+    assert hot == [5]
+    # with an undercounted total, ~every key would clear the threshold
+    assert detect_hot_keys(ds, "k", frac_threshold=0.2) == []
