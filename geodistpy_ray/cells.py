@@ -139,17 +139,20 @@ def disc_cover(lat, lon, radius_m, cell_deg: float = DEFAULT_CELL_DEG):
         np.minimum(np.ceil(dlon_deg / cell_deg), nlon // 2).astype(np.int64),
     ).astype(np.int64)
 
-    srcs = []
-    cells_out = []
+    # Fully vectorized ragged expansion: per point i the cover is the
+    # n_lat_rows[i] × n_lon_cols[i] grid; enumerate all covers with one
+    # repeat + within-run counter (no Python loop — this sits on the hot
+    # replicate path of close_pairs / radius_join_cells / kNN).
     n_lat_rows = (lat_idx_hi - lat_idx_lo + 1).astype(np.int64)
     n_lon_cols = np.minimum(2 * half_w + 1, nlon)
-    for i in range(lat.size):
-        rows = np.arange(lat_idx_lo[i], lat_idx_hi[i] + 1)
-        cols = (lon_idx[i] + np.arange(-half_w[i], half_w[i] + 1)) % nlon
-        cols = np.unique(cols)[: n_lon_cols[i]]
-        grid = rows[:, None] * nlon + cols[None, :]
-        cells_out.append(grid.ravel())
-        srcs.append(np.full(grid.size, i, dtype=np.int64))
-    if not srcs:
+    counts = n_lat_rows * n_lon_cols
+    total = int(counts.sum())
+    if total == 0:
         return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-    return np.concatenate(srcs), np.concatenate(cells_out)
+    src = np.repeat(np.arange(lat.size, dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    w = n_lon_cols[src]
+    row = lat_idx_lo[src] + j // w
+    col = (lon_idx[src] - half_w[src] + j % w) % nlon
+    return src, row * nlon + col

@@ -21,9 +21,9 @@ from .geo import col_np
 
 def _emb_matrix(batch: pa.Table, col: str, dtype=np.float64) -> np.ndarray:
     arr = batch.column(col).combine_chunks()
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
     flat = arr.values.to_numpy(zero_copy_only=False).astype(dtype)
+    if len(arr) == 0:
+        return flat.reshape(0, 0)  # callers guard on num_rows == 0 first
     return flat.reshape(len(arr), -1)
 
 
@@ -48,14 +48,29 @@ def ann_topk(
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
         emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
         ids = col_np(batch, id_col)
         sims = emb @ q.T  # (B, Q)
         kk = min(k, ids.size)
+        # keep a rounding-margin window past the raw kth so boundary ties
+        # survive to the merge (which tie-breaks on round(sim, tie_round))
+        margin = 10.0 ** -tie_round if tie_round is not None else 0.0
         out_q, out_i, out_s = [], [], []
         for j in range(q.shape[0]):
             s = sims[:, j]
-            part = np.argpartition(-s, kk - 1)[:kk] if kk < ids.size else np.arange(ids.size)
+            if kk < ids.size:
+                kth = np.partition(s, s.size - kk)[s.size - kk]
+                part = np.flatnonzero(s >= kth - margin)
+            else:
+                part = np.arange(ids.size)
             out_q.append(np.full(part.size, j, dtype=np.int64))
             out_i.append(ids[part])
             out_s.append(s[part].astype(np.float64))
@@ -114,6 +129,14 @@ def lsh_ann_topk(
     q_buckets = lsh.bucket(qm)
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
         emb = _normalize(_emb_matrix(batch, emb_col, np.float32))
         ids = col_np(batch, id_col)
         buckets = lsh.bucket(emb)
@@ -178,6 +201,14 @@ def exact_near_dup_pairs(
     def pairs(batch: pa.Table) -> pa.Table:
         from .broadcast import get_broadcast
 
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
         ids_r, emb_r = get_broadcast(ref)
         emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
         ids = col_np(batch, id_col)
@@ -213,6 +244,14 @@ def embedding_near_dup_pairs(
     lsh_holder = {}
 
     def sig(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "emb_flat": pa.array([], pa.list_(pa.float64())),
+                }
+            )
         emb = _normalize(_emb_matrix(batch, emb_col, np.float32))
         if "lsh" not in lsh_holder:
             lsh_holder["lsh"] = HyperplaneLSH(emb.shape[1], n_bits, seed)
@@ -301,10 +340,19 @@ def ivf_ann_topk(
     ref = ray.put(cents)
 
     def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
         c = get_broadcast(ref)
         emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
         ids = col_np(batch, id_col)
         assign = np.argmax(emb @ c.T, axis=1)
+        margin = 10.0 ** -tie_round if tie_round is not None else 0.0
         out_q, out_i, out_s = [], [], []
         for j in range(qm.shape[0]):
             m = np.isin(assign, q_cent[j])
@@ -312,7 +360,11 @@ def ivf_ann_topk(
                 continue
             s = emb[m] @ qm[j]
             kk = min(k, s.size)
-            part = np.argpartition(-s, kk - 1)[:kk] if kk < s.size else np.arange(s.size)
+            if kk < s.size:
+                kth = np.partition(s, s.size - kk)[s.size - kk]
+                part = np.flatnonzero(s >= kth - margin)
+            else:
+                part = np.arange(s.size)
             out_q.append(np.full(part.size, j, dtype=np.int64))
             out_i.append(ids[m][part])
             out_s.append(s[part])

@@ -238,8 +238,15 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_h
 
     Standard pigeonhole blocking: two signatures within Hamming distance 3
     share at least one of four 16-bit chunks exactly; bucket-group on each
-    chunk, verify candidates exactly.
+    chunk, verify candidates exactly. Recall is only guaranteed for
+    ``max_hamming <= 3`` (4 bands); larger values would silently miss
+    pairs, so they are rejected.
     """
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(
+            f"max_hamming={max_hamming} exceeds the 4-band blocking recall "
+            f"guarantee (<= 3); use more bands for larger radii"
+        )
     sigs = add_simhash(ds.select_columns([id_col, text_col]), id_col, text_col)
 
     def bands(batch: pa.Table) -> pa.Table:

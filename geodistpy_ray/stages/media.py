@@ -46,6 +46,11 @@ class ImageDecodeActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
+        if not payloads:
+            batch = batch.append_column("image", pa.array([], pa.list_(pa.uint8())))
+            batch = batch.append_column("img_h", pa.array([], pa.int32()))
+            batch = batch.append_column("img_w", pa.array([], pa.int32()))
+            return batch.append_column("payload_bytes", pa.array([], pa.int64()))
         imgs = np.stack([_fake_decode(p, self.h, self.w) for p in payloads])
         sizes = np.fromiter((len(p or b"") for p in payloads), dtype=np.int64, count=len(payloads))
         batch = batch.append_column(
@@ -67,11 +72,17 @@ class ImageFeatureActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         imgs = batch.column("image").combine_chunks()
+        if len(imgs) == 0:
+            return batch.append_column("img_feat", pa.array([], pa.list_(pa.float64())))
         h = batch.column("img_h")[0].as_py()
         w = batch.column("img_w")[0].as_py()
         flat = imgs.values.to_numpy(zero_copy_only=False).reshape(len(imgs), h, w)
         p = self.pool
-        feat = flat.reshape(len(imgs), h // p, p, w // p, p).mean(axis=(2, 4))
+        hh, ww = h // p, w // p
+        if hh == 0 or ww == 0:
+            raise ValueError(f"pool {p} exceeds image dims ({h}x{w})")
+        # truncate to the pool-divisible region (same rule as resize_images)
+        feat = flat[:, : hh * p, : ww * p].reshape(len(imgs), hh, p, ww, p).mean(axis=(2, 4))
         feat = (feat / 255.0).reshape(len(imgs), -1).astype(np.float32)
         return batch.append_column(
             "img_feat", pa.array([row for row in feat.astype(np.float64)], pa.list_(pa.float64()))
@@ -168,6 +179,8 @@ class AudioFeatureActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         pcm = batch.column("pcm").combine_chunks()
+        if len(pcm) == 0:
+            return batch.append_column("audio_feat", pa.array([], pa.list_(pa.float64())))
         n = batch.column("n_samples")[0].as_py()
         flat = pcm.values.to_numpy(zero_copy_only=False).reshape(len(pcm), n)
         w = n // self.n_windows
@@ -206,6 +219,8 @@ def resize_images(ds, factor: int = 2, batch_size: int = 1024):
 
     def fn(batch: pa.Table) -> pa.Table:
         imgs = batch.column("image").combine_chunks()
+        if len(imgs) == 0:
+            return batch
         h = batch.column("img_h")[0].as_py()
         w = batch.column("img_w")[0].as_py()
         flat = imgs.values.to_numpy(zero_copy_only=False).reshape(len(imgs), h, w)

@@ -87,6 +87,10 @@ class PolygonJoiner:
     def __call__(self, batch: pa.Table) -> pa.Table:
         from ..cells import cell_id
 
+        if batch.num_rows == 0:
+            return pa.table(
+                {self.id_col: pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}
+            )
         lat = col_np(batch, "lat")
         lon = col_np(batch, "lon")
         ids = col_np(batch, self.id_col)

@@ -43,8 +43,14 @@ def radius_join(
     conv = unit_factor(metric)
     kfn = distance_kernel(kernel)
     radius_m = radius / conv
-    # Conservative prune box in degrees (superset of the geodesic disc).
+    # Conservative prune box in degrees (superset of the geodesic disc):
+    # latitude band plus a per-center longitude band shrunk by cos at the
+    # band's extreme latitude — the same math as cells.disc_cover. Without
+    # the longitude bound, a 10 km query runs the exact kernel on every
+    # point worldwide inside a 0.2°-tall, 360°-wide strip.
     dlat_deg = radius_m / MIN_M_PER_DEG_LAT
+    extreme = np.minimum(np.abs(clat) + dlat_deg, 89.999)
+    dlon_deg = radius_m / (MIN_M_PER_DEG_LAT * np.cos(np.radians(extreme)))
 
     def fn(batch: pa.Table) -> pa.Table:
         lat = col_np(batch, lat_col)
@@ -53,6 +59,9 @@ def radius_join(
         out_q, out_i, out_d = [], [], []
         for j in range(cid.size):
             near = np.abs(lat - clat[j]) <= dlat_deg
+            if dlon_deg[j] < 180.0:
+                dlon = np.abs(((lon - clon[j] + 180.0) % 360.0) - 180.0)
+                near &= dlon <= dlon_deg[j]
             if not near.any():
                 continue
             d = kfn(lat[near], lon[near], clat[j], clon[j], a, f) * conv

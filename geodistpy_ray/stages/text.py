@@ -129,24 +129,27 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
 
 
 _SPLIT_MUL = 2654435761
+_SAMPLE_MUL = 998244353  # distinct multiplier: sample must not correlate with split
 _SPLIT_MOD = 1_000_000
 
 
 def add_split(ds, id_col: str = "doc_id", val_pct: int = 10, test_pct: int = 10, out_col: str = "split"):
     """Deterministic train/val/test assignment by integer-hash of the id.
 
-    ``bucket = (id * 2654435761) % 1e6`` → val if < val_pct%, test if next
-    test_pct%, else train. Pure arithmetic (no RNG), so the assignment is
-    stable across runs/partitions and bit-reproducible in SQL — the property
-    a training-data pipeline needs so a document never migrates between
-    splits between runs.
+    ``bucket = ((id % 1e6) * 2654435761) % 1e6`` → val if < val_pct%, test
+    if next test_pct%, else train. Pure arithmetic (no RNG), so the
+    assignment is stable across runs/partitions and bit-reproducible in SQL
+    — the property a training-data pipeline needs so a document never
+    migrates between splits between runs. The id is reduced mod 1e6 BEFORE
+    the multiply so the product stays < 2^63 for any int64 id (silent
+    numpy wraparound would otherwise diverge from the SQL mirror).
     """
     val_cut = val_pct * (_SPLIT_MOD // 100)
     test_cut = (val_pct + test_pct) * (_SPLIT_MOD // 100)
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        b = (ids * _SPLIT_MUL) % _SPLIT_MOD
+        b = ((ids % _SPLIT_MOD) * _SPLIT_MUL) % _SPLIT_MOD
         split = np.where(b < val_cut, "val", np.where(b < test_cut, "test", "train"))
         return batch.append_column(out_col, pa.array(split, pa.string()))
 
@@ -157,7 +160,7 @@ def split_sql(id_col: str = "doc_id", val_pct: int = 10, test_pct: int = 10) -> 
     """SQL expression mirroring :func:`add_split` bit-for-bit."""
     val_cut = val_pct * (_SPLIT_MOD // 100)
     test_cut = (val_pct + test_pct) * (_SPLIT_MOD // 100)
-    b = f"(({id_col} * {_SPLIT_MUL}) % {_SPLIT_MOD})"
+    b = f"((({id_col} % {_SPLIT_MOD}) * {_SPLIT_MUL}) % {_SPLIT_MOD})"
     return (
         f"(CASE WHEN {b} < {val_cut} THEN 'val' "
         f"WHEN {b} < {test_cut} THEN 'test' ELSE 'train' END)"
@@ -167,11 +170,14 @@ def split_sql(id_col: str = "doc_id", val_pct: int = 10, test_pct: int = 10) -> 
 def sample_fraction(ds, pct: int, id_col: str = "doc_id", salt: int = 7):
     """Deterministic ~pct% sample by id hash (no RNG — rerunnable, and a
     row's membership never depends on partitioning). The scale-honest
-    alternative to ``Dataset.random_sample`` for reproducible pipelines."""
+    alternative to ``Dataset.random_sample`` for reproducible pipelines.
+    Uses a DIFFERENT multiplier than :func:`add_split` (a shared multiplier
+    with an additive salt makes the sample a fixed shift of the split
+    bucket — perfectly correlated, badly biasing sampled statistics)."""
 
     def fn(batch: pa.Table) -> pa.Table:
         ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        b = ((ids + salt) * _SPLIT_MUL) % _SPLIT_MOD
+        b = (((ids + salt) % _SPLIT_MOD) * _SAMPLE_MUL) % _SPLIT_MOD
         return batch.filter(pa.array(b < pct * (_SPLIT_MOD // 100)))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
