@@ -26,6 +26,7 @@ from .api import (  # noqa: F401
     geodist,
     geodist_dimwise,
     geodist_dimwise_haversine,
+    karney,
     geodist_matrix,
     geodist_to_many,
     greatcircle,

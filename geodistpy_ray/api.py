@@ -40,6 +40,7 @@ __all__ = [
     "greatcircle_matrix",
     "geodist_dimwise",
     "geodist_dimwise_haversine",
+    "karney",
 ]
 
 _LAT_MSG = "Latitude values must be in the range [-90, 90]"
@@ -324,6 +325,7 @@ def geodist_dimwise_haversine(X):
 
 def karney(point1, point2, metric="meter", ellipsoid="WGS-84"):
     """Exact Karney distance (the oracle kernel exposed as API)."""
+    _validate_ranges(np.asarray([point1, point2], dtype=np.float64))
     conv = unit_factor(metric)
     a, f = resolve_ellipsoid(ellipsoid)
     s, _, _ = karney_inverse(point1[0], point1[1], point2[0], point2[1], a, f)

@@ -39,8 +39,11 @@ def geocode_ids(doc_id):
     """doc_id column → (lat, lon) float64 columns, bit-reproducible in SQL."""
     d = np.asarray(doc_id, dtype=np.int64)
     clat, clon = center_latlon(d % N_CENTERS)
-    jlat = ((d * _JLAT_MUL) % _JMOD).astype(np.float64) / _JDIV - 1.0
-    jlon = ((d * _JLON_MUL) % _JMOD).astype(np.float64) / _JDIV - 1.0
+    # mod BEFORE multiply: (d*m) mod M == ((d mod M)*m) mod M, and the
+    # reduced product stays < 2^63 for any int64 id (a straight multiply
+    # silently wraps in numpy and overflows in DuckDB for ids >= ~3.5e9)
+    jlat = (((d % _JMOD) * _JLAT_MUL) % _JMOD).astype(np.float64) / _JDIV - 1.0
+    jlon = (((d % _JMOD) * _JLON_MUL) % _JMOD).astype(np.float64) / _JDIV - 1.0
     lat = clat + 1.5 * jlat
     lon = clon + 1.5 * jlon
     lon = ((lon + 540.0) % 360.0) - 180.0
@@ -52,8 +55,8 @@ def geocode_sql(id_col: str = "doc_id") -> tuple[str, str]:
     c = f"({id_col} % {N_CENTERS})"
     clat = f"(CAST(({c} * {_LAT_MUL}) % 160 AS DOUBLE) - 79.5)"
     clon = f"(CAST(({c} * {_LON_MUL}) % 360 AS DOUBLE) - 179.5)"
-    jlat = f"(CAST(({id_col} * {_JLAT_MUL}) % {_JMOD} AS DOUBLE) / {_JDIV} - 1.0)"
-    jlon = f"(CAST(({id_col} * {_JLON_MUL}) % {_JMOD} AS DOUBLE) / {_JDIV} - 1.0)"
+    jlat = f"(CAST((({id_col} % {_JMOD}) * {_JLAT_MUL}) % {_JMOD} AS DOUBLE) / {_JDIV} - 1.0)"
+    jlon = f"(CAST((({id_col} % {_JMOD}) * {_JLON_MUL}) % {_JMOD} AS DOUBLE) / {_JDIV} - 1.0)"
     lat = f"({clat} + 1.5 * {jlat})"
     lon = f"((({clon} + 1.5 * {jlon}) + 540.0) % 360.0 - 180.0)"
     return lat, lon
@@ -80,10 +83,12 @@ def haversine_sql(lat1: str, lon1: str, lat2: str, lon2: str) -> str:
     Trig results may differ from NumPy's by ulps — consumers must round
     (typically to 1e-3 m) before comparing/hashing.
     """
+    # fp ordering mirrors kernels.sphere.haversine exactly: radians each
+    # operand FIRST, then subtract (CLAUDE.md oracle-gate convention)
     h = (
-        f"(POW(SIN(RADIANS({lat2} - {lat1}) / 2), 2) + "
+        f"(POW(SIN((RADIANS({lat2}) - RADIANS({lat1})) / 2), 2) + "
         f"COS(RADIANS({lat1})) * COS(RADIANS({lat2})) * "
-        f"POW(SIN(RADIANS({lon2} - {lon1}) / 2), 2))"
+        f"POW(SIN((RADIANS({lon2}) - RADIANS({lon1})) / 2), 2))"
     )
     return f"(2.0 * 6371009.0 * ASIN(SQRT(LEAST(GREATEST({h}, 0.0), 1.0))))"
 

@@ -190,11 +190,12 @@ def _vincenty_inverse_flat(lat1v, lon1v, lat2v, lon2v, a, f, with_azimuths):
             )
             dist[ok] = b * A * (sg - delta_sigma)
             if with_azimuths:
-                su1, cu1 = np.sin(
-                    np.arctan((1.0 - f) * np.tan(np.radians(lat1v[ok])))
-                ), np.cos(np.arctan((1.0 - f) * np.tan(np.radians(lat1v[ok]))))
-                su2 = np.sin(np.arctan((1.0 - f) * np.tan(np.radians(lat2v[ok]))))
-                cu2 = np.cos(np.arctan((1.0 - f) * np.tan(np.radians(lat2v[ok]))))
+                # compute each reduced latitude once (tan+arctan is the
+                # expensive part; sin/cos of the cached angle is cheap)
+                u1 = np.arctan((1.0 - f) * np.tan(np.radians(lat1v[ok])))
+                u2 = np.arctan((1.0 - f) * np.tan(np.radians(lat2v[ok])))
+                su1, cu1 = np.sin(u1), np.cos(u1)
+                su2, cu2 = np.sin(u2), np.cos(u2)
                 sl, cl = fin_sin_lam[ok], fin_cos_lam[ok]
                 az_fwd[ok] = np.degrees(np.arctan2(cu2 * sl, cu1 * su2 - su1 * cu2 * cl)) % 360.0
                 az_back[ok] = np.degrees(np.arctan2(cu1 * sl, -su1 * cu2 + cu1 * su2 * cl)) % 360.0

@@ -37,9 +37,16 @@ def read_manifest(out_dir: str) -> dict[str, dict]:
     if os.path.exists(mp):
         with open(mp) as fh:
             for line in fh:
-                if line.strip():
+                if not line.strip():
+                    continue
+                try:
                     rec = json.loads(line)
-                    done[rec["fragment"]] = rec
+                except json.JSONDecodeError:
+                    # torn trailing line from a kill mid-append: that
+                    # fragment simply reruns (its output dir rename is
+                    # atomic, so rerunning is safe)
+                    continue
+                done[rec["fragment"]] = rec
     return done
 
 
@@ -102,11 +109,26 @@ class FragmentRunner:
                 "rows": n_rows,
                 "wall_sec": round(time.perf_counter() - t0, 4),
             }
-            with open(_manifest_path(self.out_dir), "a") as fh:
+            mp = _manifest_path(self.out_dir)
+            # self-heal a torn trailing line (kill mid-append leaves no
+            # newline; appending directly would concatenate records)
+            needs_nl = os.path.exists(mp) and os.path.getsize(mp) > 0
+            if needs_nl:
+                with open(mp, "rb") as fh:
+                    fh.seek(-1, os.SEEK_END)
+                    needs_nl = fh.read(1) != b"\n"
+            with open(mp, "a") as fh:
+                if needs_nl:
+                    fh.write("\n")
                 fh.write(json.dumps(rec) + "\n")
 
+        done_now = {
+            k: v
+            for k, v in read_manifest(self.out_dir).items()
+            if v.get("epoch") == self.epoch
+        }
         return {
             "total_fragments": len(fragments),
-            "completed": len(read_manifest(self.out_dir)),
+            "completed": len(done_now),
             "ran_now": len(pending),
         }
