@@ -1014,11 +1014,14 @@ def oracle_sql() -> dict[str, str]:
     lat_b, lon_b = geocode_sql("b.doc_id")
     hav_ab = haversine_sql(lat_a, lon_a, lat_b, lon_b)
 
+    # fp ordering mirrors kernels.initial_bearing_sphere: RADIANS each
+    # operand first, then subtract (CLAUDE.md oracle-gate convention)
+    dlon_sql = f"(RADIANS({ORIGIN[1]}) - RADIANS({lon}))"
     brg_raw = (
         f"DEGREES(ATAN2("
-        f"SIN(RADIANS({ORIGIN[1]} - {lon})) * COS(RADIANS({ORIGIN[0]})), "
+        f"SIN({dlon_sql}) * COS(RADIANS({ORIGIN[0]})), "
         f"COS(RADIANS({lat})) * SIN(RADIANS({ORIGIN[0]})) - "
-        f"SIN(RADIANS({lat})) * COS(RADIANS({ORIGIN[0]})) * COS(RADIANS({ORIGIN[1]} - {lon}))))"
+        f"SIN(RADIANS({lat})) * COS(RADIANS({ORIGIN[0]})) * COS({dlon_sql})))"
     )
     brg = f"({brg_raw} - FLOOR({brg_raw} / 360.0) * 360.0)"
 

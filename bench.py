@@ -353,7 +353,7 @@ def _scaling_pipeline(sf_dir: str, replicate: int):
 def run_headline_scaled(sf_dir: str, num_cpus: int, replicate: int = 512) -> dict:
     """Scaling-run unit of work (~307M points at sf0.1): big enough that
     geodesic compute and the join dominate fixed per-session costs. One
-    untimed warm run, then the MIN of 5 timed steady-state runs — this box
+    untimed warm run, then the MIN of 7 (32 CPUs) / 4 (8 CPUs) timed steady-state runs — this box
     sees intermittent external interference (measured: the same job
     alternates between ~10s and ~21s at 32 CPUs within one session while
     8-CPU runs stay stable), and interference is strictly additive, so the

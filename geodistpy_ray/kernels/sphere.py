@@ -50,16 +50,7 @@ def great_circle(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS84_F)
     lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
     lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
 
-    sin1, cos1 = np.sin(lat1), np.cos(lat1)
-    sin2, cos2 = np.sin(lat2), np.cos(lat2)
     dlon = np.abs(lon2 - lon1)
-    sind, cosd = np.sin(dlon), np.cos(dlon)
-
-    # Vincenty-form central angle: stable at small and near-antipodal angles.
-    sigma = np.arctan2(
-        np.sqrt((cos2 * sind) ** 2 + (cos1 * sin2 - sin1 * cos2 * cosd) ** 2),
-        sin1 * sin2 + cos1 * cos2 * cosd,
-    )
 
     mean_lat = (lat1 + lat2) / 2.0
     half_dlat = (lat1 - lat2) / 2.0
@@ -84,8 +75,10 @@ def great_circle(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS84_F)
     H2 = (3.0 * R + 1.0) / (2.0 * S_safe)
     corrected = D * (1.0 + f * (H1 * sinF2 * cosG2 - H2 * cosF2 * sinG2))
 
-    out = np.where(degenerate, D, corrected)
-    return np.where(sigma == 0.0, 0.0, out)
+    # coincident points hit S == 0 → degenerate → D = 2·0·a = 0, so no
+    # separate zero-angle guard is needed (the old Vincenty-form sigma was
+    # computed only for that guard — ~40% of the kernel's trig for a no-op)
+    return np.where(degenerate, D, corrected)
 
 
 def initial_bearing_sphere(lat1, lon1, lat2, lon2):

@@ -35,8 +35,11 @@ _WORDS = np.array(
 )
 
 
-def generate_pages(n_rows: int, seed: int = 42, n_hosts: int = 1000) -> pa.Table:
-    """Deterministic pages table of ``n_rows`` rows."""
+def generate_pages(n_rows: int, seed: int = 42, n_hosts: int = 1000, index_offset: int = 0) -> pa.Table:
+    """Deterministic pages table of ``n_rows`` rows. ``index_offset`` makes
+    the url-uniqueness suffix GLOBAL across fragments (a per-fragment
+    restart would leave cross-fragment uniqueness merely probabilistic,
+    undermining the per-url byte-identity invariant)."""
     rng = np.random.default_rng(seed)
     # zipf-skewed host popularity
     ranks = np.arange(1, n_hosts + 1, dtype=np.float64)
@@ -47,7 +50,7 @@ def generate_pages(n_rows: int, seed: int = 42, n_hosts: int = 1000) -> pa.Table
         [f"https://host{h}.example.com/p/{p:x}" for h, p in zip(hosts, path_id)]
     )
     # ensure uniqueness by suffixing the row index
-    urls = np.array([f"{u}-{i}" for i, u in enumerate(urls)])
+    urls = np.array([f"{u}-{i}" for i, u in enumerate(urls, start=index_offset)])
 
     base = np.datetime64("2026-01-01T00:00:00", "us")
     warc_ts = base + rng.integers(0, 30 * 24 * 3600 * 1_000_000, size=n_rows).astype(
@@ -82,7 +85,7 @@ def write_pages(out_dir: str, n_rows: int, seed: int = 42, n_fragments: int = 8)
     per = n_rows // n_fragments
     for frag in range(n_fragments):
         rows = per if frag < n_fragments - 1 else n_rows - per * (n_fragments - 1)
-        t = generate_pages(rows, seed=seed + frag)
+        t = generate_pages(rows, seed=seed + frag, index_offset=frag * per)
         pq.write_table(t, os.path.join(out_dir, f"fragment-{frag:04d}.parquet"))
     return out_dir
 

@@ -7,7 +7,7 @@ Two families:
   oracle regenerates them bit-identically (:func:`diamond_polygons_sql`).
   These are the correctness-gated join's right side.
 - :func:`test_polygons` — irregular rings (star shapes, an
-  antimeridian-crossing box, a pole cap) used by the pytest-only
+  antimeridian-crossing box, near-polar rings (true pole caps use stages.pip.polar_cap_join)) used by the pytest-only
   ray-casting conformance tests against a brute-force NumPy oracle.
 
 Schema: ``poly_id:int64, ring_lats:list<f64>, ring_lons:list<f64>,

@@ -63,15 +63,12 @@ class GeocoderActor:
         self.center_lat, self.center_lon = center_latlon(centers)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        d = col_np(batch, self.id_col).astype(np.int64)
-        from ..functions.geocode import _JDIV, _JLAT_MUL, _JLON_MUL, _JMOD, N_CENTERS
+        # delegate to the ONE jitter implementation (overflow-safe, SQL-
+        # mirrored) — a re-derived formula here drifted once already
+        from ..functions.geocode import geocode_ids
 
-        c = d % N_CENTERS
-        jlat = ((d * _JLAT_MUL) % _JMOD).astype(np.float64) / _JDIV - 1.0
-        jlon = ((d * _JLON_MUL) % _JMOD).astype(np.float64) / _JDIV - 1.0
-        lat = self.center_lat[c] + 1.5 * jlat
-        lon = self.center_lon[c] + 1.5 * jlon
-        lon = ((lon + 540.0) % 360.0) - 180.0
+        d = col_np(batch, self.id_col).astype(np.int64)
+        lat, lon = geocode_ids(d)
         batch = batch.append_column("lat", pa.array(lat, pa.float64()))
         return batch.append_column("lon", pa.array(lon, pa.float64()))
 
