@@ -180,10 +180,19 @@ def knn_join_cells(
         isq = g["is_query"].to_numpy()
         q = g[isq]
         c = g[~isq]
+        empty = pd.DataFrame(
+            {"query_id": [], id_col: [], "dist": [], "qlat": [], "qlon": []}
+        ).astype(
+            {
+                "query_id": np.int64,
+                id_col: np.int64,
+                "dist": np.float64,
+                "qlat": np.float64,
+                "qlon": np.float64,
+            }
+        )
         if q.empty:
-            return pd.DataFrame(
-                {"query_id": [], id_col: [], "dist": []}
-            ).astype({"query_id": np.int64, id_col: np.int64, "dist": np.float64})
+            return empty
         out = []
         clat = c["rlat"].to_numpy()
         clon = c["rlon"].to_numpy()
@@ -192,19 +201,27 @@ def knn_join_cells(
             q["rid"].to_numpy(), q["rlat"].to_numpy(), q["rlon"].to_numpy()
         ):
             if cids.size == 0:
+                # sentinel (id -1, dist inf): keeps zero-candidate queries
+                # visible downstream so the expansion test can catch them
+                # WITHOUT a driver-side scan of the full query set
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": [qid_], id_col: [-1], "dist": [np.inf],
+                         "qlat": [qlat_], "qlon": [qlon_]}
+                    )
+                )
                 continue
             d = kfn(clat, clon, qlat_, qlon_, a, f)
             kk = min(k, d.size)
             part = np.argpartition(d, kk - 1)[:kk] if kk < d.size else np.arange(d.size)
             out.append(
                 pd.DataFrame(
-                    {"query_id": qid_, id_col: cids[part], "dist": d[part]}
+                    {"query_id": qid_, id_col: cids[part], "dist": d[part],
+                     "qlat": qlat_, "qlon": qlon_}
                 )
             )
         if not out:
-            return pd.DataFrame(
-                {"query_id": [], id_col: [], "dist": []}
-            ).astype({"query_id": np.int64, id_col: np.int64, "dist": np.float64})
+            return empty
         return pd.concat(out, ignore_index=True)
 
     partials = both.groupby("cell").map_groups(local_topk, batch_format="pandas")
@@ -213,84 +230,98 @@ def knn_join_cells(
         g = g.drop_duplicates(subset=[id_col])
         key = g["dist"].round(tie_round) if tie_round is not None else g["dist"]
         g = g.assign(_key=key).sort_values(["_key", id_col]).head(k).drop(columns="_key")
+        g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        # per-query completeness stats carried on every row (a sentinel in
+        # the top-k means < k real neighbors were found → kth == inf)
+        g["__kth"] = float(g["dist"].iloc[-1])
         return g
 
-    phase1 = partials.groupby("query_id").map_groups(merge, batch_format="pandas").to_pandas()
+    phase1 = partials.groupby("query_id").map_groups(merge, batch_format="pandas")
 
-    # ── boundary check: which queries are provably complete? ──
-    qpd = queries_ds.to_pandas()
-    got_counts = phase1.groupby("query_id")[id_col].count()
-    kth = phase1[phase1["rank"] == phase1.groupby("query_id")["rank"].transform("max")]
-    kth = dict(zip(kth["query_id"], kth["dist"]))
-
-    # conservative meters from each query to the edge of its 3x3 block
-    own = cell_id(qpd["lat"].to_numpy(), qpd["lon"].to_numpy(), cell_deg)
+    # ── boundary check, fully distributed: a stateless map flags each row
+    # by whether ITS query is provably complete (kth distance within the
+    # conservative geodesic margin to the 3x3 block edge). Only the rare
+    # expansion tail is ever collected to the driver; the k×Q result set
+    # itself stays a Dataset end to end. ──
     from ..cells import cell_bounds
 
-    mn_lat, mx_lat, mn_lon, mx_lon = cell_bounds(own, cell_deg)
-    lat_margin_deg = np.minimum(
-        qpd["lat"].to_numpy() - (mn_lat - cell_deg), (mx_lat + cell_deg) - qpd["lat"].to_numpy()
-    )
-    lon_margin_deg = np.minimum(
-        qpd["lon"].to_numpy() - (mn_lon - cell_deg), (mx_lon + cell_deg) - qpd["lon"].to_numpy()
-    )
-    cos_lat = np.cos(np.radians(np.abs(qpd["lat"].to_numpy()) ))
-    margin_m = np.minimum(
-        lat_margin_deg * MIN_M_PER_DEG_LAT, lon_margin_deg * MIN_M_PER_DEG_LAT * cos_lat
-    )
-    # near-pole 3x3 blocks don't wrap the full lon ring → force expansion
-    margin_m = np.where(np.abs(qpd["lat"].to_numpy()) > 90.0 - 2 * cell_deg, 0.0, margin_m)
-
-    # vectorized completeness test (O(Q) driver bookkeeping — the result
-    # set itself is k×Q; distributing this bookkeeping is a round-2 item)
-    qids_np = qpd["query_id"].to_numpy()
-    n_found_arr = got_counts.reindex(qids_np).fillna(0).to_numpy()
-    kth_arr = pd.Series(kth).reindex(qids_np).fillna(np.inf).to_numpy(dtype=np.float64)
-    expand_mask = (n_found_arr < k) | (kth_arr > margin_m)
-    need_expand = [
-        (int(q), float(la), float(lo), int(nf))
-        for q, la, lo, nf in zip(
-            qids_np[expand_mask],
-            qpd["lat"].to_numpy()[expand_mask],
-            qpd["lon"].to_numpy()[expand_mask],
-            n_found_arr[expand_mask],
+    def flag(batch: pa.Table) -> pa.Table:
+        qlat = batch.column("qlat").to_numpy()
+        qlon = batch.column("qlon").to_numpy()
+        kth = batch.column("__kth").to_numpy()
+        own = cell_id(qlat, qlon, cell_deg)
+        mn_lat, mx_lat, mn_lon, mx_lon = cell_bounds(own, cell_deg)
+        lat_margin = np.minimum(qlat - (mn_lat - cell_deg), (mx_lat + cell_deg) - qlat)
+        lon_margin = np.minimum(qlon - (mn_lon - cell_deg), (mx_lon + cell_deg) - qlon)
+        cos_lat = np.cos(np.radians(np.abs(qlat)))
+        margin_m = np.minimum(
+            lat_margin * MIN_M_PER_DEG_LAT, lon_margin * MIN_M_PER_DEG_LAT * cos_lat
         )
-    ]
+        # near-pole 3x3 blocks don't wrap the full lon ring → force expansion
+        margin_m = np.where(np.abs(qlat) > 90.0 - 2 * cell_deg, 0.0, margin_m)
+        expand = kth > margin_m
+        return batch.append_column("__expand", pa.array(expand, pa.bool_()))
 
-    if not need_expand:
-        out = phase1
-    else:
-        # phase 2: exact re-query of the uncertain tail via broadcast scan —
-        # each uncertain query scans all candidates within an expanded disc
-        # (rare by construction; the common case is phase-1-complete).
-        exp_ids = np.array([e[0] for e in need_expand], dtype=np.int64)
-        exp_lat = np.array([e[1] for e in need_expand])
-        exp_lon = np.array([e[2] for e in need_expand])
-        redo = knn_join(
-            ds,
-            exp_ids,
-            exp_lat,
-            exp_lon,
-            k,
-            id_col=id_col,
-            lat_col=lat_col,
-            lon_col=lon_col,
-            kernel=kernel,
-            metric="meter",
-            ellipsoid=ellipsoid,
-            tie_round=tie_round,
-        ).to_pandas()
-        out = pd.concat(
-            [phase1[~phase1["query_id"].isin(set(exp_ids.tolist()))], redo],
-            ignore_index=True,
+    flagged = phase1.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+
+    def complete_rows(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = batch.filter(pc.invert(batch.column("__expand")))
+        return pa.table(
+            {
+                "query_id": keep.column("query_id"),
+                id_col: keep.column(id_col),
+                "dist": pa.array(keep.column("dist").to_numpy() * conv, pa.float64()),
+                "rank": keep.column("rank"),
+            }
         )
 
-    out = out.sort_values(["query_id", "rank"], ignore_index=True)
-    out["dist"] = out["dist"] * conv
-    import ray.data as rd
+    complete = flagged.map_batches(complete_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    return rd.from_pandas(out)
+    def expansion_queries(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.and_(batch.column("__expand"), pc.equal(batch.column("rank"), 1))
+        e = batch.filter(m)
+        return pa.table(
+            {
+                "query_id": e.column("query_id"),
+                "qlat": e.column("qlat"),
+                "qlon": e.column("qlon"),
+            }
+        )
+
+    # the uncertain tail is rare by construction → safe to collect
+    exp = flagged.map_batches(
+        expansion_queries, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+
+    if len(exp) == 0:
+        return complete
+
+    redo = knn_join(
+        ds,
+        exp["query_id"].to_numpy(),
+        exp["qlat"].to_numpy(),
+        exp["qlon"].to_numpy(),
+        k,
+        id_col=id_col,
+        lat_col=lat_col,
+        lon_col=lon_col,
+        kernel=kernel,
+        metric="meter",
+        ellipsoid=ellipsoid,
+        tie_round=tie_round,
+    )
+
+    redo_conv = redo.map_batches(
+        lambda df: df[["query_id", id_col, "dist", "rank"]].assign(dist=df["dist"] * conv),
+        batch_format="pandas",
+    )
+    return complete.union(redo_conv)
+
 
 
 class KnnIndexActor:

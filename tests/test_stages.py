@@ -454,3 +454,38 @@ def test_knn_index_actor_vincenty_prune_exact(ray_session):
         .sort_values(["query_id", "rank"], ignore_index=True)
     )
     assert got[["query_id", "doc_id", "rank"]].equals(want[["query_id", "doc_id", "rank"]])
+
+
+def test_knn_cells_zero_candidate_block(ray_session):
+    """A query whose entire 3x3 cell block is empty must still get exact
+    results via the sentinel → expansion path (no driver-side full-query
+    scan exists anymore to catch it)."""
+    import ray.data as rd
+
+    from geodistpy_ray.kernels import haversine
+    from geodistpy_ray.stages.knn import knn_join_cells
+
+    # candidates clustered near (10, 10); queries: one inside the cluster,
+    # one in an empty region far away (its 3x3 block has no candidates)
+    rng = np.random.default_rng(61)
+    clat = 10.0 + rng.uniform(-1, 1, 500)
+    clon = 10.0 + rng.uniform(-1, 1, 500)
+    cands = rd.from_arrow(
+        pa.table({"doc_id": np.arange(500, dtype=np.int64), "lat": clat, "lon": clon})
+    )
+    queries = rd.from_arrow(
+        pa.table({"query_id": np.array([0, 1], dtype=np.int64),
+                  "lat": np.array([10.0, -60.0]), "lon": np.array([10.0, 150.0])})
+    )
+    got = (
+        knn_join_cells(cands, queries, k=4, kernel="haversine", cell_deg=2.0)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    for qi, (qla, qlo) in enumerate([(10.0, 10.0), (-60.0, 150.0)]):
+        d = haversine(clat, clon, qla, qlo)
+        want = set(np.arange(500)[np.argsort(d)[:4]])
+        sub = got[got.query_id == qi]
+        assert len(sub) == 4, (qi, len(sub))
+        assert set(sub["doc_id"]) == want, qi
+        assert -1 not in set(sub["doc_id"])  # sentinels never leak
