@@ -1231,7 +1231,7 @@ def oracle_sql() -> dict[str, str]:
         )(__import__("geodistpy_ray.stages.text", fromlist=["split_sql"]).split_sql()),
         "sample_10pct": (
             "SELECT doc_id, n_chars FROM documents "
-            "WHERE (((doc_id + 7) % 1000000) * 998244353) % 1000000 < 100000"
+            "WHERE (CAST(((doc_id + 7) % 1000000 + 1000000) % 1000000 AS BIGINT) * 998244353) % 1000000 < 100000"
         ),
         "user_median_value": (
             "SELECT user_id, ROUND(MEDIAN(value), 6) AS median_value "

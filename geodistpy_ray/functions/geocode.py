@@ -50,13 +50,23 @@ def geocode_ids(doc_id):
     return lat, lon
 
 
+def _nn_mod(x: str, m: int) -> str:
+    """Non-negative SQL mod: numpy's % follows the divisor's sign (always
+    >= 0 here) while SQL % follows the dividend's — they diverge for
+    negative ids unless wrapped as ((x % m) + m) % m."""
+    # CAST → BIGINT so the subsequent multiply never overflows a narrower
+    # inferred type (e.g. INT32 literals)
+    return f"CAST(((({x}) % {m} + {m}) % {m}) AS BIGINT)"
+
+
 def geocode_sql(id_col: str = "doc_id") -> tuple[str, str]:
-    """(lat_expr, lon_expr) SQL mirroring :func:`geocode_ids` bit-for-bit."""
-    c = f"({id_col} % {N_CENTERS})"
+    """(lat_expr, lon_expr) SQL mirroring :func:`geocode_ids` bit-for-bit
+    (including negative ids — see :func:`_nn_mod`)."""
+    c = _nn_mod(id_col, N_CENTERS)
     clat = f"(CAST(({c} * {_LAT_MUL}) % 160 AS DOUBLE) - 79.5)"
     clon = f"(CAST(({c} * {_LON_MUL}) % 360 AS DOUBLE) - 179.5)"
-    jlat = f"(CAST((({id_col} % {_JMOD}) * {_JLAT_MUL}) % {_JMOD} AS DOUBLE) / {_JDIV} - 1.0)"
-    jlon = f"(CAST((({id_col} % {_JMOD}) * {_JLON_MUL}) % {_JMOD} AS DOUBLE) / {_JDIV} - 1.0)"
+    jlat = f"(CAST(({_nn_mod(id_col, _JMOD)} * {_JLAT_MUL}) % {_JMOD} AS DOUBLE) / {_JDIV} - 1.0)"
+    jlon = f"(CAST(({_nn_mod(id_col, _JMOD)} * {_JLON_MUL}) % {_JMOD} AS DOUBLE) / {_JDIV} - 1.0)"
     lat = f"({clat} + 1.5 * {jlat})"
     lon = f"((({clon} + 1.5 * {jlon}) + 540.0) % 360.0 - 180.0)"
     return lat, lon

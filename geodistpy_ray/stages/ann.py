@@ -27,6 +27,17 @@ def _emb_matrix(batch: pa.Table, col: str, dtype=np.float64) -> np.ndarray:
     return flat.reshape(len(arr), -1)
 
 
+def _empty_partial(id_col: str) -> pa.Table:
+    """Typed empty (query_id, id, sim) result — the shared empty-batch return."""
+    return pa.table(
+        {
+            "query_id": pa.array([], pa.int64()),
+            id_col: pa.array([], pa.int64()),
+            "sim": pa.array([], pa.float64()),
+        }
+    )
+
+
 def _normalize(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
     return m / np.maximum(n, 1e-30)
@@ -49,13 +60,7 @@ def ann_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
+            return _empty_partial(id_col)
         emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
         ids = col_np(batch, id_col)
         sims = emb @ q.T  # (B, Q)
@@ -130,13 +135,7 @@ def lsh_ann_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
+            return _empty_partial(id_col)
         emb = _normalize(_emb_matrix(batch, emb_col, np.float32))
         ids = col_np(batch, id_col)
         buckets = lsh.bucket(emb)
@@ -152,13 +151,7 @@ def lsh_ann_topk(
             out_i.append(ids[m][part])
             out_s.append(s[part].astype(np.float64))
         if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
+            return _empty_partial(id_col)
         return pa.table(
             {
                 "query_id": np.concatenate(out_q),
@@ -341,13 +334,7 @@ def ivf_ann_topk(
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
+            return _empty_partial(id_col)
         c = get_broadcast(ref)
         emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
         ids = col_np(batch, id_col)
@@ -369,13 +356,7 @@ def ivf_ann_topk(
             out_i.append(ids[m][part])
             out_s.append(s[part])
         if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
-                    "sim": pa.array([], pa.float64()),
-                }
-            )
+            return _empty_partial(id_col)
         return pa.table(
             {
                 "query_id": np.concatenate(out_q),

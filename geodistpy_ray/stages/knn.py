@@ -235,6 +235,7 @@ def knn_join_cells(
         # per-query completeness stats carried on every row (a sentinel in
         # the top-k means < k real neighbors were found → kth == inf)
         g["__kth"] = float(g["dist"].iloc[-1])
+        g["__nf"] = int(np.isfinite(g["dist"].to_numpy()).sum())
         return g
 
     phase1 = partials.groupby("query_id").map_groups(merge, batch_format="pandas")
@@ -260,10 +261,16 @@ def knn_join_cells(
         )
         # near-pole 3x3 blocks don't wrap the full lon ring → force expansion
         margin_m = np.where(np.abs(qlat) > 90.0 - 2 * cell_deg, 0.0, margin_m)
-        expand = kth > margin_m
+        # a query is incomplete if its kth-known distance could be beaten
+        # outside the block OR it simply found < k real neighbors inside
+        # (possible with no sentinel whenever the block holds 1..k-1 rows)
+        nf = batch.column("__nf").to_numpy()
+        expand = (kth > margin_m) | (nf < k)
         return batch.append_column("__expand", pa.array(expand, pa.bool_()))
 
-    flagged = phase1.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True)
+    # materialize once: two consumers (complete rows + expansion tail) read
+    # this — without pinning, the whole phase-1 shuffle would execute twice
+    flagged = phase1.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True).materialize()
 
     def complete_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

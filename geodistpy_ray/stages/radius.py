@@ -51,6 +51,9 @@ def radius_join(
     dlat_deg = radius_m / MIN_M_PER_DEG_LAT
     extreme = np.minimum(np.abs(clat) + dlat_deg, 89.999)
     dlon_deg = radius_m / (MIN_M_PER_DEG_LAT * np.cos(np.radians(extreme)))
+    # a disc whose latitude band touches the pole wraps every longitude —
+    # same full-ring condition as cells.disc_cover
+    full_ring = (np.abs(clat) + dlat_deg >= 90.0 - 1e-9) | (dlon_deg >= 180.0)
 
     def fn(batch: pa.Table) -> pa.Table:
         lat = col_np(batch, lat_col)
@@ -59,7 +62,7 @@ def radius_join(
         out_q, out_i, out_d = [], [], []
         for j in range(cid.size):
             near = np.abs(lat - clat[j]) <= dlat_deg
-            if dlon_deg[j] < 180.0:
+            if not full_ring[j]:
                 dlon = np.abs(((lon - clon[j] + 180.0) % 360.0) - 180.0)
                 near &= dlon <= dlon_deg[j]
             if not near.any():

@@ -160,7 +160,10 @@ def split_sql(id_col: str = "doc_id", val_pct: int = 10, test_pct: int = 10) -> 
     """SQL expression mirroring :func:`add_split` bit-for-bit."""
     val_cut = val_pct * (_SPLIT_MOD // 100)
     test_cut = (val_pct + test_pct) * (_SPLIT_MOD // 100)
-    b = f"((({id_col} % {_SPLIT_MOD}) * {_SPLIT_MUL}) % {_SPLIT_MOD})"
+    # non-negative inner mod: SQL % follows the dividend's sign, numpy's
+    # the divisor's — they must agree for negative ids too
+    nn = f"CAST(((({id_col}) % {_SPLIT_MOD} + {_SPLIT_MOD}) % {_SPLIT_MOD}) AS BIGINT)"
+    b = f"(({nn} * {_SPLIT_MUL}) % {_SPLIT_MOD})"
     return (
         f"(CASE WHEN {b} < {val_cut} THEN 'val' "
         f"WHEN {b} < {test_cut} THEN 'test' ELSE 'train' END)"
