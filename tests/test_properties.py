@@ -135,3 +135,47 @@ def test_disc_cover_is_superset(q, r, bearing, frac, deg):
     _, cover = disc_cover(np.array([q[0]]), np.array([q[1]]), r, deg)
     bc = cell_id(np.array([bla]), np.array([blo]), deg)
     assert bc[0] in set(cover.tolist()), (q, r, bearing, frac, deg, d)
+
+
+# ── inverse/direct roundtrip laws (the reference's test_geodist.py:616-623
+# roundtrip checks, generalized over generated inputs) ────────────────────
+
+from geodistpy_ray.kernels import geodesic_direct  # noqa: E402
+from geodistpy_ray.kernels.karney import karney_direct, karney_inverse  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    p=point,
+    az=st.floats(0.0, 360.0, allow_nan=False),
+    dist=st.floats(1.0, 19_000_000.0, allow_nan=False),
+)
+def test_vincenty_direct_inverse_roundtrip(p, az, dist):
+    la2, lo2 = geodesic_direct(np.array([p[0]]), np.array([p[1]]), np.array([az]), np.array([dist]))
+    la2 = float(np.atleast_1d(la2)[0])
+    lo2 = ((float(np.atleast_1d(lo2)[0]) + 540.0) % 360.0) - 180.0
+    back = float(
+        geodesic_inverse(np.array([p[0]]), np.array([p[1]]), np.array([la2]), np.array([lo2]))[0]
+    )
+    # sub-mm agreement between the direct destination and the inverse distance
+    assert abs(back - dist) < 1e-3, (p, az, dist, back)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    p=point,
+    az=st.floats(0.0, 360.0, allow_nan=False),
+    dist=st.floats(1.0, 19_000_000.0, allow_nan=False),
+)
+def test_karney_direct_inverse_roundtrip(p, az, dist):
+    la2, lo2, _ = karney_direct(
+        np.array([p[0]]), np.array([p[1]]), np.array([az]), np.array([dist])
+    )
+    la2 = float(np.atleast_1d(la2)[0])
+    lo2 = ((float(np.atleast_1d(lo2)[0]) + 540.0) % 360.0) - 180.0
+    back = float(
+        np.atleast_1d(
+            karney_inverse(np.array([p[0]]), np.array([p[1]]), np.array([la2]), np.array([lo2]))[0]
+        )[0]
+    )
+    assert abs(back - dist) < 1e-3, (p, az, dist, back)
