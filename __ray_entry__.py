@@ -629,6 +629,22 @@ def q_video_pipeline(sf_dir):
     return ds.select_columns(["video_id", "frame_no", "img_h", "img_w", "img_feat"])
 
 
+def q_revenue_heatmap(sf_dir):
+    """Geo × relational composition: geocode orders by customer key, roll
+    revenue up into grid cells — the 'heat map' shape of the north-star
+    pipeline, fully oracle-checked."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages import add_cell, add_geocode
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    ds = add_cell(add_geocode(orders, id_col="o_custkey"), CELL_DEG)
+    return grouped_sum(
+        ds, ["cell"], cent_sum_cols={"o_totalprice": "revenue_cents"}, count_col="n_orders"
+    )
+
+
 def q_q1_pricing(sf_dir):
     import ray.data as rd
 
@@ -963,6 +979,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_p90_value": q_user_p90_value,
         "running_totals": q_running_totals,
         "rolling_counts": q_rolling_counts,
+        "revenue_heatmap": q_revenue_heatmap,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
         "orders_by_month": q_orders_by_month,
@@ -1131,6 +1148,14 @@ def oracle_sql() -> dict[str, str]:
             f"list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             f"CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_T}"
         ),
+        "revenue_heatmap": (
+            lambda cl: (
+                f"SELECT {cl} AS cell, "
+                f"CAST(SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+                f"AS revenue_cents, CAST(COUNT(*) AS BIGINT) AS n_orders "
+                f"FROM orders GROUP BY 1"
+            )
+        )(cell_sql(*__import__("geodistpy_ray.functions.geocode", fromlist=["geocode_sql"]).geocode_sql("o_custkey"), CELL_DEG)),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty, "
