@@ -60,6 +60,13 @@ def knn_join(
     # exact kernel only on that sliver.
     prefilter = kernel in ("vincenty", "karney")
 
+    # batch-local selections keep a rounding-margin window past the raw kth
+    # (mirrors ann_topk): a candidate whose distance ROUNDS equal to the kth
+    # but sits just above it must survive to the merge, which tie-breaks on
+    # (round(dist, tie_round), id) — dropping it batch-locally could pick the
+    # wrong id when rounded ties straddle the kth boundary.
+    margin = 10.0 ** -tie_round if tie_round is not None else 0.0
+
     def partial_topk(batch: pa.Table) -> pa.Table:
         from ..kernels import haversine
 
@@ -77,12 +84,20 @@ def knn_join(
                 hk = np.partition(hav, kk - 1)[kk - 1]
                 cand = np.flatnonzero(hav <= hk * 1.013 + 1.0)
                 d = kfn(lat[cand], lon[cand], qlat[j], qlon[j], a, f) * conv
-                sub = np.argpartition(d, kk - 1)[:kk] if kk < cand.size else np.arange(cand.size)
+                if kk < cand.size:
+                    kth = np.partition(d, kk - 1)[kk - 1]
+                    sub = np.flatnonzero(d <= kth + margin)
+                else:
+                    sub = np.arange(cand.size)
                 part = cand[sub]
                 dpart = d[sub]
             else:
                 d = kfn(lat, lon, qlat[j], qlon[j], a, f) * conv
-                part = np.argpartition(d, kk - 1)[:kk] if kk < n else np.arange(n)
+                if kk < n:
+                    kth = np.partition(d, kk - 1)[kk - 1]
+                    part = np.flatnonzero(d <= kth + margin)
+                else:
+                    part = np.arange(n)
                 dpart = d[part]
             out_q.append(np.full(part.size, qid[j], dtype=np.int64))
             out_i.append(ids[part])
@@ -140,6 +155,7 @@ def knn_join_cells(
     a, f = resolve_ellipsoid(ellipsoid)
     conv = unit_factor(metric)
     kfn = distance_kernel(kernel)
+    tie_margin_m = 10.0 ** -tie_round if tie_round is not None else 0.0
 
     # candidates tagged into their own cell; queries replicated to ring-1
     def cand_rows(batch: pa.Table) -> pa.Table:
@@ -213,7 +229,15 @@ def knn_join_cells(
                 continue
             d = kfn(clat, clon, qlat_, qlon_, a, f)
             kk = min(k, d.size)
-            part = np.argpartition(d, kk - 1)[:kk] if kk < d.size else np.arange(d.size)
+            if kk < d.size:
+                # kth-margin tie window (see knn_join.partial_topk): keep
+                # rounded-tie candidates past the raw kth so the global
+                # (round(dist), id) tie-break sees them. dist here is raw
+                # meters — merge rounds pre-conversion, so the margin is too.
+                kth = np.partition(d, kk - 1)[kk - 1]
+                part = np.flatnonzero(d <= kth + tie_margin_m)
+            else:
+                part = np.arange(d.size)
             out.append(
                 pd.DataFrame(
                     {"query_id": qid_, id_col: cids[part], "dist": d[part],
@@ -256,9 +280,20 @@ def knn_join_cells(
         lat_margin = np.minimum(qlat - (mn_lat - cell_deg), (mx_lat + cell_deg) - qlat)
         lon_margin = np.minimum(qlon - (mn_lon - cell_deg), (mx_lon + cell_deg) - qlon)
         cos_lat = np.cos(np.radians(np.abs(qlat)))
-        margin_m = np.minimum(
-            lat_margin * MIN_M_PER_DEG_LAT, lon_margin * MIN_M_PER_DEG_LAT * cos_lat
+        # Longitude margin uses the EXACT spherical distance from latitude
+        # qlat to a meridian Δλ away — R·arcsin(sin(Δλ)·cos(φ)) — on the
+        # minimum-radius sphere (a geodesic lower bound given the <0.56%
+        # sphere-vs-ellipsoid gap; MIN_M_PER_DEG_LAT embeds that radius).
+        # The previous linearization Δλ·m_per_deg·cos(φ) OVERSTATES the
+        # bound once 3·cell_deg exceeds ~10.5°, which would silently skip
+        # expansion for high-latitude queries on coarse grids.
+        lon_rad = np.radians(np.minimum(lon_margin, 90.0))
+        lon_margin_m = (
+            np.arcsin(np.clip(np.sin(lon_rad) * cos_lat, 0.0, 1.0))
+            * MIN_M_PER_DEG_LAT
+            * (180.0 / np.pi)
         )
+        margin_m = np.minimum(lat_margin * MIN_M_PER_DEG_LAT, lon_margin_m)
         # near-pole 3x3 blocks don't wrap the full lon ring → force expansion
         margin_m = np.where(np.abs(qlat) > 90.0 - 2 * cell_deg, 0.0, margin_m)
         # a query is incomplete if its kth-known distance could be beaten
@@ -398,15 +433,27 @@ class KnnIndexActor:
             if hi - lo >= min(self.k, n):
                 d = self._band_dists(lo, hi, qlat, qlon)
                 kk = min(self.k, d.size)
-                part = np.argpartition(d, kk - 1)[:kk] if kk < d.size else np.arange(d.size)
-                kth = d[part].max()
+                if kk < d.size:
+                    kth = np.partition(d, kk - 1)[kk - 1]
+                    # kth-margin tie window (see knn_join.partial_topk): a
+                    # candidate whose CONVERTED distance rounds equal to the
+                    # kth must enter the (round(dist), id) tie-break below.
+                    tie_margin = (
+                        10.0 ** -self.tie_round / self.conv
+                        if self.tie_round is not None
+                        else 0.0
+                    )
+                    part = np.flatnonzero(d <= kth + tie_margin)
+                else:
+                    part = np.arange(d.size)
+                    kth = d[part].max() if part.size else np.inf
                 # certified complete if the kth distance can't be beaten
                 # by anything outside the band
                 if (hi - lo == n) or kth * (1.0 + self.SLOP) <= band_deg * self.m_per_deg:
                     ids = self.ids[lo:hi][part]
                     dd = d[part] * self.conv
                     key = np.round(dd, self.tie_round) if self.tie_round is not None else dd
-                    order = np.lexsort((ids, key))
+                    order = np.lexsort((ids, key))[:kk]
                     return ids[order], dd[order], np.full(kk, qid, dtype=np.int64)
             # hi-lo == n can't reach here (the full-scan case returns inside
             # the certificate branch above), so widening is always productive

@@ -36,12 +36,23 @@ def grouped_sum(
     cent_sum_cols: dict[str, str] | None = None,
     count_col: str = "n",
     final: str = "driver",
+    nulls: str = "raise",
 ):
     """Partial-then-final grouped aggregation.
 
     ``int_sum_cols``: {input_col: output_name} summed as int64 (rounded to
     nearest int first). ``cent_sum_cols``: {input_col: output_name} summed as
     integer cents. A count column is always emitted.
+
+    ``nulls`` controls NULL values in sum columns — they must never reach the
+    int64 cast, where NaN silently becomes INT64_MIN and corrupts the sum:
+
+    - ``"raise"`` (default): fail loudly on the first null batch.
+    - ``"zero"``: count them as 0, i.e. SQL ``COALESCE(SUM(x), 0)`` —
+      identical to ``SUM(x)`` whenever a group has at least one non-null
+      value (SQL SUM ignores NULLs); an all-null group yields 0 where bare
+      SQL SUM yields NULL, so mirror with COALESCE. ``count_col`` still
+      counts all rows (COUNT(*) semantics).
 
     ``final`` picks the merge of the (already per-batch-combined) partials:
 
@@ -58,15 +69,29 @@ def grouped_sum(
     """
     int_sum_cols = int_sum_cols or {}
     cent_sum_cols = cent_sum_cols or {}
+    if nulls not in ("raise", "zero"):
+        raise ValueError(f"nulls must be 'raise' or 'zero', got {nulls!r}")
+
+    def _clean(vals: np.ndarray, col: str) -> np.ndarray:
+        nan = np.isnan(vals)
+        if nan.any():
+            if nulls == "raise":
+                raise ValueError(
+                    f"grouped_sum: column {col!r} has {int(nan.sum())} null(s); "
+                    f"pass nulls='zero' for COALESCE(SUM(x), 0) semantics"
+                )
+            vals = np.where(nan, 0.0, vals)
+        return vals
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(
             key_cols + list(int_sum_cols) + list(cent_sum_cols)
         ).to_pandas()
         for c in int_sum_cols:
-            df[c] = np.floor(df[c].to_numpy(dtype=np.float64) + 0.5).astype(np.int64)
+            v = _clean(df[c].to_numpy(dtype=np.float64), c)
+            df[c] = np.floor(v + 0.5).astype(np.int64)
         for c in cent_sum_cols:
-            df[c] = cents(df[c].to_numpy())
+            df[c] = cents(_clean(df[c].to_numpy(dtype=np.float64), c))
         g = df.groupby(key_cols, as_index=False, sort=False).agg(
             **{out: (c, "sum") for c, out in int_sum_cols.items()},
             **{out: (c, "sum") for c, out in cent_sum_cols.items()},

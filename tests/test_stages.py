@@ -489,3 +489,120 @@ def test_knn_cells_zero_candidate_block(ray_session):
         assert len(sub) == 4, (qi, len(sub))
         assert set(sub["doc_id"]) == want, qi
         assert -1 not in set(sub["doc_id"])  # sentinels never leak
+
+
+# ── round-2 regression tests (ADVICE r1) ─────────────────────────────────
+
+
+def test_knn_partial_tie_window_prefers_smaller_id(ray_session):
+    """A candidate whose distance ROUNDS equal to the kth but sits just above
+    it must win the (round(dist, tie_round), id) tie-break when its id is
+    smaller — batch-local raw-kth selection used to drop it (ADVICE r1)."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages import knn_join
+
+    # (0, 0.01) and (0, 0.010000001) are 0.11 mm apart: both round to the
+    # same centimeter (verified offline: 1113.1949 vs 1113.1950 m), and the
+    # FARTHER one carries the smaller id.
+    cands = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.array([5, 1], dtype=np.int64),
+                "lat": np.array([0.0, 0.0]),
+                "lon": np.array([0.01, 0.010000001]),
+            }
+        )
+    )
+    got = knn_join(cands, [0], [0.0], [0.0], k=1, kernel="vincenty", tie_round=2).to_pandas()
+    assert len(got) == 1
+    assert int(got["doc_id"].iloc[0]) == 1
+
+
+def test_knn_index_actor_tie_window_prefers_smaller_id(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.knn import knn_join_indexed
+
+    queries = rd.from_arrow(
+        pa.table({"query_id": np.array([0], dtype=np.int64),
+                  "lat": np.array([0.0]), "lon": np.array([0.0])})
+    )
+    # pad with far-away rows so kk < d.size and the window branch is hit
+    cids = np.array([5, 1, 7, 8, 9], dtype=np.int64)
+    clat = np.array([0.0, 0.0, 3.0, 4.0, 5.0])
+    clon = np.array([0.01, 0.010000001, 3.0, 4.0, 5.0])
+    got = knn_join_indexed(
+        queries, cids, clat, clon, k=1, kernel="vincenty", tie_round=2, concurrency=1
+    ).to_pandas()
+    assert len(got) == 1
+    assert int(got["doc_id"].iloc[0]) == 1
+
+
+def test_knn_cells_coarse_grid_high_latitude_exact(ray_session):
+    """knn_join_cells with a coarse grid (cell_deg=6) must stay exact at high
+    latitude — the linearized lon margin over-stated the completeness bound
+    there (ADVICE r1); the chord bound fixes it."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages import knn_join
+    from geodistpy_ray.stages.knn import knn_join_cells
+
+    rng = np.random.default_rng(17)
+    n = 800
+    clat = 68.0 + rng.uniform(-8, 8, n)
+    clon = rng.uniform(-40, 40, n)
+    cands = rd.from_arrow(
+        pa.table({"doc_id": np.arange(n, dtype=np.int64), "lat": clat, "lon": clon})
+    )
+    qlat = np.array([74.5, 71.9, 69.0, 75.9])
+    qlon = np.array([-20.0, 5.0, 30.0, 0.5])
+    qid = np.arange(4, dtype=np.int64)
+    queries = rd.from_arrow(pa.table({"query_id": qid, "lat": qlat, "lon": qlon}))
+    got = (
+        knn_join_cells(cands, queries, k=5, kernel="haversine", cell_deg=6.0)
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        knn_join(cands, qid, qlat, qlon, k=5, kernel="haversine")
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "doc_id", "rank"]], want[["query_id", "doc_id", "rank"]]
+    )
+    np.testing.assert_allclose(got["dist"], want["dist"], rtol=1e-12)
+
+
+class TestGroupedSumNulls:
+    def _ds(self):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(["a", "a", "b", "b"]),
+                    "v": pa.array([1.0, None, 2.0, 3.0], pa.float64()),
+                }
+            )
+        )
+
+    def test_raises_by_default(self, ray_session):
+        from geodistpy_ray.stages.relational import grouped_sum
+
+        with pytest.raises(Exception, match="null"):
+            grouped_sum(self._ds(), ["k"], cent_sum_cols={"v": "s"})
+
+    def test_zero_mode_matches_sql_sum(self, ray_session):
+        """nulls='zero' ≡ COALESCE(SUM(cents), 0): NULLs contribute nothing,
+        COUNT(*) still counts their rows — and never the INT64_MIN garbage
+        the old NaN→int64 cast produced (ADVICE r1)."""
+        from geodistpy_ray.stages.relational import grouped_sum
+
+        got = (
+            grouped_sum(self._ds(), ["k"], cent_sum_cols={"v": "s"}, nulls="zero")
+            .sort_values("k", ignore_index=True)
+        )
+        assert got["s"].tolist() == [100, 500]
+        assert got["n"].tolist() == [2, 2]
