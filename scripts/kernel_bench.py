@@ -63,4 +63,28 @@ for k, (a, b, c, d, want) in gold.items():
     got = float(geodesic_inverse(np.array([a]), np.array([b]), np.array([c]), np.array([d]))[0])
     out[k] = {"engine": round(got, 3), "reference": want, "abs_err_m": round(abs(got - want), 6)}
 
+# text-dedup signature kernels (round 2: uint64 split-multiply MinHash and
+# batched-reduceat SimHash replaced Python-bigint / per-token loops)
+from geodistpy_ray.stages.dedup import MinHasher, simhash64_batch
+
+_docs = [
+    " ".join(f"w{(i * 31 + j * 7) % 997}" for j in range(120)) for i in range(512)
+]
+_m = MinHasher(num_perm=128)
+_m.signatures(_docs[:8])  # warm
+samples = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    _m.signatures(_docs)
+    samples.append(time.perf_counter() - t0)
+out["minhash128_docs_per_sec_core"] = round(len(_docs) / sorted(samples)[1])
+
+simhash64_batch(_docs[:8])  # warm
+samples = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    simhash64_batch(_docs)
+    samples.append(time.perf_counter() - t0)
+out["simhash_docs_per_sec_core"] = round(len(_docs) / sorted(samples)[1])
+
 print(json.dumps(out, indent=2))

@@ -157,3 +157,89 @@ class TestTextStages:
         )
         out = add_fingerprint(ds).to_pandas()
         assert out["fingerprint"].nunique() == 1
+
+
+class TestVectorizedKernels:
+    """Round-2: the uint64 split-multiply MinHash and batched SimHash must be
+    bit-identical to the straightforward Python-bigint / per-token formulas
+    they replaced."""
+
+    def test_mulmod61_matches_bigint(self):
+        from geodistpy_ray.stages.dedup import _MERSENNE, _mulmod61
+
+        rng = np.random.default_rng(3)
+        h = rng.integers(0, 2**64, size=200, dtype=np.uint64)
+        # include edge values: 0, p-1, p, p+1, 2^64-1
+        h[:5] = [0, _MERSENNE - 1, _MERSENNE, _MERSENNE + 1, 2**64 - 1]
+        a = rng.integers(1, _MERSENNE, size=64, dtype=np.uint64)
+        b = rng.integers(0, _MERSENNE, size=64, dtype=np.uint64)
+        a[0], b[0] = _MERSENNE - 1, _MERSENNE - 1
+        got = _mulmod61(h, a, b)
+        want = np.array(
+            [[(int(hh) * int(aa) + int(bb)) % _MERSENNE for aa, bb in zip(a, b)] for hh in h],
+            dtype=np.uint64,
+        )
+        np.testing.assert_array_equal(got, want)
+
+    def test_signatures_batch_matches_scalar_and_bigint(self):
+        from geodistpy_ray.stages.dedup import MinHasher, _shingle_hashes
+
+        texts = [
+            "alpha beta gamma delta epsilon zeta",
+            "",
+            "one two",
+            " ".join(f"w{i}" for i in range(300)),
+        ]
+        m = MinHasher(num_perm=32)
+        batch = m.signatures(texts)
+        for i, t in enumerate(texts):
+            np.testing.assert_array_equal(batch[i], m.signature(t))
+            h = _shingle_hashes(t, m.shingle)
+            want = np.array(
+                [
+                    min((int(x) * int(aa) + int(bb)) % ((1 << 61) - 1) for x in h)
+                    for aa, bb in zip(m.a, m.b)
+                ],
+                dtype=np.uint64,
+            )
+            np.testing.assert_array_equal(batch[i], want)
+
+    def test_signatures_chunk_boundaries(self):
+        from geodistpy_ray.stages.dedup import MinHasher
+
+        m = MinHasher(num_perm=16)
+        m.CHUNK_ROWS = 40  # force several doc-aligned chunks
+        texts = [" ".join(f"t{i}_{j}" for j in range(n)) for i, n in
+                 enumerate([5, 50, 3, 30, 30, 1])]
+        batch = m.signatures(texts)
+        for i, t in enumerate(texts):
+            np.testing.assert_array_equal(batch[i], m.signature(t))
+
+    def test_simhash_batch_matches_per_token_formula(self):
+        from geodistpy_ray.stages.dedup import _blake_u64, simhash64_batch
+
+        texts = [
+            "the quick brown fox the quick",
+            "",
+            "single",
+            " ".join(f"tok{i % 7}" for i in range(100)),
+        ]
+
+        def scalar(text):
+            toks = (text or "").lower().split()
+            if not toks:
+                return 0
+            acc = np.zeros(64, dtype=np.int64)
+            for t in toks:
+                h = _blake_u64(t.encode())
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+                acc += np.where(bits.astype(bool), 1, -1)
+            out = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    out |= 1 << i
+            return out
+
+        got = simhash64_batch(texts)
+        for i, t in enumerate(texts):
+            assert int(got[i]) == scalar(t), i
