@@ -133,16 +133,28 @@ def knn_join_cells(
     metric: str = "meter",
     ellipsoid="WGS-84",
     tie_round: int | None = 6,
+    max_ring: int = 2,
+    broadcast_tail_max: int = 4096,
 ):
     """Cell-routed kNN for *large* query sets (both sides are Datasets).
 
     The scale path (SURVEY.md §3.2): queries and candidates are co-grouped
-    by grid cell, each query gets a local top-k from its own 3×3 cell
+    by grid cell, each query gets a local top-k from its own (2r+1)²-cell
     neighborhood, and only the queries whose kth-neighbor radius crosses the
-    neighborhood boundary (or that found < k locally) go through a second,
-    exact **boundary-expansion** pass over their ``disc_cover``. Phase-2
-    membership is decided with a conservative lower bound on the geodesic
-    distance from the query to the neighborhood edge, so results are exact.
+    neighborhood boundary (or that found < k locally) continue. Membership
+    is decided with a conservative lower bound on the geodesic distance from
+    the query to the neighborhood edge, so results are exact.
+
+    **Expansion ladder** (nothing unbounded ever lands on the driver): the
+    incomplete tail after the ring-1 pass is usually rare, but a query set
+    clustered on cell boundaries (or k above typical cell population) can
+    make it O(Q). So: while the tail exceeds ``broadcast_tail_max`` and
+    rings remain (≤ ``max_ring``), run another cell-routed pass at the next
+    ring over just the incomplete queries — the tail stays a Dataset.
+    Once small, the tail is collected in ``broadcast_tail_max``-sized
+    chunks through :func:`knn_join`'s broadcast-queries path (candidates
+    still stream; only query coordinates are driver-held, and only a
+    bounded chunk at a time).
 
     ``queries_ds``: Dataset with columns (query_id, lat, lon).
     Returns (query_id, {id_col}, dist, rank), nearest-first.
@@ -172,25 +184,24 @@ def knn_join_cells(
             }
         )
 
-    def query_rows(batch: pa.Table) -> pa.Table:
-        lat = col_np(batch, "lat")
-        lon = col_np(batch, "lon")
-        qid = col_np(batch, "query_id")
-        own = cell_id(lat, lon, cell_deg)
-        src, neigh = neighbor_cells(own, cell_deg, ring=1)
-        return pa.table(
-            {
-                "cell": neigh,
-                "rid": qid[src],
-                "rlat": lat[src],
-                "rlon": lon[src],
-                "is_query": np.ones(src.size, dtype=bool),
-            }
-        )
+    def query_rows(ring: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            lat = col_np(batch, "lat")
+            lon = col_np(batch, "lon")
+            qid = col_np(batch, "query_id")
+            own = cell_id(lat, lon, cell_deg)
+            src, neigh = neighbor_cells(own, cell_deg, ring=ring)
+            return pa.table(
+                {
+                    "cell": neigh,
+                    "rid": qid[src],
+                    "rlat": lat[src],
+                    "rlon": lon[src],
+                    "is_query": np.ones(src.size, dtype=bool),
+                }
+            )
 
-    cands = ds.map_batches(cand_rows, batch_format="pyarrow", zero_copy_batch=True)
-    qreps = queries_ds.map_batches(query_rows, batch_format="pyarrow", zero_copy_batch=True)
-    both = cands.union(qreps)
+        return fn
 
     def local_topk(g: pd.DataFrame) -> pd.DataFrame:
         isq = g["is_query"].to_numpy()
@@ -248,8 +259,6 @@ def knn_join_cells(
             return empty
         return pd.concat(out, ignore_index=True)
 
-    partials = both.groupby("cell").map_groups(local_topk, batch_format="pandas")
-
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_col])
         key = g["dist"].round(tie_round) if tie_round is not None else g["dist"]
@@ -262,50 +271,45 @@ def knn_join_cells(
         g["__nf"] = int(np.isfinite(g["dist"].to_numpy()).sum())
         return g
 
-    phase1 = partials.groupby("query_id").map_groups(merge, batch_format="pandas")
-
-    # ── boundary check, fully distributed: a stateless map flags each row
-    # by whether ITS query is provably complete (kth distance within the
-    # conservative geodesic margin to the 3x3 block edge). Only the rare
-    # expansion tail is ever collected to the driver; the k×Q result set
-    # itself stays a Dataset end to end. ──
     from ..cells import cell_bounds
 
-    def flag(batch: pa.Table) -> pa.Table:
-        qlat = batch.column("qlat").to_numpy()
-        qlon = batch.column("qlon").to_numpy()
-        kth = batch.column("__kth").to_numpy()
-        own = cell_id(qlat, qlon, cell_deg)
-        mn_lat, mx_lat, mn_lon, mx_lon = cell_bounds(own, cell_deg)
-        lat_margin = np.minimum(qlat - (mn_lat - cell_deg), (mx_lat + cell_deg) - qlat)
-        lon_margin = np.minimum(qlon - (mn_lon - cell_deg), (mx_lon + cell_deg) - qlon)
-        cos_lat = np.cos(np.radians(np.abs(qlat)))
-        # Longitude margin uses the EXACT spherical distance from latitude
-        # qlat to a meridian Δλ away — R·arcsin(sin(Δλ)·cos(φ)) — on the
-        # minimum-radius sphere (a geodesic lower bound given the <0.56%
-        # sphere-vs-ellipsoid gap; MIN_M_PER_DEG_LAT embeds that radius).
-        # The previous linearization Δλ·m_per_deg·cos(φ) OVERSTATES the
-        # bound once 3·cell_deg exceeds ~10.5°, which would silently skip
-        # expansion for high-latitude queries on coarse grids.
-        lon_rad = np.radians(np.minimum(lon_margin, 90.0))
-        lon_margin_m = (
-            np.arcsin(np.clip(np.sin(lon_rad) * cos_lat, 0.0, 1.0))
-            * MIN_M_PER_DEG_LAT
-            * (180.0 / np.pi)
-        )
-        margin_m = np.minimum(lat_margin * MIN_M_PER_DEG_LAT, lon_margin_m)
-        # near-pole 3x3 blocks don't wrap the full lon ring → force expansion
-        margin_m = np.where(np.abs(qlat) > 90.0 - 2 * cell_deg, 0.0, margin_m)
-        # a query is incomplete if its kth-known distance could be beaten
-        # outside the block OR it simply found < k real neighbors inside
-        # (possible with no sentinel whenever the block holds 1..k-1 rows)
-        nf = batch.column("__nf").to_numpy()
-        expand = (kth > margin_m) | (nf < k)
-        return batch.append_column("__expand", pa.array(expand, pa.bool_()))
+    def flag(ring: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            qlat = batch.column("qlat").to_numpy()
+            qlon = batch.column("qlon").to_numpy()
+            kth = batch.column("__kth").to_numpy()
+            own = cell_id(qlat, qlon, cell_deg)
+            mn_lat, mx_lat, mn_lon, mx_lon = cell_bounds(own, cell_deg)
+            ext = ring * cell_deg
+            lat_margin = np.minimum(qlat - (mn_lat - ext), (mx_lat + ext) - qlat)
+            lon_margin = np.minimum(qlon - (mn_lon - ext), (mx_lon + ext) - qlon)
+            cos_lat = np.cos(np.radians(np.abs(qlat)))
+            # Longitude margin uses the EXACT spherical distance from latitude
+            # qlat to a meridian Δλ away — R·arcsin(sin(Δλ)·cos(φ)) — on the
+            # minimum-radius sphere (a geodesic lower bound given the <0.56%
+            # sphere-vs-ellipsoid gap; MIN_M_PER_DEG_LAT embeds that radius).
+            # A linearized Δλ·m_per_deg·cos(φ) would OVERSTATE the bound once
+            # (2r+1)·cell_deg exceeds ~10.5°, silently skipping expansion for
+            # high-latitude queries on coarse grids.
+            lon_rad = np.radians(np.minimum(lon_margin, 90.0))
+            lon_margin_m = (
+                np.arcsin(np.clip(np.sin(lon_rad) * cos_lat, 0.0, 1.0))
+                * MIN_M_PER_DEG_LAT
+                * (180.0 / np.pi)
+            )
+            margin_m = np.minimum(lat_margin * MIN_M_PER_DEG_LAT, lon_margin_m)
+            # near-pole blocks don't wrap the full lon ring → force expansion
+            margin_m = np.where(
+                np.abs(qlat) > 90.0 - (ring + 1) * cell_deg, 0.0, margin_m
+            )
+            # a query is incomplete if its kth-known distance could be beaten
+            # outside the block OR it simply found < k real neighbors inside
+            # (possible with no sentinel whenever the block holds 1..k-1 rows)
+            nf = batch.column("__nf").to_numpy()
+            expand = (kth > margin_m) | (nf < k)
+            return batch.append_column("__expand", pa.array(expand, pa.bool_()))
 
-    # materialize once: two consumers (complete rows + expansion tail) read
-    # this — without pinning, the whole phase-1 shuffle would execute twice
-    flagged = phase1.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True).materialize()
+        return fn
 
     def complete_rows(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -320,8 +324,6 @@ def knn_join_cells(
             }
         )
 
-    complete = flagged.map_batches(complete_rows, batch_format="pyarrow", zero_copy_batch=True)
-
     def expansion_queries(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
@@ -330,39 +332,83 @@ def knn_join_cells(
         return pa.table(
             {
                 "query_id": e.column("query_id"),
-                "qlat": e.column("qlat"),
-                "qlon": e.column("qlon"),
+                "lat": e.column("qlat"),
+                "lon": e.column("qlon"),
             }
         )
 
-    # the uncertain tail is rare by construction → safe to collect
-    exp = flagged.map_batches(
-        expansion_queries, batch_format="pyarrow", zero_copy_batch=True
-    ).to_pandas()
+    cands = ds.map_batches(cand_rows, batch_format="pyarrow", zero_copy_batch=True)
 
-    if len(exp) == 0:
-        return complete
+    def cell_pass(qds, ring: int):
+        """One cell-routed pass → (complete Dataset, incomplete-query Dataset).
 
-    redo = knn_join(
-        ds,
-        exp["query_id"].to_numpy(),
-        exp["qlat"].to_numpy(),
-        exp["qlon"].to_numpy(),
-        k,
-        id_col=id_col,
-        lat_col=lat_col,
-        lon_col=lon_col,
-        kernel=kernel,
-        metric="meter",
-        ellipsoid=ellipsoid,
-        tie_round=tie_round,
-    )
+        The returned flagged set is materialized once because two consumers
+        (complete rows + expansion tail) read it — without pinning, the whole
+        pass shuffle would execute twice.
+        """
+        qreps = qds.map_batches(query_rows(ring), batch_format="pyarrow", zero_copy_batch=True)
+        partials = cands.union(qreps).groupby("cell").map_groups(
+            local_topk, batch_format="pandas"
+        )
+        phase = partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+        flagged = phase.map_batches(
+            flag(ring), batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        complete = flagged.map_batches(complete_rows, batch_format="pyarrow", zero_copy_batch=True)
+        exp = flagged.map_batches(expansion_queries, batch_format="pyarrow", zero_copy_batch=True)
+        return complete, exp
 
-    redo_conv = redo.map_batches(
-        lambda df: df[["query_id", id_col, "dist", "rank"]].assign(dist=df["dist"] * conv),
-        batch_format="pandas",
-    )
-    return complete.union(redo_conv)
+    completes = []
+    pending = queries_ds
+    ring = 1
+    while True:
+        complete, exp = cell_pass(pending, ring)
+        completes.append(complete)
+        n_exp = exp.count()
+        if n_exp == 0:
+            out = completes[0]
+            for c in completes[1:]:
+                out = out.union(c)
+            return out
+        if n_exp > broadcast_tail_max and ring < max_ring:
+            ring += 1
+            pending = exp
+            continue
+        break
+
+    # bounded tail: collect and run in chunks through the broadcast-queries
+    # exact path — the driver holds only (query_id, lat, lon) triples of the
+    # tail, and each knn_join call sees ≤ broadcast_tail_max queries (which
+    # also caps its per-batch Python query loop)
+    exp_pd = exp.to_pandas()
+    for lo in range(0, len(exp_pd), broadcast_tail_max):
+        sub = exp_pd.iloc[lo : lo + broadcast_tail_max]
+        redo = knn_join(
+            ds,
+            sub["query_id"].to_numpy(),
+            sub["lat"].to_numpy(),
+            sub["lon"].to_numpy(),
+            k,
+            id_col=id_col,
+            lat_col=lat_col,
+            lon_col=lon_col,
+            kernel=kernel,
+            metric="meter",
+            ellipsoid=ellipsoid,
+            tie_round=tie_round,
+        )
+        completes.append(
+            redo.map_batches(
+                lambda df: df[["query_id", id_col, "dist", "rank"]].assign(
+                    dist=df["dist"] * conv
+                ),
+                batch_format="pandas",
+            )
+        )
+    out = completes[0]
+    for c in completes[1:]:
+        out = out.union(c)
+    return out
 
 
 

@@ -606,3 +606,44 @@ class TestGroupedSumNulls:
         )
         assert got["s"].tolist() == [100, 500]
         assert got["n"].tolist() == [2, 2]
+
+
+def test_knn_cells_expansion_ladder_exact(ray_session):
+    """Force the ring ladder: boundary-clustered queries make most of the
+    ring-1 pass incomplete; with broadcast_tail_max=2 the implementation must
+    run a ring-2 cell pass and then chunked broadcast passes — results must
+    still equal brute force exactly."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages import knn_join
+    from geodistpy_ray.stages.knn import knn_join_cells
+
+    rng = np.random.default_rng(23)
+    n = 400
+    clat = rng.uniform(-10, 10, n)
+    clon = rng.uniform(-10, 10, n)
+    cands = rd.from_arrow(
+        pa.table({"doc_id": np.arange(n, dtype=np.int64), "lat": clat, "lon": clon})
+    )
+    # queries hugging the cell_deg=2 grid lines → kth radius crosses blocks
+    qlat = np.array([0.001, 1.999, -0.001, 4.001, -3.999, 0.0005, 2.0005, -2.0005])
+    qlon = np.array([0.001, 0.001, 3.999, -0.001, 2.001, -3.9995, 5.9995, -5.9995])
+    qid = np.arange(qlat.size, dtype=np.int64)
+    queries = rd.from_arrow(pa.table({"query_id": qid, "lat": qlat, "lon": qlon}))
+    got = (
+        knn_join_cells(
+            cands, queries, k=25, kernel="haversine", cell_deg=2.0,
+            broadcast_tail_max=2, max_ring=2,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    want = (
+        knn_join(cands, qid, qlat, qlon, k=25, kernel="haversine")
+        .to_pandas()
+        .sort_values(["query_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["query_id", "doc_id", "rank"]], want[["query_id", "doc_id", "rank"]]
+    )
+    np.testing.assert_allclose(got["dist"], want["dist"], rtol=1e-12)
