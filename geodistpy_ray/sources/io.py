@@ -82,3 +82,28 @@ def write_partitioned(
         out_dir, partition_cols=[bucket_col]
     )
     return out_dir
+
+
+def write_table(ds, out_dir: str, format: str = "parquet", **kwargs):
+    """Write a Dataset as parquet / CSV / JSONL (one file per block).
+
+    The row formats exist for interop exports (small results, crawl-tool
+    handoffs); parquet stays the scale path — CSV/JSONL carry no schema, no
+    column pruning, and no compression by default. Timestamps survive a
+    round-trip through :func:`read_table`'s schema cast (ISO-8601 strings →
+    timestamp[us]).
+    """
+    if format == "parquet":
+        ds.write_parquet(out_dir, **kwargs)
+    elif format == "csv":
+        ds.write_csv(out_dir, **kwargs)
+    elif format in ("json", "jsonl"):
+        # pandas to_json defaults to epoch-MILLISECOND ints for timestamps,
+        # which a reader would silently mis-cast (int → µs); force ISO-8601
+        # at µs precision so the read_table schema cast round-trips exactly
+        kwargs.setdefault("date_format", "iso")
+        kwargs.setdefault("date_unit", "us")
+        ds.write_json(out_dir, **kwargs)
+    else:
+        raise ValueError(f"unknown format '{format}' (parquet|csv|json)")
+    return out_dir

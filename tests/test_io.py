@@ -64,3 +64,30 @@ def test_write_partitioned_roundtrip(tmp_sources, tmp_path):
     back = rd.read_parquet(out).to_pandas().sort_values("doc_id", ignore_index=True)
     assert back["doc_id"].astype(np.int64).equals(want["doc_id"])
     assert back["text"].equals(want["text"])
+
+
+def test_write_csv_jsonl_roundtrip(tmp_sources, tmp_path):
+    """CSV and JSONL sinks round-trip through the schema-enforced readers
+    (timestamps survive the string→timestamp[us] cast)."""
+    from geodistpy_ray.sources.io import write_table
+
+    d, want = tmp_sources
+    ds = read_table(os.path.join(d, "t.parquet"), schema=SCHEMA)
+    for fmt in ("csv", "json"):
+        out = write_table(ds, str(tmp_path / f"out_{fmt}"), format=fmt)
+        back = (
+            read_table(out, schema=SCHEMA, format=fmt)
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+        back["ts"] = back["ts"].astype("datetime64[ns]")  # us→ns for compare
+        pd.testing.assert_frame_equal(back, want.reset_index(drop=True), check_dtype=False)
+
+
+def test_write_table_bad_format(tmp_sources):
+    from geodistpy_ray.sources.io import write_table
+
+    d, _ = tmp_sources
+    ds = read_table(os.path.join(d, "t.parquet"), schema=SCHEMA)
+    with pytest.raises(ValueError, match="unknown format"):
+        write_table(ds, "/tmp/never", format="avro")
