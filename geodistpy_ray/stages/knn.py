@@ -442,6 +442,12 @@ class KnnIndexActor:
         self.ids = ids[order]
         self.lats = lats[order]
         self.lons = lons[order]
+        # precomputed per-candidate trig for the law-of-cosines band scan
+        # (one cos() per row per query instead of a full haversine)
+        latr = np.radians(self.lats)
+        self.lonr = np.radians(self.lons)
+        self.coslat = np.cos(latr)
+        self.sinlat = np.sin(latr)
         self.k = k
         self.a, self.f = resolve_ellipsoid(ellipsoid)
         self.conv = unit_factor(metric)
@@ -449,81 +455,113 @@ class KnnIndexActor:
         self.kernel_name = kernel
         self.tie_round = tie_round
         self.m_per_deg = MIN_M_PER_DEG_LAT
+        # sliver slack: +1 m absolute (degenerate zero-distance guard) plus
+        # the rounding-tie margin inflated by the haversine gap, so the
+        # sliver provably contains every rounding-tie candidate even at
+        # coarse tie_round values
+        tie_m = 10.0 ** -tie_round / self.conv if tie_round is not None else 0.0
+        self._slack = 1.0 + tie_m * (1.0 + self.GAP)
 
-    def _band_dists(self, lo, hi, qlat, qlon):
-        """Distances for the band slice — exact kernels get the same provably
-        safe haversine pre-prune as ``knn_join`` (kernel only on the sliver
-        within 1.013x of the kth haversine, +1 m for degenerate zeros)."""
-        from ..kernels.sphere import haversine
+    #: haversine-vs-kernel relative gap (same 0.56% bound the prune uses) —
+    #: converts a haversine kth into an upper bound on the kernel kth for the
+    #: band-completeness certificate.
+    GAP = 0.0056
 
-        lats, lons = self.lats[lo:hi], self.lons[lo:hi]
-        if self.kernel_name == "haversine" or (hi - lo) <= 4 * self.k:
-            return self.kfn(lats, lons, qlat, qlon, self.a, self.f)
-        hav = haversine(lats, lons, qlat, qlon)
-        kk = min(self.k, hav.size)
-        kth_h = np.partition(hav, kk - 1)[kk - 1]
-        keep = hav <= kth_h * 1.013 + 1.0
-        d = np.full(hav.size, np.inf)
-        d[keep] = self.kfn(lats[keep], lons[keep], qlat, qlon, self.a, self.f)
-        return d
+    def _sliver(self, qlat, qlon):
+        """Certified candidate sliver indices for one query.
 
-    def _one(self, qid, qlat, qlon):
+        Expands the latitude band until (a) it holds ≥ k rows and (b) the
+        spherical kth — inflated by GAP to upper-bound the kernel kth —
+        certifies nothing outside the band can enter the top-k. The band is
+        scanned with the spherical law of cosines over precomputed trig
+        (cos c is MONOTONE in distance, so kth selection and the window cut
+        need no per-row arccos; one scalar arccos converts the kth to
+        meters). The returned sliver (1.013× kth window, +1 m + tie-margin
+        slack) is a provable superset of the kernel top-k AND its rounding
+        -tie window, so the exact kernel never needs to re-certify.
+        """
+        from ..kernels.ellipsoids import EARTH_RADIUS_M
+
         n = self.ids.size
-        if n == 0:
-            e = np.array([], dtype=np.int64)
-            return e, np.array([], dtype=np.float64), e
+        qlatr, qlonr = np.radians(qlat), np.radians(qlon)
+        qcos, qsin = np.cos(qlatr), np.sin(qlatr)
         band_deg = 2.0
         while True:
             lo = np.searchsorted(self.lats, qlat - band_deg, side="left")
             hi = np.searchsorted(self.lats, qlat + band_deg, side="right")
             if hi - lo >= min(self.k, n):
-                d = self._band_dists(lo, hi, qlat, qlon)
-                kk = min(self.k, d.size)
-                if kk < d.size:
-                    kth = np.partition(d, kk - 1)[kk - 1]
-                    # kth-margin tie window (see knn_join.partial_topk): a
-                    # candidate whose CONVERTED distance rounds equal to the
-                    # kth must enter the (round(dist), id) tie-break below.
-                    tie_margin = (
-                        10.0 ** -self.tie_round / self.conv
-                        if self.tie_round is not None
-                        else 0.0
-                    )
-                    part = np.flatnonzero(d <= kth + tie_margin)
-                else:
-                    part = np.arange(d.size)
-                    kth = d[part].max() if part.size else np.inf
-                # certified complete if the kth distance can't be beaten
-                # by anything outside the band
-                if (hi - lo == n) or kth * (1.0 + self.SLOP) <= band_deg * self.m_per_deg:
-                    ids = self.ids[lo:hi][part]
-                    dd = d[part] * self.conv
-                    key = np.round(dd, self.tie_round) if self.tie_round is not None else dd
-                    order = np.lexsort((ids, key))[:kk]
-                    return ids[order], dd[order], np.full(kk, qid, dtype=np.int64)
-            # hi-lo == n can't reach here (the full-scan case returns inside
-            # the certificate branch above), so widening is always productive
+                cosc = np.cos(self.lonr[lo:hi] - qlonr)
+                cosc *= self.coslat[lo:hi] * qcos
+                cosc += self.sinlat[lo:hi] * qsin
+                kk = min(self.k, cosc.size)
+                kth_c = (
+                    np.partition(cosc, cosc.size - kk)[cosc.size - kk]
+                    if kk < cosc.size
+                    else cosc.min(initial=1.0)
+                )
+                kth_h = EARTH_RADIUS_M * np.arccos(np.clip(kth_c, -1.0, 1.0))
+                if (hi - lo == n) or kth_h * (1.0 + self.GAP) * (
+                    1.0 + self.SLOP
+                ) <= band_deg * self.m_per_deg:
+                    cut = min((kth_h * 1.013 + self._slack) / EARTH_RADIUS_M, np.pi)
+                    keep = np.flatnonzero(cosc >= np.cos(cut))
+                    return keep + lo
+            # hi-lo == n always certifies above, so widening is productive
             band_deg *= 2.0
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         qids = col_np(batch, "query_id")
         qlats = col_np(batch, "lat")
         qlons = col_np(batch, "lon")
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "dist": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if qids.size == 0 or self.ids.size == 0:
+            return empty
+        # phase A: per-query certified slivers (spherical band search only)
+        idx_parts = [self._sliver(qlats[j], qlons[j]) for j in range(qids.size)]
+        counts = np.fromiter((x.size for x in idx_parts), dtype=np.int64, count=qids.size)
+        idx = np.concatenate(idx_parts)
+        # phase B: ONE kernel call over every sliver row in the batch — the
+        # exact kernel's fixed per-call overhead (lane-masked iteration
+        # setup) amortizes across queries instead of repeating per query
+        d_all = self.kfn(
+            self.lats[idx],
+            self.lons[idx],
+            np.repeat(qlats, counts),
+            np.repeat(qlons, counts),
+            self.a,
+            self.f,
+        )
+        # phase C: per-query top-k with the (round(dist), id) tie contract
+        tie_margin = (
+            10.0 ** -self.tie_round / self.conv if self.tie_round is not None else 0.0
+        )
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         out_i, out_d, out_q = [], [], []
         for j in range(qids.size):
-            ids, dd, qq = self._one(qids[j], qlats[j], qlons[j])
-            out_i.append(ids)
-            out_d.append(dd)
-            out_q.append(qq)
+            d = d_all[starts[j] : starts[j] + counts[j]]
+            ids = self.ids[idx_parts[j]]
+            kk = min(self.k, d.size)
+            if kk == 0:
+                continue
+            if kk < d.size:
+                kth = np.partition(d, kk - 1)[kk - 1]
+                part = np.flatnonzero(d <= kth + tie_margin)
+                d, ids = d[part], ids[part]
+            dd = d * self.conv
+            key = np.round(dd, self.tie_round) if self.tie_round is not None else dd
+            order = np.lexsort((ids, key))[:kk]
+            out_i.append(ids[order])
+            out_d.append(dd[order])
+            out_q.append(np.full(kk, qids[j], dtype=np.int64))
         if not out_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "doc_id": pa.array([], pa.int64()),
-                    "dist": pa.array([], pa.float64()),
-                    "rank": pa.array([], pa.int64()),
-                }
-            )
+            return empty
         ranks = np.concatenate([np.arange(1, x.size + 1, dtype=np.int64) for x in out_i])
         return pa.table(
             {
