@@ -103,16 +103,23 @@ def ann_topk(
 
 
 class HyperplaneLSH:
-    """Seeded random-hyperplane signatures (state built once per actor)."""
+    """Seeded random-hyperplane signatures (state built once per actor).
 
-    def __init__(self, dim: int, n_bits: int = 12, seed: int = 7):
+    ``n_tables`` independent hash tables raise recall the standard way: a
+    candidate is searched if it shares a bucket with the query in ANY table
+    (miss probability decays as miss_one^n_tables)."""
+
+    def __init__(self, dim: int, n_bits: int = 12, seed: int = 7, n_tables: int = 1):
         rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((dim, n_bits)).astype(np.float32)
+        self.planes = rng.standard_normal((dim, n_tables * n_bits)).astype(np.float32)
+        self.n_tables = n_tables
+        self.n_bits = n_bits
         self.weights = (1 << np.arange(n_bits, dtype=np.int64))
 
     def bucket(self, emb: np.ndarray) -> np.ndarray:
+        """(N, n_tables) bucket ids, one column per table."""
         bits = (emb @ self.planes) > 0
-        return bits @ self.weights
+        return bits.reshape(len(emb), self.n_tables, self.n_bits) @ self.weights
 
 
 def lsh_ann_topk(
@@ -123,25 +130,27 @@ def lsh_ann_topk(
     emb_col: str = "embedding",
     n_bits: int = 8,
     seed: int = 7,
+    n_tables: int = 8,
 ):
-    """Approximate cosine top-k: search only the query's LSH bucket.
+    """Approximate cosine top-k: search only the query's LSH bucket(s).
 
-    The scale path for corpora too large for brute force; recall depends on
-    n_bits (fewer bits → bigger buckets → higher recall, more compute).
+    The scale path for corpora too large for brute force; recall rises with
+    fewer ``n_bits`` (bigger buckets) and more ``n_tables`` (independent
+    chances to collide) — measured in ``scripts/recall_bench.py``.
     """
     qm = _normalize(np.asarray(query_matrix, dtype=np.float32))
-    lsh = HyperplaneLSH(qm.shape[1], n_bits, seed)
-    q_buckets = lsh.bucket(qm)
+    lsh = HyperplaneLSH(qm.shape[1], n_bits, seed, n_tables)
+    q_buckets = lsh.bucket(qm)  # (Q, T)
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_partial(id_col)
         emb = _normalize(_emb_matrix(batch, emb_col, np.float32))
         ids = col_np(batch, id_col)
-        buckets = lsh.bucket(emb)
+        buckets = lsh.bucket(emb)  # (B, T)
         out_q, out_i, out_s = [], [], []
         for j in range(qm.shape[0]):
-            m = buckets == q_buckets[j]
+            m = (buckets == q_buckets[j][None, :]).any(axis=1)
             if not m.any():
                 continue
             s = emb[m] @ qm[j]
@@ -262,7 +271,9 @@ def embedding_near_dup_pairs(
         emb = _normalize(_emb_matrix(batch, emb_col, np.float32))
         if "lsh" not in lsh_holder:
             lsh_holder["lsh"] = HyperplaneLSH(emb.shape[1], n_bits, seed)
-        buckets = lsh_holder["lsh"].bucket(emb)
+        # single table (column 0): each vector lands in exactly one bucket,
+        # so within-bucket pairs are globally unique without a distinct pass
+        buckets = lsh_holder["lsh"].bucket(emb)[:, 0]
         return pa.table(
             {
                 "bucket": buckets.astype(np.int64),

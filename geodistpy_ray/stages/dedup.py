@@ -242,6 +242,65 @@ class MinHashBandEmitter:
         )
 
 
+def _partition_on(ds, key_col: str, n_parts: int):
+    """Append ``__part`` = hash(key) % n_parts — the coarse co-partition used
+    instead of grouping on the raw key (bounded group count for map_groups)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_array(
+            batch.column(key_col).to_numpy(zero_copy_only=False), categorize=False
+        )
+        return batch.append_column(
+            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int64), pa.int64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _bucket_spans(keys: np.ndarray):
+    """(starts, ends) of equal-key runs in a sorted key array, multi-member
+    runs only."""
+    change = np.flatnonzero(np.diff(keys)) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [keys.size]))
+    multi = np.flatnonzero(ends - starts >= 2)
+    return starts[multi], ends[multi]
+
+
+def _bucket_pairs_partitioned(band_rows, key_col: str, id_col: str, n_parts: int = 64):
+    """Distinct unordered id pairs per equal-key bucket → (id_a, id_b).
+
+    One ``groupby`` on the hash partition (``n_parts`` groups total); inside
+    a partition, every bucket's pairs come from one sorted sweep — no
+    per-bucket task or frame overhead.
+    """
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, id_col])
+        keys = g[key_col].to_numpy()
+        ids = g[id_col].to_numpy()
+        out_a, out_b = [], []
+        if keys.size:
+            for s, e in zip(*_bucket_spans(keys)):
+                u = np.unique(ids[s:e])
+                if u.size < 2:
+                    continue
+                ii, jj = np.triu_indices(u.size, k=1)
+                out_a.append(u[ii])
+                out_b.append(u[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {"id_a": pd.Series(dtype=np.int64), "id_b": pd.Series(dtype=np.int64)}
+            )
+        return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
+
+    return (
+        _partition_on(band_rows, key_col, n_parts)
+        .groupby("__part")
+        .map_groups(pairs_part, batch_format="pandas")
+    )
+
+
 def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     """Exact n-gram Jaccard similarity between two texts."""
     sa = set(_shingle_hashes(text_a, shingle).tolist())
@@ -261,7 +320,7 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     threshold: float = 0.5,
     seed: int = 1234,
-    concurrency: int | tuple[int, int] = 4,
+    concurrency: int | tuple[int, int] = (1, 4),
 ):
     """Near-duplicate pairs via MinHash+LSH → Dataset (id_a, id_b, jaccard).
 
@@ -301,14 +360,12 @@ def minhash_lsh_pairs(
         concurrency=concurrency,
     )
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(np.unique(g[id_col].to_numpy()))
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []}).astype(np.int64)
-        ii, jj = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"id_a": ids[ii], "id_b": ids[jj]})
-
-    cand = band_rows.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
+    # Bucket pair generation groups on a HASH PARTITION of band_key, not on
+    # band_key itself: most buckets are singletons, and Ray's map_groups
+    # pays ~4 ms per group — one group per band key turns a 500-doc corpus
+    # into a minute of fixed overhead. Each partition emits every bucket's
+    # pairs with one vectorized sweep over its sorted (band_key, id) rows.
+    cand = _bucket_pairs_partitioned(band_rows, "band_key", id_col)
     # materialize the (small) deduped pair set once: it feeds two joins, and
     # the empty-result guard below must not re-execute the band shuffle
     cand = distinct(cand, ["id_a", "id_b"]).materialize()
@@ -493,22 +550,48 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_h
 
     band_rows = sigs.map_batches(bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col]).sort_values(id_col)
+    def bucket_pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        # one sorted sweep emits every band bucket's verified pairs — the
+        # same bounded-group-count trick as _bucket_pairs_partitioned
+        g = g.sort_values(["band_key", id_col]).drop_duplicates(["band_key", id_col])
+        keys = g["band_key"].to_numpy()
         ids = g[id_col].to_numpy()
-        s = g["simhash"].to_numpy().astype(np.uint64)
-        if ids.size < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []}).astype(np.int64)
-        ii, jj = np.triu_indices(ids.size, k=1)
-        x = s[ii] ^ s[jj]
-        ham = np.zeros(x.size, dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"id_a": ids[ii][keep], "id_b": ids[jj][keep], "hamming": ham[keep]})
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        out_a, out_b, out_h = [], [], []
+        if keys.size:
+            for s, e in zip(*_bucket_spans(keys)):
+                bi, si = ids[s:e], sh[s:e]
+                ii, jj = np.triu_indices(bi.size, k=1)
+                x = si[ii] ^ si[jj]
+                ham = np.zeros(x.size, dtype=np.int64)
+                for _ in range(64):
+                    ham += (x & np.uint64(1)).astype(np.int64)
+                    x >>= np.uint64(1)
+                keep = ham <= max_hamming
+                out_a.append(bi[ii][keep])
+                out_b.append(bi[jj][keep])
+                out_h.append(ham[keep])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=np.int64),
+                    "id_b": pd.Series(dtype=np.int64),
+                    "hamming": pd.Series(dtype=np.int64),
+                }
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "hamming": np.concatenate(out_h),
+            }
+        )
 
-    pairs = band_rows.groupby("band_key").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = (
+        _partition_on(band_rows, "band_key", 64)
+        .groupby("__part")
+        .map_groups(bucket_pairs_part, batch_format="pandas")
+    )
     # a pair found via several bands appears once per matching band →
     # distributed distinct (hamming is a function of the id pair, so keying
     # on all three columns dedups identically to (id_a, id_b) alone)

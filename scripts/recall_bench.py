@@ -1,0 +1,141 @@
+"""Recall of every approximate path vs its exact oracle (one JSON line).
+
+The reference records accuracy numbers for its approximate kernel
+(`/root/reference/README.md:85-96`); this is the engine's analogue for the
+approximate *search* paths — each LSH/IVF variant measured against the exact
+ground truth on the same inputs:
+
+- ``lsh_ann`` / ``ivf_ann``: recall@k vs brute-force cosine top-k
+  (rank-set overlap per query, averaged).
+- ``minhash_pairs``: pair recall vs exact n-gram Jaccard >= threshold,
+  ground truth built with an inverted shingle index (exact, no sampling).
+- ``simhash_pairs``: pair recall vs exact Hamming <= 3 over all signature
+  pairs — the 4x16 pigeonhole blocking GUARANTEES 1.0; this asserts it.
+
+Usage: python scripts/recall_bench.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
+
+import json
+import sys
+
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ANN_K = 10
+
+
+def ann_recalls():
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import ann_topk, ivf_ann_topk, lsh_ann_topk
+
+    import duckdb
+
+    q = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet') "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    qm = np.array([row[1] for row in q], dtype=np.float64)
+
+    def topk_sets(ds):
+        df = ds.to_pandas()
+        return {
+            int(qid): set(g["vec_id"].tolist())
+            for qid, g in df.groupby("query_id")
+        }
+
+    emb = lambda: rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    exact = topk_sets(ann_topk(emb(), qm, k=ANN_K, tie_round=6))
+    out = {}
+    for name, ds in [
+        ("lsh_ann", lsh_ann_topk(emb(), qm, k=ANN_K, n_bits=6)),
+        ("ivf_ann", ivf_ann_topk(emb(), qm, k=ANN_K, n_centroids=8, n_probe=3)),
+    ]:
+        approx = topk_sets(ds)
+        recalls = [
+            len(exact[qid] & approx.get(qid, set())) / max(len(exact[qid]), 1)
+            for qid in exact
+        ]
+        out[f"{name}_recall_at_{ANN_K}"] = round(float(np.mean(recalls)), 4)
+    return out
+
+
+def exact_jaccard_pairs(texts_df, shingle=3, threshold=0.5):
+    """All pairs with exact n-gram Jaccard >= threshold — inverted index:
+    explode (doc, shingle_hash), self-join on the hash, count intersections."""
+    from geodistpy_ray.stages.dedup import _shingle_hashes
+
+    rows = []
+    sizes = {}
+    for did, text in zip(texts_df["doc_id"], texts_df["text"]):
+        h = np.unique(_shingle_hashes(text, shingle))
+        sizes[int(did)] = h.size
+        rows.append(pd.DataFrame({"doc_id": int(did), "h": h}))
+    inc = pd.concat(rows, ignore_index=True)
+    j = inc.merge(inc, on="h", suffixes=("_a", "_b"))
+    j = j[j["doc_id_a"] < j["doc_id_b"]]
+    inter = j.groupby(["doc_id_a", "doc_id_b"]).size()
+    pairs = set()
+    for (a, b), n in inter.items():
+        union = sizes[a] + sizes[b] - n
+        if union and n / union >= threshold:
+            pairs.add((a, b))
+    return pairs
+
+
+def dedup_recalls():
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import minhash_lsh_pairs, simhash64_batch, simhash_near_pairs
+
+    import duckdb
+
+    docs_df = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    docs = lambda: rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    out = {}
+    true_j = exact_jaccard_pairs(docs_df, threshold=0.5)
+    got_j = minhash_lsh_pairs(docs(), threshold=0.5).to_pandas()
+    got_pairs = set(zip(got_j["id_a"].astype(int), got_j["id_b"].astype(int)))
+    out["minhash_true_pairs"] = len(true_j)
+    out["minhash_found_pairs"] = len(got_pairs)
+    out["minhash_recall"] = round(len(true_j & got_pairs) / max(len(true_j), 1), 4)
+    # precision is 1.0 by construction (candidates are exact-verified); check
+    out["minhash_precision"] = round(
+        len(true_j & got_pairs) / max(len(got_pairs), 1), 4
+    )
+
+    # simhash ground truth: all-pairs Hamming via the bit matrix (n=500 here)
+    sigs = simhash64_batch(docs_df["text"].tolist()) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    bits = ((sigs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.float32
+    )
+    ham = bits @ (1.0 - bits.T) + (1.0 - bits) @ bits.T
+    ids = docs_df["doc_id"].to_numpy()
+    ii, jj = np.nonzero(np.triu(ham <= 3, k=1))
+    true_s = set(zip(ids[ii].tolist(), ids[jj].tolist()))
+    got_s = simhash_near_pairs(docs(), max_hamming=3).to_pandas()
+    got_s_pairs = set(zip(got_s["id_a"].astype(int), got_s["id_b"].astype(int)))
+    out["simhash_true_pairs"] = len(true_s)
+    out["simhash_recall"] = round(len(true_s & got_s_pairs) / max(len(true_s), 1), 4)
+    return out
+
+
+if __name__ == "__main__":
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=8, include_dashboard=False)
+    import ray.data
+
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    out = {"sf": SF, "ann_k": ANN_K}
+    out.update(ann_recalls())
+    out.update(dedup_recalls())
+    print(json.dumps(out))
+    ray.shutdown()

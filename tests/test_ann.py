@@ -132,3 +132,37 @@ def test_ivf_train_requires_enough_samples(ray_session):
 
     with pytest.raises(ValueError, match="sample rows"):
         train_ivf_centroids(np.ones((4, 8)), n_centroids=8)
+
+
+def test_recall_floors_vs_exact(ray_session):
+    """Measured recall of the approximate search paths vs the exact oracle
+    must not regress below pinned floors (measured values at sf0.01:
+    lsh(6 bits, 8 tables)=0.44, lsh(4,16)=0.92, ivf(8 cent, 3 probe)=0.92 —
+    see scripts/recall_bench.py and BASELINE.md)."""
+    import duckdb
+    import numpy as np
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import ann_topk, ivf_ann_topk, lsh_ann_topk
+
+    SF = "/root/testdata/sf0.001"
+    q = duckdb.sql(
+        f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet') "
+        "WHERE vec_id < 5 ORDER BY vec_id"
+    ).fetchall()
+    qm = np.array([r[1] for r in q], dtype=np.float64)
+    emb = lambda: rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def sets(ds):
+        df = ds.to_pandas()
+        return {int(k): set(g["vec_id"]) for k, g in df.groupby("query_id")}
+
+    exact = sets(ann_topk(emb(), qm, k=10))
+
+    def recall(ds):
+        ap = sets(ds)
+        return float(np.mean([len(exact[i] & ap.get(i, set())) / 10 for i in exact]))
+
+    assert recall(lsh_ann_topk(emb(), qm, k=10, n_bits=6, n_tables=8)) >= 0.30
+    assert recall(lsh_ann_topk(emb(), qm, k=10, n_bits=4, n_tables=16)) >= 0.80
+    assert recall(ivf_ann_topk(emb(), qm, k=10, n_centroids=8, n_probe=3)) >= 0.80

@@ -243,3 +243,47 @@ class TestVectorizedKernels:
         got = simhash64_batch(texts)
         for i, t in enumerate(texts):
             assert int(got[i]) == scalar(t), i
+
+
+def test_minhash_simhash_recall_vs_exact(ray_session):
+    """Recall of the LSH dedup paths vs EXACT ground truth on the corpus
+    (inverted-index Jaccard / all-pairs Hamming): minhash must stay >= 0.9
+    with precision exactly 1.0 (candidates are exact-verified), and the
+    4x16 pigeonhole blocking guarantees simhash recall 1.0."""
+    import importlib.util
+
+    import duckdb
+    import ray.data as rd
+
+    spec = importlib.util.spec_from_file_location(
+        "recall_bench", "/root/repo/scripts/recall_bench.py"
+    )
+    rb = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(rb)
+
+    from geodistpy_ray.stages.dedup import minhash_lsh_pairs, simhash64_batch, simhash_near_pairs
+
+    SF = "/root/testdata/sf0.001"
+    docs_df = duckdb.sql(
+        f"SELECT doc_id, text FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"
+    ).df()
+    docs = lambda: rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+
+    true_j = rb.exact_jaccard_pairs(docs_df, threshold=0.5)
+    got = minhash_lsh_pairs(docs(), threshold=0.5).to_pandas()
+    got_pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert len(true_j) > 0  # corpus plants near-dups; a trivial pass is a bug
+    assert len(true_j & got_pairs) / len(true_j) >= 0.9
+    assert got_pairs <= true_j  # precision 1.0
+
+    sigs = simhash64_batch(docs_df["text"].tolist()) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    bits = (
+        (sigs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
+    ).astype(np.float32)
+    ham = bits @ (1.0 - bits.T) + (1.0 - bits) @ bits.T
+    ids = docs_df["doc_id"].to_numpy()
+    ii, jj = np.nonzero(np.triu(ham <= 3, k=1))
+    true_s = set(zip(ids[ii].tolist(), ids[jj].tolist()))
+    got_s = simhash_near_pairs(docs(), max_hamming=3).to_pandas()
+    got_s_pairs = set(zip(got_s["id_a"].astype(int), got_s["id_b"].astype(int)))
+    assert true_s == got_s_pairs  # pigeonhole guarantee: recall AND precision 1.0
