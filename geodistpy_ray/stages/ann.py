@@ -88,18 +88,21 @@ def ann_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _merge_topk_by_sim(partials, id_col, k, tie_round)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            g.assign(_key=(-g["sim"]).round(tie_round))
-            .sort_values(["_key", id_col])
-            .head(k)
-            .drop(columns="_key")
+
+def _merge_topk_by_sim(partials, id_col: str, k: int, tie_round: int | None):
+    """Per-query top-k merge on a hash partition of query_ids (bounded group
+    count — see stages/grouping.py), ranked by (-round(sim), id)."""
+    from .grouping import partitioned_map_groups, topk_per_group_part
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        key = (-g["sim"]).round(tie_round) if tie_round is not None else -g["sim"]
+        return topk_per_group_part(
+            g.assign(_key=key), "query_id", ["_key", id_col], [True, True], k, drop=["_key"]
         )
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partitioned_map_groups(partials, "query_id", merge_part)
 
 
 class HyperplaneLSH:
@@ -170,13 +173,14 @@ def lsh_ann_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    from .grouping import partitioned_map_groups, topk_per_group_part
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["sim", id_col], ascending=[False, True]).head(k)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        return topk_per_group_part(
+            g, "query_id", ["sim", id_col], [False, True], k
+        )
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return partitioned_map_groups(partials, "query_id", merge_part)
 
 
 def exact_near_dup_pairs(
@@ -391,15 +395,4 @@ def ivf_ann_topk(
         )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = (
-            g.assign(_key=(-g["sim"]).round(tie_round))
-            .sort_values(["_key", id_col])
-            .head(k)
-            .drop(columns="_key")
-        )
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return _merge_topk_by_sim(partials, id_col, k, tie_round)

@@ -1,0 +1,73 @@
+"""Bounded-group-count grouping utilities.
+
+Ray's ``groupby(key).map_groups(fn)`` pays ~1.5 ms of per-group machinery
+(measured: 16k singleton groups → 23 s at 4 CPUs; the same rows in 64
+groups → 0.22 s). Any stage that groups on an UNBOUNDED key domain (query
+ids, grid cells, band keys, user ids) must therefore group on a hash
+PARTITION of the key instead, and process all of a partition's keys with
+vectorized pandas/numpy inside one group call. The helpers here are that
+pattern, shared by the kNN merges, pair generation, radius filters, and the
+per-key relational finalizers.
+
+The co-location guarantee is unchanged — every row of a key lands in
+exactly one partition — only the group granularity seen by Ray changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def partition_ids(values, n_parts: int) -> np.ndarray:
+    """Deterministic hash-partition ids for a key column (stable across
+    processes — never Python's salted ``hash``)."""
+    h = pd.util.hash_array(np.asarray(values), categorize=False)
+    return ((h * _MIX) % np.uint64(n_parts)).astype(np.int64)
+
+
+def partitioned_map_groups(ds, key_col: str, part_fn, n_parts: int = 64):
+    """``groupby(hash(key) % n_parts).map_groups(part_fn)``.
+
+    ``part_fn`` receives one PARTITION frame — all rows of every key that
+    hashes there, ``__part`` column already dropped — and must handle
+    multiple keys itself (vectorized, or with a local pandas groupby whose
+    per-group cost is ~10x below Ray's).
+    """
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ids = partition_ids(batch.column(key_col).to_numpy(zero_copy_only=False), n_parts)
+        return batch.append_column("__part", pa.array(ids, pa.int64()))
+
+    def run(g: pd.DataFrame) -> pd.DataFrame:
+        return part_fn(g.drop(columns="__part"))
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__part")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def topk_per_group_part(
+    g: pd.DataFrame,
+    group_col: str,
+    order: list[str],
+    ascending: list[bool],
+    k: int,
+    rank_col: str = "rank",
+    drop: list[str] | None = None,
+) -> pd.DataFrame:
+    """Vectorized per-key top-k inside one partition: one stable sort, a
+    C-level ``cumcount`` for within-key positions, no per-key Python."""
+    g = g.sort_values([group_col] + order, ascending=[True] + ascending, kind="mergesort")
+    pos = g.groupby(group_col, sort=False).cumcount()
+    keep = pos < k
+    out = g[keep].copy()
+    out[rank_col] = (pos[keep] + 1).to_numpy(dtype=np.int64)
+    if drop:
+        out = out.drop(columns=drop)
+    return out

@@ -112,13 +112,18 @@ def knn_join(
 
     partials = ds.map_batches(partial_topk, batch_format="pyarrow", zero_copy_batch=True)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        key = g["dist"].round(tie_round) if tie_round is not None else g["dist"]
-        g = g.assign(_key=key).sort_values(["_key", id_col]).head(k).drop(columns="_key")
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    # merge groups on a hash PARTITION of query_id (bounded group count —
+    # see stages/grouping.py) and ranks every query in the partition with
+    # one vectorized sort + cumcount
+    from .grouping import partitioned_map_groups, topk_per_group_part
 
-    return partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["dist"].round(tie_round) if tie_round is not None else g["dist"]
+        return topk_per_group_part(
+            g.assign(_key=key), "query_id", ["_key", id_col], [True, True], k, drop=["_key"]
+        )
+
+    return partitioned_map_groups(partials, "query_id", merge_part)
 
 
 def knn_join_cells(
@@ -203,73 +208,91 @@ def knn_join_cells(
 
         return fn
 
-    def local_topk(g: pd.DataFrame) -> pd.DataFrame:
-        isq = g["is_query"].to_numpy()
-        q = g[isq]
-        c = g[~isq]
-        empty = pd.DataFrame(
-            {"query_id": [], id_col: [], "dist": [], "qlat": [], "qlon": []}
-        ).astype(
+    from .grouping import partitioned_map_groups, topk_per_group_part
+
+    def local_topk_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-cell local top-k over one hash PARTITION of cells (bounded
+        group count — see stages/grouping.py): the partition is sorted by
+        cell once and each cell's span processed with plain array slices."""
+        g = g.sort_values("cell", kind="mergesort")
+        cells = g["cell"].to_numpy()
+        isq_a = g["is_query"].to_numpy()
+        rid_a = g["rid"].to_numpy()
+        rlat_a = g["rlat"].to_numpy()
+        rlon_a = g["rlon"].to_numpy()
+        out_q, out_i, out_d, out_la, out_lo = [], [], [], [], []
+        change = np.flatnonzero(np.diff(cells)) + 1
+        bounds = np.concatenate(([0], change, [cells.size]))
+        for bi in range(bounds.size - 1):
+            s, e = bounds[bi], bounds[bi + 1]
+            isq = isq_a[s:e]
+            if not isq.any():
+                continue
+            cm = np.flatnonzero(~isq)
+            clat, clon, cids = rlat_a[s:e][cm], rlon_a[s:e][cm], rid_a[s:e][cm]
+            for qi in np.flatnonzero(isq):
+                qid_, qlat_, qlon_ = rid_a[s + qi], rlat_a[s + qi], rlon_a[s + qi]
+                if cids.size == 0:
+                    # sentinel (id -1, dist inf): keeps zero-candidate queries
+                    # visible downstream so the expansion test can catch them
+                    # WITHOUT a driver-side scan of the full query set
+                    out_q.append(np.array([qid_], dtype=np.int64))
+                    out_i.append(np.array([-1], dtype=np.int64))
+                    out_d.append(np.array([np.inf]))
+                    out_la.append(np.array([qlat_]))
+                    out_lo.append(np.array([qlon_]))
+                    continue
+                d = kfn(clat, clon, qlat_, qlon_, a, f)
+                kk = min(k, d.size)
+                if kk < d.size:
+                    # kth-margin tie window (see knn_join.partial_topk); dist
+                    # here is raw meters — merge rounds pre-conversion, so
+                    # the margin is too
+                    kth = np.partition(d, kk - 1)[kk - 1]
+                    part = np.flatnonzero(d <= kth + tie_margin_m)
+                else:
+                    part = np.arange(d.size)
+                out_q.append(np.full(part.size, qid_, dtype=np.int64))
+                out_i.append(cids[part])
+                out_d.append(d[part])
+                out_la.append(np.full(part.size, qlat_))
+                out_lo.append(np.full(part.size, qlon_))
+        if not out_q:
+            return pd.DataFrame(
+                {
+                    "query_id": pd.Series(dtype=np.int64),
+                    id_col: pd.Series(dtype=np.int64),
+                    "dist": pd.Series(dtype=np.float64),
+                    "qlat": pd.Series(dtype=np.float64),
+                    "qlon": pd.Series(dtype=np.float64),
+                }
+            )
+        return pd.DataFrame(
             {
-                "query_id": np.int64,
-                id_col: np.int64,
-                "dist": np.float64,
-                "qlat": np.float64,
-                "qlon": np.float64,
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "dist": np.concatenate(out_d),
+                "qlat": np.concatenate(out_la),
+                "qlon": np.concatenate(out_lo),
             }
         )
-        if q.empty:
-            return empty
-        out = []
-        clat = c["rlat"].to_numpy()
-        clon = c["rlon"].to_numpy()
-        cids = c["rid"].to_numpy()
-        for qid_, qlat_, qlon_ in zip(
-            q["rid"].to_numpy(), q["rlat"].to_numpy(), q["rlon"].to_numpy()
-        ):
-            if cids.size == 0:
-                # sentinel (id -1, dist inf): keeps zero-candidate queries
-                # visible downstream so the expansion test can catch them
-                # WITHOUT a driver-side scan of the full query set
-                out.append(
-                    pd.DataFrame(
-                        {"query_id": [qid_], id_col: [-1], "dist": [np.inf],
-                         "qlat": [qlat_], "qlon": [qlon_]}
-                    )
-                )
-                continue
-            d = kfn(clat, clon, qlat_, qlon_, a, f)
-            kk = min(k, d.size)
-            if kk < d.size:
-                # kth-margin tie window (see knn_join.partial_topk): keep
-                # rounded-tie candidates past the raw kth so the global
-                # (round(dist), id) tie-break sees them. dist here is raw
-                # meters — merge rounds pre-conversion, so the margin is too.
-                kth = np.partition(d, kk - 1)[kk - 1]
-                part = np.flatnonzero(d <= kth + tie_margin_m)
-            else:
-                part = np.arange(d.size)
-            out.append(
-                pd.DataFrame(
-                    {"query_id": qid_, id_col: cids[part], "dist": d[part],
-                     "qlat": qlat_, "qlon": qlon_}
-                )
-            )
-        if not out:
-            return empty
-        return pd.concat(out, ignore_index=True)
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.drop_duplicates(subset=[id_col])
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        """Per-query merge over one hash partition of query_ids — one
+        vectorized sort/cumcount for every query in the partition."""
+        g = g.drop_duplicates(subset=["query_id", id_col])
         key = g["dist"].round(tie_round) if tie_round is not None else g["dist"]
-        g = g.assign(_key=key).sort_values(["_key", id_col]).head(k).drop(columns="_key")
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        out = topk_per_group_part(
+            g.assign(_key=key), "query_id", ["_key", id_col], [True, True], k, drop=["_key"]
+        )
         # per-query completeness stats carried on every row (a sentinel in
         # the top-k means < k real neighbors were found → kth == inf)
-        g["__kth"] = float(g["dist"].iloc[-1])
-        g["__nf"] = int(np.isfinite(g["dist"].to_numpy()).sum())
-        return g
+        out["__kth"] = out.groupby("query_id", sort=False)["dist"].transform("last")
+        fin = pd.Series(np.isfinite(out["dist"].to_numpy()), index=out.index)
+        out["__nf"] = (
+            fin.groupby(out["query_id"], sort=False).transform("sum").astype(np.int64)
+        )
+        return out
 
     from ..cells import cell_bounds
 
@@ -347,10 +370,10 @@ def knn_join_cells(
         pass shuffle would execute twice.
         """
         qreps = qds.map_batches(query_rows(ring), batch_format="pyarrow", zero_copy_batch=True)
-        partials = cands.union(qreps).groupby("cell").map_groups(
-            local_topk, batch_format="pandas"
+        partials = partitioned_map_groups(
+            cands.union(qreps), "cell", local_topk_part, n_parts=128
         )
-        phase = partials.groupby("query_id").map_groups(merge, batch_format="pandas")
+        phase = partitioned_map_groups(partials, "query_id", merge_part)
         flagged = phase.map_batches(
             flag(ring), batch_format="pyarrow", zero_copy_batch=True
         ).materialize()

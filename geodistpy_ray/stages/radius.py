@@ -180,4 +180,21 @@ def radius_join_cells(
                 out.append(pd.DataFrame({"query_id": qid_, id_col: cids[m], "dist": d[m]}))
         return pd.concat(out, ignore_index=True) if out else empty
 
-    return both.groupby("cell").map_groups(local_filter, batch_format="pandas")
+    # hash-partition the cells (bounded group count, see stages/grouping.py)
+    # and sweep each cell's span inside the partition
+    from .grouping import partitioned_map_groups
+
+    def filter_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("cell", kind="mergesort")
+        cells = g["cell"].to_numpy()
+        change = np.flatnonzero(np.diff(cells)) + 1
+        bounds = np.concatenate(([0], change, [cells.size]))
+        outs = [
+            local_filter(g.iloc[bounds[i] : bounds[i + 1]])
+            for i in range(bounds.size - 1)
+        ]
+        if not outs:
+            return local_filter(g)  # typed empty
+        return pd.concat(outs, ignore_index=True)
+
+    return partitioned_map_groups(both, "cell", filter_part, n_parts=128)

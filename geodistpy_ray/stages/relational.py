@@ -146,14 +146,16 @@ def top_k_per_group(
         df = df.sort_values(order, ascending=asc, kind="mergesort")
         return pa.Table.from_pandas(df.groupby(key_col, sort=False).head(k), preserve_index=False)
 
-    def final(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order, ascending=asc, kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g[rank_col] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    return partials.groupby(key_col).map_groups(final, batch_format="pandas")
+    # final merge groups on a hash PARTITION of the key (bounded group
+    # count — see stages/grouping.py), ranking all keys per partition with
+    # one vectorized sort + cumcount
+    from .grouping import partitioned_map_groups, topk_per_group_part
+
+    def final_part(g: pd.DataFrame) -> pd.DataFrame:
+        return topk_per_group_part(g, key_col, order, asc, k, rank_col=rank_col)
+
+    return partitioned_map_groups(partials, key_col, final_part)
 
 
 def distinct(ds, cols: list[str], final: str = "shuffle", n_parts: int = 64):
@@ -222,17 +224,18 @@ def add_month_key(ds, ts_col: str, out_col: str = "ym"):
 
 def grouped_median(ds, key_col: str, value_col: str, out_col: str = "median_value"):
     """Exact per-key median (even-count keys average the two middle values,
-    matching SQL ``MEDIAN``). Median is not decomposable, so this is a true
-    ``groupby(key).map_groups`` — each key's values must co-locate; use only
-    when per-key cardinality fits a worker (else switch to an approximate
-    quantile sketch)."""
+    matching SQL ``MEDIAN``). Median is not decomposable, so each key's
+    values must co-locate — grouped on a hash PARTITION of the key (bounded
+    group count, see stages/grouping.py) with pandas' C-level groupby median
+    per partition; use only when per-key cardinality fits a worker (else
+    switch to an approximate quantile sketch)."""
+    from .grouping import partitioned_map_groups
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {key_col: [g[key_col].iloc[0]], out_col: [float(np.median(g[value_col].to_numpy()))]}
-        )
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        m = g.groupby(key_col, as_index=False, sort=False)[value_col].median()
+        return m.rename(columns={value_col: out_col})
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return partitioned_map_groups(ds, key_col, part_fn)
 
 
 def running_total(
@@ -247,13 +250,16 @@ def running_total(
     (SQL ``SUM() OVER (PARTITION BY key ORDER BY ...)``). Requires the key's
     rows co-located and sorted — a ``map_groups`` window, batch semantics."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
-        g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
-        g[out_col] = np.cumsum(cents(g[value_col].to_numpy()))
+    from .grouping import partitioned_map_groups
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        order = [key_col, order_col] + ([tiebreak_col] if tiebreak_col else [])
+        g = g.sort_values(order, kind="mergesort")
+        c = pd.Series(cents(g[value_col].to_numpy()), index=g.index)
+        g[out_col] = c.groupby(g[key_col], sort=False).cumsum()
         return g
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return partitioned_map_groups(ds, key_col, part_fn)
 
 
 def grouped_minmax(ds, key_cols: list[str], value_col: str, final: str = "driver"):
@@ -298,13 +304,16 @@ def grouped_string_agg(
     representation instead of a giant string.
     """
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        vals = np.sort(g[value_col].to_numpy())
-        return pd.DataFrame(
-            {key_col: [g[key_col].iloc[0]], out_col: [sep.join(str(v) for v in vals)]}
-        )
+    from .grouping import partitioned_map_groups
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col, value_col], kind="mergesort")
+        agg = g.groupby(key_col, sort=False)[value_col].agg(
+            lambda s: sep.join(str(v) for v in s)
+        )
+        return agg.reset_index().rename(columns={value_col: out_col})
+
+    return partitioned_map_groups(ds, key_col, part_fn)
 
 
 def grouped_quantile(
@@ -314,12 +323,10 @@ def grouped_quantile(
     ``QUANTILE_CONT``). Like the median, not decomposable → per-key
     ``map_groups``; for unbounded per-key cardinality swap in a sketch."""
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                key_col: [g[key_col].iloc[0]],
-                out_col: [float(np.quantile(g[value_col].to_numpy(), q))],
-            }
-        )
+    from .grouping import partitioned_map_groups
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.groupby(key_col, as_index=False, sort=False)[value_col].quantile(q)
+        return out.rename(columns={value_col: out_col})
+
+    return partitioned_map_groups(ds, key_col, part_fn)

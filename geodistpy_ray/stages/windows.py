@@ -100,13 +100,24 @@ def sessionize(
     ordering of exact-tie timestamps, so only ts ordering is load-bearing.
     """
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        order = [ts_col] + ([order_tiebreak_col] if order_tiebreak_col else [])
-        us = g.sort_values(order)[ts_col].to_numpy("datetime64[us]").astype(np.int64)
-        gaps = int((np.diff(us) > gap_us).sum()) + 1 if us.size else 0
-        return pd.DataFrame({key_col: [g[key_col].iloc[0]], "n_sessions": [gaps]})
+    from .grouping import partitioned_map_groups
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash partition of keys (bounded group count, stages/grouping.py):
+        # sort by (key, ts), count within-key gaps vectorized
+        order = [key_col, ts_col] + ([order_tiebreak_col] if order_tiebreak_col else [])
+        g = g.sort_values(order, kind="mergesort")
+        keys = g[key_col].to_numpy()
+        us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        same_key = keys[1:] == keys[:-1]
+        brk = np.concatenate(([False], same_key & (np.diff(us) > gap_us)))
+        counts = pd.Series(brk, index=g.index).groupby(g[key_col], sort=False).sum() + 1
+        out = counts.reset_index()
+        out.columns = [key_col, "n_sessions"]
+        out["n_sessions"] = out["n_sessions"].astype(np.int64)
+        return out
+
+    return partitioned_map_groups(ds, key_col, part_fn)
 
 
 def rolling_count(
@@ -125,13 +136,26 @@ def rolling_count(
     ``searchsorted`` passes — vectorized inside ``map_groups``.
     """
 
-    def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    from .grouping import partitioned_map_groups
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        # one hash partition of keys: sort by (key, ts), run the two
+        # searchsorted passes per key SPAN (plain array slices, no per-key
+        # frames — see stages/grouping.py)
+        order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
         g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
+        keys = g[key_col].to_numpy()
         us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
-        lo = np.searchsorted(us, us - window_us + 1, side="left")
-        hi = np.searchsorted(us, us, side="right")
-        g[out_col] = (hi - lo).astype(np.int64)
+        out = np.empty(us.size, dtype=np.int64)
+        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
+        bounds = np.concatenate(([0], change, [us.size]))
+        for i in range(bounds.size - 1):
+            s, e = bounds[i], bounds[i + 1]
+            seg = us[s:e]
+            lo = np.searchsorted(seg, seg - window_us + 1, side="left")
+            hi = np.searchsorted(seg, seg, side="right")
+            out[s:e] = hi - lo
+        g[out_col] = out
         return g
 
-    return ds.groupby(key_col).map_groups(per_key, batch_format="pandas")
+    return partitioned_map_groups(ds, key_col, part_fn)
