@@ -30,16 +30,13 @@ _LANG_PROFILES = {
 
 
 def add_token_count(ds, text_col: str = "text", out_col: str = "n_tokens"):
-    """Whitespace-token count per row (regex ``\\S+``, matches the SQL oracle)."""
+    """Whitespace-token count per row (regex ``\\S+``, matches the SQL
+    oracle) — a single Arrow kernel, no Python per row."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        n = np.fromiter(
-            (len(_TOKEN_RE.findall(t)) if t else 0 for t in texts),
-            dtype=np.int64,
-            count=len(texts),
-        )
-        return batch.append_column(out_col, pa.array(n, pa.int64()))
+        t = pc.fill_null(batch.column(text_col), "")
+        n = pc.cast(pc.count_substring_regex(t, r"\S+"), pa.int64())
+        return batch.append_column(out_col, n)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
@@ -76,24 +73,43 @@ class LangIdActor:
     """
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.langs = list(_LANG_PROFILES)
+        # word → lang index lookup built once per actor (the "model load")
+        self.word_lang = {
+            w: i for i, lang in enumerate(self.langs) for w in _LANG_PROFILES[lang]
+        }
         self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
-        preds = []
-        for t in texts:
+        n = len(texts)
+        L = len(self.langs)
+        # per-doc stopword-hit counts via ONE flat pass: tokenize, map each
+        # word to its profile's lang index (-1 = no profile), then a single
+        # 2-D bincount over (doc, lang) pairs
+        doc_ids, lang_ids, empties = [], [], np.zeros(n, dtype=bool)
+        get = self.word_lang.get
+        for i, t in enumerate(texts):
             words = self.word_re.findall((t or "").lower())
             if not words:
-                preds.append("und")
+                empties[i] = True
                 continue
-            best, best_hits = "und", 0
-            for lang, prof in self.profiles.items():
-                hits = sum(1 for w in words if w in prof)
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
-        return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+            hits = [get(w, -1) for w in words]
+            doc_ids.extend([i] * len(hits))
+            lang_ids.extend(hits)
+        hits_mat = np.zeros((n, L), dtype=np.int64)
+        if doc_ids:
+            d = np.asarray(doc_ids, dtype=np.int64)
+            g = np.asarray(lang_ids, dtype=np.int64)
+            m = g >= 0
+            np.add.at(hits_mat, (d[m], g[m]), 1)
+        best = hits_mat.argmax(axis=1)  # first max wins — profile order
+        pred = np.where(
+            empties | (hits_mat.max(axis=1, initial=0) == 0),
+            "und",
+            np.asarray(self.langs, dtype=object)[best],
+        )
+        return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
 
 
 def add_lang_id(ds, concurrency: int | tuple[int, int] = 2, batch_size: int = 4096):
@@ -106,11 +122,60 @@ def add_lang_id(ds, concurrency: int | tuple[int, int] = 2, batch_size: int = 40
     )
 
 
-def _poly_hash_codepoints(text: str, mod: int = (1 << 61) - 1, base: int = 1000003) -> int:
+_FP_MOD = (1 << 61) - 1
+_FP_BASE = 1000003
+
+
+def _poly_hash_codepoints(text: str, mod: int = _FP_MOD, base: int = _FP_BASE) -> int:
+    """Scalar reference implementation (Horner form); the batch path below
+    is asserted bit-identical to it in tests."""
     h = 0
     for ch in text:
         h = (h * base + ord(ch)) % mod
     return h
+
+
+_fp_pows = np.array([1], dtype=np.uint64)
+
+
+def _fp_powers(n: int) -> np.ndarray:
+    """base^j mod p for j < n, cached and grown on demand."""
+    global _fp_pows
+    if _fp_pows.size < n:
+        ext = np.empty(n, dtype=np.uint64)
+        ext[: _fp_pows.size] = _fp_pows
+        for j in range(_fp_pows.size, n):
+            ext[j] = (int(ext[j - 1]) * _FP_BASE) % _FP_MOD
+        _fp_pows = ext
+    return _fp_pows[:n]
+
+
+def _poly_hash_batch(norm_texts) -> np.ndarray:
+    """Vectorized polynomial hash: h = Σ cp_i · base^(n-1-i) mod (2^61-1).
+
+    Per text: one UTF-32 decode to a codepoint array, one elementwise
+    mulmod against the cached power table (codepoints < 2^21 keep every
+    product in u64 via the 2^61 ≡ 1 rotation), and a hi/lo split sum whose
+    exact residue is finished in Python ints — no per-character loop.
+    """
+    p = np.uint64(_FP_MOD)
+    lo29 = np.uint64((1 << 29) - 1)
+    out = np.empty(len(norm_texts), dtype=np.int64)
+    for i, t in enumerate(norm_texts):
+        if not t:
+            out[i] = 0
+            continue
+        cps = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        pw = _fp_powers(cps.size)[::-1]
+        hi = pw >> np.uint64(32)
+        lo = pw & np.uint64(0xFFFFFFFF)
+        x = cps * hi  # < 2^50
+        rot = (x >> np.uint64(29)) + ((x & lo29) << np.uint64(32))  # ·2^32 mod p
+        term = rot + cps * lo  # < 2^62
+        s_lo = int((term & np.uint64(0xFFFFFFFF)).sum())
+        s_hi = int((term >> np.uint64(32)).sum())
+        out[i] = ((s_lo + (s_hi << 32)) % _FP_MOD) & 0x7FFFFFFFFFFFFFFF
+    return out
 
 
 def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
@@ -118,12 +183,8 @@ def add_fingerprint(ds, text_col: str = "text", out_col: str = "fingerprint"):
 
     def fn(batch: pa.Table) -> pa.Table:
         texts = batch.column(text_col).to_pylist()
-        fp = np.fromiter(
-            (_poly_hash_codepoints(" ".join((t or "").split())) & 0x7FFFFFFFFFFFFFFF for t in texts),
-            dtype=np.int64,
-            count=len(texts),
-        )
-        return batch.append_column(out_col, pa.array(fp, pa.int64()))
+        norm = [" ".join((t or "").split()) for t in texts]
+        return batch.append_column(out_col, pa.array(_poly_hash_batch(norm), pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 

@@ -287,3 +287,59 @@ def test_minhash_simhash_recall_vs_exact(ray_session):
     got_s = simhash_near_pairs(docs(), max_hamming=3).to_pandas()
     got_s_pairs = set(zip(got_s["id_a"].astype(int), got_s["id_b"].astype(int)))
     assert true_s == got_s_pairs  # pigeonhole guarantee: recall AND precision 1.0
+
+
+class TestTextVectorization:
+    """Round-2: Arrow/numpy text paths must match the scalar formulas."""
+
+    def test_fingerprint_batch_matches_scalar(self):
+        from geodistpy_ray.stages.text import _poly_hash_batch, _poly_hash_codepoints
+
+        texts = ["", "a", "hello world", "ünïcødé ∂ text", "x" * 3000,
+                 " ".join(f"w{i}" for i in range(500))]
+        norm = [" ".join(t.split()) for t in texts]
+        got = _poly_hash_batch(norm)
+        for i, t in enumerate(norm):
+            assert int(got[i]) == (_poly_hash_codepoints(t) & 0x7FFFFFFFFFFFFFFF), i
+
+    def test_token_count_arrow_matches_regex(self, ray_session):
+        import re
+
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import add_token_count
+
+        texts = ["", "one", "  two  tokens ", "a\tb\nc", "ünï code", "x " * 50]
+        ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+        got = add_token_count(ds).to_pandas().sort_values("doc_id")["n_tokens"].tolist()
+        want = [len(re.findall(r"\S+", t)) for t in texts]
+        assert got == want
+
+    def test_lang_id_vectorized_matches_reference_loop(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import _LANG_PROFILES, add_lang_id
+
+        texts = [
+            "the quick fox and the dog in a field for it",
+            "der hund und die katze ist nicht zu haus",
+            "le chat est un animal pour la maison",
+            "xyzzy qwerty plugh",  # no profile hits -> und
+            "",
+            "el perro y la casa es un lugar que de por",
+        ]
+        ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+        got = add_lang_id(ds, concurrency=1).to_pandas().sort_values("doc_id")["lang_pred"].tolist()
+
+        def ref(t):
+            import re as _re
+
+            words = _re.findall(r"[^\W\d_]+", (t or "").lower())
+            best, best_hits = "und", 0
+            for lang, prof in _LANG_PROFILES.items():
+                hits = sum(1 for w in words if w in prof)
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            return best
+
+        assert got == [ref(t) for t in texts]
