@@ -438,9 +438,106 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_scale8(sf_dir: str, num_cpus: int) -> dict:
+    """8×-data tier for the wide (shuffling) operators — the evidence that
+    throughput holds or RISES as the same job grows (fixed shuffle
+    orchestration amortizes), plus object-store spill accounting.
+
+    Replication fans each orders key into 8 distinct ids (offset key
+    spaces), so cells/buckets see 8× genuine rows — not repeated values.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    import ray.data as rd
+
+    from geodistpy_ray.functions.geocode import geocode_ids
+    from geodistpy_ray.stages.knn import knn_join_cells
+    from geodistpy_ray.stages.pairs import close_pairs
+
+    base = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    n_base = base.count()
+
+    def rep_points(replicate: int, n_blocks: int):
+        def to_pts(batch: pa.Table) -> pa.Table:
+            k = batch.column("o_orderkey").to_numpy()
+            ids = np.concatenate([k + (r << 40) for r in range(replicate)])
+            lat, lon = geocode_ids(ids)
+            return pa.table({"point_id": ids, "lat": lat, "lon": lon})
+
+        return base.repartition(n_blocks).map_batches(
+            to_pts, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    out = {"sf": sf_dir, "num_cpus": num_cpus, "base_rows": n_base}
+    for name, replicate in [("close_pairs_1x", 1), ("close_pairs_8x", 8)]:
+        pts = rep_points(replicate, 16 * replicate)
+        t0 = time.perf_counter()
+        n_pairs = close_pairs(
+            pts, 25_000.0, id_col="point_id", kernel="haversine", cell_deg=1.0
+        ).count()
+        dt = time.perf_counter() - t0
+        out[name] = {
+            "sec": round(dt, 2),
+            "input_rows": n_base * replicate,
+            "pairs": n_pairs,
+            "rows_per_sec": round(n_base * replicate / dt),
+        }
+
+    nq = 20_000
+    qids = np.arange(nq, dtype=np.int64)
+    qlat = ((qids * 6151) % 1600).astype(np.float64) / 10.0 - 79.95
+    qlon = ((qids * 3571) % 3600).astype(np.float64) / 10.0 - 179.95
+    queries = rd.from_arrow(
+        pa.table({"query_id": qids, "lat": qlat, "lon": qlon})
+    ).repartition(32)
+    for name, replicate in [("knn_cells_1x", 1), ("knn_cells_8x", 8)]:
+        cands = rep_points(replicate, 16 * replicate).rename_columns(
+            {"point_id": "doc_id", "lat": "lat", "lon": "lon"}
+        )
+        t0 = time.perf_counter()
+        n = knn_join_cells(
+            cands, queries, k=10, id_col="doc_id", kernel="haversine", cell_deg=2.0
+        ).count()
+        dt = time.perf_counter() - t0
+        out[name] = {
+            "sec": round(dt, 2),
+            "cand_rows": n_base * replicate,
+            "result_rows": n,
+            "queries_per_sec": round(nq / dt),
+        }
+
+    try:
+        from ray._private.internal_api import memory_summary
+
+        summary = memory_summary(stats_only=True)
+        spilled = [l for l in summary.splitlines() if "Spilled" in l or "spilled" in l]
+        out["spill"] = spilled[:3] if spilled else ["no spilling reported"]
+    except Exception as e:  # summary API is internal; absence is non-fatal
+        out["spill"] = [f"unavailable: {e}"]
+    ray.shutdown()
+    return out
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
+    elif "--scale8" in sys.argv:
+        print(json.dumps(run_scale8(SF_DIR, NUM_CPUS)))
     elif "--headline-only" in sys.argv:
         print(json.dumps(run_headline_scaled(SF_DIR, NUM_CPUS)))
     else:
