@@ -860,6 +860,57 @@ def q_anti_max_qty(sf_dir):
     return shuffle_equi_join(part, heavy, "p_partkey", "l_partkey", join_type="left anti")
 
 
+def q_outer_join(sf_dir):
+    """Full outer join of two derived sides with exclusives on BOTH (big
+    spenders without high balances, and vice versa): exercises the
+    bucket-safe null padding of the shuffle join end to end."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+    from geodistpy_ray.stages.relational import cents, grouped_sum
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    big_rows = orders.map_batches(
+        lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    big = grouped_sum(big_rows, ["o_custkey"], count_col="n_big", final="shuffle")
+
+    def rich_rows(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["c_acctbal"], 5000.0))
+        return pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "bal_cents": pa.array(cents(t["c_acctbal"].to_numpy()), pa.int64()),
+            }
+        )
+
+    rich = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]).map_batches(
+        rich_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return shuffle_equi_join(big, rich, "o_custkey", "c_custkey", join_type="full outer")
+
+
+def q_approx_distinct(sf_dir):
+    """HLL approximate distinct event ids (one pass, no shuffle) next to the
+    exact count — returned as a single row so the driver records it."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sketches import approx_distinct_count
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    est = approx_distinct_count(ev, "event_id", p=14)
+    exact = ev.count()
+    return pd.DataFrame(
+        {"approx_distinct": [round(float(est))], "exact_distinct": [int(exact)]}
+    )
+
+
 def q_top_events_per_user(sf_dir):
     import ray.data as rd
 
@@ -993,7 +1044,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hopping_windows": q_hopping_windows,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
+        "outer_join": q_outer_join,
         # ── rows-only queries (no SQL-expressible oracle) from here down ──
+        "approx_distinct": q_approx_distinct,
         "interpolate_waypoints": q_interpolate,
         "destinations": q_destinations,
         "fingerprints": q_fingerprints,
@@ -1293,6 +1346,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.p_partkey, p.p_name FROM part p WHERE NOT EXISTS ("
             "SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey "
             "AND l.l_quantity > 49.0)"
+        ),
+        "outer_join": (
+            "WITH big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders "
+            "WHERE o_totalprice > 400000.0 GROUP BY o_custkey), "
+            "rich AS (SELECT c_custkey, CAST(FLOOR(c_acctbal * 100.0 + 0.5) "
+            "AS BIGINT) AS bal_cents FROM customer WHERE c_acctbal > 5000.0) "
+            "SELECT COALESCE(b.o_custkey, r.c_custkey) AS o_custkey, "
+            "b.n_big, r.bal_cents "
+            "FROM big b FULL OUTER JOIN rich r ON b.o_custkey = r.c_custkey"
         ),
         "top_events_per_user": (
             "SELECT user_id, event_id, rank FROM ("

@@ -1,0 +1,132 @@
+"""Mergeable sketches: HyperLogLog distinct counting (+ a hash-sampled
+quantile helper).
+
+The exact operators (``distinct``, ``grouped_quantile``) shuffle or
+co-locate every value; at 100 TB a COUNT(DISTINCT) over an unbounded domain
+should not. HLL is the standard answer: each batch folds its values into a
+2^p-register array (one small binary row out per batch — the combiner), and
+registers merge by elementwise max — associative and idempotent, so block
+order, retries, and partial replays cannot change the result. The driver
+merge holds exactly one 2^p-byte array no matter the input size.
+
+Standard-error ≈ 1.04/sqrt(2^p): p=14 → ~0.8%. Hashing is
+``pandas.util.hash_array`` (deterministic across processes — never
+Python's salted ``hash``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _hll_registers(values: np.ndarray, p: int) -> np.ndarray:
+    """Fold a value array into a fresh 2^p uint8 register array."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.uint8)
+    if values.size == 0:
+        return regs
+    h = pd.util.hash_array(np.asarray(values), categorize=False)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    w = h & np.uint64((1 << (64 - p)) - 1)
+    # rank = leading zeros of w within (64-p) bits, + 1. frexp gives the
+    # exact bit length for w < 2^53 (p >= 11 keeps 64-p <= 53).
+    bl = np.frexp(w.astype(np.float64))[1]  # bit_length; 0 for w == 0
+    rank = np.where(w == 0, 64 - p + 1, 64 - p - bl + 1).astype(np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Standard HLL estimator with the small-range (linear counting) fix."""
+    m = regs.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    e = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if e <= 2.5 * m and zeros:
+        return m * np.log(m / zeros)
+    return float(e)
+
+
+def approx_distinct_count(ds, col: str, p: int = 14) -> float:
+    """Approximate COUNT(DISTINCT col) in one streaming pass, no shuffle.
+
+    Per-batch combiner emits one 2^p-byte register row; the driver folds the
+    partial stream with elementwise max — peak driver memory is ONE register
+    array regardless of input size (p=14 → 16 KiB, ~0.8% standard error).
+    """
+    if not 11 <= p <= 18:
+        raise ValueError("p must be in [11, 18]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        regs = _hll_registers(batch.column(col).to_numpy(zero_copy_only=False), p)
+        return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
+
+    merged = np.zeros(1 << p, dtype=np.uint8)
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in b.column("regs").to_pylist():
+            np.maximum(merged, np.frombuffer(buf, dtype=np.uint8), out=merged)
+    return hll_estimate(merged)
+
+
+def approx_distinct_per_key(ds, key_col: str, col: str, p: int = 12):
+    """Per-key approximate distinct counts → Dataset (key, approx_distinct).
+
+    Per-batch combiner: one register row per (key × batch) — the shuffle
+    moves 2^p bytes per key-batch instead of every raw value, which is the
+    win when per-key value cardinality is huge. The merge groups on a hash
+    partition of the key (stages/grouping.py) and max-folds each key's
+    registers vectorized.
+    """
+    if not 11 <= p <= 16:
+        raise ValueError("p must be in [11, 16]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        uk = pd.unique(keys)
+        bufs = []
+        for kv in uk:
+            bufs.append(_hll_registers(vals[keys == kv], p).tobytes())
+        return pa.table({key_col: pa.array(uk), "regs": pa.array(bufs, pa.binary())})
+
+    partials = ds.select_columns([key_col, col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    from .grouping import partitioned_map_groups
+
+    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        out_k, out_e = [], []
+        for kv, sub in g.groupby(key_col, sort=False):
+            regs = np.frombuffer(sub["regs"].iloc[0], dtype=np.uint8).copy()
+            for buf in sub["regs"].iloc[1:]:
+                np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
+            out_k.append(kv)
+            out_e.append(hll_estimate(regs))
+        return pd.DataFrame({key_col: out_k, "approx_distinct": out_e})
+
+    return partitioned_map_groups(partials, key_col, merge_part)
+
+
+def approx_quantile(ds, value_col: str, q: float, pct: int = 10, id_col: str = "event_id"):
+    """Approximate global quantile from a deterministic hash sample.
+
+    Composes :func:`~.text.sample_fraction` (id-hash sampling — rerunnable,
+    partition-independent) with an exact quantile over the ~pct% sample
+    streamed to the driver. Error scales with 1/sqrt(sample size); for
+    tighter bounds raise ``pct``.
+    """
+    from .text import sample_fraction
+
+    vals = []
+    sample = sample_fraction(ds.select_columns([id_col, value_col]), pct, id_col=id_col)
+    for b in sample.iter_batches(batch_size=None, batch_format="pyarrow"):
+        vals.append(b.column(value_col).to_numpy(zero_copy_only=False))
+    if not vals:
+        return float("nan")
+    allv = np.concatenate(vals)
+    return float(np.quantile(allv, q)) if allv.size else float("nan")
