@@ -448,6 +448,7 @@ def run_scale8(sf_dir: str, num_cpus: int) -> dict:
     """
     import numpy as np
     import pyarrow as pa
+    import pyarrow.parquet as pq
     import ray
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -498,10 +499,18 @@ def run_scale8(sf_dir: str, num_cpus: int) -> dict:
             "rows_per_sec": round(n_base * replicate / dt),
         }
 
+    # queries FOLLOW the candidate distribution (sampled geocodes + jitter):
+    # uniform-globe queries against clustered data put most kth-neighbor
+    # radii at hundreds of km, turning the run into a pure expansion-ladder
+    # stress test instead of a throughput measurement
     nq = 20_000
     qids = np.arange(nq, dtype=np.int64)
-    qlat = ((qids * 6151) % 1600).astype(np.float64) / 10.0 - 79.95
-    qlon = ((qids * 3571) % 3600).astype(np.float64) / 10.0 - 179.95
+    src = pq.read_table(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    okeys = src.column("o_orderkey").to_numpy()
+    pick = okeys[(qids * 9973) % okeys.size]
+    qlat0, qlon0 = geocode_ids(pick)
+    qlat = np.clip(qlat0 + ((qids % 19) - 9) * 0.01, -89.9, 89.9)
+    qlon = qlon0 + ((qids % 23) - 11) * 0.01
     queries = rd.from_arrow(
         pa.table({"query_id": qids, "lat": qlat, "lon": qlon})
     ).repartition(32)
