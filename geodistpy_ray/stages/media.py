@@ -89,7 +89,7 @@ class ImageFeatureActor:
         )
 
 
-def decode_images(ds, payload_col: str = "html", concurrency=2, batch_size: int = 1024):
+def decode_images(ds, payload_col: str = "html", concurrency=(1, 2), batch_size: int = 1024):
     """Actor-pool decode stage; small batch_size because payload rows are wide."""
     return ds.map_batches(
         ImageDecodeActor,
@@ -101,7 +101,7 @@ def decode_images(ds, payload_col: str = "html", concurrency=2, batch_size: int 
     )
 
 
-def extract_image_features(ds, concurrency=2, batch_size: int = 1024):
+def extract_image_features(ds, concurrency=(1, 2), batch_size: int = 1024):
     return ds.map_batches(
         ImageFeatureActor,
         batch_format="pyarrow",
@@ -191,7 +191,7 @@ class AudioFeatureActor:
         )
 
 
-def decode_audio(ds, payload_col: str = "html", concurrency=2, batch_size: int = 1024):
+def decode_audio(ds, payload_col: str = "html", concurrency=(1, 2), batch_size: int = 1024):
     """Actor-pool audio decode stage (fake codec; real plumbing)."""
     return ds.map_batches(
         AudioDecodeActor,
@@ -203,7 +203,7 @@ def decode_audio(ds, payload_col: str = "html", concurrency=2, batch_size: int =
     )
 
 
-def extract_audio_features(ds, concurrency=2, batch_size: int = 1024):
+def extract_audio_features(ds, concurrency=(1, 2), batch_size: int = 1024):
     return ds.map_batches(
         AudioFeatureActor,
         batch_format="pyarrow",

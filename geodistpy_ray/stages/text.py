@@ -112,7 +112,7 @@ class LangIdActor:
         return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
 
 
-def add_lang_id(ds, concurrency: int | tuple[int, int] = 2, batch_size: int = 4096):
+def add_lang_id(ds, concurrency: int | tuple[int, int] = (1, 2), batch_size: int = 4096):
     return ds.map_batches(
         LangIdActor,
         batch_format="pyarrow",
