@@ -901,11 +901,14 @@ def q_approx_distinct(sf_dir):
     import pandas as pd
     import ray.data as rd
 
+    from geodistpy_ray.stages.relational import distinct
     from geodistpy_ray.stages.sketches import approx_distinct_count
 
     ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
     est = approx_distinct_count(ev, "event_id", p=14)
-    exact = ev.count()
+    # true COUNT(DISTINCT), not a row count — event_id happens to be unique
+    # in this fixture, but the comparison must stay honest under duplicates
+    exact = distinct(ev, ["event_id"]).count()
     return pd.DataFrame(
         {"approx_distinct": [round(float(est))], "exact_distinct": [int(exact)]}
     )

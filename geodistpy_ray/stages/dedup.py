@@ -72,7 +72,7 @@ def _mulmod61_lazy(h: np.ndarray, a_hi: np.ndarray, a_lo: np.ndarray, b: np.ndar
     r3 += hi  # < 2^61 + 8                          ≈ p
     r1 += r2
     r1 += r3
-    r1 += b  # total < 5p < 2^63 — safe in u64
+    r1 += b  # total < (2^61) + (2^61+2^34) + (2^61+8) + p < 2^63 — safe in u64
     hi = r1 >> _U61
     r1 &= _P61
     r1 += hi  # < 2^61 + 4
@@ -242,21 +242,6 @@ class MinHashBandEmitter:
         )
 
 
-def _partition_on(ds, key_col: str, n_parts: int):
-    """Append ``__part`` = hash(key) % n_parts — the coarse co-partition used
-    instead of grouping on the raw key (bounded group count for map_groups)."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        h = pd.util.hash_array(
-            batch.column(key_col).to_numpy(zero_copy_only=False), categorize=False
-        )
-        return batch.append_column(
-            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int64), pa.int64())
-        )
-
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
-
-
 def _bucket_spans(keys: np.ndarray):
     """(starts, ends) of equal-key runs in a sorted key array, multi-member
     runs only."""
@@ -270,10 +255,12 @@ def _bucket_spans(keys: np.ndarray):
 def _bucket_pairs_partitioned(band_rows, key_col: str, id_col: str, n_parts: int = 64):
     """Distinct unordered id pairs per equal-key bucket → (id_a, id_b).
 
-    One ``groupby`` on the hash partition (``n_parts`` groups total); inside
-    a partition, every bucket's pairs come from one sorted sweep — no
-    per-bucket task or frame overhead.
+    One ``groupby`` on the hash partition (``n_parts`` groups total, via the
+    shared :func:`~.grouping.partitioned_map_groups`); inside a partition,
+    every bucket's pairs come from one sorted sweep — no per-bucket task or
+    frame overhead.
     """
+    from .grouping import partitioned_map_groups
 
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, id_col])
@@ -294,11 +281,7 @@ def _bucket_pairs_partitioned(band_rows, key_col: str, id_col: str, n_parts: int
             )
         return pd.DataFrame({"id_a": np.concatenate(out_a), "id_b": np.concatenate(out_b)})
 
-    return (
-        _partition_on(band_rows, key_col, n_parts)
-        .groupby("__part")
-        .map_groups(pairs_part, batch_format="pandas")
-    )
+    return partitioned_map_groups(band_rows, key_col, pairs_part, n_parts=n_parts)
 
 
 def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
@@ -587,11 +570,9 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_h
             }
         )
 
-    pairs = (
-        _partition_on(band_rows, "band_key", 64)
-        .groupby("__part")
-        .map_groups(bucket_pairs_part, batch_format="pandas")
-    )
+    from .grouping import partitioned_map_groups
+
+    pairs = partitioned_map_groups(band_rows, "band_key", bucket_pairs_part, n_parts=64)
     # a pair found via several bands appears once per matching band →
     # distributed distinct (hamming is a function of the id pair, so keying
     # on all three columns dedups identically to (id_a, id_b) alone)

@@ -199,7 +199,7 @@ def knn_join_cells(
     ellipsoid="WGS-84",
     tie_round: int | None = 6,
     max_ring: int = 2,
-    broadcast_tail_max: int = 4096,
+    broadcast_tail_max: int = 65536,
 ):
     """Cell-routed kNN for *large* query sets (both sides are Datasets).
 
@@ -385,11 +385,13 @@ def knn_join_cells(
             margin_m = np.where(
                 np.abs(qlat) > 90.0 - (ring + 1) * cell_deg, 0.0, margin_m
             )
-            # a query is incomplete if its kth-known distance could be beaten
-            # outside the block OR it simply found < k real neighbors inside
+            # a query is incomplete if its kth-known distance — EXTENDED by
+            # the rounding-tie window, so an outside candidate that rounds
+            # equal to the kth can't hide — could be beaten outside the
+            # block, OR it simply found < k real neighbors inside
             # (possible with no sentinel whenever the block holds 1..k-1 rows)
             nf = batch.column("__nf").to_numpy()
-            expand = (kth > margin_m) | (nf < k)
+            expand = (kth + tie_margin_m > margin_m) | (nf < k)
             return batch.append_column("__expand", pa.array(expand, pa.bool_()))
 
         return fn
@@ -459,18 +461,20 @@ def knn_join_cells(
             continue
         break
 
-    # bounded tail: collect and run in chunks through the broadcast-queries
-    # exact path — the driver holds only (query_id, lat, lon) triples of the
-    # tail, and each knn_join call sees ≤ broadcast_tail_max queries (which
-    # also caps its per-batch Python query loop)
-    exp_pd = exp.to_pandas()
-    for lo in range(0, len(exp_pd), broadcast_tail_max):
-        sub = exp_pd.iloc[lo : lo + broadcast_tail_max]
+    # bounded tail: STREAM the remaining queries to the driver one
+    # broadcast_tail_max-sized chunk at a time (never a full to_pandas —
+    # the driver holds one chunk of (query_id, lat, lon) triples even if
+    # rings were exhausted with a large tail) and run each chunk through
+    # the broadcast-queries exact path. Each chunk is one extra candidate
+    # scan; broadcast_tail_max trades closure size against re-scans, and
+    # knn_join itself chunks queries internally so per-batch memory is
+    # bounded regardless.
+    for chunk in exp.iter_batches(batch_size=broadcast_tail_max, batch_format="pyarrow"):
         redo = knn_join(
             ds,
-            sub["query_id"].to_numpy(),
-            sub["lat"].to_numpy(),
-            sub["lon"].to_numpy(),
+            chunk.column("query_id").to_numpy(),
+            chunk.column("lat").to_numpy(),
+            chunk.column("lon").to_numpy(),
             k,
             id_col=id_col,
             lat_col=lat_col,
@@ -543,6 +547,7 @@ class KnnIndexActor:
         # sliver provably contains every rounding-tie candidate even at
         # coarse tie_round values
         tie_m = 10.0 ** -tie_round / self.conv if tie_round is not None else 0.0
+        self._tie_m = tie_m
         self._slack = 1.0 + tie_m * (1.0 + self.GAP)
 
     #: haversine-vs-kernel relative gap (same 0.56% bound the prune uses) —
@@ -583,7 +588,11 @@ class KnnIndexActor:
                     else cosc.min(initial=1.0)
                 )
                 kth_h = EARTH_RADIUS_M * np.arccos(np.clip(kth_c, -1.0, 1.0))
-                if (hi - lo == n) or kth_h * (1.0 + self.GAP) * (
+                # certificate covers the ROUNDING-TIE window too: a
+                # candidate outside the band at kernel distance within
+                # tie_m of the kth must not exist, or the (round, id)
+                # tie-break could pick the wrong id
+                if (hi - lo == n) or (kth_h * (1.0 + self.GAP) + self._tie_m) * (
                     1.0 + self.SLOP
                 ) <= band_deg * self.m_per_deg:
                     cut = min((kth_h * 1.013 + self._slack) / EARTH_RADIUS_M, np.pi)
