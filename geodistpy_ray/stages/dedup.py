@@ -25,6 +25,8 @@ import pyarrow as pa
 
 from ray.data.aggregate import Count, Min
 
+from .grouping import key_spans, partitioned_map_groups
+
 _MERSENNE = (1 << 61) - 1
 _P61 = np.uint64(_MERSENNE)
 _LO32 = np.uint64(0xFFFFFFFF)
@@ -49,10 +51,11 @@ def _mulmod61_lazy(h: np.ndarray, a_hi: np.ndarray, a_lo: np.ndarray, b: np.ndar
     kernel of :meth:`MinHasher.signatures` (~2× over the eager version).
 
     Same split-multiply congruences as :func:`_mulmod61`, but intermediate
-    residues ride at ≤ p + small-ε instead of < p; the loose bounds keep
-    every partial sum under 2^63, so a single final fold+subtract restores
-    the exact residue. In-place ops hold peak temporaries to ~3 chunk-sized
-    arrays. ``a_hi``/``a_lo``/``b`` are pre-split (1, P) rows.
+    residues ride at ≤ p + small-ε instead of < p; the total stays under
+    2^64 (no u64 wraparound), and the final fold+subtract is exact for ANY
+    u64 value (fold result < 2^61 + 8, one conditional subtract lands < p).
+    In-place ops hold peak temporaries to ~3 chunk-sized arrays.
+    ``a_hi``/``a_lo``/``b`` are pre-split (1, P) rows.
     """
     h = h.astype(np.uint64)
     h = ((h >> _U61) + (h & _P61))[:, None]  # ≤ p + 7 (no subtract needed)
@@ -72,10 +75,13 @@ def _mulmod61_lazy(h: np.ndarray, a_hi: np.ndarray, a_lo: np.ndarray, b: np.ndar
     r3 += hi  # < 2^61 + 8                          ≈ p
     r1 += r2
     r1 += r3
-    r1 += b  # total < (2^61) + (2^61+2^34) + (2^61+8) + p < 2^63 — safe in u64
+    # total ≤ (2^61+2^32) + (2^61+2^34) + (2^61+8) + (p-1): may slightly
+    # exceed 2^63 but stays well under 2^64 — no wraparound, and the fold
+    # below is exact for any u64 input
+    r1 += b
     hi = r1 >> _U61
     r1 &= _P61
-    r1 += hi  # < 2^61 + 4
+    r1 += hi  # < 2^61 + 8
     np.subtract(r1, _P61, out=r1, where=r1 >= _P61)
     return r1
 
@@ -242,16 +248,6 @@ class MinHashBandEmitter:
         )
 
 
-def _bucket_spans(keys: np.ndarray):
-    """(starts, ends) of equal-key runs in a sorted key array, multi-member
-    runs only."""
-    change = np.flatnonzero(np.diff(keys)) + 1
-    starts = np.concatenate(([0], change))
-    ends = np.concatenate((change, [keys.size]))
-    multi = np.flatnonzero(ends - starts >= 2)
-    return starts[multi], ends[multi]
-
-
 def _bucket_pairs_partitioned(band_rows, key_col: str, id_col: str, n_parts: int = 64):
     """Distinct unordered id pairs per equal-key bucket → (id_a, id_b).
 
@@ -260,15 +256,13 @@ def _bucket_pairs_partitioned(band_rows, key_col: str, id_col: str, n_parts: int
     every bucket's pairs come from one sorted sweep — no per-bucket task or
     frame overhead.
     """
-    from .grouping import partitioned_map_groups
-
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, id_col])
         keys = g[key_col].to_numpy()
         ids = g[id_col].to_numpy()
         out_a, out_b = [], []
         if keys.size:
-            for s, e in zip(*_bucket_spans(keys)):
+            for s, e in zip(*key_spans(keys, min_size=2)):
                 u = np.unique(ids[s:e])
                 if u.size < 2:
                     continue
@@ -542,7 +536,7 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_h
         sh = g["simhash"].to_numpy().astype(np.uint64)
         out_a, out_b, out_h = [], [], []
         if keys.size:
-            for s, e in zip(*_bucket_spans(keys)):
+            for s, e in zip(*key_spans(keys, min_size=2)):
                 bi, si = ids[s:e], sh[s:e]
                 ii, jj = np.triu_indices(bi.size, k=1)
                 x = si[ii] ^ si[jj]
@@ -569,8 +563,6 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_h
                 "hamming": np.concatenate(out_h),
             }
         )
-
-    from .grouping import partitioned_map_groups
 
     pairs = partitioned_map_groups(band_rows, "band_key", bucket_pairs_part, n_parts=64)
     # a pair found via several bands appears once per matching band →

@@ -52,6 +52,34 @@ def partitioned_map_groups(ds, key_col: str, part_fn, n_parts: int = 64):
     )
 
 
+def key_spans(sorted_keys: np.ndarray, min_size: int = 1):
+    """(starts, ends) of equal-key runs in a SORTED key array, keeping runs
+    of at least ``min_size`` rows — the shared sweep primitive for
+    per-key work inside a partition (pair generation, per-cell filters,
+    windowed counts) without per-key frame overhead."""
+    if sorted_keys.size == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e
+    change = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
+    starts = np.concatenate(([0], change))
+    ends = np.concatenate((change, [sorted_keys.size]))
+    if min_size > 1:
+        keep = np.flatnonzero(ends - starts >= min_size)
+        return starts[keep], ends[keep]
+    return starts, ends
+
+
+def map_key_spans(g: pd.DataFrame, key_col: str, frame_fn) -> pd.DataFrame:
+    """Sort one partition by ``key_col`` and apply ``frame_fn`` to each
+    key's subframe slice, concatenating the results (typed-empty from
+    ``frame_fn`` on the empty slice when nothing matches)."""
+    g = g.sort_values(key_col, kind="mergesort")
+    keys = g[key_col].to_numpy()
+    starts, ends = key_spans(keys)
+    outs = [frame_fn(g.iloc[s:e]) for s, e in zip(starts, ends)]
+    return pd.concat(outs, ignore_index=True) if outs else frame_fn(g)
+
+
 def topk_per_group_part(
     g: pd.DataFrame,
     group_col: str,

@@ -274,6 +274,8 @@ def knn_join_cells(
         """Per-cell local top-k over one hash PARTITION of cells (bounded
         group count — see stages/grouping.py): the partition is sorted by
         cell once and each cell's span processed with plain array slices."""
+        from .grouping import key_spans
+
         g = g.sort_values("cell", kind="mergesort")
         cells = g["cell"].to_numpy()
         isq_a = g["is_query"].to_numpy()
@@ -281,10 +283,7 @@ def knn_join_cells(
         rlat_a = g["rlat"].to_numpy()
         rlon_a = g["rlon"].to_numpy()
         out_q, out_i, out_d, out_la, out_lo = [], [], [], [], []
-        change = np.flatnonzero(np.diff(cells)) + 1
-        bounds = np.concatenate(([0], change, [cells.size]))
-        for bi in range(bounds.size - 1):
-            s, e = bounds[bi], bounds[bi + 1]
+        for s, e in zip(*key_spans(cells)):
             isq = isq_a[s:e]
             if not isq.any():
                 continue

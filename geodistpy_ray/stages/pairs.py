@@ -144,23 +144,12 @@ def close_pairs(
 
     # group on a hash PARTITION of cell (bounded group count, see
     # stages/grouping.py): each partition sorts by cell once and runs the
-    # per-cell pair sweep over plain array spans
-    from .grouping import partitioned_map_groups
+    # per-cell pair sweep over plain slices
+    from .grouping import map_key_spans, partitioned_map_groups
 
-    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("cell", kind="mergesort")
-        cells = g["cell"].to_numpy()
-        change = np.flatnonzero(np.diff(cells)) + 1
-        bounds = np.concatenate(([0], change, [cells.size]))
-        outs = [
-            group_pairs(g.iloc[bounds[i] : bounds[i + 1]])
-            for i in range(bounds.size - 1)
-        ]
-        if not outs:
-            return group_pairs(g)  # typed empty
-        return pd.concat(outs, ignore_index=True)
-
-    return partitioned_map_groups(replicated, "cell", pairs_part, n_parts=128)
+    return partitioned_map_groups(
+        replicated, "cell", lambda g: map_key_spans(g, "cell", group_pairs), n_parts=128
+    )
 
 
 def distance_table(

@@ -182,19 +182,8 @@ def radius_join_cells(
 
     # hash-partition the cells (bounded group count, see stages/grouping.py)
     # and sweep each cell's span inside the partition
-    from .grouping import partitioned_map_groups
+    from .grouping import map_key_spans, partitioned_map_groups
 
-    def filter_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("cell", kind="mergesort")
-        cells = g["cell"].to_numpy()
-        change = np.flatnonzero(np.diff(cells)) + 1
-        bounds = np.concatenate(([0], change, [cells.size]))
-        outs = [
-            local_filter(g.iloc[bounds[i] : bounds[i + 1]])
-            for i in range(bounds.size - 1)
-        ]
-        if not outs:
-            return local_filter(g)  # typed empty
-        return pd.concat(outs, ignore_index=True)
-
-    return partitioned_map_groups(both, "cell", filter_part, n_parts=128)
+    return partitioned_map_groups(
+        both, "cell", lambda g: map_key_spans(g, "cell", local_filter), n_parts=128
+    )

@@ -86,13 +86,18 @@ def approx_distinct_per_key(ds, key_col: str, col: str, p: int = 12):
         raise ValueError("p must be in [11, 16]")
 
     def partial(batch: pa.Table) -> pa.Table:
+        from .grouping import key_spans
+
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         vals = batch.column(col).to_numpy(zero_copy_only=False)
-        uk = pd.unique(keys)
-        bufs = []
-        for kv in uk:
-            bufs.append(_hll_registers(vals[keys == kv], p).tobytes())
-        return pa.table({key_col: pa.array(uk), "regs": pa.array(bufs, pa.binary())})
+        # one argsort + span sweep, not an O(keys × rows) mask per key
+        order = np.argsort(keys, kind="mergesort")
+        sk, sv = keys[order], vals[order]
+        out_k, bufs = [], []
+        for s, e in zip(*key_spans(sk)):
+            out_k.append(sk[s])
+            bufs.append(_hll_registers(sv[s:e], p).tobytes())
+        return pa.table({key_col: pa.array(out_k), "regs": pa.array(bufs, pa.binary())})
 
     partials = ds.select_columns([key_col, col]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True

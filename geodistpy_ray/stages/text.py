@@ -74,35 +74,39 @@ class LangIdActor:
 
     def __init__(self):
         self.langs = list(_LANG_PROFILES)
-        # word → lang index lookup built once per actor (the "model load")
-        self.word_lang = {
-            w: i for i, lang in enumerate(self.langs) for w in _LANG_PROFILES[lang]
-        }
+        # word → TUPLE of lang indices (a stopword shared by several
+        # profiles — e.g. 'la'/'un'/'que' in both fr and es — must count
+        # for EVERY owning language, exactly like the per-profile loops)
+        wl: dict[str, list[int]] = {}
+        for i, lang in enumerate(self.langs):
+            for w in _LANG_PROFILES[lang]:
+                wl.setdefault(w, []).append(i)
+        self.word_langs = {w: tuple(v) for w, v in wl.items()}
         self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pylist()
         n = len(texts)
         L = len(self.langs)
-        # per-doc stopword-hit counts via ONE flat pass: tokenize, map each
-        # word to its profile's lang index (-1 = no profile), then a single
-        # 2-D bincount over (doc, lang) pairs
+        # per-doc stopword-hit counts via ONE flat pass: tokenize, expand
+        # each word to its owning languages, then a single 2-D bincount
+        # over (doc, lang) pairs
         doc_ids, lang_ids, empties = [], [], np.zeros(n, dtype=bool)
-        get = self.word_lang.get
+        get = self.word_langs.get
         for i, t in enumerate(texts):
             words = self.word_re.findall((t or "").lower())
             if not words:
                 empties[i] = True
                 continue
-            hits = [get(w, -1) for w in words]
-            doc_ids.extend([i] * len(hits))
-            lang_ids.extend(hits)
+            for w in words:
+                for li in get(w, ()):
+                    doc_ids.append(i)
+                    lang_ids.append(li)
         hits_mat = np.zeros((n, L), dtype=np.int64)
         if doc_ids:
             d = np.asarray(doc_ids, dtype=np.int64)
             g = np.asarray(lang_ids, dtype=np.int64)
-            m = g >= 0
-            np.add.at(hits_mat, (d[m], g[m]), 1)
+            np.add.at(hits_mat, (d, g), 1)
         best = hits_mat.argmax(axis=1)  # first max wins — profile order
         pred = np.where(
             empties | (hits_mat.max(axis=1, initial=0) == 0),

@@ -142,15 +142,14 @@ def rolling_count(
         # one hash partition of keys: sort by (key, ts), run the two
         # searchsorted passes per key SPAN (plain array slices, no per-key
         # frames — see stages/grouping.py)
+        from .grouping import key_spans
+
         order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
         g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
         keys = g[key_col].to_numpy()
         us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
         out = np.empty(us.size, dtype=np.int64)
-        change = np.flatnonzero(keys[1:] != keys[:-1]) + 1
-        bounds = np.concatenate(([0], change, [us.size]))
-        for i in range(bounds.size - 1):
-            s, e = bounds[i], bounds[i + 1]
+        for s, e in zip(*key_spans(keys)):
             seg = us[s:e]
             lo = np.searchsorted(seg, seg - window_us + 1, side="left")
             hi = np.searchsorted(seg, seg, side="right")

@@ -327,6 +327,12 @@ class TestTextVectorization:
             "xyzzy qwerty plugh",  # no profile hits -> und
             "",
             "el perro y la casa es un lugar que de por",
+            # overlap-decided case: 'la'/'un'/'que' live in BOTH fr and es
+            # profiles; 'est' breaks the tie toward fr. Guards the shared-
+            # stopword multi-membership fix (a word→single-lang dict
+            # credited these to es only and flipped the prediction).
+            "la un que est",
+            "la la un un que",  # pure overlap: tie -> first profile order wins
         ]
         ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
         got = add_lang_id(ds, concurrency=1).to_pandas().sort_values("doc_id")["lang_pred"].tolist()
