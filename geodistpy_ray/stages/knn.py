@@ -288,34 +288,50 @@ def knn_join_cells(
             if not isq.any():
                 continue
             cm = np.flatnonzero(~isq)
+            qm = np.flatnonzero(isq)
             clat, clon, cids = rlat_a[s:e][cm], rlon_a[s:e][cm], rid_a[s:e][cm]
-            for qi in np.flatnonzero(isq):
-                qid_, qlat_, qlon_ = rid_a[s + qi], rlat_a[s + qi], rlon_a[s + qi]
-                if cids.size == 0:
-                    # sentinel (id -1, dist inf): keeps zero-candidate queries
-                    # visible downstream so the expansion test can catch them
-                    # WITHOUT a driver-side scan of the full query set
-                    out_q.append(np.array([qid_], dtype=np.int64))
-                    out_i.append(np.array([-1], dtype=np.int64))
-                    out_d.append(np.array([np.inf]))
-                    out_la.append(np.array([qlat_]))
-                    out_lo.append(np.array([qlon_]))
-                    continue
-                d = kfn(clat, clon, qlat_, qlon_, a, f)
-                kk = min(k, d.size)
-                if kk < d.size:
-                    # kth-margin tie window (see knn_join.partial_topk); dist
-                    # here is raw meters — merge rounds pre-conversion, so
-                    # the margin is too
-                    kth = np.partition(d, kk - 1)[kk - 1]
-                    part = np.flatnonzero(d <= kth + tie_margin_m)
+            qids_c = rid_a[s:e][qm]
+            qlats_c = rlat_a[s:e][qm]
+            qlons_c = rlon_a[s:e][qm]
+            nc = cids.size
+            if nc == 0:
+                # sentinels (id -1, dist inf): keep zero-candidate queries
+                # visible downstream so the expansion test can catch them
+                # WITHOUT a driver-side scan of the full query set
+                out_q.append(qids_c.astype(np.int64))
+                out_i.append(np.full(qm.size, -1, dtype=np.int64))
+                out_d.append(np.full(qm.size, np.inf))
+                out_la.append(qlats_c)
+                out_lo.append(qlons_c)
+                continue
+            kk = min(k, nc)
+            # ONE kernel call per (cell × query-chunk): the same total
+            # kernel work as per-query calls, minus their fixed setup
+            # overhead; chunks cap the distance matrix at ~4M elements so a
+            # hot cell with a large query load can't blow worker memory
+            step = max(1, int(4_000_000 // nc))
+            for c0 in range(0, qm.size, step):
+                ql = qlats_c[c0 : c0 + step]
+                qo = qlons_c[c0 : c0 + step]
+                qi_ids = qids_c[c0 : c0 + step]
+                cq = ql.size
+                d = kfn(
+                    np.tile(clat, cq), np.tile(clon, cq),
+                    np.repeat(ql, nc), np.repeat(qo, nc), a, f,
+                ).reshape(cq, nc)
+                if kk < nc:
+                    # kth-margin tie window (see knn_join.partial_topk);
+                    # dist here is raw meters — merge rounds pre-conversion,
+                    # so the margin is too
+                    kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
+                    qrow, ci = np.nonzero(d <= kth[:, None] + tie_margin_m)
                 else:
-                    part = np.arange(d.size)
-                out_q.append(np.full(part.size, qid_, dtype=np.int64))
-                out_i.append(cids[part])
-                out_d.append(d[part])
-                out_la.append(np.full(part.size, qlat_))
-                out_lo.append(np.full(part.size, qlon_))
+                    qrow, ci = np.nonzero(np.ones((cq, nc), dtype=bool))
+                out_q.append(qi_ids[qrow].astype(np.int64))
+                out_i.append(cids[ci])
+                out_d.append(d[qrow, ci])
+                out_la.append(ql[qrow])
+                out_lo.append(qo[qrow])
         if not out_q:
             return pd.DataFrame(
                 {
