@@ -179,3 +179,46 @@ def test_karney_direct_inverse_roundtrip(p, az, dist):
         )[0]
     )
     assert abs(back - dist) < 1e-3, (p, az, dist, back)
+
+
+# ── round-2: modular-arithmetic laws for the MinHash permutation kernels ──
+
+_P61 = (1 << 61) - 1
+
+
+@given(
+    h=st.integers(min_value=0, max_value=2**64 - 1),
+    a=st.integers(min_value=1, max_value=_P61 - 1),
+    b=st.integers(min_value=0, max_value=_P61 - 1),
+)
+@settings(max_examples=300, deadline=None)
+def test_mulmod61_law(h, a, b):
+    """Both uint64 kernels must equal the exact big-int residue for ANY
+    64-bit hash input and any valid coefficient pair."""
+    import numpy as np
+
+    from geodistpy_ray.stages.dedup import _LO32, _U32, _mulmod61, _mulmod61_lazy
+
+    want = (h * a + b) % _P61
+    ha = np.array([h], dtype=np.uint64)
+    aa = np.array([a], dtype=np.uint64)
+    ba = np.array([b], dtype=np.uint64)
+    got = int(_mulmod61(ha, aa, ba)[0, 0])
+    assert got == want
+    got_lazy = int(
+        _mulmod61_lazy(ha, (aa >> _U32)[None, :], (aa & _LO32)[None, :], ba[None, :])[0, 0]
+    )
+    assert got_lazy == want
+
+
+@given(text=st.text(max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_fingerprint_batch_law(text):
+    """The vectorized polynomial hash equals the scalar Horner loop for
+    arbitrary unicode input (any codepoint, any length)."""
+    from geodistpy_ray.stages.text import _poly_hash_batch, _poly_hash_codepoints
+
+    norm = " ".join(text.split())
+    assert int(_poly_hash_batch([norm])[0]) == (
+        _poly_hash_codepoints(norm) & 0x7FFFFFFFFFFFFFFF
+    )
