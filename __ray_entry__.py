@@ -731,6 +731,18 @@ def q_sessions(sf_dir):
     return sessionize(ev, "user_id", "ts", 1_800_000_000, order_tiebreak_col="event_id")
 
 
+LATE_WATERMARK_US = 30 * 24 * 3_600_000_000  # 30-day lateness allowance
+
+
+def q_late_events(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import late_event_stats
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    return late_event_stats(ev, "user_id", "ts", LATE_WATERMARK_US)
+
+
 EPOCH_2024_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in µs
 RANGE_STEP_US = 66 * 3_600_000_000
 RANGE_LEN_US = 72 * 3_600_000_000
@@ -1048,6 +1060,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "outer_join": q_outer_join,
+        "late_events": q_late_events,
         # ── rows-only queries (no SQL-expressible oracle) from here down ──
         "approx_distinct": q_approx_distinct,
         "interpolate_waypoints": q_interpolate,
@@ -1349,6 +1362,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT p.p_partkey, p.p_name FROM part p WHERE NOT EXISTS ("
             "SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey "
             "AND l.l_quantity > 49.0)"
+        ),
+        "late_events": (
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+            "CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late "
+            "FROM (SELECT user_id, epoch_us(ts) < "
+            "MAX(epoch_us(ts)) OVER (PARTITION BY user_id) - "
+            f"{LATE_WATERMARK_US} AS late FROM events) GROUP BY user_id"
         ),
         "outer_join": (
             "WITH big AS (SELECT o_custkey, COUNT(*) AS n_big FROM orders "

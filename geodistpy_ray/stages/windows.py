@@ -120,6 +120,39 @@ def sessionize(
     return partitioned_map_groups(ds, key_col, part_fn)
 
 
+def late_event_stats(ds, key_col: str, ts_col: str, watermark_us: int):
+    """Per-key late-data accounting for a watermark of ``watermark_us``.
+
+    Batch-model analogue of streaming watermark drops: an event is "late"
+    if it is older than the key's maximum timestamp minus the watermark —
+    i.e. a pipeline holding a ``watermark_us`` lateness allowance would
+    have closed its window before this event arrived. Emits
+    ``(key, n_events, n_late)``; SQL mirror:
+    ``ts < MAX(ts) OVER (PARTITION BY key) - watermark``.
+
+    Decomposable per batch? No — lateness depends on the key's GLOBAL max,
+    so rows co-locate by key (hash partition, stages/grouping.py); within a
+    partition one grouped transform('max') classifies every row vectorized.
+    """
+    from .grouping import partitioned_map_groups
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        us = pd.Series(
+            g[ts_col].to_numpy("datetime64[us]").astype(np.int64), index=g.index
+        )
+        mx = us.groupby(g[key_col], sort=False).transform("max")
+        late = us < (mx - watermark_us)
+        out = pd.DataFrame({key_col: g[key_col], "__late": late.astype(np.int64)})
+        agg = out.groupby(key_col, as_index=False, sort=False).agg(
+            n_events=("__late", "size"), n_late=("__late", "sum")
+        )
+        agg["n_events"] = agg["n_events"].astype(np.int64)
+        agg["n_late"] = agg["n_late"].astype(np.int64)
+        return agg
+
+    return partitioned_map_groups(ds, key_col, part_fn)
+
+
 def rolling_count(
     ds,
     key_col: str,

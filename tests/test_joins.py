@@ -432,3 +432,33 @@ def test_detect_hot_keys_total_survives_block_merge(ray_session):
     assert hot == [5]
     # with an undercounted total, ~every key would clear the threshold
     assert detect_hot_keys(ds, "k", frac_threshold=0.2) == []
+
+
+def test_late_event_stats_vs_pandas(ray_session):
+    """Watermark late-data accounting matches a direct pandas computation
+    (late = older than the key's max ts minus the allowance)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import late_event_stats
+
+    rng = np.random.default_rng(31)
+    n = 2000
+    keys = rng.integers(0, 12, n)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = base + rng.integers(0, 90 * 24 * 3600, n).astype("timedelta64[s]").astype(
+        "timedelta64[us]"
+    )
+    ds = rd.from_arrow(pa.table({"k": keys.astype(np.int64), "ts": ts})).repartition(6)
+    wm = 30 * 24 * 3_600_000_000
+    got = (
+        late_event_stats(ds, "k", "ts", wm).to_pandas().sort_values("k", ignore_index=True)
+    )
+    df = pd.DataFrame({"k": keys, "us": ts.astype(np.int64)})
+    df["late"] = df["us"] < df.groupby("k")["us"].transform("max") - wm
+    want = df.groupby("k", as_index=False).agg(n_events=("late", "size"), n_late=("late", "sum"))
+    assert got["n_events"].tolist() == want["n_events"].tolist()
+    assert got["n_late"].tolist() == want["n_late"].tolist()
+    assert got["n_late"].sum() > 0  # the fixture must actually exercise lateness
