@@ -29,17 +29,30 @@ def partition_ids(values, n_parts: int) -> np.ndarray:
     return ((h * _MIX) % np.uint64(n_parts)).astype(np.int64)
 
 
-def partitioned_map_groups(ds, key_col: str, part_fn, n_parts: int = 64):
+def _multi_partition_ids(batch: pa.Table, key_cols: list[str], n_parts: int) -> np.ndarray:
+    """Composite-key partition ids: per-column hashes mix-combined."""
+    h = np.zeros(batch.num_rows, dtype=np.uint64)
+    for c in key_cols:
+        h ^= (
+            pd.util.hash_array(batch.column(c).to_numpy(zero_copy_only=False), categorize=False)
+            * _MIX
+        )
+    return (h % np.uint64(n_parts)).astype(np.int64)
+
+
+def partitioned_map_groups(ds, key_col, part_fn, n_parts: int = 64):
     """``groupby(hash(key) % n_parts).map_groups(part_fn)``.
 
+    ``key_col`` may be one column name or a list (composite key).
     ``part_fn`` receives one PARTITION frame — all rows of every key that
     hashes there, ``__part`` column already dropped — and must handle
     multiple keys itself (vectorized, or with a local pandas groupby whose
     per-group cost is ~10x below Ray's).
     """
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
 
     def tag(batch: pa.Table) -> pa.Table:
-        ids = partition_ids(batch.column(key_col).to_numpy(zero_copy_only=False), n_parts)
+        ids = _multi_partition_ids(batch, key_cols, n_parts)
         return batch.append_column("__part", pa.array(ids, pa.int64()))
 
     def run(g: pd.DataFrame) -> pd.DataFrame:

@@ -634,21 +634,23 @@ class KnnIndexActor:
         idx_parts = [self._sliver(qlats[j], qlons[j]) for j in range(qids.size)]
         counts = np.fromiter((x.size for x in idx_parts), dtype=np.int64, count=qids.size)
         idx = np.concatenate(idx_parts)
-        # phase B: ONE kernel call over every sliver row in the batch — the
-        # exact kernel's fixed per-call overhead (lane-masked iteration
-        # setup) amortizes across queries instead of repeating per query
-        d_all = self.kfn(
-            self.lats[idx],
-            self.lons[idx],
-            np.repeat(qlats, counts),
-            np.repeat(qlons, counts),
-            self.a,
-            self.f,
-        )
+        # phase B: batched kernel calls over all sliver rows — the exact
+        # kernel's fixed per-call overhead (lane-masked iteration setup)
+        # amortizes across queries. Row-chunked at 1M (the kernel is
+        # elementwise, so chunk boundaries are arbitrary) so degenerate
+        # slivers (k ≈ n, coarse tie_round) cannot demand a multi-GB
+        # temporary in one call.
+        qlat_rep = np.repeat(qlats, counts)
+        qlon_rep = np.repeat(qlons, counts)
+        d_all = np.empty(idx.size, dtype=np.float64)
+        for lo in range(0, idx.size, 1_000_000):
+            sl = slice(lo, min(lo + 1_000_000, idx.size))
+            d_all[sl] = self.kfn(
+                self.lats[idx[sl]], self.lons[idx[sl]], qlat_rep[sl], qlon_rep[sl],
+                self.a, self.f,
+            )
         # phase C: per-query top-k with the (round(dist), id) tie contract
-        tie_margin = (
-            10.0 ** -self.tie_round / self.conv if self.tie_round is not None else 0.0
-        )
+        tie_margin = self._tie_m
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         out_i, out_d, out_q = [], [], []
         for j in range(qids.size):

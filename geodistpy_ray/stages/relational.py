@@ -188,24 +188,12 @@ def distinct(ds, cols: list[str], final: str = "shuffle", n_parts: int = 64):
             return pd.DataFrame({c: [] for c in cols})
         return pd.concat(frames, ignore_index=True).drop_duplicates().reset_index(drop=True)
 
-    def add_part(batch: pa.Table) -> pa.Table:
-        h = np.zeros(batch.num_rows, dtype=np.uint64)
-        for c in cols:
-            h ^= pd.util.hash_array(
-                batch.column(c).to_numpy(zero_copy_only=False), categorize=False
-            ) * np.uint64(0x9E3779B97F4A7C15)
-        return batch.append_column(
-            "__part", pa.array((h % np.uint64(n_parts)).astype(np.int64), pa.int64())
-        )
+    from .grouping import partitioned_map_groups
 
     def dedup_part(g: pd.DataFrame) -> pd.DataFrame:
         return g[cols].drop_duplicates()
 
-    return (
-        partials.map_batches(add_part, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("__part")
-        .map_groups(dedup_part, batch_format="pandas")
-    )
+    return partitioned_map_groups(partials, cols, dedup_part, n_parts=n_parts)
 
 
 def add_month_key(ds, ts_col: str, out_col: str = "ym"):

@@ -88,6 +88,13 @@ def approx_distinct_per_key(ds, key_col: str, col: str, p: int = 12):
     def partial(batch: pa.Table) -> pa.Table:
         from .grouping import key_spans
 
+        key_type = batch.schema.field(key_col).type
+        if batch.num_rows == 0:
+            # typed empty — an untyped pa.array([]) infers null and makes
+            # the block schema unstable across the stream
+            return pa.table(
+                {key_col: pa.array([], key_type), "regs": pa.array([], pa.binary())}
+            )
         keys = batch.column(key_col).to_numpy(zero_copy_only=False)
         vals = batch.column(col).to_numpy(zero_copy_only=False)
         # one argsort + span sweep, not an O(keys × rows) mask per key
@@ -97,7 +104,9 @@ def approx_distinct_per_key(ds, key_col: str, col: str, p: int = 12):
         for s, e in zip(*key_spans(sk)):
             out_k.append(sk[s])
             bufs.append(_hll_registers(sv[s:e], p).tobytes())
-        return pa.table({key_col: pa.array(out_k), "regs": pa.array(bufs, pa.binary())})
+        return pa.table(
+            {key_col: pa.array(out_k, key_type), "regs": pa.array(bufs, pa.binary())}
+        )
 
     partials = ds.select_columns([key_col, col]).map_batches(
         partial, batch_format="pyarrow", zero_copy_batch=True
