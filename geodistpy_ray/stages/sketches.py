@@ -40,13 +40,17 @@ def _hll_registers(values: np.ndarray, p: int) -> np.ndarray:
 
 def hll_estimate(regs: np.ndarray) -> float:
     """Standard HLL estimator with the small-range (linear counting) fix."""
-    m = regs.size
+    return float(hll_estimate_many(regs[None, :])[0])
+
+
+def hll_estimate_many(regs_mat: np.ndarray) -> np.ndarray:
+    """Row-wise HLL estimates for a (K, 2^p) register matrix (vectorized)."""
+    m = regs_mat.shape[1]
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    e = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
-    zeros = int(np.count_nonzero(regs == 0))
-    if e <= 2.5 * m and zeros:
-        return m * np.log(m / zeros)
-    return float(e)
+    e = alpha * m * m / np.power(2.0, -regs_mat.astype(np.float64)).sum(axis=1)
+    zeros = np.count_nonzero(regs_mat == 0, axis=1)
+    linear = m * np.log(m / np.maximum(zeros, 1))
+    return np.where((e <= 2.5 * m) & (zeros > 0), linear, e)
 
 
 def approx_distinct_count(ds, col: str, p: int = 14) -> float:
@@ -113,15 +117,21 @@ def approx_distinct_per_key(ds, key_col: str, col: str, p: int = 12):
     )
     from .grouping import partitioned_map_groups
 
+    from .grouping import key_spans
+
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
-        out_k, out_e = [], []
-        for kv, sub in g.groupby(key_col, sort=False):
-            regs = np.frombuffer(sub["regs"].iloc[0], dtype=np.uint8).copy()
-            for buf in sub["regs"].iloc[1:]:
-                np.maximum(regs, np.frombuffer(buf, dtype=np.uint8), out=regs)
-            out_k.append(kv)
-            out_e.append(hll_estimate(regs))
-        return pd.DataFrame({key_col: out_k, "approx_distinct": out_e})
+        # stack every register row into one (rows, 2^p) matrix and max-fold
+        # each key's span with a single reduceat — no per-key Python merge
+        g = g.sort_values(key_col, kind="mergesort")
+        keys = g[key_col].to_numpy()
+        mat = np.frombuffer(b"".join(g["regs"].tolist()), dtype=np.uint8).reshape(
+            len(g), -1
+        )
+        starts, _ = key_spans(keys)
+        merged = np.maximum.reduceat(mat, starts, axis=0)
+        return pd.DataFrame(
+            {key_col: keys[starts], "approx_distinct": hll_estimate_many(merged)}
+        )
 
     return partitioned_map_groups(partials, key_col, merge_part)
 
