@@ -388,8 +388,8 @@ def q_image_features(sf_dir):
         return batch.append_column("payload", pa.array(payload, pa.binary()))
 
     ds = docs.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
-    ds = decode_images(ds, payload_col="payload", concurrency=2)
-    ds = extract_image_features(ds, concurrency=2)
+    ds = decode_images(ds, payload_col="payload", concurrency=(1, 2))
+    ds = extract_image_features(ds, concurrency=(1, 2))
     return ds.select_columns(["doc_id", "payload_bytes", "img_h", "img_w", "img_feat"])
 
 
@@ -589,8 +589,8 @@ def q_audio_features(sf_dir):
         return batch.append_column("payload", pa.array(payload, pa.binary()))
 
     ds = docs.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
-    ds = decode_audio(ds, payload_col="payload", concurrency=2)
-    ds = extract_audio_features(ds, concurrency=2)
+    ds = decode_audio(ds, payload_col="payload", concurrency=(1, 2))
+    ds = extract_audio_features(ds, concurrency=(1, 2))
     return ds.select_columns(["doc_id", "audio_sr", "n_samples", "audio_feat"])
 
 
@@ -623,9 +623,9 @@ def q_video_pipeline(sf_dir):
 
     ds = docs.map_batches(to_frames, batch_format="pyarrow", zero_copy_batch=True)
     ds = sample_frames_keyed(ds, "frame_no", every_n=2)
-    ds = decode_images(ds, payload_col="payload", concurrency=2)
+    ds = decode_images(ds, payload_col="payload", concurrency=(1, 2))
     ds = resize_images(ds, factor=2)
-    ds = extract_image_features(ds, concurrency=2)
+    ds = extract_image_features(ds, concurrency=(1, 2))
     return ds.select_columns(["video_id", "frame_no", "img_h", "img_w", "img_feat"])
 
 

@@ -26,7 +26,7 @@ def flagship_pipeline(sf_dir: str, cell_deg: float = 2.0):
         fn_constructor_kwargs={"id_col": "doc_id"},
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=2,
+        concurrency=(1, 2),
         batch_size=8192,
     )
     matches = point_in_polygon_join(docs, diamond_polygons(), id_col="doc_id", cell_deg=cell_deg)

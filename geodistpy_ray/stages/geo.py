@@ -52,7 +52,7 @@ class GeocoderActor:
     ``__call__`` vectorizes over the batch. Use as::
 
         ds.map_batches(GeocoderActor, fn_constructor_kwargs={"id_col": "doc_id"},
-                       batch_format="pyarrow", concurrency=4, batch_size=8192)
+                       batch_format="pyarrow", concurrency=(1, 4), batch_size=8192)
     """
 
     def __init__(self, id_col: str = "doc_id"):

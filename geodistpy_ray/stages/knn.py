@@ -692,7 +692,7 @@ def knn_join_indexed(
     metric: str = "meter",
     ellipsoid="WGS-84",
     tie_round: int | None = 6,
-    concurrency=2,
+    concurrency=(1, 2),
     batch_size: int = 1024,
 ):
     """Actor-pool kNN over a streaming QUERY Dataset: the candidate index is
