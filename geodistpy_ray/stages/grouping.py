@@ -22,21 +22,22 @@ import pyarrow as pa
 _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
-def partition_ids(values, n_parts: int) -> np.ndarray:
-    """Deterministic hash-partition ids for a key column (stable across
-    processes — never Python's salted ``hash``)."""
-    h = pd.util.hash_array(np.asarray(values), categorize=False)
-    return ((h * _MIX) % np.uint64(n_parts)).astype(np.int64)
-
-
 def _multi_partition_ids(batch: pa.Table, key_cols: list[str], n_parts: int) -> np.ndarray:
-    """Composite-key partition ids: per-column hashes mix-combined."""
+    """Deterministic partition ids for a (possibly composite) key — stable
+    across processes (never Python's salted ``hash``).
+
+    The fold is NON-commutative, ``h = (h ^ hash(col)) * MIX`` per column: a
+    plain XOR of identically-mixed hashes would self-cancel when two key
+    columns carry equal values (every such row → partition 0) and would
+    collide (x, y) with (y, x) — re-creating the skew this helper prevents.
+    Single-column keys reduce to ``hash * MIX``.
+    """
     h = np.zeros(batch.num_rows, dtype=np.uint64)
     for c in key_cols:
-        h ^= (
-            pd.util.hash_array(batch.column(c).to_numpy(zero_copy_only=False), categorize=False)
-            * _MIX
+        h ^= pd.util.hash_array(
+            batch.column(c).to_numpy(zero_copy_only=False), categorize=False
         )
+        h *= _MIX
     return (h % np.uint64(n_parts)).astype(np.int64)
 
 

@@ -630,45 +630,57 @@ class KnnIndexActor:
         )
         if qids.size == 0 or self.ids.size == 0:
             return empty
-        # phase A: per-query certified slivers (spherical band search only)
-        idx_parts = [self._sliver(qlats[j], qlons[j]) for j in range(qids.size)]
-        counts = np.fromiter((x.size for x in idx_parts), dtype=np.int64, count=qids.size)
-        idx = np.concatenate(idx_parts)
-        # phase B: batched kernel calls over all sliver rows — the exact
-        # kernel's fixed per-call overhead (lane-masked iteration setup)
-        # amortizes across queries. Row-chunked at 1M (the kernel is
-        # elementwise, so chunk boundaries are arbitrary) so degenerate
-        # slivers (k ≈ n, coarse tie_round) cannot demand a multi-GB
-        # temporary in one call.
-        qlat_rep = np.repeat(qlats, counts)
-        qlon_rep = np.repeat(qlons, counts)
-        d_all = np.empty(idx.size, dtype=np.float64)
-        for lo in range(0, idx.size, 1_000_000):
-            sl = slice(lo, min(lo + 1_000_000, idx.size))
-            d_all[sl] = self.kfn(
-                self.lats[idx[sl]], self.lons[idx[sl]], qlat_rep[sl], qlon_rep[sl],
-                self.a, self.f,
-            )
-        # phase C: per-query top-k with the (round(dist), id) tie contract
         tie_margin = self._tie_m
-        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         out_i, out_d, out_q = [], [], []
+
+        def flush(jj: list[int], idx_parts: list[np.ndarray]):
+            """Phases B+C for one bounded group of queries: one batched
+            kernel pass over the group's slivers, then per-query top-k with
+            the (round(dist), id) tie contract."""
+            counts = np.fromiter((x.size for x in idx_parts), dtype=np.int64, count=len(jj))
+            idx = np.concatenate(idx_parts)
+            qlat_rep = np.repeat(qlats[jj], counts)
+            qlon_rep = np.repeat(qlons[jj], counts)
+            d_all = self.kfn(
+                self.lats[idx], self.lons[idx], qlat_rep, qlon_rep, self.a, self.f
+            )
+            starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+            for pos, j in enumerate(jj):
+                d = d_all[starts[pos] : starts[pos] + counts[pos]]
+                ids = self.ids[idx_parts[pos]]
+                kk = min(self.k, d.size)
+                if kk == 0:
+                    continue
+                if kk < d.size:
+                    kth = np.partition(d, kk - 1)[kk - 1]
+                    part = np.flatnonzero(d <= kth + tie_margin)
+                    d, ids = d[part], ids[part]
+                dd = d * self.conv
+                key = np.round(dd, self.tie_round) if self.tie_round is not None else dd
+                order = np.lexsort((ids, key))[:kk]
+                out_i.append(ids[order])
+                out_d.append(dd[order])
+                out_q.append(np.full(kk, qids[j], dtype=np.int64))
+
+        # phase A (certified spherical band search) feeds bounded groups:
+        # TOTAL sliver rows per flush are capped, so degenerate slivers
+        # (k ≈ n, coarse tie_round) bound EVERY per-flush array — gather
+        # inputs, kernel temporaries, and distances alike — instead of
+        # growing with the whole query batch.
+        ROW_BUDGET = 1_000_000
+        pend_j: list[int] = []
+        pend_idx: list[np.ndarray] = []
+        rows = 0
         for j in range(qids.size):
-            d = d_all[starts[j] : starts[j] + counts[j]]
-            ids = self.ids[idx_parts[j]]
-            kk = min(self.k, d.size)
-            if kk == 0:
-                continue
-            if kk < d.size:
-                kth = np.partition(d, kk - 1)[kk - 1]
-                part = np.flatnonzero(d <= kth + tie_margin)
-                d, ids = d[part], ids[part]
-            dd = d * self.conv
-            key = np.round(dd, self.tie_round) if self.tie_round is not None else dd
-            order = np.lexsort((ids, key))[:kk]
-            out_i.append(ids[order])
-            out_d.append(dd[order])
-            out_q.append(np.full(kk, qids[j], dtype=np.int64))
+            sliver = self._sliver(qlats[j], qlons[j])
+            pend_j.append(j)
+            pend_idx.append(sliver)
+            rows += sliver.size
+            if rows >= ROW_BUDGET:
+                flush(pend_j, pend_idx)
+                pend_j, pend_idx, rows = [], [], 0
+        if pend_j:
+            flush(pend_j, pend_idx)
         if not out_q:
             return empty
         ranks = np.concatenate([np.arange(1, x.size + 1, dtype=np.int64) for x in out_i])

@@ -44,13 +44,19 @@ def hll_estimate(regs: np.ndarray) -> float:
 
 
 def hll_estimate_many(regs_mat: np.ndarray) -> np.ndarray:
-    """Row-wise HLL estimates for a (K, 2^p) register matrix (vectorized)."""
-    m = regs_mat.shape[1]
+    """Row-wise HLL estimates for a (K, 2^p) register matrix — row-chunked
+    so the float64 power temporary stays cache-resident (~256k elements)."""
+    k, m = regs_mat.shape
     alpha = 0.7213 / (1.0 + 1.079 / m)
-    e = alpha * m * m / np.power(2.0, -regs_mat.astype(np.float64)).sum(axis=1)
-    zeros = np.count_nonzero(regs_mat == 0, axis=1)
-    linear = m * np.log(m / np.maximum(zeros, 1))
-    return np.where((e <= 2.5 * m) & (zeros > 0), linear, e)
+    out = np.empty(k, dtype=np.float64)
+    step = max(1, 256_000 // m)
+    for lo in range(0, k, step):
+        sub = regs_mat[lo : lo + step]
+        e = alpha * m * m / np.power(2.0, -sub.astype(np.float64)).sum(axis=1)
+        zeros = np.count_nonzero(sub == 0, axis=1)
+        linear = m * np.log(m / np.maximum(zeros, 1))
+        out[lo : lo + step] = np.where((e <= 2.5 * m) & (zeros > 0), linear, e)
+    return out
 
 
 def approx_distinct_count(ds, col: str, p: int = 14) -> float:
