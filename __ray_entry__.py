@@ -947,6 +947,23 @@ def q_hopping_windows(sf_dir):
     )
 
 
+HOP_OFFSET_US = 17 * 60 * 1_000_000  # 17-minute grid shift (unaligned)
+
+
+def q_hopping_offset(sf_dir):
+    """Hopping windows on an UNALIGNED grid: the window lattice is shifted
+    by 17 minutes, exercising the offset_us parameter end to end."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import hopping_window_agg
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return hopping_window_agg(
+        ev, "user_id", "ts", window_us=3 * 3_600_000_000, hop_us=3_600_000_000,
+        value_col="value", offset_us=HOP_OFFSET_US,
+    )
+
+
 def q_filter_project(sf_dir):
     import pyarrow.compute as pc
     import ray.data as rd
@@ -1057,6 +1074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_max_qty": q_anti_max_qty,
         "top_events_per_user": q_top_events_per_user,
         "hopping_windows": q_hopping_windows,
+        "hopping_offset": q_hopping_offset,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "outer_join": q_outer_join,
@@ -1387,6 +1405,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hopping_windows": (
             "SELECT user_id, epoch_us(ts) // 3600000000 - j AS window_key, "
+            "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
+            "AS sum_value_cents, CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM events, (SELECT CAST(UNNEST(RANGE(3)) AS BIGINT) AS j) "
+            "GROUP BY 1, 2"
+        ),
+        "hopping_offset": (
+            "SELECT user_id, "
+            f"(epoch_us(ts) - {HOP_OFFSET_US}) // 3600000000 - j AS window_key, "
             "CAST(SUM(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) "
             "AS sum_value_cents, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM events, (SELECT CAST(UNNEST(RANGE(3)) AS BIGINT) AS j) "
