@@ -1,0 +1,80 @@
+"""stages/grouping.py helpers: partition laws, span sweeps, top-k."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from geodistpy_ray.stages.grouping import (
+    _multi_partition_ids,
+    key_spans,
+    map_key_spans,
+    topk_per_group_part,
+)
+
+
+class TestPartitionIds:
+    def test_deterministic_and_bounded(self):
+        t = pa.table({"k": np.arange(1000, dtype=np.int64)})
+        a = _multi_partition_ids(t, ["k"], 64)
+        b = _multi_partition_ids(t, ["k"], 64)
+        np.testing.assert_array_equal(a, b)
+        assert a.min() >= 0 and a.max() < 64
+        # a healthy spread: every partition should see some of 1000 keys
+        assert len(np.unique(a)) > 48
+
+    def test_equal_column_pairs_do_not_collapse(self):
+        """Regression: an XOR of identically-mixed per-column hashes
+        self-cancels when both key columns carry the same value, sending
+        every such row to partition 0 — the fold must be non-commutative."""
+        v = np.arange(2000, dtype=np.int64)
+        t = pa.table({"a": v, "b": v})  # a == b on every row
+        parts = _multi_partition_ids(t, ["a", "b"], 64)
+        assert len(np.unique(parts)) > 48
+
+    def test_column_order_matters(self):
+        x = np.arange(500, dtype=np.int64)
+        y = x[::-1].copy()
+        t = pa.table({"a": x, "b": y})
+        ab = _multi_partition_ids(t, ["a", "b"], 64)
+        ba = _multi_partition_ids(t, ["b", "a"], 64)
+        assert (ab != ba).any()  # (x, y) must not always collide with (y, x)
+
+
+class TestKeySpans:
+    def test_spans_and_min_size(self):
+        keys = np.array([1, 1, 2, 3, 3, 3, 9])
+        s, e = key_spans(keys)
+        assert list(zip(s, e)) == [(0, 2), (2, 3), (3, 6), (6, 7)]
+        s2, e2 = key_spans(keys, min_size=2)
+        assert list(zip(s2, e2)) == [(0, 2), (3, 6)]
+
+    def test_empty(self):
+        s, e = key_spans(np.array([], dtype=np.int64))
+        assert s.size == 0 and e.size == 0
+
+    def test_string_keys(self):
+        keys = np.array(["a", "a", "b"], dtype=object)
+        s, e = key_spans(keys)
+        assert list(zip(s, e)) == [(0, 2), (2, 3)]
+
+
+def test_map_key_spans_applies_per_key():
+    g = pd.DataFrame({"k": [2, 1, 2, 1, 3], "v": [10, 20, 30, 40, 50]})
+    out = map_key_spans(g, "k", lambda sub: pd.DataFrame(
+        {"k": [sub["k"].iloc[0]], "s": [int(sub["v"].sum())]}
+    ))
+    assert out.sort_values("k")["s"].tolist() == [60, 40, 50]
+
+
+def test_topk_per_group_part_contract():
+    g = pd.DataFrame(
+        {
+            "q": [1, 1, 1, 2, 2],
+            "d": [5.0, 3.0, 4.0, 9.0, 8.0],
+            "i": [7, 9, 8, 1, 2],
+        }
+    )
+    out = topk_per_group_part(g, "q", ["d", "i"], [True, True], k=2)
+    got = out.sort_values(["q", "rank"])[["q", "i", "rank"]].values.tolist()
+    assert got == [[1, 9, 1], [1, 8, 2], [2, 2, 1], [2, 1, 2]]
