@@ -38,6 +38,13 @@ def _multi_partition_ids(batch: pa.Table, key_cols: list[str], n_parts: int) -> 
             batch.column(c).to_numpy(zero_copy_only=False), categorize=False
         )
         h *= _MIX
+    # avalanche finalizer (splitmix64 tail): ``% n_parts`` reads LOW bits,
+    # and the low bits of a multiplicative fold alias badly (measured: 2000
+    # equal-column pairs landed in only 12 of 64 partitions) — the
+    # xor-shift-multiply mixes every input bit into the low ones
+    h ^= h >> np.uint64(31)
+    h *= np.uint64(0xBF58476D1CE4E5B9)
+    h ^= h >> np.uint64(29)
     return (h % np.uint64(n_parts)).astype(np.int64)
 
 
