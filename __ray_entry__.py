@@ -1048,7 +1048,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": q_ann_topk,
         "embed_near_dup": q_embed_near_dup,
         "dimwise_pairs": q_dimwise_pairs,
-        "clean_corpus": q_clean_corpus,
         "events_union": q_events_union,
         "user_value_range": q_user_value_range,
         "cell_doc_lists": q_cell_doc_lists,
@@ -1058,13 +1057,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_p90_value": q_user_p90_value,
         "running_totals": q_running_totals,
         "rolling_counts": q_rolling_counts,
-        "revenue_heatmap": q_revenue_heatmap,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
         "orders_by_month": q_orders_by_month,
         "events_agg": q_events_agg,
         "filter_project": q_filter_project,
-        "order_lines_join": q_order_lines_join,
         "mktsegment_revenue": q_mktsegment_revenue,
         "asof_click_view": q_asof_click_view,
         "range_buckets": q_range_buckets,
@@ -1079,6 +1076,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": q_sessions,
         "outer_join": q_outer_join,
         "late_events": q_late_events,
+        # composition queries last among oracle-matched: every operator
+        # they compose has its OWN oracle row above, so if a recording
+        # cap truncates the window these lose the least unique coverage
+        "revenue_heatmap": q_revenue_heatmap,
+        "clean_corpus": q_clean_corpus,
+        "order_lines_join": q_order_lines_join,
         # ── rows-only queries (no SQL-expressible oracle) from here down ──
         "approx_distinct": q_approx_distinct,
         "interpolate_waypoints": q_interpolate,
