@@ -964,6 +964,15 @@ def q_hopping_offset(sf_dir):
     )
 
 
+def q_normalized_texts(sf_dir):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import add_normalized_text
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return add_normalized_text(docs).select_columns(["doc_id", "norm_text"])
+
+
 def q_filter_project(sf_dir):
     import pyarrow.compute as pc
     import ray.data as rd
@@ -1072,6 +1081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_events_per_user": q_top_events_per_user,
         "hopping_windows": q_hopping_windows,
         "hopping_offset": q_hopping_offset,
+        "normalized_texts": q_normalized_texts,
         "events_hourly": q_events_hourly,
         "sessions": q_sessions,
         "outer_join": q_outer_join,
@@ -1412,6 +1422,10 @@ def oracle_sql() -> dict[str, str]:
             "AS sum_value_cents, CAST(COUNT(*) AS BIGINT) AS n "
             "FROM events, (SELECT CAST(UNNEST(RANGE(3)) AS BIGINT) AS j) "
             "GROUP BY 1, 2"
+        ),
+        "normalized_texts": (
+            "SELECT doc_id, TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g')) "
+            "AS norm_text FROM documents"
         ),
         "hopping_offset": (
             "SELECT user_id, "

@@ -41,6 +41,21 @@ def add_token_count(ds, text_col: str = "text", out_col: str = "n_tokens"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def add_normalized_text(ds, text_col: str = "text", out_col: str = "norm_text"):
+    """Canonical text form for dedup/fingerprinting: lowercase, collapse
+    whitespace runs to single spaces, trim — three Arrow kernels (RE2, the
+    same regex engine DuckDB uses, so the SQL mirror is exact):
+    ``TRIM(REGEXP_REPLACE(LOWER(text), '\\s+', ' ', 'g'))``."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+        t = pc.replace_substring_regex(t, r"\s+", " ")
+        t = pc.utf8_trim(t, " ")
+        return batch.append_column(out_col, t)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def add_quality_score(ds, text_col: str = "text"):
     """Length/space-ratio quality features, fully Arrow-vectorized.
 
