@@ -349,3 +349,15 @@ class TestTextVectorization:
             return best
 
         assert got == [ref(t) for t in texts]
+
+
+def test_normalized_text_stage(ray_session):
+    """lower + whitespace-collapse + trim, incl. tabs/newlines/unicode."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import add_normalized_text
+
+    texts = ["  Hello\t\tWORLD \n", "", "A  B", "ÜBER  Straße", "x"]
+    ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
+    got = add_normalized_text(ds).to_pandas().sort_values("doc_id")["norm_text"].tolist()
+    assert got == ["hello world", "", "a b", "über straße", "x"]
