@@ -60,6 +60,11 @@ def partitioned_map_groups(ds, key_col, part_fn, n_parts: int = 64):
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
 
     def tag(batch: pa.Table) -> pa.Table:
+        if "__part" in batch.column_names:  # same collision guard as joins.py
+            raise ValueError(
+                "partitioned_map_groups: input already has a '__part' column; "
+                "rename it — the name is reserved for the partition tag"
+            )
         ids = _multi_partition_ids(batch, key_cols, n_parts)
         return batch.append_column("__part", pa.array(ids, pa.int64()))
 

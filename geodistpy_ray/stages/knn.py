@@ -232,7 +232,10 @@ def knn_join_cells(
     a, f = resolve_ellipsoid(ellipsoid)
     conv = unit_factor(metric)
     kfn = distance_kernel(kernel)
-    tie_margin_m = 10.0 ** -tie_round if tie_round is not None else 0.0
+    # tie_round is interpreted in OUTPUT units on every kNN path (standalone
+    # knn_join and KnnIndexActor round converted distances); internal dists
+    # here ride in raw meters, so the sliver margin converts back to meters
+    tie_margin_m = (10.0 ** -tie_round) / conv if tie_round is not None else 0.0
 
     # candidates tagged into their own cell; queries replicated to ring-1
     def cand_rows(batch: pa.Table) -> pa.Table:
@@ -321,8 +324,8 @@ def knn_join_cells(
                 ).reshape(cq, nc)
                 if kk < nc:
                     # kth-margin tie window (see knn_join.partial_topk);
-                    # dist here is raw meters — merge rounds pre-conversion,
-                    # so the margin is too
+                    # dist here is raw meters and tie_margin_m is the
+                    # output-unit tie window converted back to meters
                     kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
                     qrow, ci = np.nonzero(d <= kth[:, None] + tie_margin_m)
                 else:
@@ -356,7 +359,10 @@ def knn_join_cells(
         """Per-query merge over one hash partition of query_ids — one
         vectorized sort/cumcount for every query in the partition."""
         g = g.drop_duplicates(subset=["query_id", id_col])
-        key = g["dist"].round(tie_round) if tie_round is not None else g["dist"]
+        # dist is raw meters here; the tie KEY rounds in output units so the
+        # cell-routed path resolves rounded ties identically to knn_join and
+        # KnnIndexActor under any metric (dist itself converts downstream)
+        key = (g["dist"] * conv).round(tie_round) if tie_round is not None else g["dist"]
         out = topk_per_group_part(
             g.assign(_key=key), "query_id", ["_key", id_col], [True, True], k, drop=["_key"]
         )
@@ -499,12 +505,22 @@ def knn_join_cells(
             ellipsoid=ellipsoid,
             tie_round=tie_round,
         )
+        def _to_output_units(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": batch.column("query_id"),
+                    id_col: batch.column(id_col),
+                    "dist": pa.array(
+                        batch.column("dist").to_numpy(zero_copy_only=False) * conv,
+                        pa.float64(),
+                    ),
+                    "rank": batch.column("rank"),
+                }
+            )
+
         completes.append(
             redo.map_batches(
-                lambda df: df[["query_id", id_col, "dist", "rank"]].assign(
-                    dist=df["dist"] * conv
-                ),
-                batch_format="pandas",
+                _to_output_units, batch_format="pyarrow", zero_copy_batch=True
             )
         )
     out = completes[0]

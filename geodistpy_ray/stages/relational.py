@@ -66,6 +66,11 @@ def grouped_sum(
     - ``"shuffle"``: distributed ``groupby().aggregate()`` → returns a
       Dataset. Use for unbounded key domains where the result itself is
       big (then the shuffle is doing real work).
+    - ``"partials"``: skip the merge entirely and return the per-batch
+      partial Dataset (one row per key × batch). For callers that feed the
+      partials into their own single shuffle (e.g. a
+      :func:`~.grouping.partitioned_map_groups` rollup on a coarser key) —
+      avoids paying two shuffles for a two-level aggregate.
     """
     int_sum_cols = int_sum_cols or {}
     cent_sum_cols = cent_sum_cols or {}
@@ -100,6 +105,8 @@ def grouped_sum(
         return pa.Table.from_pandas(g, preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if final == "partials":
+        return partials
     if final == "driver":
         frames = [
             b.to_pandas()

@@ -266,21 +266,17 @@ def sample_fraction(ds, pct: int, id_col: str = "doc_id", salt: int = 7):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-_HOST_RE = r"^[a-z][a-z0-9+.-]*://([^/:?#]+)"
+_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/:?#]+)"
 
 
 def add_host(ds, url_col: str = "url", out_col: str = "host"):
-    """url column → host column (vectorized regex extract; the SURVEY §2.4
-    url→host scalar function). Unparseable urls get empty-string hosts."""
-    import re
-
-    pat = re.compile(_HOST_RE)
+    """url column → host column (one Arrow RE2 ``extract_regex`` kernel, no
+    Python-object detour; the SURVEY §2.4 url→host scalar function).
+    Unparseable and null urls get empty-string hosts."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        s = pd.Series(batch.column(url_col).to_pylist(), dtype="object")
-        host = s.str.extract(pat.pattern, expand=False).fillna("")
-        return batch.append_column(out_col, pa.array(host.tolist(), pa.string()))
+        m = pc.extract_regex(batch.column(url_col), _HOST_RE)
+        host = pc.fill_null(pc.struct_field(m, "host"), "")
+        return batch.append_column(out_col, host)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
