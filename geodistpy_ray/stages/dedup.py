@@ -132,27 +132,183 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
 
 # ── MinHash + LSH ────────────────────────────────────────────────────────
 
+#: fixed multiplier of the shingle-window polynomial (seeded from a domain
+#: string, reduced < p; ``or 1`` guards the 2^-61 zero case)
+_SHINGLE_A = np.uint64(_blake_u64(b"geodistpy-ray/shingle-poly") % _MERSENNE or 1)
+_A_COL = np.array([_SHINGLE_A], dtype=np.uint64)
+_ZERO_COL = np.zeros(1, dtype=np.uint64)
+#: the one shingle of an empty document (hash of the empty token window)
+_EMPTY_SHINGLE = np.uint64(_blake_u64(b"") % _MERSENNE)
+
+
+def _poly_step(acc: np.ndarray, nxt: np.ndarray) -> np.ndarray:
+    """One Horner step of the shingle polynomial: (acc·A + nxt) mod p."""
+    return _mod61(_mulmod61(acc, _A_COL, _ZERO_COL)[:, 0] + _mod61(nxt.astype(np.uint64)))
+
+
+def _shingle_hashes_batch(texts, shingle: int, token_cache: dict | None = None):
+    """Shingle hashes for a whole batch → (flat uint64 hashes, per-doc counts).
+
+    The vectorized front-end (round 3 — this was the MinHash throughput
+    ceiling as a per-doc Python loop doing one blake2b per shingle STRING):
+
+    1. tokenize + lowercase with two Arrow kernels (``utf8_lower`` +
+       ``utf8_split_whitespace``; Arrow emits empty tokens at whitespace
+       edges, masked out below);
+    2. ``dictionary_encode`` maps every token occurrence to a batch-unique
+       vocabulary id (C-level hashing); each UNIQUE token is blake2b-hashed
+       once — optionally memoized across batches via ``token_cache``;
+    3. each k-gram shingle hash is a mod-(2^61-1) Horner polynomial over
+       the k token hashes in its window, computed with ``shingle-1``
+       vectorized passes over the flat token-hash array — no per-shingle
+       strings, no per-shingle digests.
+
+    Signature-definition change vs round 2 (which blake-hashed the joined
+    shingle string): both are uniform 61-bit fingerprints of the token
+    window, so Jaccard/recall behavior is identical; only raw values differ
+    (the pinned-parity tests assert batch == scalar == bigint formula, not
+    historical constants). Per-doc semantics preserved: an empty doc gets
+    one constant hash, a doc with 0 < m < shingle tokens gets one hash over
+    all m tokens, otherwise m-shingle+1 window hashes (duplicate windows
+    retained — min() and set() consumers are insensitive to them).
+
+    ``texts`` may be a Python sequence of (optionally None) strings or a
+    pyarrow string Array/ChunkedArray (zero-copy from a batch column).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(list(texts), type=pa.string())
+    import pyarrow.compute as pc
+
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(arr))
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    counts = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+    flat = flat.filter(pa.array(nonempty))
+    T = len(flat)
+
+    n_sh = np.where(counts == 0, 1, np.maximum(counts - shingle + 1, 1)).astype(np.int64)
+    out = np.empty(int(n_sh.sum()), dtype=np.uint64)
+    out_starts = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
+
+    if T:
+        de = pc.dictionary_encode(flat)
+        idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        vocab = de.dictionary.to_pylist()
+        h_uniq = np.empty(len(vocab), dtype=np.uint64)
+        if token_cache is None:
+            for i, t in enumerate(vocab):
+                h_uniq[i] = _blake_u64(t.encode()) % _MERSENNE
+        else:
+            get = token_cache.get
+            for i, t in enumerate(vocab):
+                h = get(t)
+                if h is None:
+                    h = _blake_u64(t.encode()) % _MERSENNE
+                    token_cache[t] = h
+                h_uniq[i] = h
+        h_flat = h_uniq[idx]  # already reduced < p
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+
+        # full windows: shingle-1 Horner passes over the whole flat array,
+        # then gather only the starts whose window stays inside one doc
+        W = T - shingle + 1
+        if W > 0:
+            acc = h_flat[:W].copy()
+            for j in range(1, shingle):
+                acc = _poly_step(acc, h_flat[j : j + W])
+            full = np.flatnonzero(counts >= shingle)
+            if full.size:
+                m_full = counts[full] - shingle + 1
+                tot = int(m_full.sum())
+                base_in = np.repeat(starts[full], m_full)
+                base_out = np.repeat(out_starts[full], m_full)
+                ramp = np.arange(tot, dtype=np.int64) - np.repeat(
+                    np.cumsum(m_full) - m_full, m_full
+                )
+                out[base_out + ramp] = acc[base_in + ramp]
+
+        # short docs (0 < m < shingle): one polynomial over all m tokens,
+        # vectorized per distinct m (at most shingle-1 tiny passes)
+        short = np.flatnonzero((counts > 0) & (counts < shingle))
+        for m in range(1, shingle):
+            sel = short[counts[short] == m]
+            if sel.size == 0:
+                continue
+            st = starts[sel]
+            acc_s = h_flat[st].copy()
+            for j in range(1, m):
+                acc_s = _poly_step(acc_s, h_flat[st + j])
+            out[out_starts[sel]] = acc_s
+
+    out[out_starts[counts == 0]] = _EMPTY_SHINGLE
+    return out, n_sh
+
 
 def _shingle_hashes(text: str, shingle: int) -> np.ndarray:
-    toks = (text or "").lower().split()
-    if len(toks) < shingle:
-        grams = [" ".join(toks)] if toks else [""]
-    else:
-        grams = {" ".join(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)}
-    return np.fromiter(
-        (_blake_u64(g.encode()) for g in grams), dtype=np.uint64, count=len(grams)
-    )
+    """Single-doc wrapper over :func:`_shingle_hashes_batch` (same values)."""
+    flat, _ = _shingle_hashes_batch([text], shingle)
+    return flat
+
+
+#: OPH empty-bin sentinel — strictly above every 61-bit shingle hash
+_OPH_EMPTY = np.uint64(1 << 61)
+#: rotation-densification offset constant (odd, golden-ratio mix)
+_OPH_ROT_C = np.uint64(0x9E3779B97F4A7C15)
 
 
 class MinHasher:
-    """Per-actor state: the permutation coefficients (seeded, built once)."""
+    """Per-actor state: seeded coefficients + token-hash memo, built once.
+
+    Two signature schemes:
+
+    - ``scheme="oph"`` (default, the 100 TB path): **one-permutation
+      hashing** (Li, Owen, Zhang, NIPS 2012) with **rotation densification**
+      (Shrivastava & Li, ICML 2014). Each shingle hash is range-mapped to
+      one of ``num_perm`` bins and the signature slot is the min hash in
+      its bin; empty bins borrow circularly from the next non-empty bin
+      with a distance-scaled offset. Cost is O(shingles) per doc — the
+      classic scheme's O(shingles × num_perm) permutation matrix drops out
+      entirely (measured ~6× end-to-end at num_perm=128).
+    - ``scheme="classic"``: one (a·h + b) mod (2^61-1) permutation per
+      slot, bit-identical to the Python-bigint formula (the
+      oracle-verifiable reference scheme, kept for parity tests and as the
+      lowest-variance estimator).
+
+    Both schemes share the vectorized shingle front-end and the band-key
+    LSH downstream; collision probability per slot ≈ Jaccard under either.
+    """
 
     #: shingle-row budget per (rows × num_perm) uint64 intermediate. Small on
     #: purpose: 256×128×8 B = 256 KB temporaries stay cache-resident — the
     #: kernel is memory-bound, and 64k-row chunks measured 7× SLOWER.
     CHUNK_ROWS = 256
 
-    def __init__(self, num_perm: int = 128, shingle: int = 3, seed: int = 1234):
+    #: cross-batch token→hash memo cap — Zipf vocabularies re-hit the same
+    #: head tokens every batch, but web-scale vocab is unbounded (ids,
+    #: typos), so the memo clears wholesale past the cap (~100 MB) rather
+    #: than growing with the corpus
+    TOKEN_CACHE_MAX = 1_000_000
+
+    def __init__(
+        self,
+        num_perm: int = 128,
+        shingle: int = 3,
+        seed: int = 1234,
+        scheme: str = "oph",
+    ):
+        if scheme not in ("oph", "classic"):
+            raise ValueError(f"scheme must be 'oph' or 'classic', got {scheme!r}")
+        self.scheme = scheme
         rng = np.random.default_rng(seed)
         self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
         self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
@@ -162,25 +318,67 @@ class MinHasher:
         self._b_row = self.b[None, :]
         self.num_perm = num_perm
         self.shingle = shingle
+        self._token_cache: dict[str, int] = {}
 
     def signature(self, text: str) -> np.ndarray:
+        if self.scheme == "oph":
+            return self.signatures([text])[0]
         h = _shingle_hashes(text, self.shingle)
         return np.min(_mulmod61(h, self.a, self.b), axis=0).astype(np.uint64)
+
+    def _oph_signatures(self, flat: np.ndarray, counts: np.ndarray) -> np.ndarray:
+        """One-permutation signatures from the flat shingle-hash stream.
+
+        bin(h) = ((h >> 29) · num_perm) >> 32 — an overflow-safe
+        multiply-shift range map of the hash's top 32 bits, uniform for any
+        ``num_perm`` (no power-of-2 requirement); slot value = min h in the
+        bin. One argsort of (doc, bin) keys + ``np.minimum.reduceat`` fills
+        the whole batch's matrix; densification is the ICML'14 rotation:
+        an empty slot j takes the next non-empty slot's value (circular)
+        plus ``t · C`` for distance t, so distinct empty patterns cannot
+        manufacture spurious slot agreement.
+        """
+        n = counts.size
+        k = self.num_perm
+        bins = ((flat >> np.uint64(29)) * np.uint64(k)) >> np.uint64(32)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), counts)
+        key = doc_idx * k + bins.astype(np.int64)
+        order = np.argsort(key, kind="stable")
+        sk = key[order]
+        sv = flat[order]
+        rs = np.concatenate(([0], np.flatnonzero(sk[1:] != sk[:-1]) + 1))
+        M = np.full(n * k, _OPH_EMPTY, dtype=np.uint64)
+        M[sk[rs]] = np.minimum.reduceat(sv, rs)
+        M = M.reshape(n, k)
+        filled = M != _OPH_EMPTY
+        # nearest filled slot at index >= j, circular: two backward sweeps
+        # (every doc has >= 1 shingle, so every row has a filled slot)
+        nxt = np.empty((n, k), dtype=np.int64)
+        last = np.full(n, -1, dtype=np.int64)
+        for _ in range(2):
+            for j in range(k - 1, -1, -1):
+                last = np.where(filled[:, j], j, last)
+                nxt[:, j] = last
+        t = (nxt - np.arange(k, dtype=np.int64)[None, :]) % k
+        return M[np.arange(n)[:, None], nxt] + t.astype(np.uint64) * _OPH_ROT_C
 
     def signatures(self, texts) -> np.ndarray:
         """(len(texts), num_perm) signature matrix — whole-batch vectorized.
 
-        All shingle hashes are flattened into one array with per-doc start
-        offsets, the permutation matrix is computed in doc-aligned chunks of
-        ≤ CHUNK_ROWS shingles (bounded peak memory), and
-        ``np.minimum.reduceat`` collapses each doc's rows to its signature.
+        The shingle front-end (:func:`_shingle_hashes_batch`) returns one
+        flat hash array with per-doc counts; the permutation matrix is
+        computed in doc-aligned chunks of ≤ CHUNK_ROWS shingles (bounded
+        peak memory), and ``np.minimum.reduceat`` collapses each doc's rows
+        to its signature.
         """
-        per_doc = [_shingle_hashes(t, self.shingle) for t in texts]
-        n = len(per_doc)
+        n = len(texts)
         if n == 0:
             return np.empty((0, self.num_perm), dtype=np.uint64)
-        counts = np.fromiter((x.size for x in per_doc), dtype=np.int64, count=n)
-        flat = np.concatenate(per_doc)
+        if len(self._token_cache) > self.TOKEN_CACHE_MAX:
+            self._token_cache.clear()
+        flat, counts = _shingle_hashes_batch(texts, self.shingle, self._token_cache)
+        if self.scheme == "oph":
+            return self._oph_signatures(flat, counts)
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
         out = np.empty((n, self.num_perm), dtype=np.uint64)
         doc_lo = 0
@@ -203,9 +401,17 @@ class MinHasher:
 class MinHashBandEmitter:
     """map_batches actor: text → LSH band rows (band_key, doc_id)."""
 
-    def __init__(self, id_col: str, num_perm: int, bands: int, shingle: int, seed: int):
+    def __init__(
+        self,
+        id_col: str,
+        num_perm: int,
+        bands: int,
+        shingle: int,
+        seed: int,
+        scheme: str = "oph",
+    ):
         assert num_perm % bands == 0
-        self.hasher = MinHasher(num_perm, shingle, seed)
+        self.hasher = MinHasher(num_perm, shingle, seed, scheme=scheme)
         self.bands = bands
         self.rows_per_band = num_perm // bands
         self.id_col = id_col
@@ -232,9 +438,8 @@ class MinHashBandEmitter:
         return keys
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
         ids = batch.column(self.id_col).to_numpy()
-        sig = self.hasher.signatures(texts)
+        sig = self.hasher.signatures(batch.column("text"))  # zero-copy Arrow in
         if sig.shape[0] == 0:
             return pa.table(
                 {"band_key": pa.array([], pa.int64()), self.id_col: pa.array([], pa.int64())}
@@ -298,8 +503,15 @@ def minhash_lsh_pairs(
     threshold: float = 0.5,
     seed: int = 1234,
     concurrency: int | tuple[int, int] = (1, 4),
+    scheme: str = "oph",
 ):
     """Near-duplicate pairs via MinHash+LSH → Dataset (id_a, id_b, jaccard).
+
+    ``scheme`` picks the signature algorithm (see :class:`MinHasher`):
+    one-permutation hashing by default, ``"classic"`` for the per-slot
+    permutation reference. Candidate quality is pinned for BOTH in
+    ``scripts/recall_bench.py`` / ``tests/test_dedup_text.py``; the final
+    exact-Jaccard verification step makes precision scheme-independent.
 
     Pipeline — every step distributed; nothing materializes on the driver:
 
@@ -331,6 +543,7 @@ def minhash_lsh_pairs(
             "bands": bands,
             "shingle": shingle,
             "seed": seed,
+            "scheme": scheme,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -382,24 +595,20 @@ def minhash_lsh_pairs(
             )
         ta = batch.column("text_a").to_pylist()
         tb = batch.column("text_b").to_pylist()
-        # memoize shingle sets per distinct text within the batch
-        cache: dict[str, frozenset] = {}
-
-        def sh(t: str) -> frozenset:
-            s = cache.get(t)
-            if s is None:
-                s = frozenset(_shingle_hashes(t, shingle).tolist())
-                cache[t] = s
-            return s
-
+        # ONE batch front-end call over the distinct texts of both sides
+        # (boilerplate-heavy buckets repeat texts), then set ops per pair
+        uniq = list(dict.fromkeys((x or "" for x in ta + tb)))
+        flat, cnts = _shingle_hashes_batch(uniq, shingle)
+        st = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        sets = {
+            t: frozenset(flat[s : s + c].tolist())
+            for t, s, c in zip(uniq, st, cnts)
+        }
         jac = np.empty(len(ta), dtype=np.float64)
         for i, (x, y) in enumerate(zip(ta, tb)):
-            sa, sb = sh(x or ""), sh(y or "")
-            if not sa and not sb:
-                jac[i] = 1.0
-            else:
-                inter = len(sa & sb)
-                jac[i] = inter / (len(sa) + len(sb) - inter)
+            sa, sb = sets[x or ""], sets[y or ""]
+            inter = len(sa & sb)
+            jac[i] = inter / (len(sa) + len(sb) - inter)
         keep = jac >= threshold
         return pa.table(
             {

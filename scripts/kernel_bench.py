@@ -64,20 +64,26 @@ for k, (a, b, c, d, want) in gold.items():
     out[k] = {"engine": round(got, 3), "reference": want, "abs_err_m": round(abs(got - want), 6)}
 
 # text-dedup signature kernels (round 2: uint64 split-multiply MinHash and
-# batched-reduceat SimHash replaced Python-bigint / per-token loops)
+# batched-reduceat SimHash replaced Python-bigint / per-token loops; round
+# 3: Arrow-vectorized shingle front-end + one-permutation-hashing default —
+# minhash128_docs_per_sec_core tracks the DEFAULT engine path)
 from geodistpy_ray.stages.dedup import MinHasher, simhash64_batch
 
 _docs = [
     " ".join(f"w{(i * 31 + j * 7) % 997}" for j in range(120)) for i in range(512)
 ]
-_m = MinHasher(num_perm=128)
-_m.signatures(_docs[:8])  # warm
-samples = []
-for _ in range(3):
-    t0 = time.perf_counter()
-    _m.signatures(_docs)
-    samples.append(time.perf_counter() - t0)
-out["minhash128_docs_per_sec_core"] = round(len(_docs) / sorted(samples)[1])
+for _scheme, _key in (
+    ("oph", "minhash128_docs_per_sec_core"),
+    ("classic", "minhash128_classic_docs_per_sec_core"),
+):
+    _m = MinHasher(num_perm=128, scheme=_scheme)
+    _m.signatures(_docs[:8])  # warm
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _m.signatures(_docs)
+        samples.append(time.perf_counter() - t0)
+    out[_key] = round(len(_docs) / sorted(samples)[1])
 
 simhash64_batch(_docs[:8])  # warm
 samples = []

@@ -100,15 +100,19 @@ def dedup_recalls():
 
     out = {}
     true_j = exact_jaccard_pairs(docs_df, threshold=0.5)
-    got_j = minhash_lsh_pairs(docs(), threshold=0.5).to_pandas()
-    got_pairs = set(zip(got_j["id_a"].astype(int), got_j["id_b"].astype(int)))
     out["minhash_true_pairs"] = len(true_j)
-    out["minhash_found_pairs"] = len(got_pairs)
-    out["minhash_recall"] = round(len(true_j & got_pairs) / max(len(true_j), 1), 4)
-    # precision is 1.0 by construction (candidates are exact-verified); check
-    out["minhash_precision"] = round(
-        len(true_j & got_pairs) / max(len(got_pairs), 1), 4
-    )
+    # both signature schemes: oph (the default 100 TB path) and classic
+    for scheme in ("oph", "classic"):
+        got_j = minhash_lsh_pairs(docs(), threshold=0.5, scheme=scheme).to_pandas()
+        got_pairs = set(zip(got_j["id_a"].astype(int), got_j["id_b"].astype(int)))
+        out[f"minhash_{scheme}_found_pairs"] = len(got_pairs)
+        out[f"minhash_{scheme}_recall"] = round(
+            len(true_j & got_pairs) / max(len(true_j), 1), 4
+        )
+        # precision is 1.0 by construction (candidates exact-verified); check
+        out[f"minhash_{scheme}_precision"] = round(
+            len(true_j & got_pairs) / max(len(got_pairs), 1), 4
+        )
 
     # simhash ground truth: all-pairs Hamming via the bit matrix (n=500 here)
     sigs = simhash64_batch(docs_df["text"].tolist()) & np.uint64(0x7FFFFFFFFFFFFFFF)

@@ -190,7 +190,7 @@ class TestVectorizedKernels:
             "one two",
             " ".join(f"w{i}" for i in range(300)),
         ]
-        m = MinHasher(num_perm=32)
+        m = MinHasher(num_perm=32, scheme="classic")
         batch = m.signatures(texts)
         for i, t in enumerate(texts):
             np.testing.assert_array_equal(batch[i], m.signature(t))
@@ -207,7 +207,7 @@ class TestVectorizedKernels:
     def test_signatures_chunk_boundaries(self):
         from geodistpy_ray.stages.dedup import MinHasher
 
-        m = MinHasher(num_perm=16)
+        m = MinHasher(num_perm=16, scheme="classic")
         m.CHUNK_ROWS = 40  # force several doc-aligned chunks
         texts = [" ".join(f"t{i}_{j}" for j in range(n)) for i, n in
                  enumerate([5, 50, 3, 30, 30, 1])]
@@ -243,6 +243,116 @@ class TestVectorizedKernels:
         got = simhash64_batch(texts)
         for i, t in enumerate(texts):
             assert int(got[i]) == scalar(t), i
+
+
+class TestOnePermutationHashing:
+    """Round-3 default scheme: OPH + rotation densification (NIPS'12 /
+    ICML'14). Checked against its own closed-form definition, the scalar
+    path, and the classic scheme's estimator quality."""
+
+    def test_batch_matches_scalar(self):
+        from geodistpy_ray.stages.dedup import MinHasher
+
+        texts = ["alpha beta gamma delta", "", "one two",
+                 " ".join(f"w{i}" for i in range(300))]
+        m = MinHasher(num_perm=32)  # oph is the default scheme
+        assert m.scheme == "oph"
+        batch = m.signatures(texts)
+        for i, t in enumerate(texts):
+            np.testing.assert_array_equal(batch[i], m.signature(t))
+
+    def test_matches_closed_form_definition(self):
+        """sig[bin(h)] = min h in bin; empty slot j = value of next filled
+        slot (circular) + distance * C."""
+        from geodistpy_ray.stages.dedup import (
+            MinHasher,
+            _OPH_ROT_C,
+            _shingle_hashes,
+        )
+
+        m = MinHasher(num_perm=16)
+        text = "a b c d e f g h"
+        h = _shingle_hashes(text, m.shingle)
+        bins = ((h >> np.uint64(29)) * np.uint64(16)) >> np.uint64(32)
+        slots = {}
+        for hv, b in zip(h.tolist(), bins.tolist()):
+            slots[b] = min(slots.get(b, 1 << 62), hv)
+        want = np.empty(16, dtype=np.uint64)
+        for j in range(16):
+            t = next(d for d in range(16) if (j + d) % 16 in slots)
+            want[j] = (
+                np.uint64(slots[(j + t) % 16]) + np.uint64(t) * _OPH_ROT_C
+            )
+        np.testing.assert_array_equal(m.signature(text), want)
+
+    def test_empty_and_identical_docs(self):
+        from geodistpy_ray.stages.dedup import MinHasher
+
+        m = MinHasher(num_perm=64)
+        s = m.signatures(["", "", "x y z", "x y z", "different text here"])
+        np.testing.assert_array_equal(s[0], s[1])
+        np.testing.assert_array_equal(s[2], s[3])
+        assert (s[2] == s[4]).mean() < 0.5
+
+    def test_estimator_tracks_jaccard(self):
+        from geodistpy_ray.stages.dedup import MinHasher, ngram_jaccard
+
+        m = MinHasher(num_perm=256)
+        base = [f"tok{i}" for i in range(200)]
+        t1 = " ".join(base)
+        for frac in (0.8, 0.5, 0.2):
+            keep = int(200 * frac)
+            t2 = " ".join(base[:keep] + [f"new{i}" for i in range(200 - keep)])
+            est = float((m.signature(t1) == m.signature(t2)).mean())
+            assert abs(est - ngram_jaccard(t1, t2)) < 0.12, frac
+
+
+class TestShingleFrontEnd:
+    """The vectorized Arrow front-end must be input-representation
+    independent and consistent between batch and per-doc paths."""
+
+    def test_arrow_column_equals_python_list(self):
+        from geodistpy_ray.stages.dedup import _shingle_hashes_batch
+
+        texts = ["Hello   World again", "", None, "  edge  spacing ", "a b"]
+        f1, c1 = _shingle_hashes_batch(texts, 3)
+        f2, c2 = _shingle_hashes_batch(pa.array(texts, pa.string()), 3)
+        f3, c3 = _shingle_hashes_batch(
+            pa.chunked_array([texts[:2], texts[2:]], pa.string()), 3
+        )
+        np.testing.assert_array_equal(f1, f2)
+        np.testing.assert_array_equal(c1, c2)
+        np.testing.assert_array_equal(f1, f3)
+        np.testing.assert_array_equal(c1, c3)
+
+    def test_batch_equals_per_doc(self):
+        from geodistpy_ray.stages.dedup import _shingle_hashes, _shingle_hashes_batch
+
+        texts = ["one two three four five", "", "a", "a b", "a b c",
+                 " ".join(f"w{i % 13}" for i in range(60))]
+        flat, counts = _shingle_hashes_batch(texts, 3)
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        for t, s, c in zip(texts, starts, counts):
+            np.testing.assert_array_equal(flat[s : s + c], _shingle_hashes(t, 3))
+
+    def test_token_cache_is_value_transparent(self):
+        from geodistpy_ray.stages.dedup import _shingle_hashes_batch
+
+        texts = ["shared vocab doc one", "shared vocab doc two"]
+        cache = {}
+        f1, _ = _shingle_hashes_batch(texts, 3, cache)
+        assert len(cache) > 0
+        f2, _ = _shingle_hashes_batch(texts, 3, cache)  # warm hit
+        np.testing.assert_array_equal(f1, f2)
+        f3, _ = _shingle_hashes_batch(texts, 3, None)
+        np.testing.assert_array_equal(f1, f3)
+
+    def test_case_and_whitespace_normalization(self):
+        from geodistpy_ray.stages.dedup import _shingle_hashes
+
+        a = _shingle_hashes("The Quick   Brown\tFox", 3)
+        b = _shingle_hashes("the quick brown fox", 3)
+        np.testing.assert_array_equal(np.sort(a), np.sort(b))
 
 
 def test_minhash_simhash_recall_vs_exact(ray_session):
