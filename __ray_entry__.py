@@ -482,6 +482,20 @@ def q_user_p90_value(sf_dir):
     return _round_col(ds, "p90_value", 6)
 
 
+def q_user_p90_sketch(sf_dir):
+    """Per-key quantile via the FIXED-SIZE mergeable summary (the scale
+    path for unbounded per-key cardinality — shuffles <= 16·b bytes per
+    (key × batch) instead of every raw value). Approximate within a
+    documented rank bound → rows-only; the exact twin is user_p90_value."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sketches import grouped_quantile_sketch
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ds = grouped_quantile_sketch(ev, "user_id", "value", q=0.9, b=64, out_col="p90_approx")
+    return _round_col(ds, "p90_approx", 6)
+
+
 def q_user_median_value(sf_dir):
     import ray.data as rd
 
@@ -1115,6 +1129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q_clean_corpus,
         # ── rows-only queries (no SQL-expressible oracle) from here down ──
         "approx_distinct": q_approx_distinct,
+        "user_p90_sketch": q_user_p90_sketch,
         "interpolate_waypoints": q_interpolate,
         "destinations": q_destinations,
         "fingerprints": q_fingerprints,

@@ -223,7 +223,7 @@ def grouped_median(ds, key_col: str, value_col: str, out_col: str = "median_valu
     values must co-locate — grouped on a hash PARTITION of the key (bounded
     group count, see stages/grouping.py) with pandas' C-level groupby median
     per partition; use only when per-key cardinality fits a worker (else
-    switch to an approximate quantile sketch)."""
+    switch to :func:`~.sketches.grouped_quantile_sketch`)."""
     from .grouping import partitioned_map_groups
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -316,7 +316,9 @@ def grouped_quantile(
 ):
     """Exact per-key quantile with linear interpolation (SQL
     ``QUANTILE_CONT``). Like the median, not decomposable → per-key
-    ``map_groups``; for unbounded per-key cardinality swap in a sketch."""
+    ``map_groups``; for unbounded per-key cardinality use
+    :func:`~.sketches.grouped_quantile_sketch` (fixed-size shuffle rows,
+    bounded rank error)."""
 
     from .grouping import partitioned_map_groups
 

@@ -130,6 +130,40 @@ def dedup_recalls():
     return out
 
 
+def quantile_sketch_err():
+    """Per-key quantile sketch vs exact: worst rank error as a fraction of
+    each key's row count, against the documented N/(2b)+1 bound."""
+    import duckdb
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sketches import grouped_quantile_sketch
+
+    b, q = 64, 0.9
+    df = duckdb.sql(
+        f"SELECT user_id, value FROM read_parquet('{SF}/events.parquet')"
+    ).df()
+    ds = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "value"])
+    got = (
+        grouped_quantile_sketch(ds, "user_id", "value", q, b=b)
+        .to_pandas()
+        .set_index("user_id")["quantile_value"]
+    )
+    worst = 0.0
+    for uid, grp in df.groupby("user_id")["value"]:
+        sv = np.sort(grp.to_numpy())
+        n = sv.size
+        x = got.loc[uid]
+        lo = np.searchsorted(sv, x, side="left")
+        hi = np.searchsorted(sv, x, side="right")
+        d = max(lo - q * n, q * n - hi, 0.0)
+        worst = max(worst, d / n)
+    return {
+        "quantile_sketch_b": b,
+        "quantile_sketch_max_rank_err_frac": round(worst, 4),
+        "quantile_sketch_bound_frac": round(1 / (2 * b), 4),
+    }
+
+
 if __name__ == "__main__":
     import ray
 
@@ -141,5 +175,6 @@ if __name__ == "__main__":
     out = {"sf": SF, "ann_k": ANN_K}
     out.update(ann_recalls())
     out.update(dedup_recalls())
+    out.update(quantile_sketch_err())
     print(json.dumps(out))
     ray.shutdown()

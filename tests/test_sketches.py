@@ -85,3 +85,82 @@ def test_approx_quantile_close_to_exact(ray_session):
     # |F(got) - 0.9| is the right error metric for a quantile estimate
     assert abs((vals <= got).mean() - 0.9) < 0.01
     assert abs(got - want) < 10  # sanity on the value scale
+
+
+class TestGroupedQuantileSketch:
+    """Per-key mergeable quantile summary: fixed-size shuffle rows with an
+    asserted rank-error bound |r - q*N| <= N/(2b) + 1 per key."""
+
+    def _rank_interval(self, sorted_vals, x):
+        lo = int(np.searchsorted(sorted_vals, x, side="left"))
+        hi = int(np.searchsorted(sorted_vals, x, side="right"))
+        return lo, hi
+
+    def test_rank_error_bound_under_compression(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sketches import grouped_quantile_sketch
+
+        rng = np.random.default_rng(5)
+        n = 10_000
+        b = 64
+        keys = np.repeat(np.arange(3, dtype=np.int64), n)
+        vals = np.concatenate(
+            [rng.normal(0, 1, n), rng.exponential(2, n), rng.uniform(-5, 5, n)]
+        )
+        perm = rng.permutation(keys.size)  # interleave keys across blocks
+        t = pa.table({"k": keys[perm], "v": vals[perm]})
+        ds = rd.from_arrow(t).repartition(8)
+        by_key = {k: np.sort(vals[keys == k]) for k in range(3)}
+        for q in (0.1, 0.5, 0.9):
+            got = (
+                grouped_quantile_sketch(ds, "k", "v", q, b=b)
+                .to_pandas()
+                .set_index("k")["quantile_value"]
+            )
+            for k in range(3):
+                lo, hi = self._rank_interval(by_key[k], got.loc[k])
+                bound = n / (2 * b) + 1
+                assert lo <= q * n + bound and hi >= q * n - bound, (q, k)
+
+    def test_exact_when_batches_fit(self, ray_session):
+        """Every (key x batch) group under b values => no compression: the
+        sketch IS the weighted lower quantile = inverted-CDF quantile."""
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sketches import grouped_quantile_sketch
+
+        rng = np.random.default_rng(7)
+        keys = np.repeat(np.arange(5, dtype=np.int64), 40)
+        vals = rng.normal(0, 10, keys.size)
+        ds = rd.from_arrow(pa.table({"k": keys, "v": vals}))
+        got = (
+            grouped_quantile_sketch(ds, "k", "v", 0.5, b=256)
+            .to_pandas()
+            .set_index("k")["quantile_value"]
+        )
+        for k in range(5):
+            want = np.quantile(vals[keys == k], 0.5, method="inverted_cdf")
+            assert got.loc[k] == pytest.approx(want), k
+
+    def test_deterministic_and_validates(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sketches import grouped_quantile_sketch
+
+        with pytest.raises(ValueError):
+            grouped_quantile_sketch(None, "k", "v", 0.5, b=1)
+        keys = np.repeat(np.arange(4, dtype=np.int64), 600)
+        vals = np.arange(keys.size, dtype=np.float64)
+        ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(4)
+        a = (
+            grouped_quantile_sketch(ds, "k", "v", 0.9, b=32)
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        bdf = (
+            grouped_quantile_sketch(ds, "k", "v", 0.9, b=32)
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(a, bdf)
