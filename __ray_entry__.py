@@ -376,6 +376,20 @@ def q_embed_near_dup(sf_dir):
     return _round_col(ds, "sim", 6)
 
 
+def q_embed_near_dup_lsh(sf_dir):
+    """LSH-bucketed near-dup pairs — the scale path when exact_near_dup's
+    broadcast budget guard trips. Approximate (multi-table recall knob) →
+    rows-only; cross-checked against the exact twin in tests/test_ann.py
+    and scripts/recall_bench.py."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import embedding_near_dup_pairs
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = embedding_near_dup_pairs(emb, threshold=NEAR_DUP_T, n_bits=4, n_tables=16)
+    return _round_col(ds, "sim", 6)
+
+
 def q_image_features(sf_dir):
     import ray.data as rd
 
@@ -1138,6 +1152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "image_features": q_image_features,
         "audio_features": q_audio_features,
         "video_pipeline": q_video_pipeline,

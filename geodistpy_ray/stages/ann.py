@@ -188,14 +188,19 @@ def exact_near_dup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     emb_col: str = "embedding",
+    broadcast_budget_bytes: int = 2 << 30,
 ):
     """Exact cosine near-duplicate pairs via a broadcast right side.
 
     The full (normalized) embedding matrix is ``ray.put`` once and streamed
     against batch-by-batch — O(N·B) per batch, never an N² materialization
-    on one worker. Exactness makes it SQL-oracle-checkable; for corpora
-    whose matrix exceeds broadcast budget, use
-    :func:`embedding_near_dup_pairs` (LSH-bucketed, approximate).
+    on one worker. Exactness makes it SQL-oracle-checkable — this is the
+    BROADCAST-BUDGET path: driver memory is O(N·d), so a hard
+    ``broadcast_budget_bytes`` guard (default 2 GiB) raises before the
+    accumulation can silently become the 100 TB scale-killer. Corpora past
+    the budget belong on :func:`embedding_near_dup_pairs` (LSH-bucketed,
+    approximate — cross-checked against this exact path in
+    tests/test_ann.py), whose shuffle state is O(N·d / n_buckets) per task.
     """
     import ray
 
@@ -203,6 +208,7 @@ def exact_near_dup_pairs(
     # driver memory is the final packed (ids, matrix) pair plus one batch,
     # never a whole-table pandas frame of Python list objects
     id_parts, emb_parts = [], []
+    accum = 0
     for batch in ds.select_columns([id_col, emb_col]).iter_batches(
         batch_size=8192, batch_format="pyarrow"
     ):
@@ -210,6 +216,15 @@ def exact_near_dup_pairs(
             continue
         id_parts.append(col_np(batch, id_col).copy())
         emb_parts.append(_normalize(_emb_matrix(batch, emb_col, np.float64)))
+        accum += id_parts[-1].nbytes + emb_parts[-1].nbytes
+        if accum > broadcast_budget_bytes:
+            raise ValueError(
+                f"exact_near_dup_pairs: embedding matrix exceeds the "
+                f"{broadcast_budget_bytes >> 20} MiB broadcast budget after "
+                f"{sum(p.size for p in id_parts)} rows; use "
+                f"embedding_near_dup_pairs (LSH-bucketed) for this corpus, "
+                f"or raise broadcast_budget_bytes explicitly"
+            )
     if not id_parts:
         all_ids = np.array([], dtype=np.int64)
         all_emb = np.empty((0, 0), dtype=np.float64)
@@ -253,13 +268,23 @@ def embedding_near_dup_pairs(
     emb_col: str = "embedding",
     n_bits: int = 6,
     seed: int = 7,
+    n_tables: int = 8,
 ):
-    """Cosine near-duplicate pairs via LSH-bucketed exact comparison.
+    """Cosine near-duplicate pairs via LSH-bucketed exact comparison —
+    the scale path behind :func:`exact_near_dup_pairs`' broadcast budget.
 
-    Bucket rows by hyperplane signature (``groupby``), compare all pairs
-    within a bucket exactly. Like all single-table LSH this trades recall
-    for never materializing the N² similarity matrix.
+    Each vector lands in one bucket per table (``n_tables`` independent
+    hyperplane tables — the standard recall knob: a pair is compared if it
+    collides in ANY table, miss probability = (1 - p^n_bits)^n_tables for
+    per-plane agreement p = 1 - θ/π). Bucket sweep runs on hash PARTITIONS
+    of the bucket key (bounded group count, stages/grouping.py), kept sims
+    are recomputed with a shape-independent row-wise dot so the same pair
+    found in several tables dedups exactly in the distributed ``distinct``.
+    Shuffle volume is n_tables × the embedding column — the trade for not
+    materializing the N² similarity matrix or the O(N·d) driver broadcast.
     """
+    from .grouping import key_spans, partitioned_map_groups
+    from .relational import distinct
 
     lsh_holder = {}
 
@@ -274,35 +299,64 @@ def embedding_near_dup_pairs(
             )
         emb = _normalize(_emb_matrix(batch, emb_col, np.float32))
         if "lsh" not in lsh_holder:
-            lsh_holder["lsh"] = HyperplaneLSH(emb.shape[1], n_bits, seed)
-        # single table (column 0): each vector lands in exactly one bucket,
-        # so within-bucket pairs are globally unique without a distinct pass
-        buckets = lsh_holder["lsh"].bucket(emb)[:, 0]
+            lsh_holder["lsh"] = HyperplaneLSH(emb.shape[1], n_bits, seed, n_tables)
+        buckets = lsh_holder["lsh"].bucket(emb)  # (N, n_tables)
+        n = len(emb)
+        # composite key: table index in the high bits, bucket in the low
+        keys = (
+            buckets.astype(np.int64)
+            + (np.arange(n_tables, dtype=np.int64) << n_bits)[None, :]
+        )
+        ids = col_np(batch, id_col)
+        emb64 = pa.array(list(emb.astype(np.float64)), pa.list_(pa.float64()))
+        idx = np.tile(np.arange(n, dtype=np.int64), n_tables)
         return pa.table(
             {
-                "bucket": buckets.astype(np.int64),
-                id_col: col_np(batch, id_col),
-                "emb_flat": pa.array(list(emb.astype(np.float64)), pa.list_(pa.float64())),
+                "bucket": keys.T.ravel(),
+                id_col: np.tile(ids, n_tables),
+                "emb_flat": emb64.take(pa.array(idx)),
             }
         )
 
     bucketed = ds.map_batches(sig, batch_format="pyarrow", zero_copy_batch=True)
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = g[id_col].to_numpy()
-        if ids.size < 2:
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", kind="mergesort")
+        keys = g["bucket"].to_numpy()
+        ids_all = g[id_col].to_numpy()
+        out_a, out_b, out_s = [], [], []
+        for s, e in zip(*key_spans(keys, min_size=2)):
+            ids = ids_all[s:e]
+            emb = np.stack(g["emb_flat"].to_numpy()[s:e])
+            sims = emb @ emb.T
+            ii, jj = np.triu_indices(ids.size, k=1)
+            keep = sims[ii, jj] >= threshold
+            if not keep.any():
+                continue
+            ki, kj = ii[keep], jj[keep]
+            a, b = ids[ki], ids[kj]
+            # shape-independent recompute: (P, d) row-wise dot reduces over
+            # d only (and elementwise multiply commutes exactly), so the
+            # same pair yields the SAME float in every table — a matmul's
+            # blocking varies with the bucket's size and would leave ulp
+            # differences that defeat the exact distinct below
+            out_a.append(np.minimum(a, b))
+            out_b.append(np.maximum(a, b))
+            out_s.append((emb[ki] * emb[kj]).sum(axis=1))
+        if not out_a:
             return pd.DataFrame({"id_a": [], "id_b": [], "sim": []}).astype(
                 {"id_a": np.int64, "id_b": np.int64, "sim": np.float64}
             )
-        emb = np.stack(g["emb_flat"].to_numpy())
-        sims = emb @ emb.T
-        ii, jj = np.triu_indices(ids.size, k=1)
-        keep = sims[ii, jj] >= threshold
-        a, b = ids[ii][keep], ids[jj][keep]
-        lo, hi = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"id_a": lo, "id_b": hi, "sim": sims[ii, jj][keep]})
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
+            }
+        )
 
-    return bucketed.groupby("bucket").map_groups(bucket_pairs, batch_format="pandas")
+    pairs = partitioned_map_groups(bucketed, "bucket", pairs_part, n_parts=64)
+    return distinct(pairs, ["id_a", "id_b", "sim"])
 
 
 def train_ivf_centroids(

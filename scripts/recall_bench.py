@@ -130,6 +130,29 @@ def dedup_recalls():
     return out
 
 
+def near_dup_lsh_recall():
+    """Embedding near-dup: LSH-bucketed scale path vs the exact broadcast
+    path (precision is 1.0 by construction — within-bucket compare is
+    exact — so only recall is free)."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import embedding_near_dup_pairs, exact_near_dup_pairs
+
+    emb = lambda: rd.read_parquet(
+        f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = 0.40
+    ex = exact_near_dup_pairs(emb(), t).to_pandas()
+    ls = embedding_near_dup_pairs(emb(), threshold=t, n_bits=4, n_tables=16).to_pandas()
+    E = set(zip(ex["id_a"], ex["id_b"]))
+    L = set(zip(ls["id_a"], ls["id_b"]))
+    return {
+        "near_dup_exact_pairs": len(E),
+        "near_dup_lsh_recall_16x4": round(len(L & E) / max(len(E), 1), 4),
+        "near_dup_lsh_precision": round(len(L & E) / max(len(L), 1), 4),
+    }
+
+
 def quantile_sketch_err():
     """Per-key quantile sketch vs exact: worst rank error as a fraction of
     each key's row count, against the documented N/(2b)+1 bound."""
@@ -175,6 +198,7 @@ if __name__ == "__main__":
     out = {"sf": SF, "ann_k": ANN_K}
     out.update(ann_recalls())
     out.update(dedup_recalls())
+    out.update(near_dup_lsh_recall())
     out.update(quantile_sketch_err())
     print(json.dumps(out))
     ray.shutdown()

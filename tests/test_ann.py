@@ -89,6 +89,41 @@ class TestNearDup:
         exact = set(zip(ids[ii].tolist(), ids[jj].tolist()))
         got = set(zip(res["id_a"].tolist(), res["id_b"].tolist()))
         assert got <= exact
+        # multi-table banding dedups pairs found in several tables exactly
+        assert not res.duplicated(["id_a", "id_b"]).any()
+
+    def test_broadcast_budget_guard(self, emb_data):
+        from geodistpy_ray.stages.ann import exact_near_dup_pairs
+
+        with pytest.raises(ValueError, match="broadcast budget"):
+            exact_near_dup_pairs(_emb_ds(), 0.4, broadcast_budget_bytes=64)
+
+    def test_lsh_cross_check_vs_exact_sf001(self, ray_session):
+        """The scale path vs its exact twin on the driver's own table at
+        sf0.01: every LSH pair must be an exact pair (precision 1.0 — the
+        within-bucket compare is exact) and 16x4-bit tables must recall
+        >= 0.9 of them at the driver query's threshold."""
+        import ray.data as rd
+
+        from geodistpy_ray.stages.ann import (
+            embedding_near_dup_pairs,
+            exact_near_dup_pairs,
+        )
+
+        SF = "/root/testdata/sf0.01"
+        emb = lambda: rd.read_parquet(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        t = 0.40
+        ex = exact_near_dup_pairs(emb(), t).to_pandas()
+        ls = embedding_near_dup_pairs(
+            emb(), threshold=t, n_bits=4, n_tables=16
+        ).to_pandas()
+        E = set(zip(ex["id_a"], ex["id_b"]))
+        L = set(zip(ls["id_a"], ls["id_b"]))
+        assert len(E) > 0
+        assert L <= E
+        assert len(L & E) / len(E) >= 0.9
 
 
 def test_ivf_ann_recall_vs_exact(ray_session):
