@@ -32,6 +32,56 @@ from ..kernels import resolve_ellipsoid, unit_factor
 from .geo import col_np, distance_kernel
 
 
+def cell_salt_stats(
+    ds,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float = DEFAULT_CELL_DEG,
+    target_rows: int = 2048,
+    max_salt: int = 16,
+    frac_threshold: float = 0.01,
+    top_n: int = 64,
+) -> dict[int, int]:
+    """Hot-cell salt factors from a cheap stats pre-pass → {cell_id: salt}.
+
+    The :func:`~.joins.detect_hot_keys` idiom applied to grid cells: each
+    batch emits its top-``top_n`` own-cell counts (and one total), the
+    driver merges the tiny partials, and every cell holding at least
+    ``frac_threshold`` of all rows gets ``ceil(rows / target_rows)`` salt
+    subgroups (capped at ``max_salt``). Cold cells stay unsalted — the
+    candidate replication cost is paid only where a city actually is.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        own = cell_id(col_np(batch, lat_col), col_np(batch, lon_col), cell_deg)
+        cells, counts = np.unique(own, return_counts=True)
+        if cells.size > top_n:
+            keep = np.argsort(-counts)[:top_n]
+            cells, counts = cells[keep], counts[keep]
+        tot = np.zeros(cells.size, dtype=np.int64)
+        if cells.size:
+            tot[0] = own.size
+        return pa.table(
+            {"cell": cells.astype(np.int64), "__n": counts.astype(np.int64), "__tot": tot}
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.select_columns([lat_col, lon_col])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if not parts:
+        return {}
+    df = pd.concat(parts, ignore_index=True)
+    total = int(df["__tot"].sum())
+    agg = df.groupby("cell")["__n"].sum()
+    hot = agg[(agg >= frac_threshold * max(total, 1)) & (agg > target_rows)]
+    return {
+        int(c): int(min(-(-n // target_rows), max_salt)) for c, n in hot.items()
+    }
+
+
 def close_pairs(
     ds,
     max_dist_m: float,
@@ -43,29 +93,42 @@ def close_pairs(
     metric: str = "meter",
     ellipsoid="WGS-84",
     member_chunk: int = 4096,
-    salt: int = 1,
+    salt: int | str = 1,
 ):
     """All pairs with geodesic distance ≤ max_dist_m → (id_left, id_right, dist).
 
-    ``salt`` splits every cell's *primary* rows into ``salt`` hash subgroups
-    and replicates the candidate side into each — the explicit hot-cell
-    (city) skew treatment the north rule requires: a cell with C points
-    costs max(P/S)·C per group instead of P·C in one. Exactly-once pair
-    emission is preserved (a pair is still owned by the left point's unique
-    (cell, salt-of-left) group). Candidate replication is ×S, so production
-    applies salting per-cell from a stats pass; here it is a global knob.
+    ``salt`` splits a cell's *primary* rows into hash subgroups and
+    replicates the candidate side into each — the explicit hot-cell (city)
+    skew treatment the north rule requires: a cell with C points costs
+    max(P/S)·C per group instead of P·C in one. Exactly-once pair emission
+    is preserved (a pair is still owned by the left point's unique
+    (cell, salt-of-left) group).
+
+    - ``salt=N`` (int): a global knob — every cell gets N subgroups and the
+      candidate replication is ×N everywhere.
+    - ``salt="auto"``: one :func:`cell_salt_stats` pre-pass sizes the salt
+      PER CELL (``ceil(rows / 2048)``, capped 16), so only actual hot cells
+      pay replication; cold cells keep factor 1. This is the production
+      setting — the global knob stays for oracle parity and tests.
     """
     a, f = resolve_ellipsoid(ellipsoid)
     conv = unit_factor(metric)
     kfn = distance_kernel(kernel)
-    salt = int(salt)
-    if salt < 1:
-        raise ValueError("salt must be >= 1")
+    if salt == "auto":
+        per_cell = cell_salt_stats(ds, lat_col, lon_col, cell_deg)
+        global_salt = 1
+        max_s = max(per_cell.values(), default=1)
+    else:
+        global_salt = int(salt)
+        if global_salt < 1:
+            raise ValueError("salt must be >= 1 or 'auto'")
+        per_cell = {}
+        max_s = global_salt
 
-    def _salt_of(ids: np.ndarray) -> np.ndarray:
-        return ((ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)).astype(
-            np.int64
-        ) % salt
+    def _salt_hash(ids: np.ndarray) -> np.ndarray:
+        return (
+            (ids.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(32)
+        ).astype(np.int64)
 
     def replicate(batch: pa.Table) -> pa.Table:
         lat = col_np(batch, lat_col)
@@ -73,7 +136,7 @@ def close_pairs(
         ids = col_np(batch, id_col)
         own = cell_id(lat, lon, cell_deg)
         src, cover = disc_cover(lat, lon, max_dist_m, cell_deg)
-        if salt == 1:
+        if max_s == 1:
             return pa.table(
                 {
                     "cell": cover,
@@ -83,21 +146,30 @@ def close_pairs(
                     "is_primary": own[src] == cover,
                 }
             )
-        # replicate each covered (row, cell) into all salt subgroups;
-        # primary only in the row's own (cell, salt-of-id) subgroup
-        s_of = _salt_of(ids)
-        reps = np.arange(salt, dtype=np.int64)
-        n = src.size
-        src_r = np.repeat(src, salt)
-        cover_r = np.repeat(cover, salt)
-        salt_r = np.tile(reps, n)
+        # per-(row, covered-cell) salt factor: the DESTINATION cell's —
+        # primaries of cell c split into s_c subgroups, so candidates must
+        # replicate into the same s_c
+        if per_cell:
+            s_arr = np.ones(cover.size, dtype=np.int64)
+            for c, sc in per_cell.items():  # ≤ top_n tiny vector passes
+                s_arr[cover == c] = sc
+        else:
+            s_arr = np.full(cover.size, global_salt, dtype=np.int64)
+        tot = int(s_arr.sum())
+        src_r = np.repeat(src, s_arr)
+        cover_r = np.repeat(cover, s_arr)
+        s_r = np.repeat(s_arr, s_arr)
+        salt_r = np.arange(tot, dtype=np.int64) - np.repeat(
+            np.cumsum(s_arr) - s_arr, s_arr
+        )
         return pa.table(
             {
-                "cell": cover_r * salt + salt_r,
+                "cell": cover_r * max_s + salt_r,
                 id_col: ids[src_r],
                 lat_col: lat[src_r],
                 lon_col: lon[src_r],
-                "is_primary": (own[src_r] == cover_r) & (s_of[src_r] == salt_r),
+                "is_primary": (own[src_r] == cover_r)
+                & (_salt_hash(ids)[src_r] % s_r == salt_r),
             }
         )
 

@@ -211,6 +211,48 @@ class TestSalting:
         with pytest.raises(ValueError):
             close_pairs(docs_geo, 1000.0, salt=0)
 
+    def test_auto_salt_targets_only_the_hot_cell(self, ray_session):
+        """Skewed-city fixture: the stats pre-pass salts ONLY the city cell
+        (replication stays ~1x corpus-wide, vs xS everywhere for the global
+        knob) and the pair set is identical under salt=1/‘auto’/global."""
+        import ray.data as rd
+
+        from geodistpy_ray.stages.pairs import cell_salt_stats, close_pairs
+
+        rng = np.random.default_rng(17)
+        n_city, n_rest = 5000, 500
+        lat = np.concatenate(
+            [40.7 + rng.uniform(-0.3, 0.3, n_city), rng.uniform(-60, 60, n_rest)]
+        )
+        lon = np.concatenate(
+            [-74.0 + rng.uniform(-0.3, 0.3, n_city), rng.uniform(-179, 179, n_rest)]
+        )
+        ids = np.arange(lat.size, dtype=np.int64)
+        ds = rd.from_arrow(
+            pa.table({"doc_id": ids, "lat": lat, "lon": lon})
+        ).repartition(4)
+
+        salts = cell_salt_stats(ds, cell_deg=2.0, target_rows=1024)
+        assert len(salts) >= 1  # the city cell is detected
+        assert sum(salts.values()) <= 16  # and only a handful of cells salt
+        assert max(salts.values()) >= 2
+        # replication budget: per-cell salting pays extra candidates only in
+        # hot cells — far below the global knob's xS everywhere
+        extra = sum(s - 1 for s in salts.values())
+        assert extra < 8
+
+        r = 20_000.0
+        runs = {}
+        for s in (1, 4, "auto"):
+            runs[s] = (
+                close_pairs(ds, r, kernel="haversine", cell_deg=2.0, salt=s)
+                .to_pandas()
+                .sort_values(["id_left", "id_right"], ignore_index=True)
+            )
+        assert runs[1][["id_left", "id_right"]].equals(runs["auto"][["id_left", "id_right"]])
+        assert runs[1][["id_left", "id_right"]].equals(runs[4][["id_left", "id_right"]])
+        assert len(runs[1]) > 0
+
 
 class TestCellRoutedKnn:
     def test_vs_broadcast_knn(self, docs_geo, truth):
