@@ -496,6 +496,29 @@ def q_user_p90_value(sf_dir):
     return _round_col(ds, "p90_value", 6)
 
 
+def q_token_df(sf_dir):
+    """Corpus document-frequency table (the IDF side of TF-IDF): per-batch
+    distinct-(token, doc) combiner → hash-partitioned token sum."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import token_doc_frequency
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_doc_frequency(docs)
+
+
+def q_tfidf_top3(sf_dir):
+    """Top-3 TF-IDF terms per document — tf rows join the df table on the
+    token (one bucketed shuffle; vocabulary is unbounded at web scale, so
+    no broadcast), per-doc top-k on a hash partition of doc_id."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import tfidf_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return tfidf_topk(docs, k=3)
+
+
 def q_user_p90_sketch(sf_dir):
     """Per-key quantile via the FIXED-SIZE mergeable summary (the scale
     path for unbounded per-key cardinality — shuffles <= 16·b bytes per
@@ -1134,6 +1157,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join": q_outer_join,
         "late_events": q_late_events,
         "order_lines_join": q_order_lines_join,
+        "token_df": q_token_df,
+        "tfidf_top3": q_tfidf_top3,
         # redundant variants + composition queries last among oracle-matched:
         # every operator here has its OWN unique oracle row above, so if a
         # recording cap truncates the window these lose the least coverage
@@ -1344,6 +1369,28 @@ def oracle_sql() -> dict[str, str]:
         "order_lines_join": (
             "SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_quantity "
             "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+        ),
+        "token_df": (
+            "SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM ("
+            "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token "
+            "FROM documents) WHERE token <> '' GROUP BY token"
+        ),
+        "tfidf_top3": (
+            # the rounded score is the ORDERING KEY on both sides (see
+            # stages/text.py:tfidf_topk) so ln() ulp differences can't flip
+            # a tie; token asc breaks exact rounded ties deterministically
+            "WITH tok AS (SELECT doc_id, token FROM ("
+            "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token "
+            "FROM documents) WHERE token <> ''), "
+            "tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token), "
+            "df AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token), "
+            "n AS (SELECT COUNT(*) AS n_docs FROM documents) "
+            "SELECT doc_id, token, score, CAST(rank AS BIGINT) AS rank FROM ("
+            "SELECT tf.doc_id, tf.token, "
+            "ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS score, "
+            "ROW_NUMBER() OVER (PARTITION BY tf.doc_id ORDER BY "
+            "ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) DESC, tf.token) AS rank "
+            "FROM tf JOIN df USING(token) CROSS JOIN n) t WHERE rank <= 3"
         ),
         "mktsegment_revenue": (
             "SELECT c.c_mktsegment, "

@@ -280,3 +280,130 @@ def add_host(ds, url_col: str = "url", out_col: str = "host"):
         return batch.append_column(out_col, host)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ── corpus token statistics (TF-IDF) ─────────────────────────────────────
+
+
+def _doc_token_pairs(batch: pa.Table, id_col: str, text_col: str):
+    """Whitespace-lowercase tokenize one batch → per-(doc, token) counts.
+
+    All-Arrow front-end (same idiom as the dedup shingle path): two RE2-free
+    kernels tokenize, ``dictionary_encode`` maps occurrences to a batch
+    vocabulary, and one ``np.unique`` over composite (row, token-id) keys
+    yields the within-doc term counts — no Python per token. Returns
+    (doc_ids, token_strings, tf) aligned arrays.
+    """
+    ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+    toks = pc.utf8_split_whitespace(
+        pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+    )
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    row_idx = np.repeat(np.arange(len(ids), dtype=np.int64), lens)[nonempty]
+    flat_clean = flat.filter(pa.array(nonempty))
+    if isinstance(flat_clean, pa.ChunkedArray):  # Table columns arrive chunked
+        flat_clean = flat_clean.combine_chunks()
+    de = pc.dictionary_encode(flat_clean)
+    tid = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    u = len(de.dictionary)
+    if u == 0:
+        empty = np.array([], dtype=np.int64)
+        return empty, de.dictionary, empty
+    key = row_idx * u + tid
+    uk, tf = np.unique(key, return_counts=True)
+    return ids[uk // u], de.dictionary.take(pa.array(uk % u)), tf.astype(np.int64)
+
+
+def token_doc_frequency(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Document frequency per token → Dataset (token, df).
+
+    Scale shape: each batch emits one row per DISTINCT (token, doc-in-batch)
+    pre-aggregated to (token, batch-df) — the combiner — so the shuffle
+    moves vocabulary-sized partials, never token occurrences; the final sum
+    groups on a hash partition of the token (unbounded domain rule,
+    stages/grouping.py).
+    """
+    from .grouping import partitioned_map_groups
+
+    def partial(batch: pa.Table) -> pa.Table:
+        _, tokens, _tf = _doc_token_pairs(batch, id_col, text_col)
+        # each (doc, token) appears once in the pair list → df partial is
+        # just the token's multiplicity there
+        if len(tokens) == 0:
+            return pa.table(
+                {"token": pa.array([], pa.string()), "df": pa.array([], pa.int64())}
+            )
+        de = pc.dictionary_encode(tokens)
+        tid = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uid, cnt = np.unique(tid, return_counts=True)
+        return pa.table(
+            {"token": de.dictionary.take(pa.array(uid)), "df": cnt.astype(np.int64)}
+        )
+
+    partials = ds.select_columns([id_col, text_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def merge(g):
+        return g.groupby("token", as_index=False)["df"].sum()
+
+    return partitioned_map_groups(partials, "token", merge)
+
+
+def doc_token_tf(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Within-document term frequencies → Dataset (doc_id, token, tf)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        doc, tokens, tf = _doc_token_pairs(batch, id_col, text_col)
+        return pa.table({id_col: doc, "token": tokens, "tf": tf})
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def tfidf_topk(
+    ds,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_to: int = 6,
+):
+    """Top-k TF-IDF terms per document → (doc_id, token, score, rank).
+
+    score = ROUND(tf · ln(n_docs / df), 6); rank is 1-based by
+    (score desc, token asc) — the rounded score IS the ordering key on both
+    the engine and the SQL-mirror side, so fp ulp differences in ``ln``
+    cannot flip a tie. One bucketed shuffle joins (doc, token, tf) rows to
+    the (token, df) table on the token — the IDF side is corpus-vocabulary
+    sized, which is unbounded at web scale, so it is NOT broadcast — and
+    the per-doc top-k groups on a hash partition of doc_id.
+    """
+    from .grouping import partitioned_map_groups, topk_per_group_part
+    from .joins import shuffle_equi_join
+
+    n_docs = ds.count()
+    tf = doc_token_tf(ds, id_col, text_col)
+    df = token_doc_frequency(ds, id_col, text_col)
+    joined = shuffle_equi_join(tf, df, left_key="token", n_buckets=16)
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        s = np.round(tfv * np.log(float(n_docs) / dfv), round_to)
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "token": batch.column("token"),
+                "score": pa.array(s, pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+    def topk_part(g):
+        return topk_per_group_part(g, id_col, ["score", "token"], [False, True], k)
+
+    return partitioned_map_groups(scored, id_col, topk_part)

@@ -471,3 +471,68 @@ def test_normalized_text_stage(ray_session):
     ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
     got = add_normalized_text(ds).to_pandas().sort_values("doc_id")["norm_text"].tolist()
     assert got == ["hello world", "", "a b", "über straße", "x"]
+
+
+class TestTfIdf:
+    """Corpus token statistics: document frequency and TF-IDF top-k."""
+
+    def _docs(self):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": [0, 1, 2, 3],
+                    "text": [
+                        "apple banana apple",
+                        "banana cherry",
+                        "  Apple   CHERRY cherry ",
+                        "",
+                    ],
+                }
+            )
+        )
+
+    def test_token_df(self, ray_session):
+        from geodistpy_ray.stages.text import token_doc_frequency
+
+        got = (
+            token_doc_frequency(self._docs())
+            .to_pandas()
+            .set_index("token")["df"]
+            .to_dict()
+        )
+        assert got == {"apple": 2, "banana": 2, "cherry": 2}
+
+    def test_tfidf_topk_ordering_and_scores(self, ray_session):
+        from geodistpy_ray.stages.text import tfidf_topk
+
+        got = (
+            tfidf_topk(self._docs(), k=2)
+            .to_pandas()
+            .sort_values(["doc_id", "rank"], ignore_index=True)
+        )
+        # doc 0: apple tf=2 (df=2), banana tf=1 (df=2); n_docs=4
+        import math
+
+        idf = round(2 * math.log(4 / 2), 6)
+        row0 = got[(got.doc_id == 0) & (got["rank"] == 1)].iloc[0]
+        assert row0["token"] == "apple" and row0["score"] == pytest.approx(idf)
+        # doc 3 is empty → no tf rows at all
+        assert not (got.doc_id == 3).any()
+        # ranks are 1-based and contiguous per doc
+        for _, g in got.groupby("doc_id"):
+            assert g["rank"].tolist() == list(range(1, len(g) + 1))
+
+    def test_equal_scores_tie_break_on_token(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import tfidf_topk
+
+        ds = rd.from_arrow(
+            pa.table({"doc_id": [0, 1], "text": ["zeta alpha", "alpha zeta"]})
+        )
+        got = tfidf_topk(ds, k=2).to_pandas().sort_values(["doc_id", "rank"])
+        # both tokens score identically (tf=1, df=2) → token asc order
+        assert got[got.doc_id == 0]["token"].tolist() == ["alpha", "zeta"]
+        assert got[got.doc_id == 1]["token"].tolist() == ["alpha", "zeta"]
