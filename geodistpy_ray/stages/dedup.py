@@ -146,6 +146,58 @@ def _poly_step(acc: np.ndarray, nxt: np.ndarray) -> np.ndarray:
     return _mod61(_mulmod61(acc, _A_COL, _ZERO_COL)[:, 0] + _mod61(nxt.astype(np.uint64)))
 
 
+def _token_hash_stream(texts, token_cache: dict | None = None):
+    """Tokenize + hash a whole batch → (flat FULL-64-bit blake token hashes,
+    per-doc token counts). The shared Arrow front-end for MinHash shingling
+    and SimHash: ``utf8_lower`` + ``utf8_split_whitespace`` (empty edge
+    tokens masked), ``dictionary_encode`` to a batch vocabulary, one blake2b
+    per UNIQUE token (optionally memoized across batches via
+    ``token_cache``), then a single gather back to occurrence order.
+
+    ``texts`` may be a Python sequence of (optionally None) strings or a
+    pyarrow string Array/ChunkedArray (zero-copy from a batch column).
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(list(texts), type=pa.string())
+    import pyarrow.compute as pc
+
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
+    toks = pc.utf8_split_whitespace(pc.utf8_lower(arr))
+    flat = pc.list_flatten(toks)
+    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+    counts = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
+    flat = flat.filter(pa.array(nonempty))
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    de = pc.dictionary_encode(flat)
+    idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    vocab = de.dictionary.to_pylist()
+    h_uniq = np.empty(len(vocab), dtype=np.uint64)
+    if token_cache is None:
+        for i, t in enumerate(vocab):
+            h_uniq[i] = _blake_u64(t.encode())
+    else:
+        get = token_cache.get
+        for i, t in enumerate(vocab):
+            h = get(t)
+            if h is None:
+                h = _blake_u64(t.encode())
+                token_cache[t] = h
+            h_uniq[i] = h
+    return h_uniq[idx], counts
+
+
 def _shingle_hashes_batch(texts, shingle: int, token_cache: dict | None = None):
     """Shingle hashes for a whole batch → (flat uint64 hashes, per-doc counts).
 
@@ -175,48 +227,18 @@ def _shingle_hashes_batch(texts, shingle: int, token_cache: dict | None = None):
     ``texts`` may be a Python sequence of (optionally None) strings or a
     pyarrow string Array/ChunkedArray (zero-copy from a batch column).
     """
-    if isinstance(texts, pa.ChunkedArray):
-        arr = texts.combine_chunks()
-    elif isinstance(texts, pa.Array):
-        arr = texts
-    else:
-        arr = pa.array(list(texts), type=pa.string())
-    import pyarrow.compute as pc
-
-    arr = pc.fill_null(arr, "")
-    n = len(arr)
+    h_full, counts = _token_hash_stream(texts, token_cache)
+    n = counts.size
     if n == 0:
         return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64)
-    toks = pc.utf8_split_whitespace(pc.utf8_lower(arr))
-    flat = pc.list_flatten(toks)
-    lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
-    nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
-    doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
-    counts = np.bincount(doc_idx[nonempty], minlength=n).astype(np.int64)
-    flat = flat.filter(pa.array(nonempty))
-    T = len(flat)
+    T = h_full.size
 
     n_sh = np.where(counts == 0, 1, np.maximum(counts - shingle + 1, 1)).astype(np.int64)
     out = np.empty(int(n_sh.sum()), dtype=np.uint64)
     out_starts = np.concatenate(([0], np.cumsum(n_sh)[:-1]))
 
     if T:
-        de = pc.dictionary_encode(flat)
-        idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-        vocab = de.dictionary.to_pylist()
-        h_uniq = np.empty(len(vocab), dtype=np.uint64)
-        if token_cache is None:
-            for i, t in enumerate(vocab):
-                h_uniq[i] = _blake_u64(t.encode()) % _MERSENNE
-        else:
-            get = token_cache.get
-            for i, t in enumerate(vocab):
-                h = get(t)
-                if h is None:
-                    h = _blake_u64(t.encode()) % _MERSENNE
-                    token_cache[t] = h
-                h_uniq[i] = h
-        h_flat = h_uniq[idx]  # already reduced < p
+        h_flat = _mod61(h_full)  # reduce the full blake hashes < p once
         starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
 
         # full windows: shingle-1 Horner passes over the whole flat array,
@@ -637,29 +659,23 @@ def simhash64(text: str) -> int:
     return int(simhash64_batch([text])[0])
 
 
-def simhash64_batch(texts) -> np.ndarray:
+def simhash64_batch(texts, token_cache: dict | None = None) -> np.ndarray:
     """Vectorized SimHash for a batch of texts → uint64 array.
 
-    Each distinct token is blake-hashed ONCE per batch; the ±1 bit votes for
-    every token occurrence are summed with one ``np.add.reduceat`` over a
-    (total_tokens × 64) sign matrix built in doc-aligned chunks — no
+    Tokenization + unique-token hashing come from the shared Arrow
+    front-end (:func:`_token_hash_stream` — two Arrow kernels +
+    ``dictionary_encode`` + one blake2b per UNIQUE token); the ±1 bit votes
+    for every token occurrence are summed with one ``np.add.reduceat`` over
+    a (total_tokens × 64) sign matrix built in doc-aligned chunks — no
     per-token numpy calls.
     """
-    tok_lists = [(t or "").lower().split() for t in texts]
-    n = len(tok_lists)
+    h_flat, counts = _token_hash_stream(texts, token_cache)
+    n = counts.size
     out = np.zeros(n, dtype=np.uint64)
     if n == 0:
         return out
-    counts = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=n)
-    flat = [t for toks in tok_lists for t in toks]
-    if not flat:
+    if h_flat.size == 0:
         return out  # all-empty texts hash to 0, matching the scalar path
-    uniq = sorted(set(flat))
-    h_uniq = np.fromiter(
-        (_blake_u64(t.encode()) for t in uniq), dtype=np.uint64, count=len(uniq)
-    )
-    lut = {t: i for i, t in enumerate(uniq)}
-    h_flat = h_uniq[np.fromiter((lut[t] for t in flat), dtype=np.int64, count=len(flat))]
     # ±1 votes per (token, bit); chunked so the (rows × 64) int8 sign matrix
     # stays small; chunks align to doc boundaries for reduceat
     nz = counts > 0
@@ -694,8 +710,9 @@ def simhash64_batch(texts) -> np.ndarray:
 
 def add_simhash(ds, id_col: str = "doc_id", text_col: str = "text"):
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch.column(text_col).to_pylist()
-        sigs = (simhash64_batch(texts) & np.uint64(0x7FFFFFFFFFFFFFFF)).astype(np.int64)
+        sigs = (
+            simhash64_batch(batch.column(text_col)) & np.uint64(0x7FFFFFFFFFFFFFFF)
+        ).astype(np.int64)
         return batch.append_column("simhash", pa.array(sigs, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
