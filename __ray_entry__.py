@@ -827,6 +827,53 @@ def q_order_lines_join(sf_dir):
     return shuffle_equi_join(orders, li, "o_orderkey", "l_orderkey")
 
 
+def q_bloom_join(sf_dir):
+    """Bloom-prefiltered shuffle join: the urgent-orders key set is folded
+    into a Bloom bitmap (one streaming pass, OR-merged — no false negatives)
+    and the 4x-larger lineitem side is pruned to ~matching rows BEFORE the
+    all-to-all exchange. Result is bit-identical to the plain join (leaked
+    false positives still fail the real key match), which the oracle checks.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
+    )
+    urgent = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
+            ["o_orderkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = shuffle_equi_join(
+        li, urgent, "l_orderkey", "o_orderkey", bloom_prefilter="left", bloom_bits_log2=20
+    )
+    return grouped_sum(
+        joined, ["l_linenumber"], int_sum_cols={"l_quantity": "sum_qty"}, count_col="n"
+    )
+
+
+def q_heavy_custkeys(sf_dir):
+    """Exact heavy hitters over an unbounded key domain in O(k) driver
+    memory: Misra-Gries candidate pass (mergeable summaries, tracked error)
+    + exact broadcast-verify pass. threshold 1/1024 is a power of two, so
+    the engine's float threshold and the SQL mirror's DOUBLE threshold are
+    the same exact value."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sketches import heavy_hitters
+
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    return heavy_hitters(orders, "o_custkey", threshold_frac=1.0 / 1024.0)
+
+
 def q_mktsegment_revenue(sf_dir):
     import pyarrow.parquet as pq
     import ray.data as rd
@@ -1133,13 +1180,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_range": q_user_value_range,
         "cell_doc_lists": q_cell_doc_lists,
         "dataset_splits": q_dataset_splits,
-        "user_median_value": q_user_median_value,
         "user_p90_value": q_user_p90_value,
         "running_totals": q_running_totals,
         "rolling_counts": q_rolling_counts,
         "q1_pricing": q_q1_pricing,
         "top_customers": q_top_customers,
-        "orders_by_month": q_orders_by_month,
         "events_agg": q_events_agg,
         "filter_project": q_filter_project,
         "mktsegment_revenue": q_mktsegment_revenue,
@@ -1157,11 +1202,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outer_join": q_outer_join,
         "late_events": q_late_events,
         "order_lines_join": q_order_lines_join,
+        "heavy_custkeys": q_heavy_custkeys,
+        "bloom_join": q_bloom_join,
         "token_df": q_token_df,
         "tfidf_top3": q_tfidf_top3,
         # redundant variants + composition queries last among oracle-matched:
         # every operator here has its OWN unique oracle row above, so if a
         # recording cap truncates the window these lose the least coverage
+        # (user_median_value: grouped_median is grouped_quantile's machinery
+        # at q=0.5 and user_p90_value stays in-window; orders_by_month:
+        # grouped_sum's 4th row — q1_pricing/cell_counts/mktsegment cover it)
+        "user_median_value": q_user_median_value,
+        "orders_by_month": q_orders_by_month,
         "hopping_offset": q_hopping_offset,
         "sample_10pct": q_sample_10pct,
         "revenue_heatmap": q_revenue_heatmap,
@@ -1369,6 +1421,25 @@ def oracle_sql() -> dict[str, str]:
         "order_lines_join": (
             "SELECT o.o_orderkey, o.o_orderpriority, l.l_linenumber, l.l_quantity "
             "FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey"
+        ),
+        "bloom_join": (
+            # the Bloom prefilter is exact-preserving (no false negatives;
+            # false positives fail the key match), so the mirror is the
+            # plain filtered join
+            "SELECT l.l_linenumber, "
+            "CAST(SUM(CAST(FLOOR(l.l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_orderpriority = '1-URGENT' GROUP BY 1"
+        ),
+        "heavy_custkeys": (
+            # 1/1024 = 0.0009765625 is a power of two, exactly representable
+            # in both DOUBLE and DECIMAL — the threshold value is identical
+            # on both sides, so >= agrees bit-for-bit
+            "SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cnt FROM orders "
+            "GROUP BY o_custkey "
+            "HAVING COUNT(*) >= CAST(0.0009765625 AS DOUBLE) * "
+            "(SELECT COUNT(*) FROM orders)"
         ),
         "token_df": (
             "SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM ("

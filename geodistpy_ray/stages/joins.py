@@ -160,6 +160,8 @@ def shuffle_equi_join(
     n_buckets: int = 64,
     hot_keys=None,
     n_salt: int = 8,
+    bloom_prefilter: str | None = None,
+    bloom_bits_log2: int = 23,
 ):
     """Distributed equi-join of two large Datasets via one bucketed shuffle.
 
@@ -177,8 +179,35 @@ def shuffle_equi_join(
     hot key's pairs spread over ``n_salt`` buckets. Supported for
     ``join_type="inner"`` only (semi/anti/outer would double-count under
     replication).
+
+    **Bloom pre-filter**: when most of one side won't match (selective
+    dimension filters, sparse key overlap), ``bloom_prefilter="left"``
+    builds a Bloom bitmap of the RIGHT side's keys (one streaming pass,
+    OR-folded — `sketches.build_bloom_filter`) and drops non-matching LEFT
+    rows BEFORE they enter the shuffle (``"right"`` mirrors it). No false
+    negatives, so inner/semi results are bit-identical; the ~fpr of leaked
+    non-members still fails the real key match inside the bucket. Costs one
+    extra pass over the build side; only worth it when the probe side's
+    shuffle volume dominates. Not valid for outer/anti types (dropped rows
+    would change the result).
     """
     right_key = right_key or left_key
+    if bloom_prefilter is not None:
+        if join_type not in ("inner", "left semi"):
+            raise ValueError(
+                "bloom_prefilter supports inner/semi joins only (outer/anti "
+                "semantics depend on the rows the filter would drop)"
+            )
+        from .sketches import bloom_semi_filter, build_bloom_filter
+
+        if bloom_prefilter == "left":
+            bm = build_bloom_filter(right, right_key, bits_log2=bloom_bits_log2)
+            left = bloom_semi_filter(left, left_key, bm)
+        elif bloom_prefilter == "right":
+            bm = build_bloom_filter(left, left_key, bits_log2=bloom_bits_log2)
+            right = bloom_semi_filter(right, right_key, bm)
+        else:
+            raise ValueError("bloom_prefilter must be 'left', 'right', or None")
     if hot_keys is not None:
         if join_type != "inner":
             raise ValueError("hot_keys salting supports join_type='inner' only")

@@ -232,6 +232,208 @@ def grouped_quantile_sketch(
     return partitioned_map_groups(partials, key_col, merge_part)
 
 
+def _bloom_hash_pair(values: np.ndarray):
+    """Kirsch-Mitzenmacher double-hashing base pair (a, b) per value: the
+    i-th probe is ``(a + i·b) mod m``. Both derive from one deterministic
+    64-bit hash (``pandas.util.hash_array`` — stable across processes);
+    ``b`` is forced odd so the probe sequence never degenerates."""
+    h = pd.util.hash_array(np.asarray(values), categorize=False)
+    a = (h >> np.uint64(32)).astype(np.uint64)
+    b = ((h & np.uint64(0xFFFFFFFF)) | np.uint64(1)).astype(np.uint64)
+    return a, b
+
+
+def build_bloom_filter(ds, col: str, bits_log2: int = 23, n_hashes: int = 4) -> np.ndarray:
+    """Fold a column into a 2^bits_log2-bit Bloom bitmap → uint8 array.
+
+    Same topology as :func:`approx_distinct_count`: per-BLOCK combiner emits
+    one bitmap row (``batch_size=None`` so the partial count is the block
+    count, not row-count/1024), the driver OR-folds the stream — peak driver
+    memory is ONE bitmap (2^20 bytes at the default p=23) at any input size,
+    and OR is associative/idempotent so retries and block order can't change
+    the result.
+
+    False-positive rate ≈ (1 − e^(−kn/m))^k: p=23, k=4 → under 1% up to
+    ~1M distinct keys; size bits_log2 ~ log2(20·n_distinct) for ~1%.
+    """
+    if not 16 <= bits_log2 <= 30:
+        raise ValueError("bits_log2 must be in [16, 30]")
+    m = 1 << bits_log2
+    n_bytes = m >> 3
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        bm = np.zeros(n_bytes, dtype=np.uint8)
+        if v.size:
+            a, b = _bloom_hash_pair(v)
+            for i in range(n_hashes):
+                idx = ((a + np.uint64(i) * b) % np.uint64(m)).astype(np.int64)
+                np.bitwise_or.at(
+                    bm, idx >> 3, np.left_shift(1, idx & 7).astype(np.uint8)
+                )
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    merged = np.zeros(n_bytes, dtype=np.uint8)
+    partials = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    for bt in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for buf in bt.column("bm").to_pylist():
+            np.bitwise_or(merged, np.frombuffer(buf, dtype=np.uint8), out=merged)
+    return merged
+
+
+def bloom_semi_filter(ds, col: str, bitmap: np.ndarray, n_hashes: int = 4):
+    """Keep only rows whose ``col`` value MAY be in the Bloom set (no false
+    negatives — every true member survives; ~fpr of non-members leak).
+
+    The bitmap is ``ray.put`` once and probed per batch with k vectorized
+    gather+mask passes. This is the shuffle-avoidance pre-filter for joins:
+    prune the big side down to ~matching rows BEFORE the all-to-all exchange
+    (`joins.shuffle_equi_join(bloom_prefilter=...)`); the join itself stays
+    exact because surviving non-members fail the real key match.
+    """
+    m = int(bitmap.size) << 3
+    bits_log2 = m.bit_length() - 1
+    if (1 << bits_log2) != m:
+        raise ValueError("bitmap size must be a power of two")
+    import ray
+
+    ref = ray.put(bitmap)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .broadcast import get_broadcast
+
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        if v.size == 0:
+            return batch
+        bm = get_broadcast(ref)
+        a, b = _bloom_hash_pair(v)
+        keep = np.ones(v.size, dtype=bool)
+        for i in range(n_hashes):
+            idx = ((a + np.uint64(i) * b) % np.uint64(m)).astype(np.int64)
+            keep &= (bm[idx >> 3] >> (idx & 7).astype(np.uint8)).astype(bool)
+        return batch.filter(pa.array(keep))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def heavy_hitters(ds, col: str, threshold_frac: float, k: int | None = None) -> pa.Table:
+    """EXACT heavy hitters — every key with count ≥ threshold_frac·N, with
+    its exact count — in two streaming passes and O(k) driver memory, never
+    a full-key-domain shuffle.
+
+    Pass 1 (candidates): per-batch ``np.unique`` partials, pruned to the
+    ``k`` largest counts by subtracting the (k+1)-th count (the subtraction
+    is emitted as ``__err`` so nothing is silently lost); the driver folds
+    the summary stream the same way, accumulating every subtraction. This is
+    a Misra-Gries summary under the mergeable-summaries result (Agarwal et
+    al., PODS'12): for every key, summary_count ≥ true_count − err_total, so
+    ``summary_count + err_total ≥ threshold`` selects a SUPERSET of the true
+    heavy hitters. ``k`` defaults to ceil(4/threshold_frac), which keeps
+    err_total ≤ N/(k+1) < threshold/4 — the guard below raises if a
+    pathological stream ever voids the guarantee instead of returning a
+    silently incomplete answer.
+    Pass 2 (verify): the ≤O(k) candidate set is broadcast and counted
+    EXACTLY per batch (np.isin mask + unique), driver-summed, thresholded.
+    Output is bit-identical to SQL
+    ``GROUP BY col HAVING COUNT(*) >= threshold_frac * N``.
+    """
+    if not 0.0 < threshold_frac <= 1.0:
+        raise ValueError("threshold_frac must be in (0, 1]")
+    if k is None:
+        k = int(np.ceil(4.0 / threshold_frac))
+    sel = ds.select_columns([col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key_type = batch.schema.field(col).type
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        keys, counts = np.unique(v, return_counts=True)
+        counts = counts.astype(np.int64)
+        err = 0
+        if keys.size > k:
+            kth = np.partition(counts, counts.size - k - 1)[counts.size - k - 1]
+            err = int(kth)
+            keep = counts > kth
+            keys, counts = keys[keep], counts[keep] - kth
+            if keys.size == 0:
+                # the prune evicted every key (uniform batch) — emit one
+                # zero-count carrier row so the __tot/__err scalars still
+                # reach the driver; a 0 add never changes any key's count
+                keys, counts = v[:1], np.zeros(1, dtype=np.int64)
+        tot = np.zeros(keys.size, dtype=np.int64)
+        errs = np.zeros(keys.size, dtype=np.int64)
+        if keys.size:
+            tot[0], errs[0] = v.size, err  # one scalar per partial; sums stay exact
+        return pa.table(
+            {
+                col: pa.array(keys, key_type),
+                "__n": counts,
+                "__tot": tot,
+                "__err": errs,
+            }
+        )
+
+    partials = sel.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    summary = pd.Series(dtype=np.int64)
+    total = 0
+    err_total = 0
+    for bt in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        df = bt.to_pandas()
+        if df.empty:
+            continue
+        total += int(df["__tot"].sum())
+        err_total += int(df["__err"].sum())
+        summary = (
+            pd.concat([summary, df.set_index(col)["__n"]]).groupby(level=0).sum()
+        )
+        if len(summary) > k:
+            vals = summary.to_numpy()
+            kth = int(np.partition(vals, vals.size - k - 1)[vals.size - k - 1])
+            err_total += kth
+            summary = summary[summary > kth] - kth
+
+    thresh = threshold_frac * total
+    sch = ds.schema()  # ray.data.Schema wraps the Arrow schema
+    key_type = getattr(sch, "base_schema", sch).field(col).type
+    if err_total >= thresh and total > 0:
+        raise ValueError(
+            f"heavy_hitters: accumulated summary error {err_total} reaches the "
+            f"threshold {thresh}; raise k (got {k}) for this distribution"
+        )
+    cand = summary.index[summary.to_numpy() + err_total >= thresh].to_numpy()
+    if cand.size == 0:
+        return pa.table({col: pa.array([], key_type), "cnt": pa.array([], pa.int64())})
+
+    import ray
+
+    cand_ref = ray.put(cand)
+
+    def count_cand(batch: pa.Table) -> pa.Table:
+        from .broadcast import get_broadcast
+
+        key_t = batch.schema.field(col).type
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        c = get_broadcast(cand_ref)
+        hit = v[np.isin(v, c)]
+        keys, counts = np.unique(hit, return_counts=True)
+        return pa.table({col: pa.array(keys, key_t), "cnt": counts.astype(np.int64)})
+
+    acc = pd.Series(dtype=np.int64)
+    for bt in sel.map_batches(
+        count_cand, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        df = bt.to_pandas()
+        if not df.empty:
+            acc = pd.concat([acc, df.set_index(col)["cnt"]]).groupby(level=0).sum()
+    acc = acc[acc >= thresh].sort_index()
+    return pa.table(
+        {col: pa.array(acc.index.to_numpy(), key_type), "cnt": acc.to_numpy().astype(np.int64)}
+    )
+
+
 def approx_quantile(ds, value_col: str, q: float, pct: int = 10, id_col: str = "event_id"):
     """Approximate global quantile from a deterministic hash sample.
 

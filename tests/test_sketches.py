@@ -164,3 +164,151 @@ class TestGroupedQuantileSketch:
             .sort_values("k", ignore_index=True)
         )
         pd.testing.assert_frame_equal(a, bdf)
+
+
+class TestBloomFilter:
+    def test_no_false_negatives_and_low_fpr(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sketches import bloom_semi_filter, build_bloom_filter
+
+        members = np.arange(0, 20_000, 2, dtype=np.int64)  # evens
+        ds = rd.from_arrow(pa.table({"k": members})).repartition(4)
+        bm = build_bloom_filter(ds, "k", bits_log2=18)
+
+        probe_vals = np.arange(20_000, dtype=np.int64)  # evens + odds
+        probe = rd.from_arrow(pa.table({"k": probe_vals})).repartition(4)
+        kept = bloom_semi_filter(probe, "k", bm).to_pandas()["k"].to_numpy()
+        kept = np.sort(kept)
+        # every true member survives
+        assert np.isin(members, kept).all()
+        # leaked non-members stay near the configured fpr
+        leaked = kept.size - members.size
+        assert leaked / 10_000 < 0.05
+
+    def test_merge_is_or_and_partition_free(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sketches import build_bloom_filter
+
+        v = np.arange(5000, dtype=np.int64)
+        one = build_bloom_filter(rd.from_arrow(pa.table({"k": v})), "k", bits_log2=17)
+        many = build_bloom_filter(
+            rd.from_arrow(pa.table({"k": v})).repartition(8), "k", bits_log2=17
+        )
+        assert np.array_equal(one, many)
+
+    def test_string_keys(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sketches import bloom_semi_filter, build_bloom_filter
+
+        build = rd.from_arrow(pa.table({"k": [f"key-{i}" for i in range(100)]}))
+        bm = build_bloom_filter(build, "k", bits_log2=16)
+        probe = rd.from_arrow(
+            pa.table({"k": [f"key-{i}" for i in range(90, 110)]})
+        )
+        kept = set(bloom_semi_filter(probe, "k", bm).to_pandas()["k"])
+        assert {f"key-{i}" for i in range(90, 100)} <= kept
+
+    def test_validation(self, ray_session):
+        from geodistpy_ray.stages.sketches import bloom_semi_filter, build_bloom_filter
+
+        with pytest.raises(ValueError):
+            build_bloom_filter(None, "k", bits_log2=8)
+        with pytest.raises(ValueError):
+            bloom_semi_filter(None, "k", np.zeros(100, dtype=np.uint8))
+
+
+class TestBloomPrefilteredJoin:
+    def test_identical_to_plain_join(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.joins import shuffle_equi_join
+
+        rng = np.random.default_rng(11)
+        left = pa.table(
+            {
+                "lk": rng.integers(0, 3000, 20_000).astype(np.int64),
+                "lv": np.arange(20_000, dtype=np.int64),
+            }
+        )
+        right = pa.table(
+            {
+                "rk": np.arange(0, 300, dtype=np.int64),  # 10% key overlap
+                "rv": np.arange(300, dtype=np.int64) * 7,
+            }
+        )
+        lds, rds = rd.from_arrow(left).repartition(4), rd.from_arrow(right).repartition(2)
+        plain = (
+            shuffle_equi_join(lds, rds, "lk", "rk", n_buckets=8)
+            .to_pandas()
+            .sort_values(["lk", "lv", "rv"], ignore_index=True)
+        )
+        bloomed = (
+            shuffle_equi_join(
+                lds, rds, "lk", "rk", n_buckets=8, bloom_prefilter="left", bloom_bits_log2=16
+            )
+            .to_pandas()
+            .sort_values(["lk", "lv", "rv"], ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(plain, bloomed)
+
+    def test_rejects_outer_types(self, ray_session):
+        from geodistpy_ray.stages.joins import shuffle_equi_join
+
+        with pytest.raises(ValueError):
+            shuffle_equi_join(
+                None, None, "a", "b", join_type="full outer", bloom_prefilter="left"
+            )
+        with pytest.raises(ValueError):
+            shuffle_equi_join(None, None, "a", "b", bloom_prefilter="sideways")
+
+
+class TestHeavyHitters:
+    def test_exact_vs_pandas_oracle(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sketches import heavy_hitters
+
+        rng = np.random.default_rng(3)
+        # zipf-ish: a few hot keys over a wide cold domain
+        hot = np.repeat(np.arange(5, dtype=np.int64), 400)
+        cold = rng.integers(100, 5000, 10_000).astype(np.int64)
+        v = np.concatenate([hot, cold])
+        rng.shuffle(v)
+        ds = rd.from_arrow(pa.table({"k": v})).repartition(6)
+        frac = 0.02
+        got = heavy_hitters(ds, "k", frac).to_pandas()
+        vc = pd.Series(v).value_counts()
+        want = vc[vc >= frac * v.size].sort_index()
+        assert got["k"].tolist() == want.index.tolist()
+        assert got["cnt"].tolist() == want.to_numpy().tolist()
+
+    def test_small_k_guard_raises_not_wrong(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sketches import heavy_hitters
+
+        # uniform stream with k far too small: the tracked error reaches the
+        # threshold and the guard must refuse rather than return a subset
+        v = np.tile(np.arange(500, dtype=np.int64), 20)
+        ds = rd.from_arrow(pa.table({"k": v})).repartition(4)
+        with pytest.raises(ValueError, match="raise k"):
+            heavy_hitters(ds, "k", 0.002, k=3)
+
+    def test_string_keys_and_empty_result(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sketches import heavy_hitters
+
+        ds = rd.from_arrow(pa.table({"k": [f"u{i}" for i in range(100)]}))
+        out = heavy_hitters(ds, "k", 0.5)
+        assert out.num_rows == 0
+        assert out.column_names == ["k", "cnt"]
+
+    def test_validation(self):
+        from geodistpy_ray.stages.sketches import heavy_hitters
+
+        with pytest.raises(ValueError):
+            heavy_hitters(None, "k", 0.0)
