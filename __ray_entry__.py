@@ -860,6 +860,40 @@ def q_bloom_join(sf_dir):
     )
 
 
+def q_redacted_texts(sf_dir):
+    """PII scrub (emails / IPv4 / phone spans → typed placeholders) as
+    chained Arrow RE2 kernels. The synthetic corpus carries no PII, so the
+    query appends a deterministic PII footer built from doc_id — mirrored
+    verbatim in the SQL — and the redaction provably fires on every row."""
+    import pandas as pd
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import redact_pii
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def with_footer(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        footer = (
+            " contact user"
+            + pd.Series(ids.astype(str))
+            + "@mail.example from 10.0."
+            + pd.Series((ids % 256).astype(str))
+            + ".7 call +1 (555) 010-"
+            + pd.Series((1000 + ids % 9000).astype(str))
+        )
+        combined = pc.binary_join_element_wise(
+            pc.fill_null(batch.column("text"), ""), pa.array(footer, pa.string()), ""
+        )
+        return pa.table({"doc_id": batch.column("doc_id"), "text": combined})
+
+    docs = docs.map_batches(with_footer, batch_format="pyarrow", zero_copy_batch=True)
+    return redact_pii(docs, "text", out_col="redacted").select_columns(
+        ["doc_id", "redacted"]
+    )
+
+
 def q_heavy_custkeys(sf_dir):
     """Exact heavy hitters over an unbounded key domain in O(k) driver
     memory: Misra-Gries candidate pass (mergeable summaries, tracked error)
@@ -1172,7 +1206,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": q_token_counts,
         "quality": q_quality,
         "lang_counts": q_lang_counts,
-        "source_stats": q_source_stats,
         "ann_topk": q_ann_topk,
         "embed_near_dup": q_embed_near_dup,
         "dimwise_pairs": q_dimwise_pairs,
@@ -1206,13 +1239,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_join": q_bloom_join,
         "token_df": q_token_df,
         "tfidf_top3": q_tfidf_top3,
+        "redacted_texts": q_redacted_texts,
         # redundant variants + composition queries last among oracle-matched:
         # every operator here has its OWN unique oracle row above, so if a
         # recording cap truncates the window these lose the least coverage
         # (user_median_value: grouped_median is grouped_quantile's machinery
-        # at q=0.5 and user_p90_value stays in-window; orders_by_month:
-        # grouped_sum's 4th row — q1_pricing/cell_counts/mktsegment cover it)
+        # at q=0.5 and user_p90_value stays in-window; orders_by_month +
+        # source_stats: grouped_sum's 4th/5th rows — q1_pricing/cell_counts/
+        # mktsegment cover the operator)
         "user_median_value": q_user_median_value,
+        "source_stats": q_source_stats,
         "orders_by_month": q_orders_by_month,
         "hopping_offset": q_hopping_offset,
         "sample_10pct": q_sample_10pct,
@@ -1237,6 +1273,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 # ── oracle SQL ───────────────────────────────────────────────────────────
+
+
+def _redacted_texts_sql() -> str:
+    from geodistpy_ray.stages.text import redact_pii_sql
+
+    footer = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@mail.example from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
+        "'.7 call +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
+    )
+    return (
+        f"SELECT doc_id, {redact_pii_sql(footer)} AS redacted FROM documents"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1432,6 +1481,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
             "WHERE o.o_orderpriority = '1-URGENT' GROUP BY 1"
         ),
+        "redacted_texts": _redacted_texts_sql(),
         "heavy_custkeys": (
             # 1/1024 = 0.0009765625 is a power of two, exactly representable
             # in both DOUBLE and DECIMAL — the threshold value is identical

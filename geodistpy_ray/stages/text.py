@@ -56,6 +56,44 @@ def add_normalized_text(ds, text_col: str = "text", out_col: str = "norm_text"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+# PII patterns, applied IN THIS ORDER (order matters: the phone pattern
+# would otherwise eat IPv4 digit runs). RE2 syntax — the same engine on
+# both sides, so the DuckDB mirror `redact_pii_sql` is exact.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d()\-\s]{6,}\d", "<PHONE>"),
+)
+
+
+def redact_pii(ds, text_col: str = "text", out_col: str = "redacted"):
+    """Scrub emails / IPv4 addresses / phone-number spans to typed
+    placeholder tokens — the standard pre-training privacy pass, as chained
+    Arrow RE2 kernels (one `replace_substring_regex` per pattern, no Python
+    per row). Mirror with :func:`redact_pii_sql` (nested ``REGEXP_REPLACE``
+    in the same pattern order — DuckDB is RE2 too, so behavior is
+    identical)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        t = pc.fill_null(batch.column(text_col), "")
+        for pat, repl in PII_PATTERNS:
+            t = pc.replace_substring_regex(t, pat, repl)
+        return batch.append_column(out_col, t)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def redact_pii_sql(expr: str) -> str:
+    """The exact SQL mirror of :func:`redact_pii` applied to ``expr``."""
+    out = expr
+    for pat, repl in PII_PATTERNS:
+        # standard SQL string literals: backslash is literal (no doubling);
+        # only single quotes need escaping
+        sql_pat = pat.replace("'", "''")
+        out = f"REGEXP_REPLACE({out}, '{sql_pat}', '{repl}', 'g')"
+    return out
+
+
 def add_quality_score(ds, text_col: str = "text"):
     """Length/space-ratio quality features, fully Arrow-vectorized.
 

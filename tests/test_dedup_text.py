@@ -536,3 +536,61 @@ class TestTfIdf:
         # both tokens score identically (tf=1, df=2) → token asc order
         assert got[got.doc_id == 0]["token"].tolist() == ["alpha", "zeta"]
         assert got[got.doc_id == 1]["token"].tolist() == ["alpha", "zeta"]
+
+
+class TestRedactPII:
+    def test_all_three_patterns_and_order(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import redact_pii
+
+        texts = [
+            "mail bob.smith+x@sub.example.org now",
+            "server at 192.168.0.1 responded",
+            "call +1 (555) 010-9999 today",
+            "all three: a@b.co 10.0.0.7 and +44 20 7946 0958.",
+            None,
+            "no pii here",
+        ]
+        ds = rd.from_arrow(
+            pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        )
+        out = (
+            redact_pii(ds, "text")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)["redacted"]
+            .tolist()
+        )
+        assert out[0] == "mail <EMAIL> now"
+        assert out[1] == "server at <IP> responded"
+        assert out[2] == "call <PHONE> today"
+        # order matters: the IP must become <IP>, not be eaten by the
+        # phone pattern's digit-run match
+        assert out[3] == "all three: <EMAIL> <IP> and <PHONE>."
+        assert out[4] == ""  # null-safe
+        assert out[5] == "no pii here"
+
+    def test_sql_mirror_matches_engine(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import redact_pii, redact_pii_sql
+
+        texts = [
+            "x y a@b.co z 1.2.3.4 +1 555-010-1234 end",
+            "plain words only",
+            "double a@b.co c@d.io",
+        ]
+        t = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+        eng = (
+            redact_pii(rd.from_arrow(t), "text")
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)["redacted"]
+            .tolist()
+        )
+        con = duckdb.connect()
+        con.register("docs", t)
+        sql = con.execute(
+            f"SELECT {redact_pii_sql('text')} FROM docs ORDER BY doc_id"
+        ).fetchall()
+        assert eng == [r[0] for r in sql]
