@@ -519,6 +519,46 @@ def q_tfidf_top3(sf_dir):
     return tfidf_topk(docs, k=3)
 
 
+def q_rep_stats(sf_dir):
+    """Gopher-style repetition features per document (distinct-token ratio,
+    top-token and top-bigram coverage) as exact INTEGER counts — a per-batch
+    local pass, no shuffle (each document's text lives in one row)."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import repetition_stats
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
+def q_contaminated(sf_dir):
+    """Benchmark decontamination: distinct full 3-gram token windows each
+    corpus doc shares with the 'benchmark' subset (doc_id % 101 == 7 —
+    deterministic stand-in for an eval suite). Benchmark shingle hashes are
+    collected once (the small side by nature) and broadcast; the corpus
+    streams through one membership-probe pass — no shuffle. shingle=3 here
+    because the synthetic ~30-word vocabulary needs short n-grams for
+    non-trivial overlap; production decontamination uses 8-13."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import contamination_hits
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def split(batch, want_bench):
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        mask = (ids % 101 == 7) == want_bench
+        return batch.filter(pa.array(mask))
+
+    bench = docs.map_batches(
+        lambda b: split(b, True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    corpus = docs.map_batches(
+        lambda b: split(b, False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return contamination_hits(corpus, bench, shingle=3)
+
+
 def q_user_p90_sketch(sf_dir):
     """Per-key quantile via the FIXED-SIZE mergeable summary (the scale
     path for unbounded per-key cardinality — shuffles <= 16·b bytes per
@@ -1217,9 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": q_running_totals,
         "rolling_counts": q_rolling_counts,
         "q1_pricing": q_q1_pricing,
-        "top_customers": q_top_customers,
         "events_agg": q_events_agg,
-        "filter_project": q_filter_project,
         "mktsegment_revenue": q_mktsegment_revenue,
         "asof_click_view": q_asof_click_view,
         "range_buckets": q_range_buckets,
@@ -1238,15 +1276,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_custkeys": q_heavy_custkeys,
         "bloom_join": q_bloom_join,
         "token_df": q_token_df,
-        "tfidf_top3": q_tfidf_top3,
         "redacted_texts": q_redacted_texts,
+        "rep_stats": q_rep_stats,
+        "contaminated": q_contaminated,
         # redundant variants + composition queries last among oracle-matched:
         # every operator here has its OWN unique oracle row above, so if a
         # recording cap truncates the window these lose the least coverage
-        # (user_median_value: grouped_median is grouped_quantile's machinery
-        # at q=0.5 and user_p90_value stays in-window; orders_by_month +
-        # source_stats: grouped_sum's 4th/5th rows — q1_pricing/cell_counts/
-        # mktsegment cover the operator)
+        # (tfidf_top3 composes token_df + the shuffle join + per-key top-k,
+        # each with its own row; top_customers: top-k + broadcast join,
+        # covered by top_events_per_user + mktsegment_revenue;
+        # filter_project: the pruned read + filter + project path every
+        # other query exercises; user_median_value: grouped_median is
+        # grouped_quantile's machinery at q=0.5 and user_p90_value stays
+        # in-window; orders_by_month + source_stats: grouped_sum's 4th/5th
+        # rows — q1_pricing/cell_counts/mktsegment cover the operator)
+        "tfidf_top3": q_tfidf_top3,
+        "top_customers": q_top_customers,
+        "filter_project": q_filter_project,
         "user_median_value": q_user_median_value,
         "source_stats": q_source_stats,
         "orders_by_month": q_orders_by_month,
@@ -1495,6 +1541,54 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM ("
             "SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS token "
             "FROM documents) WHERE token <> '' GROUP BY token"
+        ),
+        "rep_stats": (
+            # exact INTEGER repetition counts — no rounding convention at
+            # all (count ratios can land exactly on a decimal half-ulp where
+            # half-even vs half-away diverge; integers sidestep the class).
+            # Engine bigrams are adjacency in the empty-filtered token
+            # stream; texts only produce empty tokens at whitespace edges,
+            # so LEAD over pos-ordered filtered tokens is the same sequence.
+            "WITH arrs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a "
+            "FROM documents), "
+            "raw AS (SELECT doc_id, unnest(a) AS tok, unnest(range(1, len(a)+1)) AS pos "
+            "FROM arrs), "
+            "toks AS (SELECT doc_id, tok, pos FROM raw WHERE tok <> ''), "
+            "base AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+            "CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct FROM toks GROUP BY doc_id), "
+            "tok_top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_tok FROM ("
+            "SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok) "
+            "GROUP BY doc_id), "
+            "bi AS (SELECT doc_id, tok AS t1, "
+            "LEAD(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS t2 FROM toks), "
+            "bi_top AS (SELECT doc_id, CAST(MAX(c) AS BIGINT) AS top_bigram FROM ("
+            "SELECT doc_id, t1, t2, COUNT(*) AS c FROM bi WHERE t2 IS NOT NULL "
+            "GROUP BY doc_id, t1, t2) GROUP BY doc_id) "
+            "SELECT b.doc_id, b.n_tokens, b.n_distinct, t.top_tok, "
+            "COALESCE(bt.top_bigram, CAST(0 AS BIGINT)) AS top_bigram "
+            "FROM base b JOIN tok_top t USING (doc_id) "
+            "LEFT JOIN bi_top bt USING (doc_id)"
+        ),
+        "contaminated": (
+            # engine matches 61-bit Horner window fingerprints; shingle
+            # STRING equality (tokens cannot contain the ' ' joiner) ⇔
+            # token-sequence equality ⇔ fingerprint equality modulo a ~2^-61
+            # polynomial collision
+            "WITH arrs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a "
+            "FROM documents), "
+            "raw AS (SELECT doc_id, unnest(a) AS tok, unnest(range(1, len(a)+1)) AS pos "
+            "FROM arrs), "
+            "toks AS (SELECT doc_id, tok, pos FROM raw WHERE tok <> ''), "
+            "seq AS (SELECT doc_id, tok, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS p FROM toks), "
+            "sh AS (SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || "
+            "LEAD(tok, 2) OVER w AS s FROM seq "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY p) "
+            "QUALIFY LEAD(tok, 2) OVER w IS NOT NULL), "
+            "bench AS (SELECT DISTINCT s FROM sh WHERE doc_id % 101 = 7), "
+            "hits AS (SELECT DISTINCT d.doc_id, d.s FROM sh d JOIN bench b ON d.s = b.s "
+            "WHERE d.doc_id % 101 <> 7) "
+            "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY doc_id"
         ),
         "tfidf_top3": (
             # the rounded score is the ORDERING KEY on both sides (see

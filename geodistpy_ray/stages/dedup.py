@@ -505,6 +505,135 @@ def _bucket_pairs_partitioned(band_rows, key_col: str, id_col: str, n_parts: int
     return partitioned_map_groups(band_rows, key_col, pairs_part, n_parts=n_parts)
 
 
+def _full_window_hashes(texts, shingle: int, token_cache: dict | None = None):
+    """FULL k-gram window hashes only → (doc_idx, uint64 hashes).
+
+    Same token-hash stream and Horner polynomial as
+    :func:`_shingle_hashes_batch`, but documents with fewer than ``shingle``
+    tokens emit NOTHING (no short-doc or empty-doc sentinel hashes) — the
+    semantics decontamination needs, where a doc shorter than the n-gram
+    cannot contain a full n-gram, and exactly what a SQL mirror built from
+    ``LEAD(tok, shingle-1) IS NOT NULL`` produces.
+    """
+    h_full, counts = _token_hash_stream(texts, token_cache)
+    T = h_full.size
+    W = T - shingle + 1
+    full = np.flatnonzero(counts >= shingle)
+    if counts.size == 0 or W <= 0 or full.size == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    h_flat = _mod61(h_full)
+    acc = h_flat[:W].copy()
+    for j in range(1, shingle):
+        acc = _poly_step(acc, h_flat[j : j + W])
+    starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    m_full = counts[full] - shingle + 1
+    tot = int(m_full.sum())
+    base_in = np.repeat(starts[full], m_full)
+    ramp = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m_full) - m_full, m_full)
+    return np.repeat(full, m_full), acc[base_in + ramp]
+
+
+def benchmark_shingle_set(
+    bench_ds, text_col: str = "text", shingle: int = 5, max_hashes: int = 50_000_000
+) -> np.ndarray:
+    """Distinct full-window shingle hashes of a benchmark/eval corpus →
+    sorted uint64 array (the broadcast side of decontamination).
+
+    The benchmark side is SMALL by nature (an eval suite, not the training
+    corpus) — it is the canonical ``ray.put`` broadcast operand. Streamed
+    batch-by-batch with per-batch dedup; ``max_hashes`` guards the driver
+    against misuse with an unbounded corpus (the error points the caller at
+    swapping the sides: check the small set against the big one, never
+    collect the big one)."""
+    chunks = []
+    total = 0
+    for batch in bench_ds.select_columns([text_col]).iter_batches(
+        batch_format="pyarrow", batch_size=4096
+    ):
+        _, h = _full_window_hashes(batch.column(text_col), shingle)
+        if h.size:
+            h = np.unique(h)
+            total += h.size
+            if total > max_hashes:
+                raise ValueError(
+                    f"benchmark_shingle_set: >{max_hashes} distinct shingle hashes; "
+                    "the benchmark side must be the small one — broadcast it and "
+                    "stream the corpus, never the reverse"
+                )
+            chunks.append(h)
+    if not chunks:
+        return np.empty(0, dtype=np.uint64)
+    return np.unique(np.concatenate(chunks))
+
+
+def contamination_hits(
+    ds,
+    bench_ds=None,
+    *,
+    bench_hashes: np.ndarray | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 5,
+):
+    """Benchmark decontamination → Dataset (id, n_hits): for each corpus
+    document, the number of DISTINCT full ``shingle``-gram token windows it
+    shares with the benchmark set (docs with zero hits are dropped — the
+    common downstream is an anti-join removing contaminated docs).
+
+    Scale shape: the benchmark shingle-hash set is broadcast once
+    (``ray.put`` + per-worker cache); the corpus streams through one
+    ``map_batches`` pass — tokenize, Horner window hashes, one
+    ``searchsorted`` membership probe, per-doc distinct count via lexsort —
+    NO shuffle at any input size. Matching is on 61-bit window fingerprints;
+    a false hit needs a polynomial collision (~2⁻⁶¹ pairwise).
+
+    Pass either ``bench_ds`` (collected + broadcast here) or a precomputed
+    sorted ``bench_hashes`` from :func:`benchmark_shingle_set`.
+    """
+    import ray
+
+    if bench_hashes is None:
+        if bench_ds is None:
+            raise ValueError("contamination_hits: pass bench_ds or bench_hashes")
+        bench_hashes = benchmark_shingle_set(bench_ds, text_col=text_col, shingle=shingle)
+    ref = ray.put(np.ascontiguousarray(np.asarray(bench_hashes, dtype=np.uint64)))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        from .broadcast import get_broadcast
+
+        id_type = batch.schema.field(id_col).type
+        empty = pa.table(
+            {id_col: pa.array([], id_type), "n_hits": pa.array([], pa.int64())}
+        )
+        bh = get_broadcast(ref)
+        if batch.num_rows == 0 or bh.size == 0:
+            return empty
+        doc_idx, hashes = _full_window_hashes(batch.column(text_col), shingle)
+        if hashes.size == 0:
+            return empty
+        pos = np.searchsorted(bh, hashes)
+        pos_c = np.minimum(pos, bh.size - 1)
+        hit = bh[pos_c] == hashes
+        d, h = doc_idx[hit], hashes[hit]
+        if d.size == 0:
+            return empty
+        order = np.lexsort((h, d))
+        d, h = d[order], h[order]
+        first = np.ones(d.size, dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (h[1:] != h[:-1])
+        docs, n_hits = np.unique(d[first], return_counts=True)
+        return pa.table(
+            {
+                id_col: batch.column(id_col).take(pa.array(docs)),
+                "n_hits": pa.array(n_hits.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     """Exact n-gram Jaccard similarity between two texts."""
     sa = set(_shingle_hashes(text_a, shingle).tolist())

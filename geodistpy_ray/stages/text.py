@@ -445,3 +445,102 @@ def tfidf_topk(
         return topk_per_group_part(g, id_col, ["score", "token"], [False, True], k)
 
     return partitioned_map_groups(scored, id_col, topk_part)
+
+
+def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition features per document → Dataset
+    (id, n_tokens, n_distinct, top_tok, top_bigram).
+
+    The standard web-corpus repetition filters (fraction of the document
+    covered by its most frequent token / most frequent adjacent token pair,
+    distinct-token ratio) need only these four INTEGER counts — emitted as
+    exact int64 so the DuckDB mirror is bit-identical with no rounding
+    convention at all (count ratios can land exactly on a half-ulp of a
+    decimal rounding, where round-half-even vs half-away diverges; integers
+    sidestep the whole class).
+
+    Scale shape: each document's text lives in one row, so every stat is
+    per-batch local — NO shuffle, one vectorized pass: Arrow tokenize +
+    ``dictionary_encode``, then ``np.unique`` over composite (row, token)
+    keys for distinct/top-token and a two-step pair encoding for bigrams
+    (pair codes are dictionary-encoded before composing with the row index
+    so the composite key never exceeds rows × pairs — no u² overflow).
+
+    Documents with zero (non-empty) tokens produce no row, matching the SQL
+    mirror where an empty split yields no token rows. ``top_bigram`` is 0
+    for single-token documents.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        id_type = batch.schema.field(id_col).type
+        n = len(ids)
+        empty = pa.table(
+            {
+                id_col: pa.array([], id_type),
+                "n_tokens": pa.array([], pa.int64()),
+                "n_distinct": pa.array([], pa.int64()),
+                "top_tok": pa.array([], pa.int64()),
+                "top_bigram": pa.array([], pa.int64()),
+            }
+        )
+        if n == 0:
+            return empty
+        toks = pc.utf8_split_whitespace(
+            pc.utf8_lower(pc.fill_null(batch.column(text_col), ""))
+        )
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        row_idx = np.repeat(np.arange(n, dtype=np.int64), lens)[nonempty]
+        flat_clean = flat.filter(pa.array(nonempty))
+        if isinstance(flat_clean, pa.ChunkedArray):
+            flat_clean = flat_clean.combine_chunks()
+        if len(flat_clean) == 0:
+            return empty
+        de = pc.dictionary_encode(flat_clean)
+        tid = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        u = len(de.dictionary)
+
+        from .grouping import key_spans
+
+        n_tokens = np.bincount(row_idx, minlength=n)
+        # distinct + top-token: unique composite (row, token) keys with
+        # counts; uk is sorted so per-row maxima are span reductions
+        uk, cnt = np.unique(row_idx * u + tid, return_counts=True)
+        urow = uk // u
+        n_distinct = np.bincount(urow, minlength=n)
+        top_tok = np.zeros(n, dtype=np.int64)
+        s, _e = key_spans(urow)
+        top_tok[urow[s]] = np.maximum.reduceat(cnt, s)
+
+        # bigrams: adjacent positions that stay inside one document
+        # (row_idx is nondecreasing by construction of np.repeat)
+        top_bigram = np.zeros(n, dtype=np.int64)
+        if row_idx.size > 1:
+            same = row_idx[1:] == row_idx[:-1]
+            if same.any():
+                b_row = row_idx[:-1][same]
+                pair = tid[:-1][same] * u + tid[1:][same]
+                # re-encode pair codes densely before composing with the row
+                # so the composite stays ≤ rows × distinct-pairs (< 2^63)
+                upair, pinv = np.unique(pair, return_inverse=True)
+                bk, bcnt = np.unique(b_row * len(upair) + pinv, return_counts=True)
+                brow = bk // len(upair)
+                bs, _be = key_spans(brow)
+                top_bigram[brow[bs]] = np.maximum.reduceat(bcnt, bs)
+
+        keep = n_tokens > 0
+        return pa.table(
+            {
+                id_col: pa.array(ids[keep], id_type),
+                "n_tokens": pa.array(n_tokens[keep], pa.int64()),
+                "n_distinct": pa.array(n_distinct[keep], pa.int64()),
+                "top_tok": pa.array(top_tok[keep], pa.int64()),
+                "top_bigram": pa.array(top_bigram[keep], pa.int64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -594,3 +594,156 @@ class TestRedactPII:
             f"SELECT {redact_pii_sql('text')} FROM docs ORDER BY doc_id"
         ).fetchall()
         assert eng == [r[0] for r in sql]
+
+
+class TestRepetitionStats:
+    @staticmethod
+    def _reference(texts):
+        """Pure-Python Counter reference for the vectorized stage."""
+        from collections import Counter
+
+        rows = {}
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            c = Counter(toks)
+            bi = Counter(zip(toks, toks[1:]))
+            rows[i] = (len(toks), len(c), max(c.values()), max(bi.values()) if bi else 0)
+        return rows
+
+    def test_matches_python_reference(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import repetition_stats
+
+        texts = [
+            "a a a b",  # top bigram (a,a) occurs twice
+            "x",  # single token: no bigram
+            "",  # no tokens: no output row
+            "  spaced   out  ",  # edge whitespace must not create tokens
+            "b c b c b c",  # (b,c) x3 beats (c,b) x2
+            None,  # null text: no output row
+            "The the THE tHe",  # case-folds to one token x4
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        got = repetition_stats(ds).to_pandas().sort_values("doc_id")
+        exp = self._reference(texts)
+        assert got["doc_id"].tolist() == sorted(exp)
+        for _, r in got.iterrows():
+            assert (
+                r["n_tokens"],
+                r["n_distinct"],
+                r["top_tok"],
+                r["top_bigram"],
+            ) == exp[r["doc_id"]], r["doc_id"]
+
+    def test_random_corpus_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import repetition_stats
+
+        rng = np.random.default_rng(11)
+        vocab = np.array(list("abcdefgh"))
+        texts = [
+            " ".join(rng.choice(vocab, size=rng.integers(1, 40)))
+            for _ in range(300)
+        ]
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(300), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+        got = repetition_stats(ds).to_pandas().sort_values("doc_id")
+        exp = self._reference(texts)
+        assert len(got) == len(exp)
+        for _, r in got.iterrows():
+            assert (
+                r["n_tokens"],
+                r["n_distinct"],
+                r["top_tok"],
+                r["top_bigram"],
+            ) == exp[r["doc_id"]]
+
+
+class TestContamination:
+    @staticmethod
+    def _shingle_set(text, n):
+        toks = text.lower().split()
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    def test_hits_match_python_reference(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.dedup import contamination_hits
+
+        bench_texts = ["one two three four five", "alpha beta gamma delta"]
+        corpus = [
+            (10, "zero one two three four five six"),  # 3 shared trigrams
+            (11, "alpha beta gamma"),  # exactly its one trigram
+            (12, "nothing shared here at all"),  # zero hits: absent
+            (13, "one two three one two three"),  # duplicate window counts ONCE
+            (14, "two three"),  # shorter than the shingle: absent
+        ]
+        bench_set = set()
+        for t in bench_texts:
+            bench_set |= self._shingle_set(t, 3)
+        expected = {}
+        for i, t in corpus:
+            k = len(self._shingle_set(t, 3) & bench_set)
+            if k:
+                expected[i] = k
+
+        bench_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(bench_texts)), pa.int64()),
+                    "text": pa.array(bench_texts, pa.string()),
+                }
+            )
+        )
+        corpus_ds = rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([i for i, _ in corpus], pa.int64()),
+                    "text": pa.array([t for _, t in corpus], pa.string()),
+                }
+            )
+        )
+        got = contamination_hits(corpus_ds, bench_ds, shingle=3).to_pandas()
+        assert dict(zip(got["doc_id"], got["n_hits"])) == expected
+
+    def test_budget_guard(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.dedup import benchmark_shingle_set
+
+        ds = rd.from_arrow(
+            pa.table({"text": ["a b c d e f g h i j k l m n o p q r s t"]})
+        )
+        with pytest.raises(ValueError, match="small one"):
+            benchmark_shingle_set(ds, shingle=3, max_hashes=4)
+
+    def test_empty_benchmark_contaminates_nothing(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.dedup import contamination_hits
+
+        bench = rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+        )
+        corpus = rd.from_arrow(
+            pa.table({"doc_id": pa.array([1], pa.int64()), "text": ["x y z w"]})
+        )
+        got = contamination_hits(corpus, bench, shingle=3).to_pandas()
+        assert len(got) == 0
