@@ -559,6 +559,38 @@ def q_contaminated(sf_dir):
     return contamination_hits(corpus, bench, shingle=3)
 
 
+def q_shingle_pairs(sf_dir):
+    """Exact n-gram-overlap dedup join: doc pairs sharing >= 2 distinct
+    full 4-gram token windows, with the exact shared-window count. Two
+    bounded partitioned shuffles (window rows, then pair partials); pairs
+    pre-aggregated before leaving the window partition. shingle=4 against
+    the synthetic ~30-word vocabulary keeps the pair graph sparse
+    (production corpora use 8-13-gram windows for the same reason)."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import shingle_overlap_pairs
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return shingle_overlap_pairs(docs, shingle=4, min_common=2)
+
+
+def q_dup_clusters(sf_dir):
+    """Near-dup pair graph → dedup CLUSTERS via distributed min-label
+    propagation (the transitive-closure step every pair-emitting dedup
+    stage needs before dropping rows). Edges: docs sharing >= 3 distinct
+    4-gram windows; output labels each clustered doc with its component's
+    minimum doc_id. Oracle: the same edge set closed under a recursive
+    min-reachable CTE."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import shingle_overlap_pairs
+    from geodistpy_ray.stages.graph import connected_components
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    edges = shingle_overlap_pairs(docs, shingle=4, min_common=3)
+    return connected_components(edges, node_col="doc_id")
+
+
 def q_user_p90_sketch(sf_dir):
     """Per-key quantile via the FIXED-SIZE mergeable summary (the scale
     path for unbounded per-key cardinality — shuffles <= 16·b bytes per
@@ -1279,6 +1311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redacted_texts": q_redacted_texts,
         "rep_stats": q_rep_stats,
         "contaminated": q_contaminated,
+        "shingle_pairs": q_shingle_pairs,
+        "dup_clusters": q_dup_clusters,
         # redundant variants + composition queries last among oracle-matched:
         # every operator here has its OWN unique oracle row above, so if a
         # recording cap truncates the window these lose the least coverage
@@ -1589,6 +1623,47 @@ def oracle_sql() -> dict[str, str]:
             "hits AS (SELECT DISTINCT d.doc_id, d.s FROM sh d JOIN bench b ON d.s = b.s "
             "WHERE d.doc_id % 101 <> 7) "
             "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY doc_id"
+        ),
+        "shingle_pairs": (
+            # exact INTEGER shared-window counts — same fingerprint⇔string
+            # equivalence as `contaminated` (4-gram windows here)
+            "WITH arrs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a "
+            "FROM documents), "
+            "raw AS (SELECT doc_id, unnest(a) AS tok, unnest(range(1, len(a)+1)) AS pos "
+            "FROM arrs), "
+            "toks AS (SELECT doc_id, tok, pos FROM raw WHERE tok <> ''), "
+            "sh AS (SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || "
+            "LEAD(tok, 2) OVER w || ' ' || LEAD(tok, 3) OVER w AS s FROM toks "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY pos) "
+            "QUALIFY LEAD(tok, 3) OVER w IS NOT NULL), "
+            "d AS (SELECT DISTINCT doc_id, s FROM sh) "
+            "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+            "CAST(COUNT(*) AS BIGINT) AS n_common "
+            "FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 2"
+        ),
+        "dup_clusters": (
+            # transitive closure of the >=3-shared-window pair relation;
+            # MIN over reachable node ids ≡ the engine's min-label fixpoint
+            "WITH RECURSIVE arrs AS (SELECT doc_id, "
+            "string_split_regex(lower(text), '\\s+') AS a FROM documents), "
+            "raw AS (SELECT doc_id, unnest(a) AS tok, unnest(range(1, len(a)+1)) AS pos "
+            "FROM arrs), "
+            "toks AS (SELECT doc_id, tok, pos FROM raw WHERE tok <> ''), "
+            "sh AS (SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || "
+            "LEAD(tok, 2) OVER w || ' ' || LEAD(tok, 3) OVER w AS s FROM toks "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY pos) "
+            "QUALIFY LEAD(tok, 3) OVER w IS NOT NULL), "
+            "d AS (SELECT DISTINCT doc_id, s FROM sh), "
+            "pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb "
+            "FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+            "sym AS (SELECT ida AS src, idb AS dst FROM pairs "
+            "UNION ALL SELECT idb, ida FROM pairs), "
+            "nodes AS (SELECT DISTINCT src AS node FROM sym), "
+            "reach(node, r) AS (SELECT node, node FROM nodes "
+            "UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node) "
+            "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node"
         ),
         "tfidf_top3": (
             # the rounded score is the ORDERING KEY on both sides (see

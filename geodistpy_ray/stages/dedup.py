@@ -634,6 +634,108 @@ def contamination_hits(
     )
 
 
+def shingle_overlap_pairs(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 4,
+    min_common: int = 2,
+    n_parts: int = 64,
+    max_df: int | None = None,
+):
+    """Distributed n-gram-overlap dedup join → Dataset
+    (id_a, id_b, n_common): unordered doc pairs sharing at least
+    ``min_common`` DISTINCT full ``shingle``-gram token windows, with the
+    exact shared-window count. The scale form of the scalar
+    :func:`ngram_jaccard` numerator — and, unlike MinHash/SimHash, exact
+    and SQL-mirrorable (a self-join on shingle strings).
+
+    Scale shape: two bounded shuffles, both via
+    :func:`~.grouping.partitioned_map_groups` (never per-key groups).
+
+    1. one streaming pass emits distinct ``(window_hash, id)`` rows
+       (61-bit Horner fingerprints from the shared tokenize front-end);
+    2. hash-partition by window hash; inside a partition one sorted sweep
+       emits each window's doc pairs, PRE-AGGREGATED to per-pair partial
+       counts before leaving the partition;
+    3. hash-partition by (id_a, id_b); sum partials, keep ``>= min_common``.
+
+    ``max_df`` (document-frequency cap) drops windows occurring in more
+    than that many docs before pair expansion — the production stop-shingle
+    guard against the O(df²) blowup of boilerplate n-grams. Default None so
+    the result stays bit-identical to the SQL mirror; at corpus scale set
+    it (a window shared by thousands of docs carries no dedup signal).
+    """
+
+    def emit(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"window_hash": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        doc_idx, hashes = _full_window_hashes(batch.column(text_col), shingle)
+        if hashes.size == 0:
+            return empty
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[doc_idx]
+        # distinct (doc, window) — each doc lives in one row of one batch,
+        # so batch-local dedup is global dedup
+        h = hashes.astype(np.int64)  # 61-bit values: exact in int64
+        order = np.lexsort((h, ids))
+        ids, h = ids[order], h[order]
+        first = np.ones(ids.size, dtype=bool)
+        first[1:] = (ids[1:] != ids[:-1]) | (h[1:] != h[:-1])
+        return pa.table(
+            {"window_hash": pa.array(h[first]), id_col: pa.array(ids[first])}
+        )
+
+    rows = ds.select_columns([id_col, text_col]).map_batches(
+        emit, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["window_hash", id_col])
+        keys = g["window_hash"].to_numpy()
+        ids = g[id_col].to_numpy()
+        out_a, out_b = [], []
+        if keys.size:
+            for s, e in zip(*key_spans(keys, min_size=2)):
+                span = ids[s:e]  # already distinct per window (stage 1)
+                if max_df is not None and span.size > max_df:
+                    continue
+                ii, jj = np.triu_indices(span.size, k=1)
+                out_a.append(span[ii])
+                out_b.append(span[jj])
+        if not out_a:
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype=np.int64),
+                    "id_b": pd.Series(dtype=np.int64),
+                    "n_common": pd.Series(dtype=np.int64),
+                }
+            )
+        a = np.concatenate(out_a)
+        b = np.concatenate(out_b)
+        # pre-aggregate per pair inside the partition: ship one row per
+        # (pair, partition), not one per shared window
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        new = np.ones(a.size, dtype=bool)
+        new[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.append(starts, a.size))
+        return pd.DataFrame(
+            {"id_a": a[starts], "id_b": b[starts], "n_common": counts.astype(np.int64)}
+        )
+
+    partials = partitioned_map_groups(rows, "window_hash", pairs_part, n_parts=n_parts)
+
+    def sum_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(["id_a", "id_b"], as_index=False, sort=False)["n_common"].sum()
+        return agg[agg["n_common"] >= min_common]
+
+    return partitioned_map_groups(partials, ["id_a", "id_b"], sum_part, n_parts=n_parts)
+
+
 def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     """Exact n-gram Jaccard similarity between two texts."""
     sa = set(_shingle_hashes(text_a, shingle).tolist())

@@ -1,0 +1,167 @@
+"""Connected components + n-gram overlap pair tests."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _edges(pairs):
+    import ray.data as rd
+
+    a, b = zip(*pairs) if pairs else ((), ())
+    return rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array(list(a), pa.int64()),
+                "id_b": pa.array(list(b), pa.int64()),
+            }
+        )
+    )
+
+
+class TestConnectedComponents:
+    def test_chain_clique_pair(self, ray_session):
+        from geodistpy_ray.stages.graph import connected_components
+
+        # chain 1-2-3 (transitive), clique 10-11-12, disjoint pair (20,21)
+        cc = (
+            connected_components(_edges([(2, 1), (3, 2), (10, 11), (10, 12), (11, 12), (20, 21)]))
+            .to_pandas()
+            .set_index("node")["cluster_id"]
+            .to_dict()
+        )
+        assert cc == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    def test_long_chain_converges_and_cap_raises(self, ray_session):
+        from geodistpy_ray.stages.graph import connected_components
+
+        chain = [(i, i + 1) for i in range(12)]
+        cc = connected_components(_edges(chain)).to_pandas()
+        assert set(cc["cluster_id"]) == {0} and len(cc) == 13
+        # min-label propagation moves the 0 one hop per round: a cap below
+        # the chain depth must refuse loudly, not return a wrong fixpoint
+        with pytest.raises(RuntimeError, match="pointer-jumping"):
+            connected_components(_edges(chain), max_iters=3)
+
+    def test_python_reference_random_graph(self, ray_session):
+        from geodistpy_ray.stages.graph import connected_components
+
+        rng = np.random.default_rng(5)
+        pairs = {tuple(sorted(p)) for p in rng.integers(0, 60, size=(80, 2)) if p[0] != p[1]}
+        # union-find reference
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        exp = {n: find(n) for n in parent}
+        got = (
+            connected_components(_edges(sorted(pairs)))
+            .to_pandas()
+            .set_index("node")["cluster_id"]
+            .to_dict()
+        )
+        assert got == exp
+
+    def test_empty_edges(self, ray_session):
+        from geodistpy_ray.stages.graph import connected_components
+
+        assert connected_components(_edges([])).count() == 0
+
+
+class TestShingleOverlapPairs:
+    @staticmethod
+    def _docs(texts):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(range(len(texts)), pa.int64()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+        )
+
+    @staticmethod
+    def _reference(texts, shingle, min_common):
+        def sset(t):
+            toks = t.lower().split()
+            return {tuple(toks[i : i + shingle]) for i in range(len(toks) - shingle + 1)}
+
+        sets = [sset(t) for t in texts]
+        out = {}
+        for i in range(len(texts)):
+            for j in range(i + 1, len(texts)):
+                c = len(sets[i] & sets[j])
+                if c >= min_common:
+                    out[(i, j)] = c
+        return out
+
+    def test_matches_python_reference(self, ray_session):
+        from geodistpy_ray.stages.dedup import shingle_overlap_pairs
+
+        texts = [
+            "a b c d e f",
+            "x a b c d y",  # shares abc, bcd with 0 (3-grams)
+            "a b c q r s",  # shares abc with 0 and 1
+            "unrelated words only here",
+            "a b c d e f",  # exact dup of 0
+        ]
+        got = (
+            shingle_overlap_pairs(self._docs(texts), shingle=3, min_common=1)
+            .to_pandas()
+            .set_index(["id_a", "id_b"])["n_common"]
+            .to_dict()
+        )
+        assert got == self._reference(texts, 3, 1)
+
+    def test_min_common_threshold(self, ray_session):
+        from geodistpy_ray.stages.dedup import shingle_overlap_pairs
+
+        texts = ["a b c d e f", "x a b c d y", "a b c q r s"]
+        got = (
+            shingle_overlap_pairs(self._docs(texts), shingle=3, min_common=2)
+            .to_pandas()
+            .set_index(["id_a", "id_b"])["n_common"]
+            .to_dict()
+        )
+        assert got == {(0, 1): 2}
+
+    def test_max_df_drops_boilerplate_windows(self, ray_session):
+        from geodistpy_ray.stages.dedup import shingle_overlap_pairs
+
+        # the window "p q r" occurs in ALL four docs (df=4 > cap) and must
+        # not generate pairs; "m n o" (df=2) survives
+        texts = ["p q r m n o", "p q r m n o", "p q r zz ww", "p q r aa bb"]
+        got = (
+            shingle_overlap_pairs(self._docs(texts), shingle=3, min_common=1, max_df=3)
+            .to_pandas()
+            .set_index(["id_a", "id_b"])["n_common"]
+            .to_dict()
+        )
+        # docs 0/1 share "q r m", "r m n", "m n o" (each df=2); every other
+        # pair shared only the dropped boilerplate window
+        assert got == {(0, 1): 3}
+
+    def test_random_corpus_matches_reference(self, ray_session):
+        from geodistpy_ray.stages.dedup import shingle_overlap_pairs
+
+        rng = np.random.default_rng(17)
+        vocab = np.array(list("abcdefghij"))
+        texts = [" ".join(rng.choice(vocab, size=rng.integers(4, 25))) for _ in range(120)]
+        got = (
+            shingle_overlap_pairs(self._docs(texts), shingle=4, min_common=2)
+            .to_pandas()
+            .set_index(["id_a", "id_b"])["n_common"]
+            .to_dict()
+        )
+        assert got == self._reference(texts, 4, 2)
