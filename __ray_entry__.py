@@ -591,6 +591,46 @@ def q_dup_clusters(sf_dir):
     return connected_components(edges, node_col="doc_id")
 
 
+def q_capped_sources(sf_dir):
+    """Cap over-represented sources: at most 10 docs per source, selected
+    by deterministic id-hash rank (partition-independent, bit-reproducible
+    — never arrival order). One bounded partitioned shuffle."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import cap_per_key
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    return cap_per_key(docs, "source", k=10)
+
+
+def q_near_dedup(sf_dir):
+    """End-to-end near-dedup: overlap pair graph → connected components →
+    anti-join drops every non-representative (keeps each cluster's minimum
+    doc_id). The drop side is O(duplicates) — at web scale that is a large
+    fraction of the corpus, so the removal is a bucketed ANTI-JOIN shuffle,
+    not a broadcast filter."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import shingle_overlap_pairs
+    from geodistpy_ray.stages.graph import connected_components
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
+    )
+    edges = shingle_overlap_pairs(docs, shingle=4, min_common=3)
+    cc = connected_components(edges, node_col="doc_id")
+    drops = cc.map_batches(
+        lambda b: b.filter(pc.not_equal(b.column("cluster_id"), b.column("doc_id"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).select_columns(["doc_id"])
+    return shuffle_equi_join(
+        docs.select_columns(["doc_id", "n_chars"]), drops, "doc_id", join_type="left anti"
+    )
+
+
 def q_user_p90_sketch(sf_dir):
     """Per-key quantile via the FIXED-SIZE mergeable summary (the scale
     path for unbounded per-key cardinality — shuffles <= 16·b bytes per
@@ -1313,6 +1353,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contaminated": q_contaminated,
         "shingle_pairs": q_shingle_pairs,
         "dup_clusters": q_dup_clusters,
+        "capped_sources": q_capped_sources,
+        "near_dedup": q_near_dedup,
         # redundant variants + composition queries last among oracle-matched:
         # every operator here has its OWN unique oracle row above, so if a
         # recording cap truncates the window these lose the least coverage
@@ -1378,6 +1420,7 @@ def oracle_sql() -> dict[str, str]:
         query_points_sql,
     )
     from geodistpy_ray.sources.polygons import diamond_polygons_sql
+    from geodistpy_ray.stages.text import cap_rank_sql
 
     lat, lon = geocode_sql("doc_id")
     cell = cell_sql(lat, lon, CELL_DEG)
@@ -1664,6 +1707,40 @@ def oracle_sql() -> dict[str, str]:
             "reach(node, r) AS (SELECT node, node FROM nodes "
             "UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node) "
             "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node"
+        ),
+        "capped_sources": (
+            # same hash-rank ordering bit-for-bit (cap_rank_sql mirrors the
+            # engine's multiplier arithmetic); id asc breaks rank ties
+            "SELECT doc_id, source FROM ("
+            "SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
+            f"ORDER BY {cap_rank_sql('doc_id')}, doc_id) AS rn "
+            "FROM documents) WHERE rn <= 10"
+        ),
+        "near_dedup": (
+            # survivors = everything minus non-representative cluster
+            # members of the recursive-CTE closure (same edge set as
+            # dup_clusters)
+            "WITH RECURSIVE arrs AS (SELECT doc_id, "
+            "string_split_regex(lower(text), '\\s+') AS a FROM documents), "
+            "raw AS (SELECT doc_id, unnest(a) AS tok, unnest(range(1, len(a)+1)) AS pos "
+            "FROM arrs), "
+            "toks AS (SELECT doc_id, tok, pos FROM raw WHERE tok <> ''), "
+            "sh AS (SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || "
+            "LEAD(tok, 2) OVER w || ' ' || LEAD(tok, 3) OVER w AS s FROM toks "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY pos) "
+            "QUALIFY LEAD(tok, 3) OVER w IS NOT NULL), "
+            "d AS (SELECT DISTINCT doc_id, s FROM sh), "
+            "pairs AS (SELECT a.doc_id AS ida, b.doc_id AS idb "
+            "FROM d a JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id "
+            "GROUP BY 1, 2 HAVING COUNT(*) >= 3), "
+            "sym AS (SELECT ida AS src, idb AS dst FROM pairs "
+            "UNION ALL SELECT idb, ida FROM pairs), "
+            "nodes AS (SELECT DISTINCT src AS node FROM sym), "
+            "reach(node, r) AS (SELECT node, node FROM nodes "
+            "UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node), "
+            "cc AS (SELECT node, MIN(r) AS cid FROM reach GROUP BY node) "
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE doc_id NOT IN (SELECT node FROM cc WHERE cid <> node)"
         ),
         "tfidf_top3": (
             # the rounded score is the ORDERING KEY on both sides (see

@@ -242,6 +242,16 @@ def shuffle_equi_join(
         joined = _salted_inner_join(left, right, left_key, right_key, n_buckets)
         return joined
     combined, lvals, rvals = _union_bucketed(left, right, left_key, right_key, n_buckets)
+    # expected output types: Ray's groupby sort sometimes normalizes a
+    # reduce partition through a PANDAS block (observed when the union mixes
+    # empty pandas-origin blocks with Arrow ones), and a null-padded int64
+    # column round-trips pandas as float64 — so the group table can arrive
+    # with laundered dtypes. Cast the bucket result back to the harmonized
+    # schema (exact for integers < 2^53; the pandas detour itself is the
+    # precision ceiling, not this cast).
+    ls, rs = left.schema(), right.schema()
+    types = {**dict(zip(ls.names, ls.types)), **dict(zip(rs.names, rs.types))}
+    types[left_key] = ls.types[ls.names.index(left_key)]
 
     def join_bucket(t: pa.Table) -> pa.Table:
         side = t.column("__side")
@@ -250,7 +260,9 @@ def shuffle_equi_join(
         out = l.join(r, keys=[left_key], join_type=join_type)
         # Acero may reorder columns for right/outer types; normalize.
         want = [c for c in [left_key] + lvals + rvals if c in out.column_names]
-        return out.select(want)
+        out = out.select(want)
+        schema = pa.schema([(c, types[c]) for c in want])
+        return out if out.schema.equals(schema) else out.cast(schema)
 
     return combined.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
@@ -298,13 +310,19 @@ def _salted_inner_join(left, right, left_key, right_key, n_buckets):
         right.map_batches(pad(1), batch_format="pyarrow", zero_copy_batch=True)
     )
 
+    # same dtype-relaundering guard as shuffle_equi_join's join_bucket (a
+    # pandas-normalized reduce partition floats null-padded int columns)
+    types = {**ltypes, **rtypes, left_key: ltypes[left_key]}
+
     def join_bucket(t: pa.Table) -> pa.Table:
         side = t.column("__side")
         l = t.filter(pc.equal(side, 0)).select([left_key, "__salt"] + lvals)
         r = t.filter(pc.equal(side, 1)).select([left_key, "__salt"] + rvals)
         out = l.join(r, keys=[left_key, "__salt"], join_type="inner")
         want = [c for c in [left_key] + lvals + rvals if c in out.column_names]
-        return out.select(want)
+        out = out.select(want)
+        schema = pa.schema([(c, types[c]) for c in want])
+        return out if out.schema.equals(schema) else out.cast(schema)
 
     return combined.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 

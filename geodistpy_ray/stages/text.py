@@ -304,6 +304,49 @@ def sample_fraction(ds, pct: int, id_col: str = "doc_id", salt: int = 7):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+_CAP_MUL = 1812433253  # third distinct multiplier: cap rank must not
+# correlate with split assignment or sample membership (a shared
+# multiplier would make "the docs a cap keeps" a fixed slice of a split)
+
+
+def cap_per_key(ds, key_col: str, id_col: str = "doc_id", k: int = 10, n_parts: int = 64):
+    """Deterministic per-key downsampling cap → at most ``k`` rows per key
+    (all columns pass through). The "cap over-represented domains" op of a
+    web-corpus pipeline: sources/hosts follow a power law, and training
+    mixes cap each one rather than letting the head dominate.
+
+    Selection is by integer-hash rank (``((id % 1e6) * _CAP_MUL) % 1e6``,
+    ties broken by id), NOT by arrival order — membership is a pure
+    function of the id, so it is partition-independent, rerunnable, and
+    bit-reproducible in SQL (``ROW_NUMBER() OVER (PARTITION BY key ORDER
+    BY b, id) <= k``). One bounded shuffle via
+    :func:`~.grouping.partitioned_map_groups`; inside a partition every
+    key's rank is one lexsort + span sweep, never a per-key group.
+    """
+    from .grouping import key_spans, partitioned_map_groups
+
+    def cap_part(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[id_col].to_numpy().astype(np.int64)
+        b = ((ids % _SPLIT_MOD) * _CAP_MUL) % _SPLIT_MOD
+        keys = g[key_col].to_numpy()
+        order = np.lexsort((ids, b, keys))
+        sk = keys[order]
+        rank = np.arange(sk.size, dtype=np.int64)
+        starts, _ends = key_spans(sk)
+        rank -= np.repeat(starts, np.diff(np.append(starts, sk.size)))
+        return g.iloc[order[rank < k]]
+
+    return partitioned_map_groups(ds, key_col, cap_part, n_parts=n_parts)
+
+
+def cap_rank_sql(id_col: str = "doc_id") -> str:
+    """SQL ORDER-BY expression mirroring :func:`cap_per_key`'s rank hash
+    bit-for-bit (non-negative inner mod: SQL ``%`` follows the dividend's
+    sign, numpy's the divisor's)."""
+    nn = f"CAST(((({id_col}) % {_SPLIT_MOD} + {_SPLIT_MOD}) % {_SPLIT_MOD}) AS BIGINT)"
+    return f"(({nn} * {_CAP_MUL}) % {_SPLIT_MOD})"
+
+
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/:?#]+)"
 
 

@@ -165,3 +165,62 @@ class TestShingleOverlapPairs:
             .to_dict()
         )
         assert got == self._reference(texts, 4, 2)
+
+
+class TestCapPerKey:
+    def test_cap_respected_and_partition_independent(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import cap_per_key
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(300), pa.int64()),
+                "source": pa.array([f"s{i % 7}" for i in range(300)], pa.string()),
+            }
+        )
+        a = cap_per_key(rd.from_arrow(t), "source", k=5).to_pandas()
+        b = cap_per_key(rd.from_arrow(t).repartition(13), "source", k=5).to_pandas()
+        assert a["source"].value_counts().max() == 5 and len(a) == 35
+        assert sorted(a["doc_id"]) == sorted(b["doc_id"])  # membership is id-pure
+
+    def test_matches_sql_mirror(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import cap_per_key, cap_rank_sql
+
+        t = pa.table(
+            {
+                "doc_id": pa.array([3, -8, 17, 21, 1000004, 5, -2, 7, 11, 13], pa.int64()),
+                "source": pa.array(["a"] * 5 + ["b"] * 5, pa.string()),
+            }
+        )
+        got = sorted(
+            cap_per_key(rd.from_arrow(t), "source", k=3).to_pandas()["doc_id"]
+        )
+        con = duckdb.connect()
+        con.register("docs", t)
+        exp = sorted(
+            r[0]
+            for r in con.execute(
+                "SELECT doc_id FROM (SELECT doc_id, ROW_NUMBER() OVER ("
+                f"PARTITION BY source ORDER BY {cap_rank_sql('doc_id')}, doc_id) AS rn "
+                "FROM docs) WHERE rn <= 3"
+            ).fetchall()
+        )
+        assert got == exp
+
+    def test_keys_below_cap_untouched(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import cap_per_key
+
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "source": pa.array(["x", "x", "y", "z"], pa.string()),
+            }
+        )
+        out = cap_per_key(rd.from_arrow(t), "source", k=10).to_pandas()
+        assert sorted(out["doc_id"]) == [0, 1, 2, 3]
