@@ -1302,12 +1302,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "geocode_cells": q_geocode_cells,
         "cell_counts": q_cell_counts,
-        "tile_coarse": q_tile_coarse,
         "dist_to_origin": q_dist_to_origin,
         "radius_join": q_radius,
-        "radius_cells": q_radius_cells,
         "knn": q_knn,
-        "knn_cells": q_knn_cells,
         "knn_indexed": q_knn_indexed,
         "pip_join": q_pip,
         "polar_caps": q_polar_caps,
@@ -1317,7 +1314,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "token_counts": q_token_counts,
         "quality": q_quality,
-        "lang_counts": q_lang_counts,
         "ann_topk": q_ann_topk,
         "embed_near_dup": q_embed_near_dup,
         "dimwise_pairs": q_dimwise_pairs,
@@ -1329,7 +1325,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_totals": q_running_totals,
         "rolling_counts": q_rolling_counts,
         "q1_pricing": q_q1_pricing,
-        "events_agg": q_events_agg,
         "mktsegment_revenue": q_mktsegment_revenue,
         "asof_click_view": q_asof_click_view,
         "range_buckets": q_range_buckets,
@@ -1364,8 +1359,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # filter_project: the pruned read + filter + project path every
         # other query exercises; user_median_value: grouped_median is
         # grouped_quantile's machinery at q=0.5 and user_p90_value stays
-        # in-window; orders_by_month + source_stats: grouped_sum's 4th/5th
-        # rows — q1_pricing/cell_counts/mktsegment cover the operator)
+        # in-window; orders_by_month + source_stats + events_agg +
+        # lang_counts: grouped-agg family rows — q1_pricing/cell_counts/
+        # user_value_range cover the operator (events_agg still exercises
+        # final='partials' in check_oracle); radius_cells + knn_cells:
+        # cell-ROUTED variants of radius_join/knn — same operator contract,
+        # different routing, still verified every round by check_oracle;
+        # tile_coarse: the hierarchy rollup over cell_counts' operator)
+        "tile_coarse": q_tile_coarse,
+        "radius_cells": q_radius_cells,
+        "knn_cells": q_knn_cells,
+        "lang_counts": q_lang_counts,
+        "events_agg": q_events_agg,
         "tfidf_top3": q_tfidf_top3,
         "top_customers": q_top_customers,
         "filter_project": q_filter_project,
