@@ -603,6 +603,30 @@ def q_capped_sources(sf_dir):
     return cap_per_key(docs, "source", k=10)
 
 
+def q_dedup_lines(sf_dir):
+    """Line/paragraph-level exact dedup (CCNet / RefinedWeb boilerplate
+    removal): drop every text segment occurring in >= 2 distinct documents,
+    keep surviving segments in order; docs whose every segment was
+    boilerplate vanish. The synthetic corpus carries no newlines, so the
+    query synthesizes line structure deterministically (every ' data '
+    separator becomes a newline — mirrored verbatim by SQL ``replace``,
+    both engines scan left-to-right non-overlapping) and the stage itself
+    stays general."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import dedup_lines
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+    def with_lines(batch: pa.Table) -> pa.Table:
+        t = pc.replace_substring(pc.fill_null(batch.column("text"), ""), " data ", "\n")
+        return batch.set_column(batch.schema.get_field_index("text"), "text", t)
+
+    docs = docs.map_batches(with_lines, batch_format="pyarrow", zero_copy_batch=True)
+    return dedup_lines(docs, min_docs=2)
+
+
 def q_near_dedup(sf_dir):
     """End-to-end near-dedup: overlap pair graph → connected components →
     anti-join drops every non-representative (keeps each cluster's minimum
@@ -1349,11 +1373,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_pairs": q_shingle_pairs,
         "dup_clusters": q_dup_clusters,
         "capped_sources": q_capped_sources,
-        "near_dedup": q_near_dedup,
+        "dedup_lines": q_dedup_lines,
         # redundant variants + composition queries last among oracle-matched:
         # every operator here has its OWN unique oracle row above, so if a
         # recording cap truncates the window these lose the least coverage
-        # (tfidf_top3 composes token_df + the shuffle join + per-key top-k,
+        # (near_dedup composes shingle_pairs + dup_clusters + the anti-join,
+        # each with its own in-window row — dedup_lines takes its slot as a
+        # genuinely new operator (order-preserving segment reassembly);
+        # tfidf_top3 composes token_df + the shuffle join + per-key top-k,
         # each with its own row; top_customers: top-k + broadcast join,
         # covered by top_events_per_user + mktsegment_revenue;
         # filter_project: the pruned read + filter + project path every
@@ -1366,6 +1393,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cell-ROUTED variants of radius_join/knn — same operator contract,
         # different routing, still verified every round by check_oracle;
         # tile_coarse: the hierarchy rollup over cell_counts' operator)
+        "near_dedup": q_near_dedup,
         "tile_coarse": q_tile_coarse,
         "radius_cells": q_radius_cells,
         "knn_cells": q_knn_cells,
@@ -1720,6 +1748,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, source, ROW_NUMBER() OVER (PARTITION BY source "
             f"ORDER BY {cap_rank_sql('doc_id')}, doc_id) AS rn "
             "FROM documents) WHERE rn <= 10"
+        ),
+        "dedup_lines": (
+            # same synthesized line structure (replace is left-to-right
+            # non-overlapping in both engines), line-equality on the
+            # STRING, order-preserving reassembly; docs with no surviving
+            # line drop out of the GROUP BY on both sides
+            "WITH d AS (SELECT doc_id, replace(text, ' data ', chr(10)) AS t "
+            "FROM documents), "
+            "l AS (SELECT doc_id, i AS idx, parts[i] AS line "
+            "FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d), "
+            "UNNEST(generate_series(1, len(parts))) AS u(i)), "
+            "dup AS (SELECT line FROM l GROUP BY line "
+            "HAVING count(DISTINCT doc_id) >= 2) "
+            "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text "
+            "FROM l ANTI JOIN dup USING (line) GROUP BY doc_id"
         ),
         "near_dedup": (
             # survivors = everything minus non-representative cluster

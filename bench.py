@@ -242,6 +242,31 @@ def table_rows(sf_dir: str, table: str) -> int:
     return pq.ParquetFile(f"{sf_dir}/{table}.parquet").metadata.num_rows
 
 
+def _stat_ticks():
+    """Cumulative CPU tick counters from /proc/stat (user..steal), or None
+    off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return None
+
+
+def steal_between(s0, s1):
+    """Fraction of CPU time STOLEN by the hypervisor between two
+    ``_stat_ticks`` snapshots — the direct instrument for this box's
+    interference: the single-core calibration probe stays in its quiet band
+    (it only needs one healthy vCPU timeslice) while a measured 18% steal
+    with a 2.5x per-vCPU service spread was observed to slow 32-CPU legs
+    ~30% and 8-CPU legs ~4%. Recorded per timed sample so a reader can
+    attribute any slow sample to the environment from the JSON itself."""
+    if s0 is None or s1 is None:
+        return None
+    d = [b - a for a, b in zip(s0, s1)]
+    tot = sum(d)
+    return round(d[7] / tot, 4) if tot and len(d) > 7 else None
+
+
 def calibration_probe() -> float:
     """Fixed single-core workload (200k seeded Vincenty pairs, best of 3) →
     M pairs/s. Recorded alongside every bench run so a reader can tell a
@@ -301,7 +326,7 @@ def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
     for t in ("orders", "documents", "embeddings", "events", "customer"):
         rd.read_parquet(f"{sf_dir}/{t}.parquet").count()
 
-    times, rows, rps = {}, {}, {}
+    times, rows, rps, steal = {}, {}, {}, {}
     reps = int(os.environ.get("GRAFT_BENCH_REPS", 3))
     for name, (fn, table) in BENCH.items():
         if only and name not in only:
@@ -312,12 +337,16 @@ def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
         # code's speed. Interference is strictly additive, so min estimates
         # uncontended capability (BASELINE.md documents the protocol).
         fn(sf_dir)
-        dt = float("inf")
+        dt, steal_at_min = float("inf"), None
         for _ in range(reps):
+            st0 = _stat_ticks()
             t0 = time.perf_counter()
             fn(sf_dir)
-            dt = min(dt, time.perf_counter() - t0)
+            t = time.perf_counter() - t0
+            if t < dt:
+                dt, steal_at_min = t, steal_between(st0, _stat_ticks())
         times[name] = round(dt, 4)
+        steal[name] = steal_at_min
         rows[name] = table_rows(sf_dir, table)
         rps[name] = round(rows[name] / dt)
 
@@ -332,6 +361,7 @@ def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
         "sf": sf_dir,
         "num_cpus": num_cpus,
         "calibration_mpairs_per_sec": calib,
+        "steal_at_best_sample": steal,
     }
     ray.shutdown()
     return result
@@ -448,11 +478,13 @@ def run_headline_scaled(sf_dir: str, num_cpus: int, replicate: int = 512) -> dic
     n_samples = int(
         os.environ.get("GRAFT_SCALING_SAMPLES", 7 if num_cpus >= 32 else 4)
     )
-    samples = []
+    samples, steals = [], []
     for _ in range(n_samples):
+        st0 = _stat_ticks()
         t0 = time.perf_counter()
         _scaling_pipeline(sf_dir, replicate=replicate)
         samples.append(time.perf_counter() - t0)
+        steals.append(steal_between(st0, _stat_ticks()))
     dt = min(samples)
     n = table_rows(sf_dir, "lineitem") * replicate
     result = {
@@ -460,6 +492,7 @@ def run_headline_scaled(sf_dir: str, num_cpus: int, replicate: int = 512) -> dic
         "value": round(dt, 4),
         "unit": "sec",
         "samples": [round(x, 4) for x in samples],
+        "steal_per_sample": steals,
         "rows": {"spatial_pipeline": n},
         "num_cpus": num_cpus,
         "sf": sf_dir,
@@ -513,6 +546,8 @@ def run_scaling(sf_dir: str, rounds: int = 3) -> dict:
                 "sec_8": p[8]["value"],
                 "sec_32": p[32]["value"],
                 "eff": round((p[8]["value"] / p[32]["value"]) / 4, 3),
+                "steal_8": p[8].get("steal_per_sample"),
+                "steal_32": p[32].get("steal_per_sample"),
             }
             for p in pairs
         ],

@@ -1028,3 +1028,127 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_h
     from .relational import distinct
 
     return distinct(pairs, ["id_a", "id_b", "hamming"])
+
+
+# ---------------------------------------------------------------------------
+# Line / paragraph-level exact dedup (CCNet / RefinedWeb-style: drop text
+# segments that repeat across many documents — boilerplate, nav bars,
+# cookie banners — while keeping the documents themselves).
+
+
+def explode_lines(ds, id_col: str = "doc_id", text_col: str = "text", sep: str = "\n"):
+    """``(doc_id, text)`` → one row per segment: ``(doc_id, line_idx, line)``.
+
+    Fully vectorized: one Arrow ``split_pattern`` per batch, then the list
+    offsets drive ``np.repeat`` for ids and an arange-minus-starts for the
+    in-document index. No per-row Python.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        texts = batch.column(text_col).combine_chunks()
+        if isinstance(texts, pa.ChunkedArray):  # 0-chunk edge
+            texts = pa.concat_arrays(texts.chunks or [pa.array([], pa.string())])
+        import pyarrow.compute as pc
+
+        parts = pc.split_pattern(pc.fill_null(texts, ""), sep)
+        offsets = parts.offsets.to_numpy(zero_copy_only=False)
+        lengths = np.diff(offsets)
+        ids = np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False), lengths)
+        total = int(lengths.sum())
+        starts = np.repeat(offsets[:-1], lengths)
+        idx = np.arange(total, dtype=np.int64) - starts
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "line_idx": pa.array(idx, pa.int64()),
+                "line": parts.flatten(),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def duplicated_lines(
+    lines, id_col: str = "doc_id", min_docs: int = 2, n_parts: int = 64
+):
+    """Lines appearing in ≥ ``min_docs`` DISTINCT documents → one-column
+    Dataset ``(line)``.
+
+    Scale shape: a batch-local ``(line, doc)`` distinct prunes within-doc
+    repeats before the one hash-partitioned shuffle (grouping on the line
+    STRING itself — exact SQL string-equality semantics, no hash-collision
+    caveat; pre-hashing to 128 bits is the documented bandwidth
+    optimization if line bytes ever dominate the exchange). The output is
+    O(boilerplate lines), never the corpus.
+    """
+
+    def project(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.select(["line", id_col])
+        return t.group_by(["line", id_col]).aggregate([]) if t.num_rows else t
+
+    pairs = lines.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        # distinct again ACROSS batches (a doc spans one batch, but the
+        # same (line, doc) pair can arrive from several batches only if a
+        # doc was split — it is not; this is belt-and-braces for callers
+        # feeding pre-exploded rows), then distinct-doc count per line
+        n = g.drop_duplicates(["line", id_col]).groupby("line", sort=False).size()
+        keep = n[n >= min_docs]
+        return pd.DataFrame({"line": keep.index.to_numpy()})
+
+    return partitioned_map_groups(pairs, "line", count_part, n_parts=n_parts)
+
+
+def dedup_lines(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+    n_parts: int = 64,
+    out_col: str = "clean_text",
+):
+    """Remove every line that occurs in ≥ ``min_docs`` distinct documents,
+    preserving the order of the surviving lines; documents whose every line
+    was boilerplate are dropped entirely (mirrors the SQL ``GROUP BY``
+    after the anti-join, which emits no row for them).
+
+    Three narrow exchanges at any scale: the duplicate-line count
+    (hash-partitioned on line), the bucketed ANTI-join of lines against
+    the duplicate set (the dup side is O(boilerplate) — potentially a
+    large corpus fraction at web scale, so it shuffles and is never
+    broadcast, same reasoning as ``near_dedup``), and the per-document
+    reassembly (hash-partitioned on doc id, list-offset ``binary_join`` —
+    no per-group Python). The exploded lines feed two consumers and are
+    recomputed rather than materialized: the explode is one Arrow kernel,
+    cheaper at 100 TB than pinning a corpus-sized intermediate in the
+    object store.
+    """
+    from .joins import shuffle_equi_join
+
+    lines = explode_lines(ds, id_col=id_col, text_col=text_col, sep=sep)
+    dup = duplicated_lines(lines, id_col=id_col, min_docs=min_docs, n_parts=n_parts)
+    kept = shuffle_equi_join(
+        lines, dup, left_key="line", join_type="left anti", n_buckets=n_parts
+    )
+
+    def assemble_part(g: pd.DataFrame) -> pd.DataFrame:
+        import pyarrow.compute as pc
+
+        if not len(g):
+            return pd.DataFrame({id_col: pd.Series(dtype=np.int64), out_col: pd.Series(dtype=object)})
+        ids = g[id_col].to_numpy()
+        order = np.lexsort((g["line_idx"].to_numpy(), ids))
+        ids = ids[order]
+        line_arr = pa.array(g["line"].to_numpy()[order], pa.string())
+        starts = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        offs = np.concatenate([starts, [ids.size]]).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), line_arr), sep
+        )
+        return pd.DataFrame({id_col: ids[starts], out_col: joined.to_pandas().to_numpy()})
+
+    return partitioned_map_groups(kept, id_col, assemble_part, n_parts=n_parts)

@@ -747,3 +747,60 @@ class TestContamination:
         )
         got = contamination_hits(corpus, bench, shingle=3).to_pandas()
         assert len(got) == 0
+
+
+class TestDedupLines:
+    @pytest.fixture(scope="class")
+    def line_docs(self, ray_session):
+        import ray.data as rd
+
+        rows = {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "cookie banner\nunique alpha\nnav bar",
+                "cookie banner\nunique beta\nnav bar",
+                "cookie banner\nnav bar",  # all boilerplate → doc drops
+                "self repeat\nself repeat\nunique gamma",  # within-doc repeat: 1 doc
+                "unique delta",
+            ],
+        }
+        return rd.from_arrow(pa.table(rows))
+
+    def test_removes_cross_doc_lines_keeps_order(self, line_docs):
+        from geodistpy_ray.stages.dedup import dedup_lines
+
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in dedup_lines(line_docs, min_docs=2).take_all()
+        }
+        # boilerplate lines (>=2 distinct docs) removed everywhere; doc 2
+        # had nothing else and disappears; doc 3's within-doc repeat counts
+        # ONE distinct doc so both copies survive, in order
+        assert out == {
+            0: "unique alpha",
+            1: "unique beta",
+            3: "self repeat\nself repeat\nunique gamma",
+            4: "unique delta",
+        }
+
+    def test_explode_indices(self, line_docs):
+        from geodistpy_ray.stages.dedup import explode_lines
+
+        rows = explode_lines(line_docs).take_all()
+        got = sorted((r["doc_id"], r["line_idx"], r["line"]) for r in rows)
+        assert (0, 0, "cookie banner") in got
+        assert (0, 2, "nav bar") in got
+        assert (3, 1, "self repeat") in got
+        assert len(got) == 3 + 3 + 2 + 3 + 1
+
+    def test_min_docs_threshold(self, line_docs):
+        from geodistpy_ray.stages.dedup import dedup_lines
+
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in dedup_lines(line_docs, min_docs=3).take_all()
+        }
+        # only 'cookie banner'/'nav bar' in 3 docs... cookie banner: docs
+        # 0,1,2 → 3 docs → removed; nav bar: docs 0,1,2 → removed too
+        assert out[0] == "unique alpha"
+        assert out[3] == "self repeat\nself repeat\nunique gamma"
