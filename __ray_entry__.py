@@ -627,6 +627,19 @@ def q_dedup_lines(sf_dir):
     return dedup_lines(docs, min_docs=2)
 
 
+def q_dedup_spans(sf_dir):
+    """Exact substring-span dedup (Lee et al. 2022, token-granular): every
+    token covered by a 5-token window occurring in >= 2 distinct docs is
+    removed from EVERY holder; survivors of lower(text) reassemble in
+    order; fully-covered docs drop."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import dedup_spans
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return dedup_spans(docs, k=5, min_docs=2)
+
+
 def q_near_dedup(sf_dir):
     """End-to-end near-dedup: overlap pair graph → connected components →
     anti-join drops every non-representative (keeps each cluster's minimum
@@ -1377,7 +1390,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # redundant variants + composition queries last among oracle-matched:
         # every operator here has its OWN unique oracle row above, so if a
         # recording cap truncates the window these lose the least coverage
-        # (near_dedup composes shingle_pairs + dup_clusters + the anti-join,
+        # (dedup_spans is first PAST the window by design: it shares the
+        # duplicated-segment machinery dedup_lines' in-window row already
+        # value-checks — count pass, semi/anti join, ordered reassembly —
+        # adding window hashing (covered by contaminated/shingle_pairs) and
+        # the coverage sweep, which its pytest suite pins;
+        # near_dedup composes shingle_pairs + dup_clusters + the anti-join,
         # each with its own in-window row — dedup_lines takes its slot as a
         # genuinely new operator (order-preserving segment reassembly);
         # tfidf_top3 composes token_df + the shuffle join + per-key top-k,
@@ -1393,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cell-ROUTED variants of radius_join/knn — same operator contract,
         # different routing, still verified every round by check_oracle;
         # tile_coarse: the hierarchy rollup over cell_counts' operator)
+        "dedup_spans": q_dedup_spans,
         "near_dedup": q_near_dedup,
         "tile_coarse": q_tile_coarse,
         "radius_cells": q_radius_cells,
@@ -1763,6 +1782,34 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(DISTINCT doc_id) >= 2) "
             "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text "
             "FROM l ANTI JOIN dup USING (line) GROUP BY doc_id"
+        ),
+        "dedup_spans": (
+            # positions index the empty-filtered token stream (ROW_NUMBER
+            # after the filter — consecutive, so the BETWEEN arithmetic
+            # matches the engine's coverage sweep); window identity is the
+            # joined token string (the engine ships the Horner hash of the
+            # same window — equality coincides absent 61-bit collisions)
+            "WITH arrs AS (SELECT doc_id, "
+            "string_split_regex(lower(text), '\\s+') AS a FROM documents), "
+            "raw AS (SELECT doc_id, unnest(a) AS tok, "
+            "unnest(range(1, len(a)+1)) AS rp FROM arrs), "
+            "toks AS (SELECT doc_id, tok, ROW_NUMBER() OVER "
+            "(PARTITION BY doc_id ORDER BY rp) - 1 AS pos "
+            "FROM raw WHERE tok <> ''), "
+            "w AS (SELECT doc_id, pos AS s, tok || ' ' || "
+            "LEAD(tok,1) OVER win || ' ' || LEAD(tok,2) OVER win || ' ' || "
+            "LEAD(tok,3) OVER win || ' ' || LEAD(tok,4) OVER win AS wstr "
+            "FROM toks WINDOW win AS (PARTITION BY doc_id ORDER BY pos) "
+            "QUALIFY LEAD(tok,4) OVER win IS NOT NULL), "
+            "dupw AS (SELECT wstr FROM (SELECT DISTINCT doc_id, wstr FROM w) "
+            "GROUP BY wstr HAVING COUNT(*) >= 2), "
+            "st AS (SELECT doc_id, s FROM w SEMI JOIN dupw USING (wstr)), "
+            "cov AS (SELECT DISTINCT t.doc_id, t.pos FROM toks t JOIN st "
+            "ON t.doc_id = st.doc_id AND t.pos BETWEEN st.s AND st.s + 4), "
+            "kept AS (SELECT t.doc_id, t.tok, t.pos FROM toks t "
+            "ANTI JOIN cov USING (doc_id, pos)) "
+            "SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text "
+            "FROM kept GROUP BY doc_id"
         ),
         "near_dedup": (
             # survivors = everything minus non-representative cluster

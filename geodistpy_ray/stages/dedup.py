@@ -505,8 +505,12 @@ def _bucket_pairs_partitioned(band_rows, key_col: str, id_col: str, n_parts: int
     return partitioned_map_groups(band_rows, key_col, pairs_part, n_parts=n_parts)
 
 
-def _full_window_hashes(texts, shingle: int, token_cache: dict | None = None):
-    """FULL k-gram window hashes only → (doc_idx, uint64 hashes).
+def _full_window_hashes(
+    texts, shingle: int, token_cache: dict | None = None, with_starts: bool = False
+):
+    """FULL k-gram window hashes only → (doc_idx, uint64 hashes), plus each
+    window's in-document start position (an index into the doc's
+    empty-filtered token stream) when ``with_starts=True``.
 
     Same token-hash stream and Horner polynomial as
     :func:`_shingle_hashes_batch`, but documents with fewer than ``shingle``
@@ -520,7 +524,8 @@ def _full_window_hashes(texts, shingle: int, token_cache: dict | None = None):
     W = T - shingle + 1
     full = np.flatnonzero(counts >= shingle)
     if counts.size == 0 or W <= 0 or full.size == 0:
-        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64))
+        return empty + (np.empty(0, dtype=np.int64),) if with_starts else empty
     h_flat = _mod61(h_full)
     acc = h_flat[:W].copy()
     for j in range(1, shingle):
@@ -530,7 +535,8 @@ def _full_window_hashes(texts, shingle: int, token_cache: dict | None = None):
     tot = int(m_full.sum())
     base_in = np.repeat(starts[full], m_full)
     ramp = np.arange(tot, dtype=np.int64) - np.repeat(np.cumsum(m_full) - m_full, m_full)
-    return np.repeat(full, m_full), acc[base_in + ramp]
+    out = (np.repeat(full, m_full), acc[base_in + ramp])
+    return out + (ramp,) if with_starts else out
 
 
 def benchmark_shingle_set(
@@ -1152,3 +1158,172 @@ def dedup_lines(
         return pd.DataFrame({id_col: ids[starts], out_col: joined.to_pandas().to_numpy()})
 
     return partitioned_map_groups(kept, id_col, assemble_part, n_parts=n_parts)
+
+
+# ---------------------------------------------------------------------------
+# Exact substring-span dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — token-granular approximation: instead of a
+# corpus suffix array, spans are the union of k-token windows that repeat
+# across documents, which is the same family of repeated-substring removal
+# expressed as three narrow Ray Data exchanges).
+
+
+def dedup_spans(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    min_docs: int = 2,
+    n_parts: int = 64,
+    out_col: str = "clean_text",
+):
+    """Remove every token covered by a k-token window occurring in >=
+    ``min_docs`` DISTINCT documents; output the surviving tokens of
+    ``lower(text)`` in order, one row per doc with >= 1 surviving token.
+
+    Semantics notes (all mirrored by the SQL oracle): tokenization is
+    whitespace-split of the lowercased text with empty tokens dropped, and
+    positions index that filtered stream; a window repeated only WITHIN one
+    doc does not count toward ``min_docs`` (within-doc repeats are Gopher
+    territory — `repetition_stats`); every occurrence of a cross-doc window
+    is removed from every doc holding it, including the first.
+
+    Scale shape — three exchanges, none corpus-amplified:
+    1. duplicate-window count: per-batch distinct ``(window_hash, doc)``
+       rows (16 B each — the 61-bit Horner window hash ships, never the
+       k-token window STRING, avoiding the k× byte amplification; at
+       corpus sizes where 61-bit birthday collisions matter, widen to a
+       second decorrelated polynomial) → hash-partitioned distinct-doc
+       count → the O(boilerplate) dup-window set.
+    2. dup-occurrence positions: bucketed SEMI-join of window rows against
+       the dup set.
+    3. coverage + rebuild: union of the token stream and the dup starts,
+       hash-partitioned on doc id; per partition, covered positions are
+       computed with two ``searchsorted`` passes over composite
+       ``(doc, pos)`` keys (+1 at span start, -1 past span end — no
+       per-doc Python), and survivors reassemble via the list-offset
+       ``binary_join`` idiom.
+    Window rows feed two consumers and are recomputed, not materialized
+    (one Arrow tokenize + a Horner sweep — cheaper at scale than pinning a
+    corpus-sized intermediate).
+    """
+    import pyarrow.compute as pc
+
+    from .joins import shuffle_equi_join
+
+    def win_rows(batch: pa.Table) -> pa.Table:
+        di, wh, st = _full_window_hashes(batch.column(text_col), k, with_starts=True)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(ids[di]),
+                "start": pa.array(st, pa.int64()),
+                "win_h": pa.array(wh.astype(np.int64), pa.int64()),
+            }
+        )
+
+    wins = ds.map_batches(win_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def project(batch: pa.Table) -> pa.Table:
+        t = batch.select(["win_h", id_col])
+        return t.group_by(["win_h", id_col]).aggregate([]) if t.num_rows else t
+
+    pairs = wins.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        n = g.drop_duplicates(["win_h", id_col]).groupby("win_h", sort=False).size()
+        keep = n[n >= min_docs]
+        return pd.DataFrame({"win_h": keep.index.to_numpy(dtype=np.int64)})
+
+    dup = partitioned_map_groups(pairs, "win_h", count_part, n_parts=n_parts)
+    dup_starts = shuffle_equi_join(
+        wins, dup, left_key="win_h", join_type="left semi", n_buckets=n_parts
+    ).select_columns([id_col, "start"])
+
+    def tok_rows(batch: pa.Table) -> pa.Table:
+        texts = pc.fill_null(batch.column(text_col), "")
+        toks = pc.utf8_split_whitespace(pc.utf8_lower(texts))
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        ids = np.repeat(batch.column(id_col).to_numpy(zero_copy_only=False), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        ids = ids[nonempty]
+        # positions index the FILTERED stream — consecutive per doc, the
+        # arithmetic the coverage sweep and the SQL ROW_NUMBER mirror share
+        change = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1]])
+        pos = np.arange(ids.size, dtype=np.int64) - np.repeat(
+            change, np.diff(np.r_[change, ids.size])
+        )
+        return pa.table(
+            {
+                id_col: pa.array(ids),
+                "pos": pa.array(pos, pa.int64()),
+                "tok": flat,
+                "is_start": pa.array(np.zeros(ids.size, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    toks = ds.map_batches(tok_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def as_start(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        return pa.table(
+            {
+                id_col: batch.column(id_col),
+                "pos": batch.column("start"),
+                "tok": pa.array([""] * n, pa.string()),
+                "is_start": pa.array(np.ones(n, dtype=np.int8), pa.int8()),
+            }
+        )
+
+    combined = toks.union(
+        dup_starts.map_batches(as_start, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def assemble_part(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype=np.int64), out_col: pd.Series(dtype=object)}
+            )
+        is_start = g["is_start"].to_numpy() == 1
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        pos = g["pos"].to_numpy(dtype=np.int64)
+        # composite (doc, pos) keys; doc ids are < 2^31 in every driver
+        # table and positions < 2^32 by construction
+        key = (ids.astype(np.uint64) << np.uint64(32)) | pos.astype(np.uint64)
+        skey = np.sort(key[is_start])
+        tkey = key[~is_start]
+        # covered(token) ⇔ an open span overlaps it ⇔ the number of span
+        # starts at-or-before the token exceeds the number of span ENDS
+        # (start + k, exclusive) at-or-before it — two searchsorted passes
+        # over the sorted composite keys, no per-doc Python. Spans never
+        # cross a doc boundary (start + k <= token count < 2^32), so the
+        # +k arithmetic stays inside the doc's key range.
+        covered = np.searchsorted(skey, tkey, "right") > np.searchsorted(
+            skey + np.uint64(k), tkey, "right"
+        )
+        ids_t = ids[~is_start]
+        toks_t = g["tok"].to_numpy()[~is_start]
+        pos_t = pos[~is_start]
+        keep = ~covered
+        ids_k, pos_k, toks_k = ids_t[keep], pos_t[keep], toks_t[keep]
+        if ids_k.size == 0:
+            return pd.DataFrame(
+                {id_col: pd.Series(dtype=np.int64), out_col: pd.Series(dtype=object)}
+            )
+        order = np.lexsort((pos_k, ids_k))
+        ids_k, toks_k = ids_k[order], toks_k[order]
+        starts_b = np.flatnonzero(np.r_[True, ids_k[1:] != ids_k[:-1]])
+        offs = np.concatenate([starts_b, [ids_k.size]]).astype(np.int32)
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(
+                pa.array(offs, pa.int32()), pa.array(toks_k, pa.string())
+            ),
+            " ",
+        )
+        return pd.DataFrame(
+            {id_col: ids_k[starts_b], out_col: joined.to_pandas().to_numpy()}
+        )
+
+    return partitioned_map_groups(combined, id_col, assemble_part, n_parts=n_parts)

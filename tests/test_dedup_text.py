@@ -804,3 +804,69 @@ class TestDedupLines:
         # 0,1,2 → 3 docs → removed; nav bar: docs 0,1,2 → removed too
         assert out[0] == "unique alpha"
         assert out[3] == "self repeat\nself repeat\nunique gamma"
+
+
+class TestDedupSpans:
+    @pytest.fixture(scope="class")
+    def span_docs(self, ray_session):
+        import ray.data as rd
+
+        rows = {
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                "A B C D E x1 y1",  # shares the A..E run with docs 1 and 3
+                "p q A B C D E r s",
+                "self same self same self same",  # within-doc repeats only
+                "A B C D E",  # fully covered → doc drops
+                "unique words only here",
+            ],
+        }
+        return rd.from_arrow(pa.table(rows))
+
+    def test_cross_doc_spans_removed(self, span_docs):
+        from geodistpy_ray.stages.dedup import dedup_spans
+
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in dedup_spans(span_docs, k=3, min_docs=2).take_all()
+        }
+        # the a..e run is covered by shared 3-gram windows in all three
+        # holders (including the "first" doc — Lee-et-al. semantics remove
+        # every occurrence); within-doc repeats don't count toward
+        # min_docs; output tokens are lowercased (the operator is defined
+        # over lower(text), mirrored in SQL)
+        assert out == {
+            0: "x1 y1",
+            1: "p q r s",
+            2: "self same self same self same",
+            4: "unique words only here",
+        }
+
+    def test_coverage_is_window_union(self, span_docs):
+        from geodistpy_ray.stages.dedup import dedup_spans
+
+        import ray.data as rd
+
+        # doc 5 shares only the PREFIX "a b c" with the a..e run holders:
+        # coverage must stop at the shared window's end, not eat the doc
+        extra = rd.from_arrow(
+            pa.table({"doc_id": [0, 1, 5], "text": ["A B C D E", "A B C D E", "A B C tail stays"]})
+        )
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in dedup_spans(extra, k=3, min_docs=2).take_all()
+        }
+        assert out == {5: "tail stays"}
+
+    def test_min_docs_three(self, span_docs):
+        from geodistpy_ray.stages.dedup import dedup_spans
+
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in dedup_spans(span_docs, k=3, min_docs=3).take_all()
+        }
+        # a b c / b c d / c d e appear in docs {0,1,3} → still removed at
+        # min_docs=3; everything else unique
+        assert out[0] == "x1 y1"
+        assert out[1] == "p q r s"
+        assert 3 not in out
