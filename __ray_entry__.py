@@ -668,6 +668,24 @@ def q_near_dedup(sf_dir):
     )
 
 
+def q_doc_clusters(sf_dir):
+    """Distributed k-means over the embeddings table (document clustering
+    for mixture balancing): bounded hash-rank sample + maximin seeding,
+    then Lloyd iterations where each pass broadcasts the centroids and
+    shuffles only (centroid × batch) partial-sum rows. Iterative algorithm
+    → no SQL oracle; convergence, recovery and partition independence are
+    pinned in tests/test_cluster.py."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.cluster import kmeans_assign, kmeans_fit
+
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    c, _ = kmeans_fit(emb, k=8, iters=4)
+    return kmeans_assign(emb, c).select_columns(["vec_id", "cluster"])
+
+
 def q_user_p90_sketch(sf_dir):
     """Per-key quantile via the FIXED-SIZE mergeable summary (the scale
     path for unbounded per-key cardinality — shuffles <= 16·b bytes per
@@ -1430,6 +1448,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": q_clean_corpus,
         # ── rows-only queries (no SQL-expressible oracle) from here down ──
         "approx_distinct": q_approx_distinct,
+        "doc_clusters": q_doc_clusters,
         "user_p90_sketch": q_user_p90_sketch,
         "interpolate_waypoints": q_interpolate,
         "destinations": q_destinations,

@@ -1,0 +1,220 @@
+"""Distributed k-means over an embedding column — the engine's iterative-
+algorithm pattern (corpus-level document clustering for mixture balancing /
+semantic dedup cohorts; the same loop shape a 100 TB run needs).
+
+Each Lloyd iteration is ONE streaming pass expressed in Ray Data:
+
+1. the current centroids are broadcast once (``ray.put`` + the per-worker
+   ``get_broadcast`` cache — never re-shipped per batch);
+2. ``map_batches`` assigns every vector (one matmul per batch) and emits a
+   PARTIAL row per (centroid × batch): packed float64 sum vector + count +
+   squared-error sum — the classic combiner, so the shuffle moves
+   ``batches × k`` small rows, never the vectors;
+3. the partials reduce in one bounded exchange — ``cluster_id`` is a
+   bounded key domain (k ≤ a few thousand), exactly the case CLAUDE.md
+   allows for a direct small groupby — and the k reduced rows land on the
+   driver (k × d floats, independent of input size).
+
+Initial centroids come from a bounded deterministic hash-rank sample
+(one pass, driver holds ≤ 2·sample × d floats) refined by maximin
+farthest-point seeding: partition-independent, reproducible across any
+block split, no RNG (the `cap_per_key` / split-hash convention). Empty
+clusters keep their previous centroid (the IVF convention in
+`ann.train_ivf_centroids`).
+
+The input Dataset re-executes per iteration (it is lazy); callers doing
+many iterations over a small cleaned subset may ``materialize()`` it first
+— at full corpus scale the re-read streams and the object store holds no
+corpus-sized pin.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .ann import _emb_matrix
+from .broadcast import get_broadcast
+from .grouping import partitioned_map_groups
+
+_RANK_MULT = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _id_rank(ids: np.ndarray) -> np.ndarray:
+    """Deterministic per-row rank in [0, 2^64): stable across processes and
+    partitionings (never Python's salted hash)."""
+    return pd.util.hash_array(ids.astype(np.int64), categorize=False) * _RANK_MULT
+
+
+def _init_centroids(ds, id_col: str, vec_col: str, k: int, sample: int) -> np.ndarray:
+    """k seed vectors: a bounded hash-rank sample (one streaming pass —
+    each batch ships at most its local top-``sample`` rows, merged
+    incrementally so peak driver memory is 2·sample × d, independent of
+    input size), then deterministic MAXIMIN (farthest-point) seeding on
+    the sample: the smallest-rank row first, then repeatedly the sample
+    row farthest from the chosen set. Plain smallest-rank seeding is
+    effectively uniform-random w.r.t. cluster structure and routinely
+    drops two seeds in one cluster (a Lloyd local minimum that never
+    recovers); maximin is the deterministic analogue of k-means++'s
+    spread objective and the same bounded-sample practice as
+    `ann.train_ivf_centroids`."""
+
+    def local(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"rank": pa.array([], pa.uint64()), "vec": pa.array([], pa.binary())})
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        x = _emb_matrix(batch, vec_col)
+        r = _id_rank(ids)
+        take = np.argsort(r, kind="mergesort")[:sample]
+        return pa.table(
+            {
+                "rank": pa.array(r[take], pa.uint64()),
+                "vec": pa.array([x[i].tobytes() for i in take], pa.binary()),
+            }
+        )
+
+    best_r = np.empty(0, dtype=np.uint64)
+    best_v: list[bytes] = []
+    for b in (
+        ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        if b.num_rows == 0:
+            continue
+        r = np.concatenate([best_r, b.column("rank").to_numpy(zero_copy_only=False)])
+        v = best_v + b.column("vec").to_pylist()
+        order = np.argsort(r, kind="mergesort")[:sample]
+        best_r = r[order]
+        best_v = [v[i] for i in order]
+    if len(best_v) < k:
+        raise ValueError(f"kmeans: need >= {k} rows, got {len(best_v)}")
+    s = np.stack([np.frombuffer(v, dtype=np.float64) for v in best_v])
+    chosen = [0]  # smallest rank
+    d2 = np.einsum("ij,ij->i", s - s[0], s - s[0])
+    for _ in range(1, k):
+        nxt = int(np.argmax(d2))
+        chosen.append(nxt)
+        dn = np.einsum("ij,ij->i", s - s[nxt], s - s[nxt])
+        np.minimum(d2, dn, out=d2)
+    return s[chosen]
+
+
+def _assign(x: np.ndarray, c: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """argmin_j ||x - c_j||² per row + that squared distance — one matmul;
+    ||x||² is dropped from the argmin (constant per row) and restored for
+    the error term."""
+    cross = x @ c.T  # (n, k)
+    c2 = np.einsum("ij,ij->i", c, c)
+    scores = c2[None, :] - 2.0 * cross
+    a = np.argmin(scores, axis=1)
+    x2 = np.einsum("ij,ij->i", x, x)
+    sq = np.maximum(scores[np.arange(x.shape[0]), a] + x2, 0.0)
+    return a, sq
+
+
+def kmeans_fit(
+    ds,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 8,
+    n_parts: int = 16,
+    init_sample: int | None = None,
+):
+    """Lloyd's k-means → (centroids (k, d) float64, per-iteration inertia).
+
+    Deterministic end to end: hash-rank sample + maximin init, exact
+    integer bookkeeping; only float summation order varies with
+    partitioning (asserted ~1e-9 in tests). Inertia is the SSE of the
+    assignment step that produced each iteration's update (so
+    ``inertia[0]`` scores the seed centroids)."""
+    c = _init_centroids(ds, id_col, vec_col, k, init_sample or max(8 * k, 256))
+    d = c.shape[1]
+    proj = ds.select_columns([id_col, vec_col])
+    inertia = []
+
+    def reduce_part(g: pd.DataFrame) -> pd.DataFrame:
+        mat = np.frombuffer(b"".join(g["sums"].tolist()), dtype=np.float64).reshape(
+            len(g), d
+        )
+        out = (
+            g.assign(_row=range(len(g)))
+            .groupby("cluster_id", sort=False)
+            .agg(n=("n", "sum"), sq=("sq", "sum"), _rows=("_row", list))
+            .reset_index()
+        )
+        out["sums"] = [mat[rows].sum(axis=0).tobytes() for rows in out["_rows"]]
+        return out.drop(columns="_rows")
+
+    import ray
+
+    for _ in range(iters):
+        c_ref = ray.put(c)
+
+        def partial(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {
+                        "cluster_id": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "sq": pa.array([], pa.float64()),
+                        "sums": pa.array([], pa.binary()),
+                    }
+                )
+            cc = get_broadcast(c_ref)
+            x = _emb_matrix(batch, vec_col)
+            a, sq = _assign(x, cc)
+            order = np.argsort(a, kind="mergesort")
+            sa, sx, ssq = a[order], x[order], sq[order]
+            starts = np.flatnonzero(np.r_[True, sa[1:] != sa[:-1]])
+            ends = np.r_[starts[1:], sa.size]
+            sums = np.add.reduceat(sx, starts, axis=0)
+            return pa.table(
+                {
+                    "cluster_id": pa.array(sa[starts], pa.int64()),
+                    "n": pa.array((ends - starts).astype(np.int64), pa.int64()),
+                    "sq": pa.array(np.add.reduceat(ssq, starts), pa.float64()),
+                    "sums": pa.array([s.tobytes() for s in sums], pa.binary()),
+                }
+            )
+
+        reduced = partitioned_map_groups(
+            proj.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+            "cluster_id",
+            reduce_part,
+            n_parts=n_parts,
+        ).take_all()
+        new_c = c.copy()  # empty clusters keep their previous centroid
+        sse = 0.0
+        for row in reduced:
+            cid, n = int(row["cluster_id"]), int(row["n"])
+            sse += float(row["sq"])
+            if n > 0:
+                new_c[cid] = np.frombuffer(row["sums"], dtype=np.float64) / n
+        inertia.append(sse)
+        c = new_c
+    return c, inertia
+
+
+def kmeans_assign(
+    ds, centroids: np.ndarray, vec_col: str = "embedding", out_col: str = "cluster"
+):
+    """Append each row's nearest-centroid id (and its squared distance as
+    ``{out_col}_sq``) — centroids broadcast once, one matmul per batch."""
+    import ray
+
+    c_ref = ray.put(np.ascontiguousarray(centroids, dtype=np.float64))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(out_col, pa.array([], pa.int64())).append_column(
+                f"{out_col}_sq", pa.array([], pa.float64())
+            )
+        cc = get_broadcast(c_ref)
+        a, sq = _assign(_emb_matrix(batch, vec_col), cc)
+        return batch.append_column(out_col, pa.array(a.astype(np.int64), pa.int64())).append_column(
+            f"{out_col}_sq", pa.array(sq, pa.float64())
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
