@@ -640,6 +640,21 @@ def q_dedup_spans(sf_dir):
     return dedup_spans(docs, k=5, min_docs=2)
 
 
+def q_balanced_langs(sf_dir):
+    """Mixture balancing: deterministically downsample the dominant 'en'
+    stratum to 20% while keeping every other language — same id-hash as
+    sample_10pct, so stratum samples nest and never depend on
+    partitioning."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import stratified_sample
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
+    )
+    return stratified_sample(docs, rates={"en": 20}, key_col="lang")
+
+
 def q_near_dedup(sf_dir):
     """End-to-end near-dedup: overlap pair graph → connected components →
     anti-join drops every non-representative (keeps each cluster's minimum
@@ -1430,6 +1445,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # different routing, still verified every round by check_oracle;
         # tile_coarse: the hierarchy rollup over cell_counts' operator)
         "dedup_spans": q_dedup_spans,
+        # balanced_langs shares sample_10pct's hash mechanism under a
+        # per-stratum CASE — new stage, same recorded-window family
+        "balanced_langs": q_balanced_langs,
         "near_dedup": q_near_dedup,
         "tile_coarse": q_tile_coarse,
         "radius_cells": q_radius_cells,
@@ -1801,6 +1819,13 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(DISTINCT doc_id) >= 2) "
             "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text "
             "FROM l ANTI JOIN dup USING (line) GROUP BY doc_id"
+        ),
+        "balanced_langs": (
+            # sample_fraction's formula under a CASE over the stratum key
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE (CAST(((doc_id + 7) % 1000000 + 1000000) % 1000000 AS BIGINT)"
+            " * 998244353) % 1000000 "
+            "< CASE WHEN lang = 'en' THEN 200000 ELSE 1000000 END"
         ),
         "dedup_spans": (
             # positions index the empty-filtered token stream (ROW_NUMBER

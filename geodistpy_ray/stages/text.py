@@ -304,6 +304,37 @@ def sample_fraction(ds, pct: int, id_col: str = "doc_id", salt: int = 7):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def stratified_sample(
+    ds,
+    rates: dict,
+    key_col: str = "lang",
+    default_pct: int = 100,
+    id_col: str = "doc_id",
+    salt: int = 7,
+):
+    """Per-stratum deterministic sampling for mixture balancing: keep
+    ~``rates[key]``% of each stratum (``default_pct`` for unlisted keys) by
+    the SAME id-hash as :func:`sample_fraction` — so strata samples NEST
+    (every row of a 10% stratum is in its 20% version) and membership never
+    depends on partitioning. ``rates`` is a small per-stratum table riding
+    in the task closure (languages/sources — dozens of keys; a huge rate
+    table would go through ``ray.put`` + the broadcast cache instead).
+    SQL mirror: the sample_fraction formula under a CASE over the key."""
+    cuts = {k: int(v) * (_SPLIT_MOD // 100) for k, v in rates.items()}
+    default_cut = int(default_pct) * (_SPLIT_MOD // 100)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (((ids + salt) % _SPLIT_MOD) * _SAMPLE_MUL) % _SPLIT_MOD
+        import pandas as pd
+
+        keys = pd.Series(batch.column(key_col).to_numpy(zero_copy_only=False))
+        cut = keys.map(cuts).fillna(default_cut).to_numpy(dtype=np.int64)
+        return batch.filter(pa.array(b < cut))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _CAP_MUL = 1812433253  # third distinct multiplier: cap rank must not
 # correlate with split assignment or sample membership (a shared
 # multiplier would make "the docs a cap keeps" a fixed slice of a split)

@@ -870,3 +870,51 @@ class TestDedupSpans:
         assert out[0] == "x1 y1"
         assert out[1] == "p q r s"
         assert 3 not in out
+
+
+class TestStratifiedSample:
+    def test_rates_and_nesting(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import sample_fraction, stratified_sample
+
+        n = 4000
+        tab = pa.table(
+            {
+                "doc_id": pa.array(range(n), pa.int64()),
+                "lang": pa.array(["en" if i % 2 else "de" for i in range(n)]),
+            }
+        )
+        ds = rd.from_arrow(tab)
+        out = stratified_sample(ds, rates={"en": 20, "de": 80}).take_all()
+        en = [r["doc_id"] for r in out if r["lang"] == "en"]
+        de = [r["doc_id"] for r in out if r["lang"] == "de"]
+        assert 0.15 < len(en) / (n / 2) < 0.25
+        assert 0.75 < len(de) / (n / 2) < 0.85
+        # nesting: the 20% en stratum is a subset of a 40% one
+        wider = {
+            r["doc_id"]
+            for r in stratified_sample(ds, rates={"en": 40, "de": 80}).take_all()
+            if r["lang"] == "en"
+        }
+        assert set(en) <= wider
+        # same hash as sample_fraction: a 100%/p stratum equals the flat sample
+        flat = {r["doc_id"] for r in sample_fraction(ds, pct=20).take_all()}
+        strat20 = {
+            r["doc_id"]
+            for r in stratified_sample(ds, rates={"en": 20, "de": 20}).take_all()
+        }
+        assert strat20 == flat
+
+    def test_default_rate(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import stratified_sample
+
+        tab = pa.table(
+            {"doc_id": pa.array(range(100), pa.int64()), "lang": pa.array(["xx"] * 100)}
+        )
+        kept = stratified_sample(
+            rd.from_arrow(tab), rates={"en": 0}, default_pct=100
+        ).count()
+        assert kept == 100
