@@ -655,6 +655,35 @@ def q_balanced_langs(sf_dir):
     return stratified_sample(docs, rates={"en": 20}, key_col="lang")
 
 
+def q_lang_source_pivot(sf_dir):
+    """Contingency pivot: per source, one count column per listed language
+    + other_n + total — widened 0/1 columns ride the grouped_sum combiner,
+    one short row per (key × batch) in the shuffle."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import pivot_counts
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    return pivot_counts(docs, key_col="source", pivot_col="lang", values=["en", "de", "fr"])
+
+
+def q_pricing_rollup(sf_dir):
+    """GROUP BY ROLLUP(l_returnflag, l_linestatus): finest level from ONE
+    corpus pass (the grouped_sum combiner), coarser levels re-aggregate the
+    finest RESULT — work proportional to distinct key combos."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import rollup_sum
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return rollup_sum(
+        li, ["l_returnflag", "l_linestatus"], int_sum_cols={"l_quantity": "sum_qty"}
+    )
+
+
 def q_near_dedup(sf_dir):
     """End-to-end near-dedup: overlap pair graph → connected components →
     anti-join drops every non-representative (keeps each cluster's minimum
@@ -1448,6 +1477,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # balanced_langs shares sample_10pct's hash mechanism under a
         # per-stratum CASE — new stage, same recorded-window family
         "balanced_langs": q_balanced_langs,
+        # pivot + rollup ride grouped_sum's combiner (its operator has four
+        # in-window rows); the widening / prefix-re-aggregation layers are
+        # their own stages, value-checked here every round
+        "lang_source_pivot": q_lang_source_pivot,
+        "pricing_rollup": q_pricing_rollup,
         "near_dedup": q_near_dedup,
         "tile_coarse": q_tile_coarse,
         "radius_cells": q_radius_cells,
@@ -1819,6 +1853,25 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(DISTINCT doc_id) >= 2) "
             "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text "
             "FROM l ANTI JOIN dup USING (line) GROUP BY doc_id"
+        ),
+        "lang_source_pivot": (
+            # IS NULL folded into the other-bucket CASE to mirror the
+            # engine's fill_null(eq, False) exactly
+            "SELECT source, "
+            "CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_n, "
+            "CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de_n, "
+            "CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr_n, "
+            "CAST(SUM(CASE WHEN lang IS NULL OR lang NOT IN ('en','de','fr') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS other_n, "
+            "CAST(COUNT(*) AS BIGINT) AS n "
+            "FROM documents GROUP BY source"
+        ),
+        "pricing_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
         ),
         "balanced_langs": (
             # sample_fraction's formula under a CASE over the stratum key

@@ -326,3 +326,82 @@ def grouped_quantile(
         return out.rename(columns={value_col: out_col})
 
     return partitioned_map_groups(ds, key_col, part_fn)
+
+
+def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str], other_col: str | None = "other_n"):
+    """Pivot: one row per key with a count column per pivot value
+    (``<value>_n``), plus ``other_n`` for unlisted values and the total
+    ``n`` — the lang × source style contingency table of corpus reports.
+
+    One pass: each batch widens to 0/1 int columns (one Arrow equality +
+    cast per pivot value — the CASE WHEN of the SQL mirror), then rides the
+    existing :func:`grouped_sum` combiner, so the shuffle moves one short
+    row per (key × batch) regardless of corpus size. ``values`` is the
+    SMALL, explicit pivot domain (the SQL mirror needs it too; discovering
+    it dynamically would mean an extra distinct pass and an unstable
+    schema)."""
+    import pyarrow.compute as pc
+
+    cols = {v: f"{v}_n" for v in values}
+
+    def widen(batch: pa.Table) -> pa.Table:
+        p = batch.column(pivot_col)
+        out = {key_col: batch.column(key_col)}
+        hit = None
+        for v, name in cols.items():
+            eq = pc.equal(p, v)
+            out[name] = pc.cast(pc.fill_null(eq, False), pa.int64())
+            hit = out[name] if hit is None else pc.add(hit, out[name])
+        if other_col is not None:
+            out[other_col] = pc.subtract(
+                pa.array(np.ones(batch.num_rows, dtype=np.int64), pa.int64()),
+                pc.min_element_wise(hit, 1) if hit is not None else 0,
+            )
+        return pa.table(out)
+
+    wide = ds.map_batches(widen, batch_format="pyarrow", zero_copy_batch=True)
+    sums = {name: name for name in cols.values()}
+    if other_col is not None:
+        sums[other_col] = other_col
+    return grouped_sum(wide, [key_col], int_sum_cols=sums, count_col="n")
+
+
+def rollup_sum(
+    ds,
+    levels: list[str],
+    int_sum_cols: dict[str, str] | None = None,
+    cent_sum_cols: dict[str, str] | None = None,
+    count_col: str = "n",
+):
+    """``GROUP BY ROLLUP(levels...)``: aggregates at every prefix of the
+    hierarchy — (a, b), (a), () — with rolled-up key columns NULL and a
+    ``grouping_id`` marker (0 = finest, len(levels) = grand total; the SQL
+    mirror's ``GROUPING(...)`` bitmask for prefix sets).
+
+    Computed the classic way: ONE corpus-scale pass builds the finest
+    aggregate (the `grouped_sum` combiner + its shuffle), and every coarser
+    level re-aggregates the FINEST RESULT — work proportional to the
+    distinct key combinations, not the corpus. Bounded key domains only
+    (the driver final holds the finest aggregate), the same contract as
+    ``grouped_sum(final="driver")``; an unbounded hierarchy would chain
+    ``final="shuffle"`` rollups instead."""
+    out_vals = list((int_sum_cols or {}).values()) + list(
+        (cent_sum_cols or {}).values()
+    ) + [count_col]
+    finest = grouped_sum(
+        ds, levels, int_sum_cols=int_sum_cols, cent_sum_cols=cent_sum_cols,
+        count_col=count_col, final="driver",
+    )
+    frames = [finest.assign(grouping_id=0)]
+    for g in range(1, len(levels) + 1):
+        keep = levels[: len(levels) - g]
+        agg = (
+            finest.groupby(keep, as_index=False, sort=False)[out_vals].sum()
+            if keep
+            else finest[out_vals].sum().to_frame().T
+        )
+        for c in levels[len(levels) - g :]:
+            agg[c] = None
+        agg["grouping_id"] = (1 << g) - 1
+        frames.append(agg[levels + out_vals + ["grouping_id"]])
+    return pd.concat(frames, ignore_index=True)[levels + out_vals + ["grouping_id"]]

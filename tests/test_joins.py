@@ -462,3 +462,46 @@ def test_late_event_stats_vs_pandas(ray_session):
     assert got["n_events"].tolist() == want["n_events"].tolist()
     assert got["n_late"].tolist() == want["n_late"].tolist()
     assert got["n_late"].sum() > 0  # the fixture must actually exercise lateness
+
+
+class TestPivotRollup:
+    def test_pivot_counts(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import pivot_counts
+
+        tab = pa.table(
+            {
+                "source": ["a", "a", "a", "b", "b"],
+                "lang": ["en", "en", "zz", "de", None],
+            }
+        )
+        out = pivot_counts(
+            rd.from_arrow(tab), key_col="source", pivot_col="lang", values=["en", "de"]
+        )
+        rows = {r["source"]: r for _, r in out.iterrows()}
+        assert rows["a"]["en_n"] == 2 and rows["a"]["de_n"] == 0
+        assert rows["a"]["other_n"] == 1 and rows["a"]["n"] == 3
+        # NULL pivot values land in other_n (fill_null(eq, False))
+        assert rows["b"]["de_n"] == 1 and rows["b"]["other_n"] == 1 and rows["b"]["n"] == 2
+
+    def test_rollup_sum(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import rollup_sum
+
+        tab = pa.table(
+            {
+                "a": ["x", "x", "y"],
+                "b": ["p", "q", "p"],
+                "v": pa.array([1, 2, 4], pa.int64()),
+            }
+        )
+        out = rollup_sum(rd.from_arrow(tab), ["a", "b"], int_sum_cols={"v": "sv"})
+        finest = out[out.grouping_id == 0]
+        mid = out[out.grouping_id == 1]
+        total = out[out.grouping_id == 3]
+        assert len(finest) == 3 and len(mid) == 2 and len(total) == 1
+        assert int(mid[mid.a == "x"]["sv"].iloc[0]) == 3
+        assert mid["b"].isna().all()
+        assert int(total["sv"].iloc[0]) == 7 and int(total["n"].iloc[0]) == 3
