@@ -654,6 +654,47 @@ def run_scale8(sf_dir: str, num_cpus: int) -> dict:
             "queries_per_sec": round(nq / dt),
         }
 
+    # line-dedup tier: replicate documents with per-replica per-LINE salt
+    # tokens so the duplicated-line FRACTION stays constant while volume
+    # grows 8x (unsalted replication would make every line a duplicate and
+    # collapse the output instead of scaling the work)
+    import pyarrow.compute as pc_
+
+    from geodistpy_ray.stages.dedup import dedup_lines
+
+    docs_base = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_docs = docs_base.count()
+
+    def rep_docs(replicate: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            t = pc_.replace_substring(
+                pc_.fill_null(batch.column("text"), ""), " data ", "\n"
+            )
+            outs = []
+            for r in range(replicate):
+                salted = pc_.replace_substring(t, "\n", f"\nr{r}x ")
+                salted = pc_.binary_join_element_wise(
+                    pa.array([f"r{r}x "] * len(ids)), salted, ""
+                )
+                outs.append(pa.table({"doc_id": pa.array(ids + (r << 40)), "text": salted}))
+            return pa.concat_tables(outs)
+
+        return docs_base.repartition(8 * replicate).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    for name, replicate in [("dedup_lines_1x", 1), ("dedup_lines_8x", 8)]:
+        t0 = time.perf_counter()
+        n = dedup_lines(rep_docs(replicate), min_docs=2).count()
+        dt = time.perf_counter() - t0
+        out[name] = {
+            "sec": round(dt, 2),
+            "input_docs": n_docs * replicate,
+            "docs_out": n,
+            "docs_per_sec": round(n_docs * replicate / dt),
+        }
+
     # spill evidence: the memory-summary API needs grpc (absent here), so
     # grep the live session's raylet log for object-spill records instead
     out["spill"] = ["no spill records in raylet log"]
