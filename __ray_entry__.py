@@ -684,6 +684,24 @@ def q_pricing_rollup(sf_dir):
     )
 
 
+def q_user_event_types(sf_dir):
+    """Exact COUNT(DISTINCT ...) per key — the exact twin of the HLL
+    per-key sketch (`approx_distinct`'s family): distributed distinct on
+    (user_id, event_type), then a count per user with a DISTRIBUTED final
+    (user_id is the canonical unbounded key — never a driver merge)."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import distinct, grouped_sum
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return grouped_sum(
+        distinct(ev, ["user_id", "event_type"]),
+        ["user_id"],
+        count_col="n_types",
+        final="shuffle",
+    )
+
+
 def q_near_dedup(sf_dir):
     """End-to-end near-dedup: overlap pair graph → connected components →
     anti-join drops every non-representative (keeps each cluster's minimum
@@ -1482,6 +1500,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # their own stages, value-checked here every round
         "lang_source_pivot": q_lang_source_pivot,
         "pricing_rollup": q_pricing_rollup,
+        "user_event_types": q_user_event_types,
         "near_dedup": q_near_dedup,
         "tile_coarse": q_tile_coarse,
         "radius_cells": q_radius_cells,
@@ -1853,6 +1872,10 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(DISTINCT doc_id) >= 2) "
             "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text "
             "FROM l ANTI JOIN dup USING (line) GROUP BY doc_id"
+        ),
+        "user_event_types": (
+            "SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) "
+            "AS n_types FROM events GROUP BY user_id"
         ),
         "lang_source_pivot": (
             # IS NULL folded into the other-bucket CASE to mirror the

@@ -501,27 +501,36 @@ def run_headline_scaled(sf_dir: str, num_cpus: int, replicate: int = 512) -> dic
     return result
 
 
-def run_scaling(sf_dir: str, rounds: int = 3) -> dict:
-    """Same job, fresh processes, num_cpus=8 vs 32 → scaling efficiency.
+def run_scaling(sf_dir: str, rounds: int = 3, lo: int = 8, hi: int = 32) -> dict:
+    """Same job, fresh processes, num_cpus=lo vs hi (hi = 4·lo) → scaling
+    efficiency.
 
     Protocol (round 3, per the judge's estimator critique): ``rounds``
-    INTERLEAVED pairs — each round runs a fresh 8-CPU process then
-    immediately a fresh 32-CPU process (min-of-k samples inside each), so a
+    INTERLEAVED pairs — each round runs a fresh lo-CPU process then
+    immediately a fresh hi-CPU process (min-of-k samples inside each), so a
     box-interference burst hits both sides of a pair rather than one. The
     HEADLINE is the MEDIAN of the per-round paired efficiencies — a robust
     location estimator, never best-of-attempts (max of a noisy ratio is
-    biased upward: noise that slows the 8-CPU run inflates efficiency).
+    biased upward: noise that slows the lo-CPU run inflates efficiency).
     min-of-N over all rounds is reported alongside as the quiet-box figure.
+
+    Two level pairs are defined: the default 8 v 32, and 4 v 16
+    (``--scaling-4v16``) for episodes where the oversubscribed host cannot
+    serve 32 clean vCPUs at all (recorded steal 5-37% on every 32-CPU leg
+    while 8-CPU legs run clean): the N-vs-4N contract holds for any N, and
+    a 16-vCPU leg only asks for half the host — both variants land in
+    BASELINE.md side by side with their per-sample steal records.
     """
+    assert hi == 4 * lo, "the contract contrast is N vs 4N"
     pairs = []
     for _ in range(rounds):
         rec = {}
-        for ncpu in (8, 32):
+        for ncpu in (lo, hi):
             env = dict(
                 os.environ,
                 RAY_GRAFT_CPUS=str(ncpu),
                 GRAFT_SF_DIR=sf_dir,
-                GRAFT_SCALING_SAMPLES="3" if ncpu == 8 else "4",
+                GRAFT_SCALING_SAMPLES="3" if ncpu == lo else "4",
             )
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--headline-only"],
@@ -532,32 +541,32 @@ def run_scaling(sf_dir: str, rounds: int = 3) -> dict:
             )
             rec[ncpu] = json.loads(proc.stdout.strip().splitlines()[-1])
         pairs.append(rec)
-    effs = sorted((p[8]["value"] / p[32]["value"]) / (32 / 8) for p in pairs)
+    effs = sorted((p[lo]["value"] / p[hi]["value"]) / (hi / lo) for p in pairs)
     median_eff = effs[len(effs) // 2] if len(effs) % 2 else (
         effs[len(effs) // 2 - 1] + effs[len(effs) // 2]
     ) / 2
-    t8_min = min(p[8]["value"] for p in pairs)
-    t32_min = min(p[32]["value"] for p in pairs)
-    n_rows = pairs[0][32]["rows"]["spatial_pipeline"]
+    t8_min = min(p[lo]["value"] for p in pairs)
+    t32_min = min(p[hi]["value"] for p in pairs)
+    n_rows = pairs[0][hi]["rows"]["spatial_pipeline"]
     return {
-        "metric": "scaling efficiency, spatial_pipeline @ num_cpus 8 vs 32 (N vs 4N stand-in); median of paired rounds",
+        "metric": f"scaling efficiency, spatial_pipeline @ num_cpus {lo} vs {hi} (N vs 4N stand-in); median of paired rounds",
         "pairs": [
             {
-                "sec_8": p[8]["value"],
-                "sec_32": p[32]["value"],
-                "eff": round((p[8]["value"] / p[32]["value"]) / 4, 3),
-                "steal_8": p[8].get("steal_per_sample"),
-                "steal_32": p[32].get("steal_per_sample"),
+                f"sec_{lo}": p[lo]["value"],
+                f"sec_{hi}": p[hi]["value"],
+                "eff": round((p[lo]["value"] / p[hi]["value"]) / 4, 3),
+                f"steal_{lo}": p[lo].get("steal_per_sample"),
+                f"steal_{hi}": p[hi].get("steal_per_sample"),
             }
             for p in pairs
         ],
         "scaling_efficiency": round(median_eff, 3),
         "scaling_efficiency_min_of_n": round((t8_min / t32_min) / 4, 3),
-        "sec_8": t8_min,
-        "sec_32": t32_min,
+        f"sec_{lo}": t8_min,
+        f"sec_{hi}": t32_min,
         "rows": n_rows,
-        "rows_per_sec_8": round(n_rows / t8_min),
-        "rows_per_sec_32": round(n_rows / t32_min),
+        f"rows_per_sec_{lo}": round(n_rows / t8_min),
+        f"rows_per_sec_{hi}": round(n_rows / t32_min),
         "sf": sf_dir,
     }
 
@@ -715,7 +724,9 @@ def run_scale8(sf_dir: str, num_cpus: int) -> dict:
 
 
 if __name__ == "__main__":
-    if "--scaling" in sys.argv:
+    if "--scaling-4v16" in sys.argv:
+        print(json.dumps(run_scaling(SF_DIR, lo=4, hi=16)))
+    elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling(SF_DIR)))
     elif "--scale8" in sys.argv:
         print(json.dumps(run_scale8(SF_DIR, NUM_CPUS)))
