@@ -702,6 +702,18 @@ def q_user_event_types(sf_dir):
     )
 
 
+def q_longest_docs(sf_dir):
+    """Global ORDER BY ... LIMIT k via the per-batch top-k combiner — never
+    a corpus-wide sort shuffle; the order is total (id tie-break) so the
+    result is deterministic."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import global_topk
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    return global_topk(docs, ["n_chars", "doc_id"], k=20, descending=[True, False])
+
+
 def q_near_dedup(sf_dir):
     """End-to-end near-dedup: overlap pair graph → connected components →
     anti-join drops every non-representative (keeps each cluster's minimum
@@ -1501,6 +1513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_source_pivot": q_lang_source_pivot,
         "pricing_rollup": q_pricing_rollup,
         "user_event_types": q_user_event_types,
+        "longest_docs": q_longest_docs,
         "near_dedup": q_near_dedup,
         "tile_coarse": q_tile_coarse,
         "radius_cells": q_radius_cells,
@@ -1872,6 +1885,10 @@ def oracle_sql() -> dict[str, str]:
             "HAVING count(DISTINCT doc_id) >= 2) "
             "SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS clean_text "
             "FROM l ANTI JOIN dup USING (line) GROUP BY doc_id"
+        ),
+        "longest_docs": (
+            "SELECT doc_id, n_chars FROM documents "
+            "ORDER BY n_chars DESC, doc_id LIMIT 20"
         ),
         "user_event_types": (
             "SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) "

@@ -405,3 +405,34 @@ def rollup_sum(
         agg["grouping_id"] = (1 << g) - 1
         frames.append(agg[levels + out_vals + ["grouping_id"]])
     return pd.concat(frames, ignore_index=True)[levels + out_vals + ["grouping_id"]]
+
+
+def global_topk(ds, sort_cols: list[str], k: int, descending: list[bool] | None = None):
+    """Global ``ORDER BY ... LIMIT k`` without a global sort: each batch
+    keeps its local top-k (one Arrow ``sort_indices`` + ``take`` — the
+    combiner), and the driver merges the ≤ k-per-batch survivors (bounded:
+    k × batches rows stream in, k rows live after each merge step). The
+    scale contrast is ``Dataset.sort().limit(k)``, which pays a full
+    corpus range-shuffle for k rows. Callers pass a TOTAL order (tie-break
+    columns included) so the result is deterministic and SQL-mirrorable."""
+    import pyarrow.compute as pc
+
+    desc = descending or [False] * len(sort_cols)
+    keys = [(c, "descending" if d else "ascending") for c, d in zip(sort_cols, desc)]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows <= k:
+            return batch
+        return batch.take(pc.sort_indices(batch, sort_keys=keys)[:k])
+
+    merged = None
+    for b in (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        merged = b if merged is None else pa.concat_tables([merged, b], promote_options="default")
+        if merged.num_rows > k:
+            merged = merged.take(pc.sort_indices(merged, sort_keys=keys)[:k])
+    if merged is None:
+        return ds.limit(0).to_pandas()
+    return merged.take(pc.sort_indices(merged, sort_keys=keys)).to_pandas()

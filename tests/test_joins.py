@@ -505,3 +505,33 @@ class TestPivotRollup:
         assert int(mid[mid.a == "x"]["sv"].iloc[0]) == 3
         assert mid["b"].isna().all()
         assert int(total["sv"].iloc[0]) == 7 and int(total["n"].iloc[0]) == 3
+
+
+class TestGlobalTopk:
+    def test_topk_and_ties(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import global_topk
+
+        tab = pa.table(
+            {
+                "id": pa.array(range(100), pa.int64()),
+                "v": pa.array([i % 10 for i in range(100)], pa.int64()),
+            }
+        )
+        out = global_topk(
+            rd.from_arrow(tab).repartition(7), ["v", "id"], k=15, descending=[True, False]
+        )
+        # total order: v desc, id asc — the 10 v==9 rows then 5 of v==8
+        assert list(out["v"]) == [9] * 10 + [8] * 5
+        assert list(out["id"][:10]) == [9, 19, 29, 39, 49, 59, 69, 79, 89, 99]
+        assert list(out["id"][10:]) == [8, 18, 28, 38, 48]
+
+    def test_k_exceeds_rows(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import global_topk
+
+        tab = pa.table({"id": pa.array([3, 1, 2], pa.int64())})
+        out = global_topk(rd.from_arrow(tab), ["id"], k=10)
+        assert list(out["id"]) == [1, 2, 3]
