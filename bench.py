@@ -328,27 +328,32 @@ def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
 
     times, rows, rps, steal = {}, {}, {}, {}
     reps = int(os.environ.get("GRAFT_BENCH_REPS", 3))
-    for name, (fn, table) in BENCH.items():
-        if only and name not in only:
-            continue
-        # untimed per-query warm run, then best-of-N (default 3): this box
-        # shows intermittent external interference bursts (identical runs
-        # vary >2x); a single sample can record a burst as if it were the
-        # code's speed. Interference is strictly additive, so min estimates
-        # uncontended capability (BASELINE.md documents the protocol).
+    todo = [(n, fn) for n, (fn, _) in BENCH.items() if not only or n in only]
+    # untimed warm pass, then best-of-N (default 3) with the repetition
+    # passes INTERLEAVED across queries: this box takes intermittent
+    # steal/interference bursts (identical runs vary >2x, steal recorded
+    # below); back-to-back reps let one burst define every sample of one
+    # query, while interleaved passes localize it to one suite pass.
+    # Interference is strictly additive, so min estimates uncontended
+    # capability (BASELINE.md documents the protocol).
+    for name, fn in todo:
         fn(sf_dir)
-        dt, steal_at_min = float("inf"), None
-        for _ in range(reps):
+        times[name] = float("inf")
+    for _ in range(reps):
+        for name, fn in todo:
             st0 = _stat_ticks()
             t0 = time.perf_counter()
             fn(sf_dir)
             t = time.perf_counter() - t0
-            if t < dt:
-                dt, steal_at_min = t, steal_between(st0, _stat_ticks())
-        times[name] = round(dt, 4)
-        steal[name] = steal_at_min
+            if t < times[name]:
+                times[name] = t
+                steal[name] = steal_between(st0, _stat_ticks())
+    for name, (fn, table) in BENCH.items():
+        if only and name not in only:
+            continue
+        times[name] = round(times[name], 4)
         rows[name] = table_rows(sf_dir, table)
-        rps[name] = round(rows[name] / dt)
+        rps[name] = round(rows[name] / times[name])
 
     headline = times.get("spatial_pipeline", sum(times.values()))
     result = {
