@@ -702,6 +702,18 @@ def q_user_event_types(sf_dir):
     )
 
 
+def q_user_top_event(sf_dir):
+    """Per-key mode: each user's most frequent event type (ties → smallest
+    value, mirroring ROW_NUMBER ... ORDER BY COUNT(*) DESC, value). The
+    shuffle moves pre-counted (key, value) pair rows, never raw events."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_mode
+
+    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    return grouped_mode(ev, "user_id", "event_type")
+
+
 def q_longest_docs(sf_dir):
     """Global ORDER BY ... LIMIT k via the per-batch top-k combiner — never
     a corpus-wide sort shuffle; the order is total (id tie-break) so the
@@ -1514,6 +1526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_rollup": q_pricing_rollup,
         "user_event_types": q_user_event_types,
         "longest_docs": q_longest_docs,
+        "user_top_event": q_user_top_event,
         "near_dedup": q_near_dedup,
         "tile_coarse": q_tile_coarse,
         "radius_cells": q_radius_cells,
@@ -1889,6 +1902,14 @@ def oracle_sql() -> dict[str, str]:
         "longest_docs": (
             "SELECT doc_id, n_chars FROM documents "
             "ORDER BY n_chars DESC, doc_id LIMIT 20"
+        ),
+        "user_top_event": (
+            "SELECT user_id, mode_value, mode_count FROM ("
+            "SELECT user_id, event_type AS mode_value, "
+            "CAST(COUNT(*) AS BIGINT) AS mode_count, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY COUNT(*) DESC, event_type) AS rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
         ),
         "user_event_types": (
             "SELECT user_id, CAST(COUNT(DISTINCT event_type) AS BIGINT) "

@@ -436,3 +436,36 @@ def global_topk(ds, sort_cols: list[str], k: int, descending: list[bool] | None 
     if merged is None:
         return ds.limit(0).to_pandas()
     return merged.take(pc.sort_indices(merged, sort_keys=keys)).to_pandas()
+
+
+def grouped_mode(ds, key_col: str, value_col: str, n_parts: int = 64):
+    """Most frequent value per key → (key, mode_value, mode_count), ties
+    broken deterministically by SMALLEST value (the SQL mirror's
+    ``ROW_NUMBER ... ORDER BY COUNT(*) DESC, value``).
+
+    Combiner shape: each batch pre-counts (key, value) pairs with one
+    Arrow ``group_by`` (the shuffle moves one row per distinct pair per
+    batch, never raw rows), then a hash-partitioned merge re-sums pair
+    counts and takes each key's first row under (count desc, value asc) —
+    one sort + head per partition, no per-key Python."""
+    from .grouping import partitioned_map_groups
+
+    def precount(batch: pa.Table) -> pa.Table:
+        t = batch.select([key_col, value_col])
+        if not t.num_rows:
+            return t.append_column("c", pa.array([], pa.int64()))
+        return t.group_by([key_col, value_col]).aggregate([([], "count_all")]).rename_columns(
+            [key_col, value_col, "c"]
+        )
+
+    pairs = ds.map_batches(precount, batch_format="pyarrow", zero_copy_batch=True)
+
+    def pick_part(g: pd.DataFrame) -> pd.DataFrame:
+        merged = (
+            g.groupby([key_col, value_col], sort=False, as_index=False)["c"].sum()
+            .sort_values([key_col, "c", value_col], ascending=[True, False, True], kind="mergesort")
+        )
+        top = merged.drop_duplicates(key_col, keep="first")
+        return top.rename(columns={value_col: "mode_value", "c": "mode_count"})
+
+    return partitioned_map_groups(pairs, key_col, pick_part, n_parts=n_parts)

@@ -535,3 +535,23 @@ class TestGlobalTopk:
         tab = pa.table({"id": pa.array([3, 1, 2], pa.int64())})
         out = global_topk(rd.from_arrow(tab), ["id"], k=10)
         assert list(out["id"]) == [1, 2, 3]
+
+
+class TestGroupedMode:
+    def test_mode_with_tie_break(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import grouped_mode
+
+        tab = pa.table(
+            {
+                "k": pa.array([1, 1, 1, 2, 2, 2, 2, 3], pa.int64()),
+                "v": ["b", "b", "a", "z", "y", "z", "y", "q"],
+            }
+        )
+        out = {
+            r["k"]: (r["mode_value"], r["mode_count"])
+            for r in grouped_mode(rd.from_arrow(tab).repartition(3), "k", "v").take_all()
+        }
+        # key 1: b wins on count; key 2: y/z tie at 2 → smallest value wins
+        assert out == {1: ("b", 2), 2: ("y", 2), 3: ("q", 1)}
