@@ -726,6 +726,54 @@ def q_longest_docs(sf_dir):
     return global_topk(docs, ["n_chars", "doc_id"], k=20, descending=[True, False])
 
 
+def q_curated_corpus(sf_dir):
+    """The full RefinedWeb-style curation pipeline end to end, every stage
+    streaming and every stage SQL-mirrored, so the WHOLE composition is
+    value-hash-checked: language filter → quality gate (length +
+    space-ratio band) → line-level boilerplate dedup → lang re-attach
+    (bucketed join) → stratified mixture balance (en → 50%) →
+    deterministic split assignment."""
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import dedup_lines
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+    from geodistpy_ray.stages.text import add_quality_score, add_split, stratified_sample
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+
+    def lang_gate(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("lang"), value_set=pa.array(["en", "de", "fr"])))
+
+    gated = add_quality_score(
+        docs.map_batches(lang_gate, batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def quality_gate(t: pa.Table) -> pa.Table:
+        nc = t.column("n_chars_q").to_numpy()
+        ns = t.column("n_spaces").to_numpy().astype(np.float64)
+        ppm = np.floor(ns * 1000000.0 / np.maximum(nc, 1)).astype(np.int64)
+        mask = (nc >= 50) & (ppm >= 120000) & (ppm <= 250000)
+        return t.filter(pa.array(mask)).select(["doc_id", "lang", "text"])
+
+    gated = gated.map_batches(quality_gate, batch_format="pyarrow", zero_copy_batch=True)
+
+    def with_lines(t: pa.Table) -> pa.Table:
+        lines = pc.replace_substring(pc.fill_null(t.column("text"), ""), " data ", "\n")
+        return t.set_column(t.schema.get_field_index("text"), "text", lines)
+
+    clean = dedup_lines(
+        gated.map_batches(with_lines, batch_format="pyarrow", zero_copy_batch=True)
+        .select_columns(["doc_id", "text"]),
+        min_docs=2,
+    )
+    labeled = shuffle_equi_join(
+        clean, gated.select_columns(["doc_id", "lang"]), "doc_id", join_type="inner"
+    )
+    balanced = stratified_sample(labeled, rates={"en": 50}, key_col="lang")
+    return add_split(balanced).select_columns(["doc_id", "lang", "split", "clean_text"])
+
+
 def q_near_dedup(sf_dir):
     """End-to-end near-dedup: overlap pair graph → connected components →
     anti-join drops every non-representative (keeps each cluster's minimum
@@ -1543,6 +1591,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_10pct": q_sample_10pct,
         "revenue_heatmap": q_revenue_heatmap,
         "clean_corpus": q_clean_corpus,
+        # curated_corpus composes lang gate + quality gate + dedup_lines +
+        # bucketed join + stratified_sample + add_split — each stage has its
+        # own in-window row; this row value-checks the whole composition
+        "curated_corpus": q_curated_corpus,
         # ── rows-only queries (no SQL-expressible oracle) from here down ──
         "approx_distinct": q_approx_distinct,
         "doc_clusters": q_doc_clusters,
@@ -2056,6 +2108,31 @@ def oracle_sql() -> dict[str, str]:
             f"AND FLOOR(CAST(length(d.text) - length(replace(d.text, ' ', '')) AS DOUBLE) "
             f"* 1000000.0 / GREATEST(length(d.text), 1)) <= {MAX_SPACE_PPM}"
         ),
+        "curated_corpus": (
+            # lang gate + quality gate (both on the ORIGINAL text, before
+            # the synthesized line structure), dedup_lines' mirror, lang
+            # re-attach join, stratified_sample's CASE, add_split's bucket
+            lambda split_expr: (
+                "WITH q AS (SELECT doc_id, lang, text FROM documents "
+                "WHERE lang IN ('en','de','fr') AND length(text) >= 50 "
+                "AND FLOOR(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) "
+                "* 1000000.0 / GREATEST(length(text), 1)) BETWEEN 120000 AND 250000), "
+                "d AS (SELECT doc_id, replace(text, ' data ', chr(10)) AS t FROM q), "
+                "l AS (SELECT doc_id, i AS idx, parts[i] AS line "
+                "FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d), "
+                "UNNEST(generate_series(1, len(parts))) AS u(i)), "
+                "dup AS (SELECT line FROM l GROUP BY line "
+                "HAVING count(DISTINCT doc_id) >= 2), "
+                "clean AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) "
+                "AS clean_text FROM l ANTI JOIN dup USING (line) GROUP BY doc_id), "
+                "bal AS (SELECT c.doc_id, q.lang, c.clean_text "
+                "FROM clean c JOIN q USING (doc_id) "
+                "WHERE (CAST(((c.doc_id + 7) % 1000000 + 1000000) % 1000000 AS BIGINT) "
+                "* 998244353) % 1000000 "
+                "< CASE WHEN q.lang = 'en' THEN 500000 ELSE 1000000 END) "
+                f"SELECT doc_id, lang, {split_expr} AS split, clean_text FROM bal"
+            )
+        )(__import__("geodistpy_ray.stages.text", fromlist=["split_sql"]).split_sql()),
         "events_union": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type IN ('click', 'purchase')"

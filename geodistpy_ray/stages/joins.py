@@ -125,6 +125,24 @@ def _pad_side(side, key_out, own_key, lvals, rvals, ltypes, rtypes, n_buckets):
     return fn
 
 
+def _arrow_type(t) -> pa.DataType:
+    """Coerce a Dataset.schema() type to a pyarrow DataType.
+
+    A pipeline whose upstream ran through pandas blocks (e.g. a
+    ``partitioned_map_groups`` finalizer) reports numpy dtypes / Python
+    classes instead of Arrow types; the null-padding in ``_pad_side`` needs
+    real Arrow types. ``object`` dtype maps to string — every engine-internal
+    pandas-block object column is text (list payloads only ever travel in
+    Arrow blocks).
+    """
+    if isinstance(t, pa.DataType):
+        return t
+    try:
+        return pa.from_numpy_dtype(np.dtype(t))
+    except (TypeError, NotImplementedError, pa.ArrowNotImplementedError):
+        return pa.string()
+
+
 def _union_bucketed(left, right, left_key, right_key, n_buckets):
     """Harmonize schemas, tag sides, bucket on key hash, union the streams.
 
@@ -132,8 +150,8 @@ def _union_bucketed(left, right, left_key, right_key, n_buckets):
     every non-key column of each side (must be disjoint across sides).
     """
     ls, rs = left.schema(), right.schema()
-    ltypes = dict(zip(ls.names, ls.types))
-    rtypes = dict(zip(rs.names, rs.types))
+    ltypes = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
+    rtypes = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
     lvals = [c for c in ls.names if c != left_key]
     rvals = [c for c in rs.names if c != right_key]
     overlap = set(lvals) & set(rvals)
@@ -250,8 +268,9 @@ def shuffle_equi_join(
     # schema (exact for integers < 2^53; the pandas detour itself is the
     # precision ceiling, not this cast).
     ls, rs = left.schema(), right.schema()
-    types = {**dict(zip(ls.names, ls.types)), **dict(zip(rs.names, rs.types))}
-    types[left_key] = ls.types[ls.names.index(left_key)]
+    types = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
+    types.update({n: _arrow_type(t) for n, t in zip(rs.names, rs.types)})
+    types[left_key] = _arrow_type(ls.types[ls.names.index(left_key)])
 
     def join_bucket(t: pa.Table) -> pa.Table:
         side = t.column("__side")
@@ -271,8 +290,8 @@ def _salted_inner_join(left, right, left_key, right_key, n_buckets):
     """Inner join of pre-salted sides: co-partition on (key, __salt), join
     per bucket on BOTH columns, drop the salt column."""
     ls, rs = left.schema(), right.schema()
-    ltypes = dict(zip(ls.names, ls.types))
-    rtypes = dict(zip(rs.names, rs.types))
+    ltypes = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
+    rtypes = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
     lvals = [c for c in ls.names if c not in (left_key, "__salt")]
     rvals = [c for c in rs.names if c not in (right_key, "__salt")]
     overlap = set(lvals) & set(rvals)
