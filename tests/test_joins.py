@@ -555,3 +555,58 @@ class TestGroupedMode:
         }
         # key 1: b wins on count; key 2: y/z tie at 2 → smallest value wins
         assert out == {1: ("b", 2), 2: ("y", 2), 3: ("q", 1)}
+
+
+class TestPandasBlockInputs:
+    def test_join_after_partitioned_map_groups(self, ray_session):
+        """A join side produced by a partitioned_map_groups finalizer carries
+        pandas blocks, so Dataset.schema() reports numpy/Python types instead
+        of Arrow ones — the schema harmonization must coerce them (regression:
+        pa.nulls(n, <class 'type'>) raised TypeError)."""
+        import ray.data as rd
+
+        from geodistpy_ray.stages.grouping import partitioned_map_groups
+
+        left_tab = pa.table(
+            {
+                "k": pa.array([1, 2, 3, 4], pa.int64()),
+                "txt": ["a", "b", "c", "d"],
+            }
+        )
+        # identity finalizer → same rows, but now in pandas blocks
+        left = partitioned_map_groups(
+            rd.from_arrow(left_tab), "k", lambda g: g, n_parts=4
+        )
+        right = rd.from_arrow(
+            pa.table({"k": pa.array([2, 3, 5], pa.int64()), "rv": [20, 30, 50]})
+        )
+        out = shuffle_equi_join(left, right, "k", n_buckets=4).to_pandas()
+        got = _sorted(out)
+        exp = _sorted(pd.DataFrame({"k": [2, 3], "txt": ["b", "c"], "rv": [20, 30]}))
+        pd.testing.assert_frame_equal(
+            got.astype({"k": "int64", "rv": "int64"}), exp.astype({"k": "int64", "rv": "int64"})
+        )
+
+    def test_outer_join_pads_pandas_block_side(self, ray_session):
+        """Full outer over a pandas-block left: unmatched RIGHT rows need
+        null padding typed from the pandas-reported left schema (object →
+        string, numpy int64 → int64)."""
+        import ray.data as rd
+
+        from geodistpy_ray.stages.grouping import partitioned_map_groups
+
+        left = partitioned_map_groups(
+            rd.from_arrow(
+                pa.table({"k": pa.array([1, 2], pa.int64()), "txt": ["a", "b"]})
+            ),
+            "k",
+            lambda g: g,
+            n_parts=2,
+        )
+        right = rd.from_arrow(
+            pa.table({"k": pa.array([2, 9], pa.int64()), "rv": [20, 90]})
+        )
+        out = shuffle_equi_join(left, right, "k", join_type="full outer", n_buckets=4).to_pandas()
+        assert set(out["k"]) == {1, 2, 9}
+        row9 = out[out["k"] == 9].iloc[0]
+        assert pd.isna(row9["txt"]) and row9["rv"] == 90
