@@ -45,6 +45,16 @@ def _round_col(ds, col, digits, out=None, div=1.0):
 # ── entry ────────────────────────────────────────────────────────────────
 
 
+def _read(path, columns=None):
+    """All driver-contract reads go through the size-aware reader: blocks
+    carry >= ~40k rows so small-sf inputs stop splitting into micro-blocks
+    (per-block fixed costs dominated the small-table aggregates); big inputs
+    fall through to Ray's own sizing — see sources/io.py:read_parquet_sized."""
+    from geodistpy_ray.sources.io import read_parquet_sized
+
+    return read_parquet_sized(path, columns=columns)
+
+
 def entry() -> Any:
     from geodistpy_ray.pipelines import flagship_pipeline
 
@@ -55,11 +65,10 @@ def entry() -> Any:
 
 
 def _docs_geo(sf_dir, columns=("doc_id",)):
-    import ray.data as rd
 
     from geodistpy_ray.stages import add_geocode
 
-    return add_geocode(rd.read_parquet(f"{sf_dir}/documents.parquet", columns=list(columns)))
+    return add_geocode(_read(f"{sf_dir}/documents.parquet", columns=list(columns)))
 
 
 def q_geocode_cells(sf_dir):
@@ -235,29 +244,26 @@ def q_close_pairs(sf_dir):
 
 
 def q_dedup_exact(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.dedup import exact_dedup
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return exact_dedup(docs)
 
 
 def q_token_counts(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import add_token_count
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return add_token_count(docs).select_columns(["doc_id", "n_tokens"])
 
 
 def q_quality(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import add_quality_score
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = add_quality_score(docs)
 
     def ppm(batch: pa.Table) -> pa.Table:
@@ -272,57 +278,51 @@ def q_quality(sf_dir):
 
 
 def q_source_stats(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import grouped_sum
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["source", "n_chars"])
     return grouped_sum(docs, ["source"], int_sum_cols={"n_chars": "sum_chars"}, count_col="n_docs")
 
 
 def q_lang_counts(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import grouped_sum
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["lang"])
     return grouped_sum(docs, ["lang"], count_col="n_docs")
 
 
 def q_fingerprints(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import add_fingerprint
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return add_fingerprint(docs).select_columns(["doc_id", "fingerprint"])
 
 
 def q_lang_id(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import add_lang_id
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return add_lang_id(docs).select_columns(["doc_id", "lang_pred"])
 
 
 def q_minhash_pairs(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.dedup import minhash_lsh_pairs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = minhash_lsh_pairs(docs, threshold=0.5)
     return _round_col(ds, "jaccard", 6)
 
 
 def q_simhash_pairs(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.dedup import simhash_near_pairs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return simhash_near_pairs(docs, max_hamming=3)
 
 
@@ -339,39 +339,35 @@ def _query_vectors(sf_dir):
 
 
 def q_ann_topk(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.ann import ann_topk
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds = ann_topk(emb, _query_vectors(sf_dir), k=ANN_K, tie_round=6)
     return ds.select_columns(["query_id", "vec_id", "rank"])
 
 
 def q_lsh_ann(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.ann import lsh_ann_topk
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return lsh_ann_topk(emb, _query_vectors(sf_dir), k=ANN_K, n_bits=6)
 
 
 def q_ivf_ann(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.ann import ivf_ann_topk
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     return ivf_ann_topk(emb, _query_vectors(sf_dir), k=ANN_K, n_centroids=8, n_probe=3)
 
 
 def q_embed_near_dup(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.ann import exact_near_dup_pairs
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds = exact_near_dup_pairs(emb, NEAR_DUP_T)
     return _round_col(ds, "sim", 6)
 
@@ -381,21 +377,19 @@ def q_embed_near_dup_lsh(sf_dir):
     broadcast budget guard trips. Approximate (multi-table recall knob) →
     rows-only; cross-checked against the exact twin in tests/test_ann.py
     and scripts/recall_bench.py."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.ann import embedding_near_dup_pairs
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
     ds = embedding_near_dup_pairs(emb, threshold=NEAR_DUP_T, n_bits=4, n_tables=16)
     return _round_col(ds, "sim", 6)
 
 
 def q_image_features(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.media import decode_images, extract_image_features
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_payload(batch: pa.Table) -> pa.Table:
         payload = [t.encode() for t in batch.column("text").to_pylist()]
@@ -417,13 +411,12 @@ def q_clean_corpus(sf_dir):
     gate (token count + space-ratio band) → surviving doc stats. Fully
     SQL-expressible, so the whole composition is oracle-checked."""
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from geodistpy_ray.stages.dedup import exact_dedup
     from geodistpy_ray.stages.joins import shuffle_equi_join
     from geodistpy_ray.stages.text import add_quality_score, add_token_count
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
     keep = exact_dedup(docs.select_columns(["doc_id", "text"])).select_columns(["keep_id"])
     docs_en = docs.map_batches(
         lambda t: t.filter(pc.equal(t["lang"], "en")),
@@ -447,11 +440,10 @@ def q_clean_corpus(sf_dir):
 
 
 def q_user_value_range(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import grouped_minmax
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     # user_id is the canonical UNBOUNDED key domain: the final merge must be
     # a distributed shuffle, never a driver-side concat of per-batch partials
     return grouped_minmax(ev, ["user_id"], "value", final="shuffle")
@@ -467,31 +459,28 @@ def q_cell_doc_lists(sf_dir):
 
 def q_dataset_splits(sf_dir):
     """Deterministic train/val/test split + per-split doc and token totals."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import grouped_sum
     from geodistpy_ray.stages.text import add_split, add_token_count
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = add_token_count(add_split(docs))
     return grouped_sum(ds, ["split"], int_sum_cols={"n_tokens": "sum_tokens"}, count_col="n_docs")
 
 
 def q_sample_10pct(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import sample_fraction
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
     return sample_fraction(docs, pct=10)
 
 
 def q_user_p90_value(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import grouped_quantile
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     ds = grouped_quantile(ev, "user_id", "value", q=0.9, out_col="p90_value")
     return _round_col(ds, "p90_value", 6)
 
@@ -499,11 +488,10 @@ def q_user_p90_value(sf_dir):
 def q_token_df(sf_dir):
     """Corpus document-frequency table (the IDF side of TF-IDF): per-batch
     distinct-(token, doc) combiner → hash-partitioned token sum."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import token_doc_frequency
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return token_doc_frequency(docs)
 
 
@@ -511,11 +499,10 @@ def q_tfidf_top3(sf_dir):
     """Top-3 TF-IDF terms per document — tf rows join the df table on the
     token (one bucketed shuffle; vocabulary is unbounded at web scale, so
     no broadcast), per-doc top-k on a hash partition of doc_id."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import tfidf_topk
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return tfidf_topk(docs, k=3)
 
 
@@ -523,11 +510,10 @@ def q_rep_stats(sf_dir):
     """Gopher-style repetition features per document (distinct-token ratio,
     top-token and top-bigram coverage) as exact INTEGER counts — a per-batch
     local pass, no shuffle (each document's text lives in one row)."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import repetition_stats
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return repetition_stats(docs)
 
 
@@ -539,11 +525,10 @@ def q_contaminated(sf_dir):
     streams through one membership-probe pass — no shuffle. shingle=3 here
     because the synthetic ~30-word vocabulary needs short n-grams for
     non-trivial overlap; production decontamination uses 8-13."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.dedup import contamination_hits
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def split(batch, want_bench):
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -566,11 +551,10 @@ def q_shingle_pairs(sf_dir):
     pre-aggregated before leaving the window partition. shingle=4 against
     the synthetic ~30-word vocabulary keeps the pair graph sparse
     (production corpora use 8-13-gram windows for the same reason)."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.dedup import shingle_overlap_pairs
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return shingle_overlap_pairs(docs, shingle=4, min_common=2)
 
 
@@ -581,12 +565,11 @@ def q_dup_clusters(sf_dir):
     4-gram windows; output labels each clustered doc with its component's
     minimum doc_id. Oracle: the same edge set closed under a recursive
     min-reachable CTE."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.dedup import shingle_overlap_pairs
     from geodistpy_ray.stages.graph import connected_components
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     edges = shingle_overlap_pairs(docs, shingle=4, min_common=3)
     return connected_components(edges, node_col="doc_id")
 
@@ -595,11 +578,10 @@ def q_capped_sources(sf_dir):
     """Cap over-represented sources: at most 10 docs per source, selected
     by deterministic id-hash rank (partition-independent, bit-reproducible
     — never arrival order). One bounded partitioned shuffle."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import cap_per_key
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source"])
     return cap_per_key(docs, "source", k=10)
 
 
@@ -613,11 +595,10 @@ def q_dedup_lines(sf_dir):
     both engines scan left-to-right non-overlapping) and the stage itself
     stays general."""
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from geodistpy_ray.stages.dedup import dedup_lines
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def with_lines(batch: pa.Table) -> pa.Table:
         t = pc.replace_substring(pc.fill_null(batch.column("text"), ""), " data ", "\n")
@@ -632,11 +613,10 @@ def q_dedup_spans(sf_dir):
     token covered by a 5-token window occurring in >= 2 distinct docs is
     removed from EVERY holder; survivors of lower(text) reassemble in
     order; fully-covered docs drop."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.dedup import dedup_spans
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return dedup_spans(docs, k=5, min_docs=2)
 
 
@@ -645,11 +625,10 @@ def q_balanced_langs(sf_dir):
     stratum to 20% while keeping every other language — same id-hash as
     sample_10pct, so stratum samples nest and never depend on
     partitioning."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import stratified_sample
 
-    docs = rd.read_parquet(
+    docs = _read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"]
     )
     return stratified_sample(docs, rates={"en": 20}, key_col="lang")
@@ -659,11 +638,10 @@ def q_lang_source_pivot(sf_dir):
     """Contingency pivot: per source, one count column per listed language
     + other_n + total — widened 0/1 columns ride the grouped_sum combiner,
     one short row per (key × batch) in the shuffle."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import pivot_counts
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["source", "lang"])
     return pivot_counts(docs, key_col="source", pivot_col="lang", values=["en", "de", "fr"])
 
 
@@ -671,11 +649,10 @@ def q_pricing_rollup(sf_dir):
     """GROUP BY ROLLUP(l_returnflag, l_linestatus): finest level from ONE
     corpus pass (the grouped_sum combiner), coarser levels re-aggregate the
     finest RESULT — work proportional to distinct key combos."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import rollup_sum
 
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity"],
     )
@@ -689,11 +666,10 @@ def q_user_event_types(sf_dir):
     per-key sketch (`approx_distinct`'s family): distributed distinct on
     (user_id, event_type), then a count per user with a DISTRIBUTED final
     (user_id is the canonical unbounded key — never a driver merge)."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import distinct, grouped_sum
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
     return grouped_sum(
         distinct(ev, ["user_id", "event_type"]),
         ["user_id"],
@@ -706,11 +682,10 @@ def q_user_top_event(sf_dir):
     """Per-key mode: each user's most frequent event type (ties → smallest
     value, mirroring ROW_NUMBER ... ORDER BY COUNT(*) DESC, value). The
     shuffle moves pre-counted (key, value) pair rows, never raw events."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import grouped_mode
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_type"])
     return grouped_mode(ev, "user_id", "event_type")
 
 
@@ -718,11 +693,10 @@ def q_longest_docs(sf_dir):
     """Global ORDER BY ... LIMIT k via the per-batch top-k combiner — never
     a corpus-wide sort shuffle; the order is total (id tie-break) so the
     result is deterministic."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import global_topk
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
     return global_topk(docs, ["n_chars", "doc_id"], k=20, descending=[True, False])
 
 
@@ -734,13 +708,12 @@ def q_curated_corpus(sf_dir):
     (bucketed join) → stratified mixture balance (en → 50%) →
     deterministic split assignment."""
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from geodistpy_ray.stages.dedup import dedup_lines
     from geodistpy_ray.stages.joins import shuffle_equi_join
     from geodistpy_ray.stages.text import add_quality_score, add_split, stratified_sample
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
 
     def lang_gate(t: pa.Table) -> pa.Table:
         return t.filter(pc.is_in(t.column("lang"), value_set=pa.array(["en", "de", "fr"])))
@@ -781,13 +754,12 @@ def q_near_dedup(sf_dir):
     fraction of the corpus, so the removal is a bucketed ANTI-JOIN shuffle,
     not a broadcast filter."""
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from geodistpy_ray.stages.dedup import shingle_overlap_pairs
     from geodistpy_ray.stages.graph import connected_components
     from geodistpy_ray.stages.joins import shuffle_equi_join
 
-    docs = rd.read_parquet(
+    docs = _read(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "n_chars"]
     )
     edges = shingle_overlap_pairs(docs, shingle=4, min_common=3)
@@ -809,11 +781,10 @@ def q_doc_clusters(sf_dir):
     shuffles only (centroid × batch) partial-sum rows. Iterative algorithm
     → no SQL oracle; convergence, recovery and partition independence are
     pinned in tests/test_cluster.py."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.cluster import kmeans_assign, kmeans_fit
 
-    emb = rd.read_parquet(
+    emb = _read(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
     )
     c, _ = kmeans_fit(emb, k=8, iters=4)
@@ -825,32 +796,29 @@ def q_user_p90_sketch(sf_dir):
     path for unbounded per-key cardinality — shuffles <= 16·b bytes per
     (key × batch) instead of every raw value). Approximate within a
     documented rank bound → rows-only; the exact twin is user_p90_value."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.sketches import grouped_quantile_sketch
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     ds = grouped_quantile_sketch(ev, "user_id", "value", q=0.9, b=64, out_col="p90_approx")
     return _round_col(ds, "p90_approx", 6)
 
 
 def q_user_median_value(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import grouped_median
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     ds = grouped_median(ev, "user_id", "value", out_col="median_value")
     return _round_col(ds, "median_value", 6)
 
 
 def q_rolling_counts(sf_dir):
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from geodistpy_ray.stages.windows import rolling_count
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
     small = ev.map_batches(
         lambda t: t.filter(pc.less(t["user_id"], 30)),
         batch_format="pyarrow",
@@ -862,11 +830,10 @@ def q_rolling_counts(sf_dir):
 
 def q_running_totals(sf_dir):
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import running_total
 
-    ev = rd.read_parquet(
+    ev = _read(
         f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts", "value"]
     )
     small = ev.map_batches(
@@ -893,13 +860,12 @@ def q_dimwise_pairs(sf_dir):
     n_chars delta), broadcast-cdist shape (no N×N materialization)."""
     import pyarrow.compute as pc
     import ray
-    import ray.data as rd
 
     from geodistpy_ray.functions.geocode import geocode_ids
     from geodistpy_ray.kernels.sphere import haversine_dimwise_sq
     from geodistpy_ray.stages.broadcast import get_broadcast
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
     docs = docs.map_batches(
         lambda t: t.filter(pc.less(t["doc_id"], DIMWISE_MAX_ID)),
         batch_format="pyarrow",
@@ -932,11 +898,10 @@ def q_dimwise_pairs(sf_dir):
 
 
 def q_audio_features(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.media import decode_audio, extract_audio_features
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_payload(batch: pa.Table) -> pa.Table:
         payload = [t.encode() for t in batch.column("text").to_pylist()]
@@ -953,7 +918,6 @@ def q_video_pipeline(sf_dir):
     frame_no, payload) → keyed frame sampling → decode → resize → features.
     Codecs are deterministic fakes (no media libs here); the Ray-side
     plumbing — schemas, batching, actor lifecycle, composition — is real."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.media import (
         decode_images,
@@ -962,7 +926,7 @@ def q_video_pipeline(sf_dir):
         sample_frames_keyed,
     )
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_frames(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
@@ -987,12 +951,11 @@ def q_revenue_heatmap(sf_dir):
     """Geo × relational composition: geocode orders by customer key, roll
     revenue up into grid cells — the 'heat map' shape of the north-star
     pipeline, fully oracle-checked."""
-    import ray.data as rd
 
     from geodistpy_ray.stages import add_cell, add_geocode
     from geodistpy_ray.stages.relational import grouped_sum
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     ds = add_cell(add_geocode(orders, id_col="o_custkey"), CELL_DEG)
     return grouped_sum(
         ds, ["cell"], cent_sum_cols={"o_totalprice": "revenue_cents"}, count_col="n_orders"
@@ -1000,11 +963,10 @@ def q_revenue_heatmap(sf_dir):
 
 
 def q_q1_pricing(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import grouped_sum
 
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
@@ -1019,11 +981,10 @@ def q_q1_pricing(sf_dir):
 
 def q_top_customers(sf_dir):
     import duckdb
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import grouped_sum
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     agg = grouped_sum(
         orders, ["o_custkey"], cent_sum_cols={"o_totalprice": "total_cents"}, count_col="n_orders"
     )
@@ -1039,23 +1000,21 @@ def q_top_customers(sf_dir):
 
 
 def q_orders_by_month(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import add_month_key, grouped_sum
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"])
     ds = add_month_key(orders, "o_orderdate", "ym")
     return grouped_sum(ds, ["ym"], cent_sum_cols={"o_totalprice": "sum_cents"}, count_col="n_orders")
 
 
 def q_events_agg(sf_dir):
     import pandas as pd
-    import ray.data as rd
 
     from geodistpy_ray.stages.grouping import partitioned_map_groups
     from geodistpy_ray.stages.relational import grouped_sum
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_type", "value"])
     # user_id is unbounded at scale → ONE distributed shuffle: per-batch
     # (user, type) partials go straight to a hash partition of user_id and
     # the per-user rollup happens vectorized inside each partition. No
@@ -1081,20 +1040,18 @@ def q_events_agg(sf_dir):
 
 
 def q_events_hourly(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.windows import tumbling_window_agg
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     return tumbling_window_agg(ev, "user_id", "ts", 3_600_000_000, value_col="value")
 
 
 def q_sessions(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.windows import sessionize
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
     return sessionize(ev, "user_id", "ts", 1_800_000_000, order_tiebreak_col="event_id")
 
 
@@ -1102,11 +1059,10 @@ LATE_WATERMARK_US = 30 * 24 * 3_600_000_000  # 30-day lateness allowance
 
 
 def q_late_events(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.windows import late_event_stats
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
     return late_event_stats(ev, "user_id", "ts", LATE_WATERMARK_US)
 
 
@@ -1117,12 +1073,11 @@ N_RANGES = 10
 
 
 def q_order_lines_join(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.joins import shuffle_equi_join
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
-    li = rd.read_parquet(
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"])
+    li = _read(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
     )
     return shuffle_equi_join(orders, li, "o_orderkey", "l_orderkey")
@@ -1136,15 +1091,14 @@ def q_bloom_join(sf_dir):
     false positives still fail the real key match), which the oracle checks.
     """
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from geodistpy_ray.stages.joins import shuffle_equi_join
     from geodistpy_ray.stages.relational import grouped_sum
 
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber", "l_quantity"]
     )
-    urgent = rd.read_parquet(
+    urgent = _read(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     ).map_batches(
         lambda t: t.filter(pc.equal(t["o_orderpriority"], "1-URGENT")).select(
@@ -1168,11 +1122,10 @@ def q_redacted_texts(sf_dir):
     verbatim in the SQL — and the redaction provably fires on every row."""
     import pandas as pd
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import redact_pii
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def with_footer(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
@@ -1201,22 +1154,20 @@ def q_heavy_custkeys(sf_dir):
     + exact broadcast-verify pass. threshold 1/1024 is a power of two, so
     the engine's float threshold and the SQL mirror's DOUBLE threshold are
     the same exact value."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.sketches import heavy_hitters
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
     return heavy_hitters(orders, "o_custkey", threshold_frac=1.0 / 1024.0)
 
 
 def q_mktsegment_revenue(sf_dir):
     import pyarrow.parquet as pq
-    import ray.data as rd
 
     from geodistpy_ray.stages.joins import broadcast_join
     from geodistpy_ray.stages.relational import grouped_sum
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"])
     joined = broadcast_join(orders, cust, "o_custkey", right_keys="c_custkey")
     return grouped_sum(
@@ -1226,9 +1177,8 @@ def q_mktsegment_revenue(sf_dir):
 
 def _events_by_type(sf_dir, etype, rename=None):
     import pyarrow.compute as pc
-    import ray.data as rd
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts", "event_type"])
 
     def fn(batch: pa.Table) -> pa.Table:
         t = batch.filter(pc.equal(batch.column("event_type"), etype)).drop_columns(["event_type"])
@@ -1249,11 +1199,10 @@ def q_asof_click_view(sf_dir):
 
 
 def q_range_buckets(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.joins import range_join_broadcast
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
 
     def to_us(batch: pa.Table) -> pa.Table:
         return batch.append_column("ts_us", batch.column("ts").cast(pa.int64()))
@@ -1280,22 +1229,20 @@ def q_gc_dist_to_origin(sf_dir):
 
 
 def q_distinct_parts(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import distinct
 
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
+    li = _read(f"{sf_dir}/lineitem.parquet", columns=["l_partkey"])
     return distinct(li, ["l_partkey"], final="shuffle")
 
 
 def q_semi_open_orders(sf_dir):
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from geodistpy_ray.stages.joins import shuffle_equi_join
 
-    cust = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"])
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"])
     open_orders = orders.map_batches(
         lambda t: t.filter(pc.equal(t["o_orderstatus"], "P")).select(["o_custkey"]),
         batch_format="pyarrow",
@@ -1306,12 +1253,11 @@ def q_semi_open_orders(sf_dir):
 
 def q_anti_max_qty(sf_dir):
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from geodistpy_ray.stages.joins import shuffle_equi_join
 
-    part = rd.read_parquet(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
-    li = rd.read_parquet(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
+    part = _read(f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"])
+    li = _read(f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_quantity"])
     heavy = li.map_batches(
         lambda t: t.filter(pc.greater(t["l_quantity"], 49.0)).select(["l_partkey"]),
         batch_format="pyarrow",
@@ -1327,12 +1273,11 @@ def q_outer_join(sf_dir):
     import numpy as np
     import pyarrow as pa
     import pyarrow.compute as pc
-    import ray.data as rd
 
     from geodistpy_ray.stages.joins import shuffle_equi_join
     from geodistpy_ray.stages.relational import cents, grouped_sum
 
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     big_rows = orders.map_batches(
         lambda t: t.filter(pc.greater(t["o_totalprice"], 400000.0)).select(["o_custkey"]),
         batch_format="pyarrow",
@@ -1349,7 +1294,7 @@ def q_outer_join(sf_dir):
             }
         )
 
-    rich = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]).map_batches(
+    rich = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_acctbal"]).map_batches(
         rich_rows, batch_format="pyarrow", zero_copy_batch=True
     )
     return shuffle_equi_join(big, rich, "o_custkey", "c_custkey", join_type="full outer")
@@ -1359,12 +1304,11 @@ def q_approx_distinct(sf_dir):
     """HLL approximate distinct event ids (one pass, no shuffle) next to the
     exact count — returned as a single row so the driver records it."""
     import pandas as pd
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import distinct
     from geodistpy_ray.stages.sketches import approx_distinct_count
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_id"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id"])
     est = approx_distinct_count(ev, "event_id", p=14)
     # true COUNT(DISTINCT), not a row count — event_id happens to be unique
     # in this fixture, but the comparison must stay honest under duplicates
@@ -1375,21 +1319,19 @@ def q_approx_distinct(sf_dir):
 
 
 def q_top_events_per_user(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.relational import top_k_per_group
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
     out = top_k_per_group(ev, "user_id", "value", k=3, ascending=False, tiebreak_col="event_id")
     return out.select_columns(["user_id", "event_id", "rank"])
 
 
 def q_hopping_windows(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.windows import hopping_window_agg
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     return hopping_window_agg(
         ev, "user_id", "ts", window_us=3 * 3_600_000_000, hop_us=3_600_000_000, value_col="value"
     )
@@ -1401,11 +1343,10 @@ HOP_OFFSET_US = 17 * 60 * 1_000_000  # 17-minute grid shift (unaligned)
 def q_hopping_offset(sf_dir):
     """Hopping windows on an UNALIGNED grid: the window lattice is shifted
     by 17 minutes, exercising the offset_us parameter end to end."""
-    import ray.data as rd
 
     from geodistpy_ray.stages.windows import hopping_window_agg
 
-    ev = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
     return hopping_window_agg(
         ev, "user_id", "ts", window_us=3 * 3_600_000_000, hop_us=3_600_000_000,
         value_col="value", offset_us=HOP_OFFSET_US,
@@ -1413,19 +1354,17 @@ def q_hopping_offset(sf_dir):
 
 
 def q_normalized_texts(sf_dir):
-    import ray.data as rd
 
     from geodistpy_ray.stages.text import add_normalized_text
 
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     return add_normalized_text(docs).select_columns(["doc_id", "norm_text"])
 
 
 def q_filter_project(sf_dir):
     import pyarrow.compute as pc
-    import ray.data as rd
 
-    li = rd.read_parquet(
+    li = _read(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_quantity"]
     )
     return li.map_batches(

@@ -53,6 +53,33 @@ def read_table(paths, schema: pa.Schema | None = None, format: str = "parquet", 
     return enforce_schema(ds, schema) if schema is not None else ds
 
 
+def read_parquet_sized(path, columns=None, rows_per_block: int = 40_000, **kwargs):
+    """``read_parquet`` with right-sized blocks for SMALL inputs.
+
+    Ray's default read splits every file toward ~2×CPUs blocks regardless of
+    size, so a 5k-row table becomes 64 micro-blocks of ~80 rows — and every
+    downstream groupby/aggregate then pays its ~20 ms per-block fixed cost 64
+    times (measured: exact-dedup over 5k docs spent 1.9 s of remote wall in
+    per-block machinery and ~35 ms in actual work). This reader caps the
+    split so each block carries at least ~``rows_per_block`` rows (row count
+    from the parquet FOOTER — no data read). Inputs big enough to fill 64
+    such blocks fall through to Ray's own sizing untouched, so at real scale
+    this is a no-op, not a parallelism cap.
+    """
+    import ray.data as rd
+
+    try:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(path).metadata.num_rows
+    except Exception:  # non-local / multi-file path: let Ray size it
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    n_blocks = max(1, -(-n_rows // rows_per_block))
+    if n_blocks >= 64:
+        return rd.read_parquet(path, columns=columns, **kwargs)
+    return rd.read_parquet(path, columns=columns, override_num_blocks=n_blocks, **kwargs)
+
+
 def write_partitioned(
     ds,
     out_dir: str,

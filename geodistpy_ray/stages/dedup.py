@@ -23,8 +23,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Count, Min
-
 from .grouping import key_spans, partitioned_map_groups
 
 _MERSENNE = (1 << 61) - 1
@@ -122,12 +120,41 @@ def add_text_hash(ds, text_col: str = "text", out_col: str = "text_hash"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
-    """Exact dedup groups → (text_hash, keep_id, n_dups), keep_id = min id."""
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text", n_parts: int = 64):
+    """Exact dedup groups → (text_hash, keep_id, n_dups), keep_id = min id.
+
+    text_hash is an unbounded key domain, so the combine follows the
+    engine-wide bounded-group rule (see ``stages/grouping.py``): an Arrow
+    ``group_by`` partial per batch (min id + count — the shuffle ships one
+    short row per distinct hash per batch, never raw texts), then a
+    hash-partitioned final whose per-partition merge is ONE C-level pandas
+    groupby. A raw ``Dataset.groupby(hash).aggregate`` pays Ray's per-group
+    machinery per DISTINCT TEXT (measured: 5k mostly-unique docs → ~1 s of
+    aggregate wall for ~35 ms of useful work).
+    """
     hashed = add_text_hash(ds, text_col).select_columns(["text_hash", id_col])
-    return hashed.groupby("text_hash").aggregate(
-        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups")
-    )
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        g = t.group_by("text_hash").aggregate([(id_col, "min"), (id_col, "count")])
+        return pa.table(
+            {
+                "text_hash": g.column("text_hash"),
+                "keep_id": g.column(f"{id_col}_min"),
+                "n_dups": pc.cast(g.column(f"{id_col}_count"), pa.int64()),
+            }
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return (
+            g.groupby("text_hash", sort=False)
+            .agg(keep_id=("keep_id", "min"), n_dups=("n_dups", "sum"))
+            .reset_index()
+        )
+
+    parts = hashed.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return partitioned_map_groups(parts, "text_hash", final, n_parts=n_parts)
 
 
 # ── MinHash + LSH ────────────────────────────────────────────────────────
