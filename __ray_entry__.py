@@ -574,6 +574,18 @@ def q_dup_clusters(sf_dir):
     return connected_components(edges, node_col="doc_id")
 
 
+def q_seq_packing(sf_dir):
+    """Concat-and-chunk sequence packing: documents concatenate in doc_id
+    order and slice into 512-token packs; each non-empty doc's global token
+    offset and pack span come from a distributed two-level ordered prefix
+    sum (per-range partials → driver folds n_parts scalars → per-range
+    scan) — the scalable form of SQL's ``SUM() OVER (ORDER BY ...)``."""
+    from geodistpy_ray.stages.pack import pack_assignments
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return pack_assignments(docs, seq_len=512)
+
+
 def q_capped_sources(sf_dir):
     """Cap over-represented sources: at most 10 docs per source, selected
     by deterministic id-hash rank (partition-independent, bit-reproducible
@@ -1476,7 +1488,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contaminated": q_contaminated,
         "shingle_pairs": q_shingle_pairs,
         "dup_clusters": q_dup_clusters,
-        "capped_sources": q_capped_sources,
+        "seq_packing": q_seq_packing,
         "dedup_lines": q_dedup_lines,
         # redundant variants + composition queries last among oracle-matched:
         # every operator here has its OWN unique oracle row above, so if a
@@ -1502,6 +1514,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cell-ROUTED variants of radius_join/knn — same operator contract,
         # different routing, still verified every round by check_oracle;
         # tile_coarse: the hierarchy rollup over cell_counts' operator)
+        # capped_sources (cap_per_key) moved just past the window for
+        # seq_packing's slot: its partitioned rank-selection machinery is
+        # top_events_per_user's in-window row with rank-by-hash instead of
+        # rank-by-value; the hash-cap specifics stay pinned by pytest +
+        # check_oracle every round
+        "capped_sources": q_capped_sources,
         "dedup_spans": q_dedup_spans,
         # balanced_langs shares sample_10pct's hash mechanism under a
         # per-stratum CASE — new stage, same recorded-window family
@@ -1866,6 +1884,20 @@ def oracle_sql() -> dict[str, str]:
             "reach(node, r) AS (SELECT node, node FROM nodes "
             "UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node) "
             "SELECT node AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY node"
+        ),
+        "seq_packing": (
+            # the distributed two-level scan ≡ SQL's global ordered window
+            "WITH c AS (SELECT doc_id, "
+            "CAST(length(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM documents), "
+            "nz AS (SELECT * FROM c WHERE n_tokens > 0), "
+            "o AS (SELECT doc_id, n_tokens, "
+            "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start "
+            "FROM nz) "
+            "SELECT doc_id, n_tokens, tok_start, "
+            "CAST(tok_start // 512 AS BIGINT) AS pack_first, "
+            "CAST((tok_start + n_tokens - 1) // 512 AS BIGINT) AS pack_last FROM o"
         ),
         "capped_sources": (
             # same hash-rank ordering bit-for-bit (cap_rank_sql mirrors the
