@@ -368,10 +368,12 @@ def asof_join(
     behavior). Ensure right-side timestamps are unique per key (e.g. add a
     microsecond jitter or pre-dedup) when exact reproducibility matters.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     right_ts = right_ts_key or ts
     ls, rs = left.schema(), right.schema()
-    ltypes = dict(zip(ls.names, ls.types))
-    rtypes = dict(zip(rs.names, rs.types))
+    ltypes = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
+    rtypes = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}
     lvals = [c for c in ls.names if c not in (key, ts)]
     rvals = [c for c in rs.names if c not in (key, right_ts)]
     overlap = set(lvals) & set(rvals)
@@ -396,13 +398,6 @@ def asof_join(
                 cols[c] = batch.column(c) if side == 0 else pa.nulls(n, ltypes[c])
             for c in rvals:
                 cols[c] = batch.column(c) if side == 1 else pa.nulls(n, rtypes[c])
-            # match sentinel: always-1 on right rows → NaN after merge_asof
-            # marks a truly unmatched left row, independent of value nulls
-            cols["__matched"] = (
-                pa.array(np.ones(n, dtype=np.int8), pa.int8())
-                if side == 1
-                else pa.nulls(n, pa.int8())
-            )
             cols["__bucket"] = pa.array(
                 _hash_bucket(batch.column(key).to_numpy(zero_copy_only=False), n_buckets),
                 pa.int64(),
@@ -423,27 +418,50 @@ def asof_join(
     )
 
     def join_bucket(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        l = df[df["__side"] == 0].sort_values("__ts", kind="mergesort")
-        r = df[df["__side"] == 1].sort_values("__ts", kind="mergesort")
-        out = pd.merge_asof(
-            l[[key, "__ts"] + lvals],
-            r[[key, "__ts"] + rvals + ["__matched"]],
-            on="__ts",
-            by=key,
-            direction=direction,
-            allow_exact_matches=True,
+        # fully vectorized as-of via one lexsort + a running max: sort the
+        # UNION of both sides by (key, ts) with right rows before left at
+        # equal ts (allow_exact_matches). Each right row at sorted position
+        # i carries marker key_code·(n+1) + (i+1); left rows carry
+        # key_code·(n+1). After np.maximum.accumulate, a left row's value
+        # decodes to the LATEST right row at-or-before it — and because a
+        # later key's base exceeds any earlier key's marker, a cross-key
+        # leak is detectable by the decoded key_code mismatching (→ no
+        # match, inner semantics drop the row).
+        n = t.num_rows
+        if n == 0:
+            return out_schema.empty_table()
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        keys_np = t.column(key).to_numpy(zero_copy_only=False)
+        tsv = t.column("__ts").to_numpy(zero_copy_only=False)
+        if tsv.dtype.kind in "Mm":
+            tsv = tsv.view("i8")
+        if direction == "forward":
+            # asof-forward ≡ asof-backward on the negated time axis
+            tsv = -tsv.astype(np.int64) if tsv.dtype.kind in "iu" else -tsv
+        _, key_code = np.unique(keys_np, return_inverse=True)
+        is_right = side == 1
+        # stable sort: (key, ts, right-before-left)
+        order = np.lexsort((np.where(is_right, 0, 1), tsv, key_code))
+        kc_s = key_code[order].astype(np.int64)
+        right_s = is_right[order]
+        base = kc_s * np.int64(n + 1)
+        marker = base + np.where(right_s, np.arange(1, n + 1, dtype=np.int64), 0)
+        acc = np.maximum.accumulate(marker)
+        left_pos = np.flatnonzero(~right_s)
+        acc_l = acc[left_pos]
+        matched = (acc_l // np.int64(n + 1) == kc_s[left_pos]) & (acc_l % np.int64(n + 1) > 0)
+        left_pos = left_pos[matched]
+        # sorted position i carried marker value i+1 → the matched right
+        # row's ORIGINAL index is order[marker-base-1]
+        right_orig = order[(acc[left_pos] % np.int64(n + 1)).astype(np.int64) - 1]
+        left_orig = order[left_pos]
+        lt = t.select([key, "__ts"] + lvals).take(pa.array(left_orig, pa.int64()))
+        rt = t.select(rvals).take(pa.array(right_orig, pa.int64()))
+        out = pa.table(
+            {**{c: lt.column(c) for c in [key, "__ts"] + lvals},
+             **{c: rt.column(c) for c in rvals}}
         )
-        # inner semantics: drop left rows with no as-of match (sentinel NaN)
-        out = out[out["__matched"].notna()]
-        # null-padding round-trips ints through float64 in pandas;
-        # per-column from_pandas conversion maps NaN → null (a plain cast
-        # would raise on NaN → int for right columns that are genuinely null)
-        arrays = [
-            pa.array(out[f.name], type=f.type, from_pandas=True)
-            for f in out_schema
-        ]
-        return pa.Table.from_arrays(arrays, schema=out_schema)
+        return out if out.schema.equals(out_schema) else out.cast(out_schema)
 
     joined = combined.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 

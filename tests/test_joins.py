@@ -610,3 +610,70 @@ class TestPandasBlockInputs:
         assert set(out["k"]) == {1, 2, 9}
         row9 = out[out["k"] == 9].iloc[0]
         assert pd.isna(row9["txt"]) and row9["rv"] == 90
+
+
+class TestAsofVectorized:
+    def test_forward_direction_matches_merge_asof(self, ray_session):
+        import ray.data as rd
+
+        rng = np.random.default_rng(21)
+        l = pd.DataFrame(
+            {
+                "k": rng.integers(0, 6, 200),
+                "ts": rng.integers(0, 500, 200).astype(np.int64),
+                "lv": np.arange(200),
+            }
+        )
+        r = pd.DataFrame(
+            {
+                "k": rng.integers(0, 8, 150),  # some right-only keys
+                "ts": rng.integers(0, 500, 150).astype(np.int64),
+                "rv": np.arange(150) + 1000,
+            }
+        )
+        # unique (k, ts) on the right: tie order is unspecified by contract
+        r = r.drop_duplicates(["k", "ts"])
+        got = (
+            asof_join(
+                rd.from_pandas(l).repartition(4),
+                rd.from_pandas(r).repartition(3),
+                key="k",
+                ts="ts",
+                direction="forward",
+                n_buckets=4,
+            )
+            .to_pandas()
+            .sort_values(["k", "ts", "lv"], ignore_index=True)
+        )
+        exp = pd.merge_asof(
+            l.sort_values("ts", kind="mergesort"),
+            r.sort_values("ts", kind="mergesort"),
+            on="ts",
+            by="k",
+            direction="forward",
+        )
+        exp = exp[exp["rv"].notna()].sort_values(["k", "ts", "lv"], ignore_index=True)
+        assert got["lv"].tolist() == exp["lv"].tolist()
+        assert got["rv"].tolist() == [int(v) for v in exp["rv"]]
+
+    def test_left_only_key_never_leaks_previous_key(self, ray_session):
+        import ray.data as rd
+
+        # key 5 has no right rows; the running max from key 3's right rows
+        # must not leak into it
+        l = pd.DataFrame({"k": [3, 5], "ts": [10, 10], "lv": [1, 2]})
+        r = pd.DataFrame({"k": [3], "ts": [5], "rv": [99]})
+        got = (
+            asof_join(rd.from_pandas(l), rd.from_pandas(r), key="k", ts="ts", n_buckets=1)
+            .to_pandas()
+            .sort_values("k", ignore_index=True)
+        )
+        assert got["k"].tolist() == [3]
+        assert got["rv"].tolist() == [99]
+
+    def test_bad_direction_raises(self, ray_session):
+        import ray.data as rd
+
+        l = rd.from_pandas(pd.DataFrame({"k": [1], "ts": [1], "lv": [1]}))
+        with pytest.raises(ValueError, match="direction"):
+            asof_join(l, l, key="k", ts="ts", direction="nearest")
