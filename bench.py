@@ -709,6 +709,38 @@ def run_scale8(sf_dir: str, num_cpus: int) -> dict:
             "docs_per_sec": round(n_docs * replicate / dt),
         }
 
+    # ordered-prefix-scan tier: replicate documents with OFFSET id spaces
+    # (ids stay unique, the scan's only requirement); throughput should hold
+    # as the stream grows — the scan's exchanges ship (id, count) pairs and
+    # the driver folds a fixed n_parts scalars regardless of rows
+    from geodistpy_ray.stages.pack import pack_assignments
+
+    def rep_ids(replicate: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch.column("doc_id").to_numpy()
+            t = pc_.fill_null(batch.column("text"), "")
+            return pa.concat_tables(
+                [
+                    pa.table({"doc_id": pa.array(ids + (r << 40)), "text": t})
+                    for r in range(replicate)
+                ]
+            )
+
+        return docs_base.repartition(8 * replicate).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    for name, replicate in [("seq_packing_1x", 1), ("seq_packing_8x", 8)]:
+        t0 = time.perf_counter()
+        n = pack_assignments(rep_ids(replicate), seq_len=512).count()
+        dt = time.perf_counter() - t0
+        out[name] = {
+            "sec": round(dt, 2),
+            "input_docs": n_docs * replicate,
+            "docs_out": n,
+            "docs_per_sec": round(n_docs * replicate / dt),
+        }
+
     # spill evidence: the memory-summary API needs grpc (absent here), so
     # grep the live session's raylet log for object-spill records instead
     out["spill"] = ["no spill records in raylet log"]
