@@ -759,6 +759,37 @@ def q_curated_corpus(sf_dir):
     return add_split(balanced).select_columns(["doc_id", "lang", "split", "clean_text"])
 
 
+def q_above_median_docs(sf_dir):
+    """Filter by a computed per-stratum threshold: per-language exact median
+    of n_chars (co-located median stage — languages are a bounded key
+    domain, so the ~6-row result is driver-collected and broadcast), then a
+    streaming keep-above-threshold filter. The two-pass "dynamic cutoff"
+    pattern a curation pipeline uses for quality gates."""
+    import ray
+
+    from geodistpy_ray.stages.broadcast import get_broadcast
+    from geodistpy_ray.stages.relational import grouped_median
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    med = grouped_median(
+        docs.select_columns(["lang", "n_chars"]), "lang", "n_chars", out_col="med"
+    )
+    med_map = {r["lang"]: r["med"] for r in med.take_all()}
+    ref = ray.put(med_map)
+
+    def keep(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        m = get_broadcast(ref)
+        # null-lang rows map to NaN thresholds → comparison False → dropped,
+        # matching the SQL inner join on lang
+        thr = pd.Series(t.column("lang").to_numpy(zero_copy_only=False)).map(m)
+        nc = t.column("n_chars").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(nc > thr.to_numpy(dtype=np.float64)))
+
+    return docs.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_near_dedup(sf_dir):
     """End-to-end near-dedup: overlap pair graph → connected components →
     anti-join drops every non-representative (keeps each cluster's minimum
@@ -1552,6 +1583,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bucketed join + stratified_sample + add_split — each stage has its
         # own in-window row; this row value-checks the whole composition
         "curated_corpus": q_curated_corpus,
+        # above_median_docs composes grouped_median (own in-window row via
+        # user_p90's quantile machinery + user_median_value in check_oracle)
+        # with the broadcast-threshold filter pattern
+        "above_median_docs": q_above_median_docs,
         # ── rows-only queries (no SQL-expressible oracle) from here down ──
         "approx_distinct": q_approx_distinct,
         "doc_clusters": q_doc_clusters,
@@ -2104,6 +2139,11 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT doc_id, lang, {split_expr} AS split, clean_text FROM bal"
             )
         )(__import__("geodistpy_ray.stages.text", fromlist=["split_sql"]).split_sql()),
+        "above_median_docs": (
+            "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
+            "JOIN (SELECT lang, MEDIAN(n_chars) AS med FROM documents "
+            "GROUP BY lang) t USING (lang) WHERE d.n_chars > t.med"
+        ),
         "events_union": (
             "SELECT event_id, user_id FROM events "
             "WHERE event_type IN ('click', 'purchase')"
