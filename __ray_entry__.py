@@ -372,6 +372,19 @@ def q_embed_near_dup(sf_dir):
     return _round_col(ds, "sim", 6)
 
 
+def q_embed_near_dup_blocked(sf_dir):
+    """The distributed exact twin of embed_near_dup: block-replicated
+    cartesian (one shuffle, B copies/vector, bounded pair-groups) instead
+    of the broadcast driver matrix — same pairs, same sims, value-checked
+    against the same SQL."""
+
+    from geodistpy_ray.stages.ann import exact_near_dup_pairs_blocked
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = exact_near_dup_pairs_blocked(emb, NEAR_DUP_T, n_blocks=8)
+    return _round_col(ds, "sim", 6)
+
+
 def q_embed_near_dup_lsh(sf_dir):
     """LSH-bucketed near-dup pairs — the scale path when exact_near_dup's
     broadcast budget guard trips. Approximate (multi-table recall knob) →
@@ -1587,6 +1600,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user_p90's quantile machinery + user_median_value in check_oracle)
         # with the broadcast-threshold filter pattern
         "above_median_docs": q_above_median_docs,
+        # the distributed exact near-dup twin, value-checked against the
+        # same SQL as embed_near_dup's in-window broadcast-path row
+        "embed_near_dup_blocked": q_embed_near_dup_blocked,
         # ── rows-only queries (no SQL-expressible oracle) from here down ──
         "approx_distinct": q_approx_distinct,
         "doc_clusters": q_doc_clusters,
@@ -1759,6 +1775,16 @@ def oracle_sql() -> dict[str, str]:
             f") WHERE rank <= {ANN_K}"
         ),
         "embed_near_dup": (
+            f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+            f"ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            f"CAST(b.embedding AS DOUBLE[])), 6) AS sim "
+            f"FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id AND "
+            f"list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            f"CAST(b.embedding AS DOUBLE[])) >= {NEAR_DUP_T}"
+        ),
+        "embed_near_dup_blocked": (
+            # same ground truth as embed_near_dup — the engine variants
+            # differ only in distribution strategy
             f"SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
             f"ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             f"CAST(b.embedding AS DOUBLE[])), 6) AS sim "

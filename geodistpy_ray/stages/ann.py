@@ -261,6 +261,91 @@ def exact_near_dup_pairs(
     return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def exact_near_dup_pairs_blocked(
+    ds,
+    threshold: float,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    n_blocks: int = 16,
+):
+    """Exact cosine near-duplicate pairs with NO driver-side matrix — the
+    distributed twin of :func:`exact_near_dup_pairs` for corpora past its
+    broadcast budget (same output, bit-equal sims).
+
+    Block-replicated cartesian: vectors hash into ``n_blocks`` blocks; each
+    vector ships once per block PAIR it participates in (``n_blocks``
+    copies through ONE shuffle — the textbook amplification trade for
+    exact all-pairs), and each of the B·(B+1)/2 pair-groups computes its
+    submatrix product locally. Every unordered vector pair lives in exactly
+    one (min_blk, max_blk) group, so no dedup pass is needed. Per-task
+    memory is two blocks of N/B rows; group count is bounded (≤ 136 at
+    B=16), so a plain ``groupby`` is safe. Choose B so (N/B)·d·8 fits a
+    worker: total work is the same N² — this bounds MEMORY, not FLOPs;
+    genuinely approximate corpora belong on
+    :func:`embedding_near_dup_pairs`.
+    """
+    import pandas as pd
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("__pair", pa.array([], pa.int64()))
+        ids = col_np(batch, id_col)
+        blk = (pd.util.hash_array(ids, categorize=False) % np.uint64(n_blocks)).astype(
+            np.int64
+        )
+        outs = []
+        for j in range(n_blocks):
+            lo = np.minimum(blk, j)
+            hi = np.maximum(blk, j)
+            outs.append(
+                batch.append_column("__pair", pa.array(lo * n_blocks + hi, pa.int64()))
+            )
+        return pa.concat_tables(outs)
+
+    def sweep(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], pa.int64()),
+                "id_b": pa.array([], pa.int64()),
+                "sim": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        pair = int(t.column("__pair")[0].as_py())
+        i, j = pair // n_blocks, pair % n_blocks
+        ids = col_np(t, id_col)
+        blk = (pd.util.hash_array(ids, categorize=False) % np.uint64(n_blocks)).astype(
+            np.int64
+        )
+        emb = _normalize(_emb_matrix(t, emb_col, np.float64))
+        if i == j:
+            # within-block pairs: the replicate pass emits each block-i row
+            # into (i, i) exactly once, upper triangle by id below
+            sims = emb @ emb.T
+            mask = (sims >= threshold) & (ids[:, None] < ids[None, :])
+            ai, bi = np.nonzero(mask)
+            return pa.table(
+                {"id_a": ids[ai], "id_b": ids[bi], "sim": sims[ai, bi]}
+            )
+        li, ri = np.flatnonzero(blk == i), np.flatnonzero(blk == j)
+        if li.size == 0 or ri.size == 0:
+            return empty
+        sims = emb[li] @ emb[ri].T
+        mask = sims >= threshold
+        ai, bi = np.nonzero(mask)
+        a_ids, b_ids = ids[li][ai], ids[ri][bi]
+        lo = np.minimum(a_ids, b_ids)
+        hi = np.maximum(a_ids, b_ids)
+        return pa.table({"id_a": lo, "id_b": hi, "sim": sims[ai, bi]})
+
+    rep = ds.select_columns([id_col, emb_col]).map_batches(
+        replicate, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return rep.groupby("__pair").map_groups(sweep, batch_format="pyarrow")
+
+
 def embedding_near_dup_pairs(
     ds,
     threshold: float = 0.95,

@@ -92,6 +92,35 @@ class TestNearDup:
         # multi-table banding dedups pairs found in several tables exactly
         assert not res.duplicated(["id_a", "id_b"]).any()
 
+    def test_blocked_matches_brute_and_exact(self, emb_data):
+        from geodistpy_ray.stages.ann import exact_near_dup_pairs_blocked
+
+        ids, m = emb_data
+        t = 0.40
+        res = (
+            exact_near_dup_pairs_blocked(_emb_ds(), t, n_blocks=4)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        sims = m @ m.T
+        ii, jj = np.nonzero((sims >= t) & (ids[:, None] < ids[None, :]))
+        expect = set(zip(ids[ii].tolist(), ids[jj].tolist()))
+        got = set(zip(res["id_a"].tolist(), res["id_b"].tolist()))
+        assert expect == got
+        # sims match the dense product to fp-dot reassociation tolerance
+        ref = {(a, b): sims[np.searchsorted(ids, a), np.searchsorted(ids, b)] for a, b in expect}
+        for a, b, sv in zip(res["id_a"], res["id_b"], res["sim"]):
+            assert abs(sv - ref[(a, b)]) < 1e-9
+
+    def test_blocked_single_block_degenerate(self, emb_data):
+        from geodistpy_ray.stages.ann import exact_near_dup_pairs_blocked
+
+        ids, m = emb_data
+        res = exact_near_dup_pairs_blocked(_emb_ds(), 0.4, n_blocks=1).to_pandas()
+        sims = m @ m.T
+        n_expect = int(((sims >= 0.4) & (ids[:, None] < ids[None, :])).sum())
+        assert len(res) == n_expect
+
     def test_broadcast_budget_guard(self, emb_data):
         from geodistpy_ray.stages.ann import exact_near_dup_pairs
 
