@@ -458,8 +458,9 @@ def q_user_value_range(sf_dir):
 
     ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "value"])
     # user_id is the canonical UNBOUNDED key domain: the final merge must be
-    # a distributed shuffle, never a driver-side concat of per-batch partials
-    return grouped_minmax(ev, ["user_id"], "value", final="shuffle")
+    # distributed — and partitioned (64 bounded groups), not Ray's
+    # per-distinct-key sort-aggregate
+    return grouped_minmax(ev, ["user_id"], "value", final="partitioned")
 
 
 def q_cell_doc_lists(sf_dir):
@@ -699,7 +700,7 @@ def q_user_event_types(sf_dir):
         distinct(ev, ["user_id", "event_type"]),
         ["user_id"],
         count_col="n_types",
-        final="shuffle",
+        final="partitioned",
     )
 
 
@@ -1339,7 +1340,7 @@ def q_outer_join(sf_dir):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    big = grouped_sum(big_rows, ["o_custkey"], count_col="n_big", final="shuffle")
+    big = grouped_sum(big_rows, ["o_custkey"], count_col="n_big", final="partitioned")
 
     def rich_rows(t: pa.Table) -> pa.Table:
         t = t.filter(pc.greater(t["c_acctbal"], 5000.0))

@@ -169,6 +169,31 @@ class TestRelational:
         )
         assert a[["l_returnflag", "sq", "n"]].equals(b[["l_returnflag", "sq", "n"]])
 
+    def test_grouped_finals_partitioned_equals_driver(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import grouped_minmax, grouped_sum
+
+        ev = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "value"])
+        a = grouped_sum(
+            ev, ["user_id"], cent_sum_cols={"value": "cv"}, final="driver"
+        ).sort_values("user_id", ignore_index=True)
+        b = (
+            grouped_sum(ev, ["user_id"], cent_sum_cols={"value": "cv"}, final="partitioned")
+            .to_pandas()
+            .sort_values("user_id", ignore_index=True)
+        )
+        assert a[["user_id", "cv", "n"]].equals(b[["user_id", "cv", "n"]])
+        ma = grouped_minmax(ev, ["user_id"], "value", final="driver").sort_values(
+            "user_id", ignore_index=True
+        )
+        mb = (
+            grouped_minmax(ev, ["user_id"], "value", final="partitioned")
+            .to_pandas()
+            .sort_values("user_id", ignore_index=True)
+        )
+        assert ma.equals(mb[ma.columns.tolist()])
+
     def test_cents_matches_sql_formula(self):
         # determinism contract: identical to DuckDB's
         # CAST(FLOOR(x*100.0 + 0.5) AS BIGINT) bit for bit
