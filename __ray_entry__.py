@@ -773,6 +773,21 @@ def q_curated_corpus(sf_dir):
     return add_split(balanced).select_columns(["doc_id", "lang", "split", "clean_text"])
 
 
+def q_props_by_type(sf_dir):
+    """JSON property-bag projection + aggregate: extract the integer ``k``
+    field from the events ``props`` JSON column (one Arrow RE2 kernel,
+    typed null when absent), then per-type sums via the partial+final
+    combiner — the "parse once, aggregate typed" event-pipeline pattern."""
+    from geodistpy_ray.stages.relational import grouped_sum
+    from geodistpy_ray.stages.text import add_json_int_field
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_type", "props"])
+    ev = add_json_int_field(ev, "props", "k")
+    return grouped_sum(
+        ev, ["event_type"], int_sum_cols={"k": "sum_k"}, count_col="n"
+    )
+
+
 def q_above_median_docs(sf_dir):
     """Filter by a computed per-stratum threshold: per-language exact median
     of n_chars (co-located median stage — languages are a bounded key
@@ -1600,6 +1615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # above_median_docs composes grouped_median (own in-window row via
         # user_p90's quantile machinery + user_median_value in check_oracle)
         # with the broadcast-threshold filter pattern
+        "props_by_type": q_props_by_type,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2166,6 +2182,16 @@ def oracle_sql() -> dict[str, str]:
                 f"SELECT doc_id, lang, {split_expr} AS split, clean_text FROM bal"
             )
         )(__import__("geodistpy_ray.stages.text", fromlist=["split_sql"]).split_sql()),
+        "props_by_type": (
+            lambda k_expr: (
+                f"SELECT event_type, CAST(SUM({k_expr}) AS BIGINT) AS sum_k, "
+                f"CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type"
+            )
+        )(
+            __import__(
+                "geodistpy_ray.stages.text", fromlist=["json_int_field_sql"]
+            ).json_int_field_sql("props", "k")
+        ),
         "above_median_docs": (
             "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "
             "JOIN (SELECT lang, MEDIAN(n_chars) AS med FROM documents "

@@ -116,6 +116,33 @@ def add_quality_score(ds, text_col: str = "text"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def add_json_int_field(ds, col: str, field: str, out_col: str | None = None):
+    """Extract an integer field from a flat JSON string column — the event
+    property-bag projection (``props`` → typed column) every event pipeline
+    front-loads so downstream aggregates never re-parse strings.
+
+    One Arrow RE2 kernel (``extract_regex`` with a named group), null when
+    the field is absent — exact-by-construction SQL mirror via
+    ``regexp_extract(col, pattern, 1)`` (DuckDB is RE2 too). A production
+    variant would swap in a real JSON parser kernel for nested/escaped
+    documents; for flat integer fields the regex IS the parser.
+    """
+    out_col = out_col or field
+    pat = f'"{re.escape(field)}"\\s*:\\s*(?P<v>-?\\d+)'
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pc.extract_regex(pc.fill_null(batch.column(col), ""), pat)
+        return batch.append_column(out_col, pc.cast(pc.struct_field(s, "v"), pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def json_int_field_sql(col: str, field: str) -> str:
+    """The exact SQL mirror of :func:`add_json_int_field`."""
+    pat = f'"{field}"\\s*:\\s*(-?\\d+)'.replace("'", "''")
+    return f"CAST(NULLIF(regexp_extract({col}, '{pat}', 1), '') AS BIGINT)"
+
+
 class LangIdActor:
     """Stopword-profile language identifier (actor pool; profiles built once).
 

@@ -918,3 +918,23 @@ class TestStratifiedSample:
             rd.from_arrow(tab), rates={"en": 0}, default_pct=100
         ).count()
         assert kept == 100
+
+
+class TestJsonField:
+    def test_extract_and_nulls(self, ray_session):
+        import ray.data as rd
+
+        import pandas as pd
+
+        from geodistpy_ray.stages.text import add_json_int_field
+
+        tab = pa.table(
+            {
+                "id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "props": ['{"k": 69}', '{"k": -3, "j": 1}', '{"j": 9}', None, "not json"],
+            }
+        )
+        out = add_json_int_field(rd.from_arrow(tab), "props", "k").to_pandas()
+        got = out.sort_values("id")["k"].tolist()
+        assert got[0] == 69 and got[1] == -3
+        assert all(pd.isna(v) for v in got[2:])
