@@ -188,21 +188,21 @@ def _join_orders_lines(sf_dir: str):
 
     from geodistpy_ray.stages.joins import shuffle_equi_join
 
-    # 16 read blocks / 32 buckets: the join's sort exchange is dominated by
-    # per-block orchestration at this input size (measured 1.05s vs 3.46s
-    # with default 64+64 blocks); at real scale blocks are full-size and
-    # this tuning is a no-op.
+    # 8 read blocks / 16 buckets: the join's sort exchange is dominated by
+    # per-block orchestration at this input size (interleaved 3-pass sweep:
+    # 8/16 → 0.74-0.78 s tight; 16/32 → 0.99-1.28; default 64+64 → 3.46).
+    # At real scale blocks are full-size and this tuning is a no-op.
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet",
         columns=["o_orderkey", "o_orderpriority"],
-        override_num_blocks=16,
+        override_num_blocks=8,
     )
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_linenumber", "l_quantity"],
-        override_num_blocks=16,
+        override_num_blocks=8,
     )
-    return shuffle_equi_join(orders, li, "o_orderkey", "l_orderkey", n_buckets=32).count()
+    return shuffle_equi_join(orders, li, "o_orderkey", "l_orderkey", n_buckets=16).count()
 
 
 def _q1(sf_dir: str):
