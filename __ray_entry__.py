@@ -788,6 +788,29 @@ def q_props_by_type(sf_dir):
     )
 
 
+def q_weighted_sample(sf_dir):
+    """Quality-weighted deterministic downsampling: keep probability rises
+    with document length (rate_ppm = min(1e6, n_chars·2000), i.e. certain
+    keep at ≥ 500 chars) — the mixture op that biases a training sample
+    toward higher-signal documents without an RNG. Integer-ppm rates keep
+    the SQL mirror bit-exact."""
+    import pyarrow.compute as pc
+
+    from geodistpy_ray.stages.text import sample_by_rate
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+
+    def rate(t: pa.Table) -> pa.Table:
+        r = pc.min_element_wise(
+            pc.multiply_checked(pc.cast(t.column("n_chars"), pa.int64()), 2000),
+            1_000_000,
+        )
+        return t.append_column("rate_ppm", r)
+
+    rated = docs.map_batches(rate, batch_format="pyarrow", zero_copy_batch=True)
+    return sample_by_rate(rated, "rate_ppm").select_columns(["doc_id", "n_chars"])
+
+
 def q_above_median_docs(sf_dir):
     """Filter by a computed per-stratum threshold: per-language exact median
     of n_chars (co-located median stage — languages are a bounded key
@@ -1616,6 +1639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # user_p90's quantile machinery + user_median_value in check_oracle)
         # with the broadcast-threshold filter pattern
         "props_by_type": q_props_by_type,
+        "weighted_sample": q_weighted_sample,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2191,6 +2215,11 @@ def oracle_sql() -> dict[str, str]:
             __import__(
                 "geodistpy_ray.stages.text", fromlist=["json_int_field_sql"]
             ).json_int_field_sql("props", "k")
+        ),
+        "weighted_sample": (
+            "SELECT doc_id, n_chars FROM documents "
+            "WHERE (CAST(((doc_id + 7) % 1000000 + 1000000) % 1000000 AS BIGINT)"
+            " * 998244353) % 1000000 < LEAST(1000000, n_chars * 2000)"
         ),
         "above_median_docs": (
             "SELECT d.doc_id, d.lang, d.n_chars FROM documents d "

@@ -362,6 +362,26 @@ def stratified_sample(
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def sample_by_rate(ds, rate_ppm_col: str, id_col: str = "doc_id", salt: int = 7):
+    """Deterministic weighted sampling: keep each row with probability
+    ``rate_ppm/1e6`` where the rate is a PER-ROW int64 column in
+    parts-per-million — the continuous generalization of
+    :func:`stratified_sample` (quality-weighted downsampling: derive the
+    rate from any signal with Arrow arithmetic upstream). Same id-hash as
+    :func:`sample_fraction`, so membership is partition-independent,
+    rerunnable, and samples at growing rates NEST. Integer ppm (not a
+    float probability) keeps the SQL mirror bit-exact: the comparison is
+    int64 < int64 on both engines."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        b = (((ids + salt) % _SPLIT_MOD) * _SAMPLE_MUL) % _SPLIT_MOD
+        cut = batch.column(rate_ppm_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.filter(pa.array(b < cut))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 _CAP_MUL = 1812433253  # third distinct multiplier: cap rank must not
 # correlate with split assignment or sample membership (a shared
 # multiplier would make "the docs a cap keeps" a fixed slice of a split)
