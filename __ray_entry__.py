@@ -788,6 +788,36 @@ def q_props_by_type(sf_dir):
     )
 
 
+def q_first_event_hourly(sf_dir):
+    """Windowed dedup: the FIRST event per (user, hour) — keep-one-per-
+    window throttling (dedupe retries, one impression per user per window).
+    Composite-key top-1 via the per-key combiner + partitioned rank final;
+    ties on ts break by event_id, mirroring ROW_NUMBER ORDER BY ts,
+    event_id."""
+    import pyarrow.compute as pc
+
+    from geodistpy_ray.stages.relational import top_k_per_group
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+
+    def with_hour(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        return t.append_column("hour", pc.divide(us, 3_600_000_000))
+
+    ev = ev.map_batches(with_hour, batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_us(t: pa.Table) -> pa.Table:
+        # int64 µs output column (the oracle's epoch_us) — drop rank
+        us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+        t = t.set_column(t.schema.get_field_index("ts"), "ts_us", us)
+        return t.select(["user_id", "hour", "ts_us", "event_id"])
+
+    first = top_k_per_group(
+        ev, ["user_id", "hour"], "ts", k=1, ascending=True, tiebreak_col="event_id"
+    )
+    return first.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_weighted_sample(sf_dir):
     """Quality-weighted deterministic downsampling: keep probability rises
     with document length (rate_ppm = min(1e6, n_chars·2000), i.e. certain
@@ -1640,6 +1670,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # with the broadcast-threshold filter pattern
         "props_by_type": q_props_by_type,
         "weighted_sample": q_weighted_sample,
+        "first_event_hourly": q_first_event_hourly,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2215,6 +2246,13 @@ def oracle_sql() -> dict[str, str]:
             __import__(
                 "geodistpy_ray.stages.text", fromlist=["json_int_field_sql"]
             ).json_int_field_sql("props", "k")
+        ),
+        "first_event_hourly": (
+            "SELECT user_id, hour, ts_us, event_id FROM ("
+            "SELECT user_id, epoch_us(ts) // 3600000000 AS hour, "
+            "epoch_us(ts) AS ts_us, event_id, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id, epoch_us(ts) // 3600000000 "
+            "ORDER BY epoch_us(ts), event_id) AS rn FROM events) WHERE rn = 1"
         ),
         "weighted_sample": (
             "SELECT doc_id, n_chars FROM documents "

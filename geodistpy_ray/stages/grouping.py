@@ -108,7 +108,7 @@ def map_key_spans(g: pd.DataFrame, key_col: str, frame_fn) -> pd.DataFrame:
 
 def topk_per_group_part(
     g: pd.DataFrame,
-    group_col: str,
+    group_col,
     order: list[str],
     ascending: list[bool],
     k: int,
@@ -116,9 +116,11 @@ def topk_per_group_part(
     drop: list[str] | None = None,
 ) -> pd.DataFrame:
     """Vectorized per-key top-k inside one partition: one stable sort, a
-    C-level ``cumcount`` for within-key positions, no per-key Python."""
-    g = g.sort_values([group_col] + order, ascending=[True] + ascending, kind="mergesort")
-    pos = g.groupby(group_col, sort=False).cumcount()
+    C-level ``cumcount`` for within-key positions, no per-key Python.
+    ``group_col`` may be one column name or a list (composite key)."""
+    groups = [group_col] if isinstance(group_col, str) else list(group_col)
+    g = g.sort_values(groups + order, ascending=[True] * len(groups) + ascending, kind="mergesort")
+    pos = g.groupby(groups, sort=False).cumcount()
     keep = pos < k
     out = g[keep].copy()
     out[rank_col] = (pos[keep] + 1).to_numpy(dtype=np.int64)

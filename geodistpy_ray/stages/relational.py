@@ -143,7 +143,7 @@ def grouped_sum(
 
 def top_k_per_group(
     ds,
-    key_col: str,
+    key_col,
     order_col: str,
     k: int,
     ascending: bool = False,
@@ -159,13 +159,14 @@ def top_k_per_group(
     and emits a 1-based ``rank`` column ordered by
     ``(order_col [asc|desc], tiebreak_col asc)``.
     """
+    keys = [key_col] if isinstance(key_col, str) else list(key_col)
     order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
     asc = [ascending] + [True] * (len(order) - 1)
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df.sort_values(order, ascending=asc, kind="mergesort")
-        return pa.Table.from_pandas(df.groupby(key_col, sort=False).head(k), preserve_index=False)
+        return pa.Table.from_pandas(df.groupby(keys, sort=False).head(k), preserve_index=False)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     # final merge groups on a hash PARTITION of the key (bounded group
@@ -174,9 +175,9 @@ def top_k_per_group(
     from .grouping import partitioned_map_groups, topk_per_group_part
 
     def final_part(g: pd.DataFrame) -> pd.DataFrame:
-        return topk_per_group_part(g, key_col, order, asc, k, rank_col=rank_col)
+        return topk_per_group_part(g, keys, order, asc, k, rank_col=rank_col)
 
-    return partitioned_map_groups(partials, key_col, final_part)
+    return partitioned_map_groups(partials, keys, final_part)
 
 
 def distinct(ds, cols: list[str], final: str = "shuffle", n_parts: int = 64):

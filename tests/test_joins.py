@@ -200,6 +200,40 @@ def test_top_k_per_group(ray_session):
     assert _sorted(got, ["g", "id", "rank"]).equals(_sorted(want, ["g", "id", "rank"]))
 
 
+def test_top_k_per_group_composite_key(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import top_k_per_group
+
+    rng = np.random.default_rng(17)
+    df = pd.DataFrame(
+        {
+            "a": rng.integers(0, 5, 400),
+            "b": rng.integers(0, 4, 400),
+            "v": rng.integers(0, 50, 400),
+            "id": np.arange(400),
+        }
+    )
+    got = (
+        top_k_per_group(
+            rd.from_pandas(df).repartition(5), ["a", "b"], "v", k=2,
+            ascending=True, tiebreak_col="id",
+        )
+        .to_pandas()
+        .sort_values(["a", "b", "rank"], ignore_index=True)
+    )
+    exp = (
+        df.sort_values(["a", "b", "v", "id"], kind="mergesort")
+        .groupby(["a", "b"], sort=True)
+        .head(2)
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(exp)
+    assert got[["a", "b", "v", "id"]].astype(int).values.tolist() == exp[
+        ["a", "b", "v", "id"]
+    ].astype(int).values.tolist()
+
+
 def test_hopping_window_counts(ray_session):
     import ray.data as rd
 
