@@ -24,11 +24,19 @@ def tile_aggregate(
     value_cols: tuple[str, ...] = (),
     cell_deg: float = DEFAULT_CELL_DEG,
     coarsen_factor: int | None = None,
+    final: str = "shuffle",
 ):
     """Per-cell counts (plus optional value sums) → Dataset (cell, n, sum_*).
 
     With ``coarsen_factor`` the aggregation happens at the parent resolution
     (hierarchical raster roll-up).
+
+    ``final="shuffle"`` (default) is Ray's sort-aggregate — fine while the
+    occupied-cell count is modest (coarse grids), but it pays per-GROUP
+    machinery per occupied cell; a fine grid at planetary coverage (0.1° ≈
+    6.5M cells) wants ``final="partitioned"``: the same partials merged on
+    64 hash partitions of the cell id with one vectorized pandas groupby
+    each (see stages/grouping.py).
     """
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -43,6 +51,18 @@ def tile_aggregate(
         return pa.table(cols)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    if final == "partitioned":
+        import pandas as pd
+
+        from .grouping import partitioned_map_groups
+
+        ren = {"part_n": "n", **{f"part_sum_{vc}": f"sum_{vc}" for vc in value_cols}}
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            out = g.groupby("cell", as_index=False, sort=False).sum()
+            return out.rename(columns=ren)
+
+        return partitioned_map_groups(partials, "cell", merge)
     aggs = [Sum("part_n", alias_name="n")]
     for vc in value_cols:
         aggs.append(Sum(f"part_sum_{vc}", alias_name=f"sum_{vc}"))

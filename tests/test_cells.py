@@ -103,3 +103,32 @@ class TestDiscCover:
         nlat, nlon = grid_shape(2.0)
         top_band = set(range((nlat - 1) * nlon, nlat * nlon))
         assert top_band.issubset(set(cover.tolist()))
+
+
+def test_tile_aggregate_partitioned_final_equals_shuffle(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodistpy_ray.stages.tiles import tile_aggregate
+
+    rng = np.random.default_rng(13)
+    tab = pa.table(
+        {
+            "cell": pa.array(rng.integers(0, 200, 3000), pa.int64()),
+            "v": rng.uniform(0, 10, 3000),
+        }
+    )
+    ds = rd.from_arrow(tab).repartition(6)
+    a = (
+        tile_aggregate(ds, value_cols=("v",), final="shuffle")
+        .to_pandas()
+        .sort_values("cell", ignore_index=True)
+    )
+    b = (
+        tile_aggregate(ds, value_cols=("v",), final="partitioned")
+        .to_pandas()
+        .sort_values("cell", ignore_index=True)
+    )
+    assert a["cell"].tolist() == b["cell"].tolist()
+    assert a["n"].tolist() == b["n"].tolist()
+    assert np.allclose(a["sum_v"], b["sum_v"])
