@@ -372,6 +372,18 @@ def q_embed_near_dup(sf_dir):
     return _round_col(ds, "sim", 6)
 
 
+def q_label_centroids(sf_dir):
+    """Per-label embedding centroids (class prototypes), exploded to
+    (label, dim, mean_v) for the SQL mirror. Fp caveat: double partial
+    sums reassociate across batches vs DuckDB's sequential AVG — both are
+    ~1e-15 relative, so the shared round-6 cannot flip."""
+
+    from geodistpy_ray.stages.ann import grouped_vector_mean
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["label", "embedding"])
+    return grouped_vector_mean(emb, key_col="label")
+
+
 def q_embed_near_dup_blocked(sf_dir):
     """The distributed exact twin of embed_near_dup: block-replicated
     cartesian (one shuffle, B copies/vector, bounded pair-groups) instead
@@ -1671,6 +1683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_by_type": q_props_by_type,
         "weighted_sample": q_weighted_sample,
         "first_event_hourly": q_first_event_hourly,
+        "label_centroids": q_label_centroids,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2246,6 +2259,12 @@ def oracle_sql() -> dict[str, str]:
             __import__(
                 "geodistpy_ray.stages.text", fromlist=["json_int_field_sql"]
             ).json_int_field_sql("props", "k")
+        ),
+        "label_centroids": (
+            "SELECT label, CAST(i AS BIGINT) AS dim, "
+            "ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v "
+            "FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i) "
+            "GROUP BY label, i"
         ),
         "first_event_hourly": (
             "SELECT user_id, hour, ts_us, event_id FROM ("

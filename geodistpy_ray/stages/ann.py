@@ -261,6 +261,82 @@ def exact_near_dup_pairs(
     return ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_vector_mean(
+    ds,
+    key_col: str = "label",
+    emb_col: str = "embedding",
+    round_to: int | None = 6,
+):
+    """Per-key embedding centroid (class prototypes / cluster seeds /
+    nearest-class-mean features), exploded to (key, dim, mean_v) rows so
+    the result is SQL-mirrorable (``AVG(embedding[i]) GROUP BY key, i``).
+
+    Scale shape: each batch folds its rows into per-key (sum-vector,
+    count) partials — one k×d float64 matrix per batch via ``np.add.at``,
+    never row-wise Python — so the driver merge sees keys × batches small
+    rows. The key domain is bounded (labels/classes); an unbounded keyed
+    variant would merge partials through ``partitioned_map_groups``
+    exactly like grouped_sum's ``final="partitioned"``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "sum_vec": pa.array([], pa.list_(pa.float64())),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        keys = col_np(batch, key_col)
+        emb = _emb_matrix(batch, emb_col, np.float64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        sums = np.zeros((uniq.size, emb.shape[1]), dtype=np.float64)
+        np.add.at(sums, inv, emb)
+        cnt = np.bincount(inv).astype(np.int64)
+        return pa.table(
+            {
+                key_col: pa.array(uniq, pa.int64()),
+                "sum_vec": pa.array(list(sums), pa.list_(pa.float64())),
+                "cnt": pa.array(cnt, pa.int64()),
+            }
+        )
+
+    rows = ds.select_columns([key_col, emb_col]).map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    sums: dict[int, np.ndarray] = {}
+    cnts: dict[int, int] = {}
+    for b in rows.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ks = b.column(key_col).to_numpy(zero_copy_only=False)
+        cs = b.column("cnt").to_numpy(zero_copy_only=False)
+        vecs = b.column("sum_vec")
+        for k, c, v in zip(ks, cs, vecs):
+            k = int(k)
+            arr = np.asarray(v.as_py(), dtype=np.float64)
+            if k in sums:
+                sums[k] += arr
+                cnts[k] += int(c)
+            else:
+                sums[k] = arr
+                cnts[k] = int(c)
+    keys_out, dims_out, means_out = [], [], []
+    for k in sorted(sums):
+        m = sums[k] / cnts[k]
+        if round_to is not None:
+            m = np.round(m, round_to)
+        keys_out.extend([k] * m.size)
+        dims_out.extend(range(1, m.size + 1))
+        means_out.extend(m.tolist())
+    return pa.table(
+        {
+            key_col: pa.array(keys_out, pa.int64()),
+            "dim": pa.array(dims_out, pa.int64()),
+            "mean_v": pa.array(means_out, pa.float64()),
+        }
+    )
+
+
 def exact_near_dup_pairs_blocked(
     ds,
     threshold: float,

@@ -230,3 +230,28 @@ def test_recall_floors_vs_exact(ray_session):
     assert recall(lsh_ann_topk(emb(), qm, k=10, n_bits=6, n_tables=8)) >= 0.30
     assert recall(lsh_ann_topk(emb(), qm, k=10, n_bits=4, n_tables=16)) >= 0.80
     assert recall(ivf_ann_topk(emb(), qm, k=10, n_centroids=8, n_probe=3)) >= 0.80
+
+
+def test_grouped_vector_mean_matches_numpy(emb_data, ray_session):
+    import duckdb
+
+    from geodistpy_ray.stages.ann import grouped_vector_mean
+
+    df = duckdb.sql(
+        f"SELECT label, embedding FROM read_parquet('{SF}/embeddings.parquet')"
+    ).df()
+    out = grouped_vector_mean(
+        _lbl_ds().repartition(5), key_col="label"
+    ).to_pandas()
+    labels = sorted(df["label"].unique())
+    for lbl in labels:
+        m = np.stack(df[df["label"] == lbl]["embedding"].to_numpy()).astype(np.float64)
+        exp = np.round(m.mean(axis=0), 6)
+        got = out[out["label"] == lbl].sort_values("dim")["mean_v"].to_numpy()
+        assert np.allclose(got, exp, atol=1e-9)
+
+
+def _lbl_ds():
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
