@@ -384,6 +384,50 @@ def q_label_centroids(sf_dir):
     return grouped_vector_mean(emb, key_col="label")
 
 
+def q_nearest_centroid(sf_dir):
+    """Nearest-class-mean assignment: every embedding labeled by its
+    most-cosine-similar class centroid (the assignment step of k-means /
+    a prototype classifier). Centroids are the bounded-domain result of
+    grouped_vector_mean, broadcast once; per batch ONE matmul against the
+    centroid matrix. Tie contract mirrors ROW_NUMBER: round(-sim, 6)
+    then smallest label."""
+    import ray
+
+    from geodistpy_ray.stages.ann import _emb_matrix, _normalize, grouped_vector_mean
+    from geodistpy_ray.stages.broadcast import get_broadcast
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label", "embedding"])
+    cent_tab = grouped_vector_mean(
+        emb.select_columns(["label", "embedding"]), key_col="label", round_to=None
+    ).to_pandas()
+    labels = np.sort(cent_tab["label"].unique())
+    cmat = np.stack(
+        [
+            cent_tab[cent_tab["label"] == l].sort_values("dim")["mean_v"].to_numpy()
+            for l in labels
+        ]
+    )
+    ref = ray.put((labels, _normalize(cmat)))
+
+    def assign(t: pa.Table) -> pa.Table:
+        labs, cn = get_broadcast(ref)
+        if t.num_rows == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "assigned": pa.array([], pa.int64())}
+            )
+        e = _normalize(_emb_matrix(t, "embedding", np.float64))
+        sims = np.round(e @ cn.T, 6)
+        # argmax with smallest-label ties: argmax returns the FIRST max and
+        # labs is sorted ascending
+        best = labs[np.argmax(sims, axis=1)]
+        ids = t.column("vec_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"vec_id": pa.array(ids, pa.int64()), "assigned": pa.array(best, pa.int64())}
+        )
+
+    return emb.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_embed_near_dup_blocked(sf_dir):
     """The distributed exact twin of embed_near_dup: block-replicated
     cartesian (one shuffle, B copies/vector, bounded pair-groups) instead
@@ -1684,6 +1728,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "first_event_hourly": q_first_event_hourly,
         "label_centroids": q_label_centroids,
+        "nearest_centroid": q_nearest_centroid,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2265,6 +2310,21 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v "
             "FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i) "
             "GROUP BY label, i"
+        ),
+        "nearest_centroid": (
+            # same tie contract as the engine: sim rounded to 6, then
+            # smallest label (argmax-first over ascending labels)
+            "WITH cent AS (SELECT label, i AS dim, "
+            "AVG(CAST(embedding[i] AS DOUBLE)) AS mean_v "
+            "FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i) "
+            "GROUP BY label, i), "
+            "cv AS (SELECT label, list(mean_v ORDER BY dim) AS v "
+            "FROM cent GROUP BY label) "
+            "SELECT vec_id, assigned FROM ("
+            "SELECT e.vec_id, c.label AS assigned, "
+            "ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY "
+            "ROUND(-list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.v), 6), "
+            "c.label) AS rn FROM embeddings e CROSS JOIN cv c) WHERE rn = 1"
         ),
         "first_event_hourly": (
             "SELECT user_id, hour, ts_us, event_id FROM ("
