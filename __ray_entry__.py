@@ -384,6 +384,44 @@ def q_label_centroids(sf_dir):
     return grouped_vector_mean(emb, key_col="label")
 
 
+def q_funnel_users(sf_dir):
+    """Two-step funnel: users with a purchase within 1 h at-or-after a
+    view. Pure composition of existing operators — asof-FORWARD join
+    (the first purchase ≥ each view IS the minimal one, so "exists within
+    T" ⇔ "the as-of match is within T"), a streaming Δt filter, and a
+    distributed distinct. No new shuffle machinery."""
+    import pyarrow.compute as pc
+
+    from geodistpy_ray.stages.joins import asof_join
+    from geodistpy_ray.stages.relational import distinct
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_type"])
+
+    def split(kind, extra):
+        def fn(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t.column("event_type"), kind))
+            us = pc.cast(pc.cast(t.column("ts"), pa.timestamp("us")), pa.int64())
+            cols = {"user_id": t.column("user_id"), "ts": us}
+            if extra:
+                cols[extra] = us  # right-side ts must survive as a VALUE col
+            return pa.table(cols)
+
+        return ev.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    views = split("view", None)
+    buys = split("purchase", "buy_ts")
+    j = asof_join(views, buys, key="user_id", ts="ts", direction="forward")
+
+    def within(t: pa.Table) -> pa.Table:
+        keep = pc.less_equal(
+            pc.subtract(t.column("buy_ts"), t.column("ts")), 3_600_000_000
+        )
+        return t.filter(keep).select(["user_id"])
+
+    hits = j.map_batches(within, batch_format="pyarrow", zero_copy_batch=True)
+    return distinct(hits, ["user_id"])
+
+
 def q_nearest_centroid(sf_dir):
     """Nearest-class-mean assignment: every embedding labeled by its
     most-cosine-similar class centroid (the assignment step of k-means /
@@ -1729,6 +1767,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "first_event_hourly": q_first_event_hourly,
         "label_centroids": q_label_centroids,
         "nearest_centroid": q_nearest_centroid,
+        "funnel_users": q_funnel_users,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2310,6 +2349,14 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v "
             "FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i) "
             "GROUP BY label, i"
+        ),
+        "funnel_users": (
+            "WITH a AS (SELECT user_id, epoch_us(ts) AS ta FROM events "
+            "WHERE event_type = 'view'), "
+            "b AS (SELECT user_id, epoch_us(ts) AS tb FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT DISTINCT a.user_id FROM a JOIN b ON a.user_id = b.user_id "
+            "AND b.tb >= a.ta AND b.tb <= a.ta + 3600000000"
         ),
         "nearest_centroid": (
             # same tie contract as the engine: sim rounded to 6, then
