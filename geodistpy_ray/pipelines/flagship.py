@@ -20,7 +20,9 @@ from ..stages.pip import point_in_polygon_join
 
 def flagship_pipeline(sf_dir: str, cell_deg: float = 2.0):
     """Returns a Dataset (cell, n_matches) of spatial-join matches per cell."""
-    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    from ..sources.io import read_parquet_sized
+
+    docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     docs = docs.map_batches(
         GeocoderActor,
         fn_constructor_kwargs={"id_col": "doc_id"},
