@@ -384,6 +384,22 @@ def q_label_centroids(sf_dir):
     return grouped_vector_mean(emb, key_col="label")
 
 
+def q_user_value_quartiles(sf_dir):
+    """Per-user NTILE(4) over event values — the per-stratum percentile
+    bucketing a curation pipeline uses to tag rows by within-group rank
+    (e.g. quality quartiles per language). Exact SQL NTILE semantics
+    (first count%4 buckets one row larger), ties broken by event_id."""
+    from geodistpy_ray.stages.relational import grouped_ntile
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
+    out = grouped_ntile(ev, "user_id", "value", n=4, tiebreak_col="event_id")
+
+    def project(t: pa.Table) -> pa.Table:
+        return t.select(["user_id", "event_id", "ntile"])
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_funnel_users(sf_dir):
     """Two-step funnel: users with a purchase within 1 h at-or-after a
     view. Pure composition of existing operators — asof-FORWARD join
@@ -1768,6 +1784,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroids": q_label_centroids,
         "nearest_centroid": q_nearest_centroid,
         "funnel_users": q_funnel_users,
+        "user_value_quartiles": q_user_value_quartiles,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2349,6 +2366,11 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v "
             "FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i) "
             "GROUP BY label, i"
+        ),
+        "user_value_quartiles": (
+            "SELECT user_id, event_id, CAST(NTILE(4) OVER ("
+            "PARTITION BY user_id ORDER BY value, event_id) AS BIGINT) AS ntile "
+            "FROM events"
         ),
         "funnel_users": (
             "WITH a AS (SELECT user_id, epoch_us(ts) AS ta FROM events "

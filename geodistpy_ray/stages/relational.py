@@ -232,6 +232,42 @@ def add_month_key(ds, ts_col: str, out_col: str = "ym"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def grouped_ntile(
+    ds,
+    key_col: str,
+    order_col: str,
+    n: int,
+    tiebreak_col: str | None = None,
+    out_col: str = "ntile",
+):
+    """Per-key NTILE(n): rows of each key split into ``n`` buckets in
+    ``(order_col, tiebreak_col)`` order, first ``count % n`` buckets one
+    row larger — bit-identical to SQL ``NTILE(n) OVER (PARTITION BY key
+    ORDER BY ...)``. Ranking needs each key co-located (grouped on a hash
+    PARTITION, bounded group count); per-key cardinality must fit a worker
+    — the same constraint as :func:`grouped_median`.
+    """
+    from .grouping import partitioned_map_groups
+
+    order = [order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key_col] + order, kind="mergesort", ignore_index=True)
+        rn = g.groupby(key_col, sort=False).cumcount().to_numpy() + 1
+        cnt = g.groupby(key_col, sort=False)[key_col].transform("size").to_numpy()
+        q, r = cnt // n, cnt % n
+        big_span = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+        in_big = rn <= big_span
+        # q can be 0 when cnt < n (then every row is its own bucket and
+        # in_big covers all rows); guard the small-bucket divide
+        small = np.maximum(q, 1)
+        bucket = np.where(in_big, (rn - 1) // (q + 1) + 1, r + (rn - 1 - big_span) // small + 1)
+        g[out_col] = bucket.astype(np.int64)
+        return g
+
+    return partitioned_map_groups(ds, key_col, part_fn)
+
+
 def grouped_median(ds, key_col: str, value_col: str, out_col: str = "median_value"):
     """Exact per-key median (even-count keys average the two middle values,
     matching SQL ``MEDIAN``). Median is not decomposable, so each key's

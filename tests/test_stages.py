@@ -714,3 +714,33 @@ def test_knn_cells_expansion_ladder_exact(ray_session):
         got[["query_id", "doc_id", "rank"]], want[["query_id", "doc_id", "rank"]]
     )
     np.testing.assert_allclose(got["dist"], want["dist"], rtol=1e-12)
+
+
+class TestGroupedNtile:
+    def test_matches_sql_ntile(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import grouped_ntile
+
+        rng = np.random.default_rng(29)
+        df = pd.DataFrame(
+            {
+                # include keys with fewer rows than n (cnt < 4)
+                "k": np.concatenate([rng.integers(0, 8, 300), [99, 98, 98]]),
+                "v": rng.integers(0, 40, 303),
+                "id": np.arange(303),
+            }
+        )
+        got = (
+            grouped_ntile(rd.from_pandas(df).repartition(5), "k", "v", n=4, tiebreak_col="id")
+            .to_pandas()
+            .sort_values(["k", "id"], ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            "SELECT k, id, NTILE(4) OVER (PARTITION BY k ORDER BY v, id) AS ntile "
+            "FROM t ORDER BY k, id"
+        ).df()
+        assert got["ntile"].astype(int).tolist() == exp["ntile"].astype(int).tolist()
