@@ -384,6 +384,82 @@ def q_label_centroids(sf_dir):
     return grouped_vector_mean(emb, key_col="label")
 
 
+def q_value_histogram(sf_dir):
+    """Fixed-bin histogram of event values (bin width 5, left-closed —
+    floor(value/5)): one arithmetic map + the partial+final count
+    combiner. The profiling op behind every 'distribution of X' check."""
+    import pyarrow.compute as pc
+
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["value"])
+
+    def binned(t: pa.Table) -> pa.Table:
+        b = pc.floor(pc.divide(t.column("value"), 5.0))
+        return pa.table({"bin": pc.cast(b, pa.int64())})
+
+    bins = ev.map_batches(binned, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_sum(bins, ["bin"], count_col="n")
+
+
+def q_snapshot_diff(sf_dir):
+    """SCD-style snapshot delta: two versions of the orders table (the
+    'old' snapshot drops every 7th order and perturbs every 3rd total —
+    deterministic rules, mirrored in SQL) full-outer-joined by key, each
+    row tagged added / removed / changed / same. The change-data-capture
+    op a periodic recrawl pipeline runs between dumps."""
+    import pyarrow.compute as pc
+
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+
+    base = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"])
+
+    def old_snap(t: pa.Table) -> pa.Table:
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        t = t.filter(pa.array(k % 7 != 0))
+        k = t.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cents_ = np.floor(
+            t.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0 + 0.5
+        ).astype(np.int64)
+        bump = np.where(k % 3 == 0, 100, 0)
+        return pa.table(
+            {"key_old": pa.array(k, pa.int64()), "cents_old": pa.array(cents_ + bump, pa.int64())}
+        )
+
+    def new_snap(t: pa.Table) -> pa.Table:
+        cents_ = pc.cast(
+            pc.floor(pc.add(pc.multiply(t.column("o_totalprice"), 100.0), 0.5)),
+            pa.int64(),
+        )
+        return pa.table({"o_orderkey": t.column("o_orderkey"), "cents_new": cents_})
+
+    old = base.map_batches(old_snap, batch_format="pyarrow", zero_copy_batch=True)
+    new = base.map_batches(new_snap, batch_format="pyarrow", zero_copy_batch=True)
+    j = shuffle_equi_join(new, old, "o_orderkey", "key_old", join_type="full outer")
+
+    def tag(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        cn = t.column("cents_new").to_numpy(zero_copy_only=False)
+        co = t.column("cents_old").to_numpy(zero_copy_only=False)
+        new_null = np.isnan(cn)
+        old_null = np.isnan(co)
+        status = np.where(
+            old_null, "added", np.where(new_null, "removed", np.where(cn != co, "changed", "same"))
+        )
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "status": pa.array(status.tolist(), pa.string()),
+            }
+        )
+
+    tagged = j.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    return grouped_sum(tagged, ["status"], count_col="n")
+
+
 def q_user_value_quartiles(sf_dir):
     """Per-user NTILE(4) over event values — the per-stratum percentile
     bucketing a curation pipeline uses to tag rows by within-group rank
@@ -1785,6 +1861,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nearest_centroid": q_nearest_centroid,
         "funnel_users": q_funnel_users,
         "user_value_quartiles": q_user_value_quartiles,
+        "value_histogram": q_value_histogram,
+        "snapshot_diff": q_snapshot_diff,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2366,6 +2444,24 @@ def oracle_sql() -> dict[str, str]:
             "ROUND(AVG(CAST(embedding[i] AS DOUBLE)), 6) AS mean_v "
             "FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS u(i) "
             "GROUP BY label, i"
+        ),
+        "value_histogram": (
+            "SELECT CAST(FLOOR(value / 5.0) AS BIGINT) AS bin, "
+            "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1"
+        ),
+        "snapshot_diff": (
+            "WITH newt AS (SELECT o_orderkey, "
+            "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cn FROM orders), "
+            "old AS (SELECT o_orderkey, "
+            "CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) "
+            "+ CASE WHEN o_orderkey % 3 = 0 THEN 100 ELSE 0 END AS co "
+            "FROM orders WHERE o_orderkey % 7 <> 0) "
+            "SELECT status, CAST(COUNT(*) AS BIGINT) AS n FROM ("
+            "SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added' "
+            "WHEN n.o_orderkey IS NULL THEN 'removed' "
+            "WHEN n.cn <> o.co THEN 'changed' ELSE 'same' END AS status "
+            "FROM newt n FULL OUTER JOIN old o ON n.o_orderkey = o.o_orderkey) "
+            "GROUP BY status"
         ),
         "user_value_quartiles": (
             "SELECT user_id, event_id, CAST(NTILE(4) OVER ("
