@@ -91,3 +91,35 @@ def test_write_table_bad_format(tmp_sources):
     ds = read_table(os.path.join(d, "t.parquet"), schema=SCHEMA)
     with pytest.raises(ValueError, match="unknown format"):
         write_table(ds, "/tmp/never", format="avro")
+
+
+class TestReadSized:
+    def test_small_input_gets_few_blocks(self, ray_session):
+        from geodistpy_ray.sources.io import read_parquet_sized
+
+        ds = read_parquet_sized(
+            "/root/testdata/sf0.001/documents.parquet", columns=["doc_id"]
+        ).materialize()
+        # 500 rows at >= 40k rows/block → exactly 1 block
+        assert ds.num_blocks() == 1
+        assert ds.count() == 500
+
+    def test_rows_per_block_knob(self, ray_session):
+        from geodistpy_ray.sources.io import read_parquet_sized
+
+        ds = read_parquet_sized(
+            "/root/testdata/sf0.001/documents.parquet",
+            columns=["doc_id"],
+            rows_per_block=50,
+        ).materialize()
+        assert ds.num_blocks() == 10
+
+    def test_nonlocal_path_falls_through(self, ray_session):
+        import pytest as _pytest
+
+        from geodistpy_ray.sources.io import read_parquet_sized
+
+        # unreadable path: the footer probe fails, the fallback delegates to
+        # ray.data.read_parquet which raises its own error lazily
+        with _pytest.raises(Exception):
+            read_parquet_sized("/definitely/not/there.parquet").count()
