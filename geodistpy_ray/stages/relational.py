@@ -232,6 +232,21 @@ def add_month_key(ds, ts_col: str, out_col: str = "ym"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def ntile_buckets(rn: np.ndarray, cnt: np.ndarray, n: int) -> np.ndarray:
+    """SQL NTILE bucket for 1-based rank ``rn`` in a key of ``cnt`` rows:
+    the first ``cnt % n`` buckets take ``cnt // n + 1`` rows, the rest
+    ``cnt // n`` (property-tested against DuckDB's NTILE)."""
+    q, r = cnt // n, cnt % n
+    big_span = r * (q + 1)  # rows covered by the (q+1)-sized buckets
+    in_big = rn <= big_span
+    # q can be 0 when cnt < n (then every row is its own bucket and in_big
+    # covers all rows); guard the small-bucket divide
+    small = np.maximum(q, 1)
+    return np.where(
+        in_big, (rn - 1) // (q + 1) + 1, r + (rn - 1 - big_span) // small + 1
+    ).astype(np.int64)
+
+
 def grouped_ntile(
     ds,
     key_col: str,
@@ -255,14 +270,7 @@ def grouped_ntile(
         g = g.sort_values([key_col] + order, kind="mergesort", ignore_index=True)
         rn = g.groupby(key_col, sort=False).cumcount().to_numpy() + 1
         cnt = g.groupby(key_col, sort=False)[key_col].transform("size").to_numpy()
-        q, r = cnt // n, cnt % n
-        big_span = r * (q + 1)  # rows covered by the (q+1)-sized buckets
-        in_big = rn <= big_span
-        # q can be 0 when cnt < n (then every row is its own bucket and
-        # in_big covers all rows); guard the small-bucket divide
-        small = np.maximum(q, 1)
-        bucket = np.where(in_big, (rn - 1) // (q + 1) + 1, r + (rn - 1 - big_span) // small + 1)
-        g[out_col] = bucket.astype(np.int64)
+        g[out_col] = ntile_buckets(rn, cnt, n)
         return g
 
     return partitioned_map_groups(ds, key_col, part_fn)

@@ -222,3 +222,38 @@ def test_fingerprint_batch_law(text):
     assert int(_poly_hash_batch([norm])[0]) == (
         _poly_hash_codepoints(norm) & 0x7FFFFFFFFFFFFFFF
     )
+
+
+# ── per-key NTILE formula vs DuckDB (pure, no Ray) ───────────────────────
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    cnt=st.integers(1, 200),
+    n=st.integers(1, 12),
+)
+def test_ntile_formula_matches_duckdb(cnt, n):
+    import duckdb
+
+    from geodistpy_ray.stages.relational import ntile_buckets
+
+    rn = np.arange(1, cnt + 1, dtype=np.int64)
+    got = ntile_buckets(rn, np.full(cnt, cnt, dtype=np.int64), n)
+    exp = duckdb.sql(
+        f"SELECT NTILE({n}) OVER (ORDER BY i) AS b FROM range(1, {cnt + 1}) t(i) ORDER BY i"
+    ).fetchnumpy()["b"]
+    np.testing.assert_array_equal(got, exp.astype(np.int64))
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    vals=st.lists(st.integers(0, 10_000), min_size=1, max_size=300),
+)
+def test_prefix_sum_offsets_tile_the_stream(vals):
+    """Pure-logic law behind ordered_prefix_sum: exclusive cumsum offsets
+    tile the value stream exactly (each element starts where the previous
+    ended, first starts at 0) under ANY monotone contiguous ranging."""
+    x = np.asarray(vals, dtype=np.int64)
+    cum = np.concatenate(([0], np.cumsum(x)[:-1]))
+    assert cum[0] == 0
+    np.testing.assert_array_equal(cum[1:], (cum + x)[:-1])
