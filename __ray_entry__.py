@@ -912,18 +912,17 @@ def q_longest_docs(sf_dir):
     return global_topk(docs, ["n_chars", "doc_id"], k=20, descending=[True, False])
 
 
-def q_curated_corpus(sf_dir):
-    """The full RefinedWeb-style curation pipeline end to end, every stage
-    streaming and every stage SQL-mirrored, so the WHOLE composition is
-    value-hash-checked: language filter → quality gate (length +
-    space-ratio band) → line-level boilerplate dedup → lang re-attach
-    (bucketed join) → stratified mixture balance (en → 50%) →
-    deterministic split assignment."""
+def _curated_balanced(sf_dir):
+    """Shared front of the curation compositions: language filter →
+    quality gate (length + space-ratio band) → line-level boilerplate
+    dedup → lang re-attach (bucketed join) → stratified mixture balance
+    (en → 50%). Returns the balanced (doc_id, lang, clean_text) Dataset;
+    SQL twin = ``_CURATED_CTE``'s ``bal``."""
     import pyarrow.compute as pc
 
     from geodistpy_ray.stages.dedup import dedup_lines
     from geodistpy_ray.stages.joins import shuffle_equi_join
-    from geodistpy_ray.stages.text import add_quality_score, add_split, stratified_sample
+    from geodistpy_ray.stages.text import add_quality_score, stratified_sample
 
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang", "text"])
 
@@ -955,8 +954,30 @@ def q_curated_corpus(sf_dir):
     labeled = shuffle_equi_join(
         clean, gated.select_columns(["doc_id", "lang"]), "doc_id", join_type="inner"
     )
-    balanced = stratified_sample(labeled, rates={"en": 50}, key_col="lang")
+    return stratified_sample(labeled, rates={"en": 50}, key_col="lang")
+
+
+def q_curated_corpus(sf_dir):
+    """The full RefinedWeb-style curation pipeline end to end, every stage
+    streaming and every stage SQL-mirrored, so the WHOLE composition is
+    value-hash-checked: the shared curated front (see _curated_balanced)
+    → deterministic split assignment."""
+    from geodistpy_ray.stages.text import add_split
+
+    balanced = _curated_balanced(sf_dir)
     return add_split(balanced).select_columns(["doc_id", "lang", "split", "clean_text"])
+
+
+def q_curated_packed(sf_dir):
+    """The capstone composition: raw documents → curated corpus →
+    training-pack assignments. The curated clean_text stream (every stage
+    SQL-mirrored) concatenates in doc_id order and slices into 256-token
+    packs via the distributed ordered prefix-sum — the whole raw-to-packs
+    path is one value-hash check."""
+    from geodistpy_ray.stages.pack import pack_assignments
+
+    balanced = _curated_balanced(sf_dir).select_columns(["doc_id", "clean_text"])
+    return pack_assignments(balanced, seq_len=256, text_col="clean_text")
 
 
 def q_props_by_type(sf_dir):
@@ -1863,6 +1884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_value_quartiles": q_user_value_quartiles,
         "value_histogram": q_value_histogram,
         "snapshot_diff": q_snapshot_diff,
+        "curated_packed": q_curated_packed,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -1900,6 +1922,32 @@ def _redacted_texts_sql() -> str:
     return (
         f"SELECT doc_id, {redact_pii_sql(footer)} AS redacted FROM documents"
     )
+
+
+_CURATED_CTE = (
+    # lang gate + quality gate (both on the ORIGINAL text, before the
+    # synthesized line structure), dedup_lines' mirror, lang re-attach
+    # join, stratified_sample's CASE — the SQL twin of _curated_balanced
+    "WITH q AS (SELECT doc_id, lang, text FROM documents "
+    "WHERE lang IN ('en','de','fr') AND length(text) >= 50 "
+    "AND FLOOR(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) "
+    "* 1000000.0 / GREATEST(length(text), 1)) BETWEEN 120000 AND 250000), "
+    "d AS (SELECT doc_id, replace(text, ' data ', chr(10)) AS t FROM q), "
+    "l AS (SELECT doc_id, i AS idx, parts[i] AS line "
+    "FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d), "
+    "UNNEST(generate_series(1, len(parts))) AS u(i)), "
+    "dup AS (SELECT line FROM l GROUP BY line "
+    "HAVING count(DISTINCT doc_id) >= 2), "
+    "clean AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) "
+    "AS clean_text FROM l ANTI JOIN dup USING (line) GROUP BY doc_id), "
+    "bal AS (SELECT c.doc_id, q.lang, c.clean_text "
+    "FROM clean c JOIN q USING (doc_id) "
+    "WHERE (CAST(((c.doc_id + 7) % 1000000 + 1000000) % 1000000 AS BIGINT) "
+    "* 998244353) % 1000000 "
+    "< CASE WHEN q.lang = 'en' THEN 500000 ELSE 1000000 END)"
+)
+
+
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2405,30 +2453,27 @@ def oracle_sql() -> dict[str, str]:
             f"* 1000000.0 / GREATEST(length(d.text), 1)) <= {MAX_SPACE_PPM}"
         ),
         "curated_corpus": (
-            # lang gate + quality gate (both on the ORIGINAL text, before
-            # the synthesized line structure), dedup_lines' mirror, lang
-            # re-attach join, stratified_sample's CASE, add_split's bucket
             lambda split_expr: (
-                "WITH q AS (SELECT doc_id, lang, text FROM documents "
-                "WHERE lang IN ('en','de','fr') AND length(text) >= 50 "
-                "AND FLOOR(CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE) "
-                "* 1000000.0 / GREATEST(length(text), 1)) BETWEEN 120000 AND 250000), "
-                "d AS (SELECT doc_id, replace(text, ' data ', chr(10)) AS t FROM q), "
-                "l AS (SELECT doc_id, i AS idx, parts[i] AS line "
-                "FROM (SELECT doc_id, string_split(t, chr(10)) AS parts FROM d), "
-                "UNNEST(generate_series(1, len(parts))) AS u(i)), "
-                "dup AS (SELECT line FROM l GROUP BY line "
-                "HAVING count(DISTINCT doc_id) >= 2), "
-                "clean AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) "
-                "AS clean_text FROM l ANTI JOIN dup USING (line) GROUP BY doc_id), "
-                "bal AS (SELECT c.doc_id, q.lang, c.clean_text "
-                "FROM clean c JOIN q USING (doc_id) "
-                "WHERE (CAST(((c.doc_id + 7) % 1000000 + 1000000) % 1000000 AS BIGINT) "
-                "* 998244353) % 1000000 "
-                "< CASE WHEN q.lang = 'en' THEN 500000 ELSE 1000000 END) "
-                f"SELECT doc_id, lang, {split_expr} AS split, clean_text FROM bal"
+                _CURATED_CTE
+                + f" SELECT doc_id, lang, {split_expr} AS split, clean_text FROM bal"
             )
         )(__import__("geodistpy_ray.stages.text", fromlist=["split_sql"]).split_sql()),
+        "curated_packed": (
+            # the capstone raw-to-packs mirror: curated CTE + token counts
+            # of clean_text + the global ordered window + pack arithmetic
+            _CURATED_CTE + ", "
+            "c2 AS (SELECT doc_id, "
+            "CAST(length(regexp_extract_all(clean_text, '\\S+')) AS BIGINT) AS n_tokens "
+            "FROM bal), "
+            "nz AS (SELECT * FROM c2 WHERE n_tokens > 0), "
+            "o AS (SELECT doc_id, n_tokens, "
+            "CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start "
+            "FROM nz) "
+            "SELECT doc_id, n_tokens, tok_start, "
+            "CAST(tok_start // 256 AS BIGINT) AS pack_first, "
+            "CAST((tok_start + n_tokens - 1) // 256 AS BIGINT) AS pack_last FROM o"
+        ),
         "props_by_type": (
             lambda k_expr: (
                 f"SELECT event_type, CAST(SUM({k_expr}) AS BIGINT) AS sum_k, "
