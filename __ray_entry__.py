@@ -873,6 +873,22 @@ def q_pricing_rollup(sf_dir):
     )
 
 
+def q_pricing_cube(sf_dir):
+    """GROUP BY CUBE(l_returnflag, l_linestatus): every SUBSET of the key
+    columns from the one finest corpus pass (2^k grouping sets re-aggregate
+    the finest result), GROUPING bitmask parity with DuckDB."""
+
+    from geodistpy_ray.stages.relational import cube_sum
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity"],
+    )
+    return cube_sum(
+        li, ["l_returnflag", "l_linestatus"], int_sum_cols={"l_quantity": "sum_qty"}
+    )
+
+
 def q_user_event_types(sf_dir):
     """Exact COUNT(DISTINCT ...) per key — the exact twin of the HLL
     per-key sketch (`approx_distinct`'s family): distributed distinct on
@@ -1885,6 +1901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": q_value_histogram,
         "snapshot_diff": q_snapshot_diff,
         "curated_packed": q_curated_packed,
+        "pricing_cube": q_pricing_cube,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2329,6 +2346,13 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n, "
             "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "pricing_cube": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         "balanced_langs": (
             # sample_fraction's formula under a CASE over the stratum key

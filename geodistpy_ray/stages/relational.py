@@ -477,6 +477,52 @@ def rollup_sum(
     return pd.concat(frames, ignore_index=True)[levels + out_vals + ["grouping_id"]]
 
 
+def cube_sum(
+    ds,
+    levels: list[str],
+    int_sum_cols: dict[str, str] | None = None,
+    cent_sum_cols: dict[str, str] | None = None,
+    count_col: str = "n",
+):
+    """``GROUP BY CUBE(levels...)``: aggregates at EVERY SUBSET of the key
+    columns (2^k grouping sets), rolled-out columns NULL, with the SQL
+    ``GROUPING(...)`` bitmask (bit i set ⇔ levels[i] rolled out; the same
+    bit order DuckDB uses). One corpus pass builds the finest aggregate
+    (:func:`rollup_sum`'s idiom); every other set re-aggregates the finest
+    result — work ∝ distinct key combinations, never the corpus. Bounded
+    key domains only, same contract as ``grouped_sum(final="driver")``.
+    """
+    from itertools import combinations
+
+    out_vals = list((int_sum_cols or {}).values()) + list(
+        (cent_sum_cols or {}).values()
+    ) + [count_col]
+    finest = grouped_sum(
+        ds, levels, int_sum_cols=int_sum_cols, cent_sum_cols=cent_sum_cols,
+        count_col=count_col, final="driver",
+    )
+    frames = [finest.assign(grouping_id=0)]
+    k = len(levels)
+    for r in range(0, k):  # kept-column subsets of size r (r=k is the finest)
+        for keep in combinations(range(k), r):
+            if len(keep) == k:
+                continue
+            keep_cols = [levels[i] for i in keep]
+            agg = (
+                finest.groupby(keep_cols, as_index=False, sort=False)[out_vals].sum()
+                if keep_cols
+                else finest[out_vals].sum().to_frame().T
+            )
+            gid = 0
+            for i in range(k):
+                if i not in keep:
+                    agg[levels[i]] = None
+                    gid |= 1 << (k - 1 - i)  # GROUPING() treats the FIRST level as the high bit
+            agg["grouping_id"] = gid
+            frames.append(agg[levels + out_vals + ["grouping_id"]])
+    return pd.concat(frames, ignore_index=True)[levels + out_vals + ["grouping_id"]]
+
+
 def global_topk(ds, sort_cols: list[str], k: int, descending: list[bool] | None = None):
     """Global ``ORDER BY ... LIMIT k`` without a global sort: each batch
     keeps its local top-k (one Arrow ``sort_indices`` + ``take`` — the
