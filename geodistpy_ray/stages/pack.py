@@ -63,7 +63,12 @@ def ordered_prefix_sum(
 
     mm = narrow.map_batches(minmax, batch_format="pyarrow", zero_copy_batch=True).take_all()
     if not mm:
-        return narrow  # empty input: nothing to annotate
+        # empty input: typed empty output WITH the scan column, so
+        # downstream projections see a stable schema
+        def empty(t: pa.Table) -> pa.Table:
+            return t.append_column(out_col, pa.nulls(t.num_rows, pa.int64()))
+
+        return narrow.map_batches(empty, batch_format="pyarrow", zero_copy_batch=True)
     lo = min(r["lo"] for r in mm)
     hi = max(r["hi"] for r in mm)
 

@@ -104,3 +104,14 @@ class TestPackAssignments:
         ends = (out["tok_start"] + out["n_tokens"]).to_numpy()
         assert out["tok_start"].iloc[0] == 0
         assert (out["tok_start"].to_numpy()[1:] == ends[:-1]).all()
+
+
+def test_empty_input_keeps_schema(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from geodistpy_ray.stages.pack import pack_assignments
+
+    tab = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    out = pack_assignments(rd.from_arrow(tab), seq_len=8).to_pandas()
+    assert len(out) == 0
