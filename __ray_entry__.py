@@ -873,6 +873,21 @@ def q_pricing_rollup(sf_dir):
     )
 
 
+def q_qty_price_corr(sf_dir):
+    """Per-returnflag Pearson correlation of quantity vs extended price —
+    Chan-merged centered moments (the naive power-sum formula overflows
+    double precision's useful range at this row count; see
+    grouped_corr)."""
+
+    from geodistpy_ray.stages.relational import grouped_corr
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
+
+
 def q_pricing_cube(sf_dir):
     """GROUP BY CUBE(l_returnflag, l_linestatus): every SUBSET of the key
     columns from the one finest corpus pass (2^k grouping sets re-aggregate
@@ -1902,6 +1917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "snapshot_diff": q_snapshot_diff,
         "curated_packed": q_curated_packed,
         "pricing_cube": q_pricing_cube,
+        "qty_price_corr": q_qty_price_corr,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2346,6 +2362,10 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n, "
             "CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS grouping_id "
             "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "qty_price_corr": (
+            "SELECT l_returnflag, ROUND(CORR(l_quantity, l_extendedprice), 6) "
+            "AS corr FROM lineitem GROUP BY l_returnflag"
         ),
         "pricing_cube": (
             "SELECT l_returnflag, l_linestatus, "

@@ -477,6 +477,79 @@ def rollup_sum(
     return pd.concat(frames, ignore_index=True)[levels + out_vals + ["grouping_id"]]
 
 
+def grouped_corr(
+    ds,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "corr",
+    round_to: int | None = 6,
+):
+    """Per-key Pearson correlation — the analytics aggregate behind
+    feature screening. Decomposed with CHAN's parallel moments (per-batch
+    per-key ``(n, mean_x, mean_y, M2x, M2y, Cxy)``, pairwise-merged), NOT
+    raw power sums: ``n·Σxy − Σx·Σy`` overflows double precision's useful
+    range at ~1e18 while centered moments stay at data scale, which is why
+    the naive formula cannot round-trip a 6-decimal oracle check. The
+    ratio ``Cxy/√(M2x·M2y)`` equals SQL ``CORR`` exactly (the n−1 factors
+    cancel). Bounded key domains (driver merge of key × batch rows —
+    the ``grouped_sum(final="driver")`` contract); keys with < 2 rows or
+    zero variance yield NULL like SQL.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(key_cols + [x_col, y_col]).to_pandas()
+        g = df.groupby(key_cols, sort=False)
+        mx = g[x_col].transform("mean")
+        my = g[y_col].transform("mean")
+        dx = df[x_col] - mx
+        dy = df[y_col] - my
+        df["_m2x"], df["_m2y"], df["_cxy"] = dx * dx, dy * dy, dx * dy
+        agg = g.agg(
+            n=(x_col, "size"), mean_x=(x_col, "mean"), mean_y=(y_col, "mean")
+        ).reset_index()
+        sums = (
+            df.groupby(key_cols, sort=False)[["_m2x", "_m2y", "_cxy"]]
+            .sum()
+            .reset_index(drop=True)
+        )
+        agg[["m2x", "m2y", "cxy"]] = sums.to_numpy()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    rows = [
+        b.to_pandas()
+        for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not rows:
+        return pd.DataFrame({c: [] for c in key_cols + [out_col]})
+    allp = pd.concat(rows, ignore_index=True)
+    out_keys, out_vals = [], []
+    for key, grp in allp.groupby(key_cols, sort=False):
+        n = mx = my = m2x = m2y = cxy = 0.0
+        for r in grp.itertuples(index=False):
+            nb, mxb, myb = float(r.n), float(r.mean_x), float(r.mean_y)
+            tot = n + nb
+            dx_, dy_ = mxb - mx, myb - my
+            f = n * nb / tot
+            m2x += r.m2x + dx_ * dx_ * f
+            m2y += r.m2y + dy_ * dy_ * f
+            cxy += r.cxy + dx_ * dy_ * f
+            mx += dx_ * nb / tot
+            my += dy_ * nb / tot
+            n = tot
+        denom = np.sqrt(m2x * m2y)
+        val = cxy / denom if (n >= 2 and denom > 0.0) else np.nan
+        if round_to is not None and not np.isnan(val):
+            val = round(val, round_to)
+        out_keys.append(key if isinstance(key, tuple) else (key,))
+        out_vals.append(val)
+    res = pd.DataFrame(out_keys, columns=key_cols)
+    res[out_col] = out_vals
+    return res
+
+
 def cube_sum(
     ds,
     levels: list[str],

@@ -744,3 +744,45 @@ class TestGroupedNtile:
             "FROM t ORDER BY k, id"
         ).df()
         assert got["ntile"].astype(int).tolist() == exp["ntile"].astype(int).tolist()
+
+
+class TestGroupedCorr:
+    def test_matches_duckdb_and_partitioning(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import grouped_corr
+
+        rng = np.random.default_rng(31)
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 6, 2000),
+                # correlated pair with a large offset (the regime where the
+                # naive power-sum formula loses precision)
+                "x": rng.uniform(0, 50, 2000) + 1e5,
+            }
+        )
+        df["y"] = 3.0 * df["x"] + rng.normal(0, 20, 2000) + 2e5
+        got = (
+            grouped_corr(rd.from_pandas(df).repartition(7), ["k"], "x", "y")
+            .sort_values("k", ignore_index=True)
+        )
+        con = duckdb.connect()
+        con.register("t", df)
+        exp = con.execute(
+            "SELECT k, ROUND(CORR(x, y), 6) AS corr FROM t GROUP BY k ORDER BY k"
+        ).df()
+        assert got["k"].tolist() == exp["k"].tolist()
+        np.testing.assert_allclose(got["corr"], exp["corr"], atol=2e-6)
+
+    def test_degenerate_keys_null(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import grouped_corr
+
+        df = pd.DataFrame({"k": [1, 2, 2], "x": [5.0, 1.0, 1.0], "y": [2.0, 3.0, 4.0]})
+        out = grouped_corr(rd.from_pandas(df), ["k"], "x", "y").sort_values(
+            "k", ignore_index=True
+        )
+        # key 1: single row; key 2: zero x-variance — both NULL like SQL
+        assert out["corr"].isna().all()
