@@ -888,6 +888,28 @@ def q_qty_price_corr(sf_dir):
     return grouped_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
 
 
+def q_qty_price_fit(sf_dir):
+    """Per-returnflag least-squares line price = slope·qty + intercept
+    (REGR_SLOPE / REGR_INTERCEPT parity) from the same Chan-merged moments
+    as the correlation row."""
+
+    from geodistpy_ray.stages.relational import grouped_linfit
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    out = grouped_linfit(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice", round_to=None
+    )
+    # rounding tracks magnitude: slope is O(1e4) → 6 decimals is fine;
+    # intercept is O(1e5), where 6 decimals sits below the fp-accumulation
+    # noise floor of two differently-ordered exact computations → cents
+    out["slope"] = out["slope"].round(6)
+    out["intercept"] = out["intercept"].round(2)
+    return out
+
+
 def q_pricing_cube(sf_dir):
     """GROUP BY CUBE(l_returnflag, l_linestatus): every SUBSET of the key
     columns from the one finest corpus pass (2^k grouping sets re-aggregate
@@ -1918,6 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_packed": q_curated_packed,
         "pricing_cube": q_pricing_cube,
         "qty_price_corr": q_qty_price_corr,
+        "qty_price_fit": q_qty_price_fit,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2366,6 +2389,12 @@ def oracle_sql() -> dict[str, str]:
         "qty_price_corr": (
             "SELECT l_returnflag, ROUND(CORR(l_quantity, l_extendedprice), 6) "
             "AS corr FROM lineitem GROUP BY l_returnflag"
+        ),
+        "qty_price_fit": (
+            "SELECT l_returnflag, "
+            "ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 6) AS slope, "
+            "ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 2) AS intercept "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "pricing_cube": (
             "SELECT l_returnflag, l_linestatus, "

@@ -497,6 +497,93 @@ def grouped_corr(
     zero variance yield NULL like SQL.
     """
 
+    merged = _merged_chan_moments(
+        ds.map_batches(
+            _chan_partial(key_cols, x_col, y_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        key_cols,
+    )
+    out_keys, out_vals = [], []
+    for key, (n, mx, my, m2x, m2y, cxy) in merged:
+        denom = np.sqrt(m2x * m2y)
+        val = cxy / denom if (n >= 2 and denom > 0.0) else np.nan
+        if round_to is not None and not np.isnan(val):
+            val = round(val, round_to)
+        out_keys.append(key)
+        out_vals.append(val)
+    res = pd.DataFrame(out_keys, columns=key_cols)
+    res[out_col] = out_vals
+    return res
+
+
+def _merged_chan_moments(partials, key_cols):
+    """Driver fold of per-(key × batch) Chan moment rows → one
+    ``(key_tuple, (n, mean_x, mean_y, M2x, M2y, Cxy))`` per key."""
+    rows = [
+        b.to_pandas()
+        for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not rows:
+        return []
+    allp = pd.concat(rows, ignore_index=True)
+    out = []
+    for key, grp in allp.groupby(key_cols, sort=False):
+        n = mx = my = m2x = m2y = cxy = 0.0
+        for r in grp.itertuples(index=False):
+            nb, mxb, myb = float(r.n), float(r.mean_x), float(r.mean_y)
+            tot = n + nb
+            dx_, dy_ = mxb - mx, myb - my
+            f = n * nb / tot
+            m2x += r.m2x + dx_ * dx_ * f
+            m2y += r.m2y + dy_ * dy_ * f
+            cxy += r.cxy + dx_ * dy_ * f
+            mx += dx_ * nb / tot
+            my += dy_ * nb / tot
+            n = tot
+        out.append((key if isinstance(key, tuple) else (key,), (n, mx, my, m2x, m2y, cxy)))
+    return out
+
+
+def grouped_linfit(
+    ds,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    round_to: int | None = 6,
+):
+    """Per-key least-squares line ``y = slope·x + intercept`` — SQL
+    ``REGR_SLOPE`` / ``REGR_INTERCEPT`` parity from the same Chan-merged
+    centered moments as :func:`grouped_corr` (slope = Cxy/M2x, intercept
+    = ȳ − slope·x̄). Zero x-variance keys yield NULL like SQL."""
+    corr_partial = _chan_partial(key_cols, x_col, y_col)
+    merged = _merged_chan_moments(
+        ds.map_batches(corr_partial, batch_format="pyarrow", zero_copy_batch=True),
+        key_cols,
+    )
+    out_keys, slopes, intercepts = [], [], []
+    for key, (n, mx, my, m2x, _m2y, cxy) in merged:
+        if n >= 2 and m2x > 0.0:
+            slope = cxy / m2x
+            inter = my - slope * mx
+            if round_to is not None:
+                slope, inter = round(slope, round_to), round(inter, round_to)
+        else:
+            slope = inter = np.nan
+        out_keys.append(key)
+        slopes.append(slope)
+        intercepts.append(inter)
+    res = pd.DataFrame(out_keys, columns=key_cols)
+    res["slope"] = slopes
+    res["intercept"] = intercepts
+    return res
+
+
+def _chan_partial(key_cols, x_col, y_col):
+    """The shared per-batch Chan-moment combiner of grouped_corr/linfit."""
+
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(key_cols + [x_col, y_col]).to_pandas()
         g = df.groupby(key_cols, sort=False)
@@ -516,38 +603,7 @@ def grouped_corr(
         agg[["m2x", "m2y", "cxy"]] = sums.to_numpy()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-    rows = [
-        b.to_pandas()
-        for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
-        if b.num_rows
-    ]
-    if not rows:
-        return pd.DataFrame({c: [] for c in key_cols + [out_col]})
-    allp = pd.concat(rows, ignore_index=True)
-    out_keys, out_vals = [], []
-    for key, grp in allp.groupby(key_cols, sort=False):
-        n = mx = my = m2x = m2y = cxy = 0.0
-        for r in grp.itertuples(index=False):
-            nb, mxb, myb = float(r.n), float(r.mean_x), float(r.mean_y)
-            tot = n + nb
-            dx_, dy_ = mxb - mx, myb - my
-            f = n * nb / tot
-            m2x += r.m2x + dx_ * dx_ * f
-            m2y += r.m2y + dy_ * dy_ * f
-            cxy += r.cxy + dx_ * dy_ * f
-            mx += dx_ * nb / tot
-            my += dy_ * nb / tot
-            n = tot
-        denom = np.sqrt(m2x * m2y)
-        val = cxy / denom if (n >= 2 and denom > 0.0) else np.nan
-        if round_to is not None and not np.isnan(val):
-            val = round(val, round_to)
-        out_keys.append(key if isinstance(key, tuple) else (key,))
-        out_vals.append(val)
-    res = pd.DataFrame(out_keys, columns=key_cols)
-    res[out_col] = out_vals
-    return res
+    return partial
 
 
 def cube_sum(

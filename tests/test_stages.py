@@ -786,3 +786,24 @@ class TestGroupedCorr:
         )
         # key 1: single row; key 2: zero x-variance — both NULL like SQL
         assert out["corr"].isna().all()
+
+
+def test_grouped_linfit_matches_duckdb(ray_session):
+    import duckdb
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_linfit
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({"k": rng.integers(0, 5, 1500), "x": rng.uniform(0, 50, 1500)})
+    df["y"] = 7.0 * df["x"] + rng.normal(0, 5, 1500) + 40.0
+    got = grouped_linfit(
+        rd.from_pandas(df).repartition(6), ["k"], "x", "y", round_to=None
+    ).sort_values("k", ignore_index=True)
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        "SELECT k, REGR_SLOPE(y, x) AS s, REGR_INTERCEPT(y, x) AS i FROM t GROUP BY k ORDER BY k"
+    ).df()
+    np.testing.assert_allclose(got["slope"], exp["s"], rtol=1e-9)
+    np.testing.assert_allclose(got["intercept"], exp["i"], rtol=1e-9)
