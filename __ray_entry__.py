@@ -888,6 +888,30 @@ def q_qty_price_corr(sf_dir):
     return grouped_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
 
 
+def q_event_gaps(sf_dir):
+    """Per-user inter-event gap in µs (NULL on each user's first event) —
+    the LAG-delta feature behind session statistics; one bounded-partition
+    co-location, vectorized diff with key-change positions nulled."""
+    import pyarrow.compute as pc
+
+    from geodistpy_ray.stages.windows import add_lag_delta
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    out = add_lag_delta(ev, "user_id", "ts", tiebreak_col="event_id", out_col="gap_us")
+
+    def project(t: pa.Table) -> pa.Table:
+        gap = pc.cast(t.column("gap_us"), pa.int64())
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "gap_us": gap,
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_qty_price_fit(sf_dir):
     """Per-returnflag least-squares line price = slope·qty + intercept
     (REGR_SLOPE / REGR_INTERCEPT parity) from the same Chan-merged moments
@@ -1941,6 +1965,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_cube": q_pricing_cube,
         "qty_price_corr": q_qty_price_corr,
         "qty_price_fit": q_qty_price_fit,
+        "event_gaps": q_event_gaps,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2389,6 +2414,12 @@ def oracle_sql() -> dict[str, str]:
         "qty_price_corr": (
             "SELECT l_returnflag, ROUND(CORR(l_quantity, l_extendedprice), 6) "
             "AS corr FROM lineitem GROUP BY l_returnflag"
+        ),
+        "event_gaps": (
+            "SELECT user_id, event_id, "
+            "CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
+            "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) "
+            "AS gap_us FROM events"
         ),
         "qty_price_fit": (
             "SELECT l_returnflag, "

@@ -191,3 +191,42 @@ def rolling_count(
         return g
 
     return partitioned_map_groups(ds, key_col, part_fn)
+
+
+def add_lag_delta(
+    ds,
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str | None = None,
+    out_col: str = "gap",
+    n_parts: int = 64,
+):
+    """Per-key LAG delta: ``order_col − LAG(order_col) OVER (PARTITION BY
+    key ORDER BY order_col[, tiebreak])`` — NULL on each key's first row.
+    The inter-event-gap feature behind session statistics and rate
+    limiting. One bounded-partition co-location (see stages/grouping.py);
+    within a partition the deltas are ONE vectorized diff with key-change
+    positions nulled — no per-key frames.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .grouping import partitioned_map_groups
+
+    order = [key_col, order_col] + ([tiebreak_col] if tiebreak_col else [])
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order, kind="mergesort", ignore_index=True)
+        v = g[order_col].to_numpy()
+        if np.issubdtype(v.dtype, np.datetime64):
+            v = v.astype("datetime64[us]").view("i8")
+        keys = g[key_col].to_numpy()
+        delta = np.empty(len(g), dtype=np.float64)
+        delta[0] = np.nan
+        if len(g) > 1:
+            delta[1:] = (v[1:] - v[:-1]).astype(np.float64)
+            delta[1:][keys[1:] != keys[:-1]] = np.nan
+        g[out_col] = delta
+        return g
+
+    return partitioned_map_groups(ds, key_col, part_fn, n_parts=n_parts)
