@@ -199,20 +199,25 @@ def add_lag_delta(
     order_col: str,
     tiebreak_col: str | None = None,
     out_col: str = "gap",
+    direction: str = "lag",
     n_parts: int = 64,
 ):
-    """Per-key LAG delta: ``order_col − LAG(order_col) OVER (PARTITION BY
-    key ORDER BY order_col[, tiebreak])`` — NULL on each key's first row.
-    The inter-event-gap feature behind session statistics and rate
-    limiting. One bounded-partition co-location (see stages/grouping.py);
-    within a partition the deltas are ONE vectorized diff with key-change
-    positions nulled — no per-key frames.
+    """Per-key LAG/LEAD delta. ``direction="lag"``: ``order_col −
+    LAG(order_col) OVER (PARTITION BY key ORDER BY order_col[, tiebreak])``
+    — NULL on each key's first row (time since previous event).
+    ``direction="lead"``: ``LEAD(order_col) − order_col`` — NULL on each
+    key's last row (time TO the next event, the churn/inactivity feature).
+    One bounded-partition co-location (see stages/grouping.py); within a
+    partition the deltas are ONE vectorized diff with key-change positions
+    nulled — no per-key frames.
     """
     import numpy as np
     import pandas as pd
 
     from .grouping import partitioned_map_groups
 
+    if direction not in ("lag", "lead"):
+        raise ValueError(f"direction must be 'lag' or 'lead', got {direction!r}")
     order = [key_col, order_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
@@ -221,11 +226,14 @@ def add_lag_delta(
         if np.issubdtype(v.dtype, np.datetime64):
             v = v.astype("datetime64[us]").view("i8")
         keys = g[key_col].to_numpy()
-        delta = np.empty(len(g), dtype=np.float64)
-        delta[0] = np.nan
+        delta = np.full(len(g), np.nan)
         if len(g) > 1:
-            delta[1:] = (v[1:] - v[:-1]).astype(np.float64)
-            delta[1:][keys[1:] != keys[:-1]] = np.nan
+            d = (v[1:] - v[:-1]).astype(np.float64)
+            same = keys[1:] == keys[:-1]
+            if direction == "lag":
+                delta[1:] = np.where(same, d, np.nan)
+            else:
+                delta[:-1] = np.where(same, d, np.nan)
         g[out_col] = delta
         return g
 

@@ -711,3 +711,35 @@ class TestAsofVectorized:
         l = rd.from_pandas(pd.DataFrame({"k": [1], "ts": [1], "lv": [1]}))
         with pytest.raises(ValueError, match="direction"):
             asof_join(l, l, key="k", ts="ts", direction="nearest")
+
+
+def test_lag_lead_delta_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import add_lag_delta
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 5, 300),
+            "t": rng.integers(0, 10_000, 300).astype(np.int64),
+            "id": np.arange(300),
+        }
+    )
+    for direction in ("lag", "lead"):
+        got = (
+            add_lag_delta(
+                rd.from_pandas(df).repartition(4), "k", "t",
+                tiebreak_col="id", out_col="d", direction=direction,
+            )
+            .to_pandas()
+            .sort_values(["k", "t", "id"], ignore_index=True)
+        )
+        s = df.sort_values(["k", "t", "id"], ignore_index=True)
+        grp = s.groupby("k")["t"]
+        exp = (s["t"] - grp.shift(1)) if direction == "lag" else (grp.shift(-1) - s["t"])
+        pd.testing.assert_series_equal(
+            got["d"], exp.astype(float), check_names=False
+        )
+    with pytest.raises(ValueError, match="direction"):
+        add_lag_delta(rd.from_pandas(df), "k", "t", direction="sideways")
