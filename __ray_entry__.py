@@ -888,6 +888,23 @@ def q_qty_price_corr(sf_dir):
     return grouped_corr(li, ["l_returnflag"], "l_quantity", "l_extendedprice")
 
 
+def q_qty_price_covar(sf_dir):
+    """Per-returnflag sample covariance (COVAR_SAMP parity) — rounded to
+    2 decimals: covariance carries the data's squared magnitude (O(1e5)
+    here), so 6 decimals would sit below the fp-accumulation noise floor
+    of two differently-ordered exact computations."""
+
+    from geodistpy_ray.stages.relational import grouped_covar
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+    return grouped_covar(
+        li, ["l_returnflag"], "l_quantity", "l_extendedprice", round_to=2
+    )
+
+
 def q_event_gaps(sf_dir):
     """Per-user inter-event gap in µs (NULL on each user's first event) —
     the LAG-delta feature behind session statistics; one bounded-partition
@@ -1965,6 +1982,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_cube": q_pricing_cube,
         "qty_price_corr": q_qty_price_corr,
         "qty_price_fit": q_qty_price_fit,
+        "qty_price_covar": q_qty_price_covar,
         "event_gaps": q_event_gaps,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
@@ -2414,6 +2432,11 @@ def oracle_sql() -> dict[str, str]:
         "qty_price_corr": (
             "SELECT l_returnflag, ROUND(CORR(l_quantity, l_extendedprice), 6) "
             "AS corr FROM lineitem GROUP BY l_returnflag"
+        ),
+        "qty_price_covar": (
+            "SELECT l_returnflag, "
+            "ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 2) AS covar "
+            "FROM lineitem GROUP BY l_returnflag"
         ),
         "event_gaps": (
             "SELECT user_id, event_id, "

@@ -581,6 +581,37 @@ def grouped_linfit(
     return res
 
 
+def grouped_covar(
+    ds,
+    key_cols: list[str],
+    x_col: str,
+    y_col: str,
+    out_col: str = "covar",
+    round_to: int | None = 6,
+):
+    """Per-key sample covariance (SQL ``COVAR_SAMP`` = Cxy/(n−1)) from the
+    same Chan-merged moments as :func:`grouped_corr`; single-row keys
+    yield NULL like SQL."""
+    merged = _merged_chan_moments(
+        ds.map_batches(
+            _chan_partial(key_cols, x_col, y_col),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        key_cols,
+    )
+    out_keys, out_vals = [], []
+    for key, (n, _mx, _my, _m2x, _m2y, cxy) in merged:
+        val = cxy / (n - 1) if n >= 2 else np.nan
+        if round_to is not None and not np.isnan(val):
+            val = round(val, round_to)
+        out_keys.append(key)
+        out_vals.append(val)
+    res = pd.DataFrame(out_keys, columns=key_cols)
+    res[out_col] = out_vals
+    return res
+
+
 def _chan_partial(key_cols, x_col, y_col):
     """The shared per-batch Chan-moment combiner of grouped_corr/linfit."""
 
