@@ -362,6 +362,12 @@ def exact_near_dup_pairs_blocked(
     """
     import pandas as pd
 
+    if "__pair" in (id_col, emb_col):
+        raise ValueError(
+            "exact_near_dup_pairs_blocked: '__pair' is reserved for the "
+            "block-pair tag; rename the input column"
+        )
+
     def replicate(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         if n == 0:

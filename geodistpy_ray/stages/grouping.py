@@ -48,7 +48,7 @@ def _multi_partition_ids(batch: pa.Table, key_cols: list[str], n_parts: int) -> 
     return (h % np.uint64(n_parts)).astype(np.int64)
 
 
-def partitioned_map_groups(ds, key_col, part_fn, n_parts: int = 64):
+def partitioned_map_groups(ds, key_col, part_fn, n_parts: int = 64, part_format: str = "pandas"):
     """``groupby(hash(key) % n_parts).map_groups(part_fn)``.
 
     ``key_col`` may be one column name or a list (composite key).
@@ -56,6 +56,16 @@ def partitioned_map_groups(ds, key_col, part_fn, n_parts: int = 64):
     hashes there, ``__part`` column already dropped — and must handle
     multiple keys itself (vectorized, or with a local pandas groupby whose
     per-group cost is ~10x below Ray's).
+
+    The Ray-visible group format is ALWAYS Arrow: with the default
+    ``part_format="pandas"`` the pandas detour happens inside the group task
+    (``to_pandas`` in, ``Table.from_pandas`` out) so the block STREAM never
+    carries pandas blocks. That matters because Ray's groupby-sort
+    normalizes mixed-format streams through pandas, and a null-padded int64
+    column round-trips pandas as float64 — the dtype-laundering bug class
+    the joins used to guard against. ``part_format="pyarrow"`` hands
+    ``part_fn`` the partition as a ``pa.Table`` (return a ``pa.Table``) and
+    skips pandas entirely — prefer it for new finalizers.
     """
     key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
 
@@ -68,13 +78,24 @@ def partitioned_map_groups(ds, key_col, part_fn, n_parts: int = 64):
         ids = _multi_partition_ids(batch, key_cols, n_parts)
         return batch.append_column("__part", pa.array(ids, pa.int64()))
 
-    def run(g: pd.DataFrame) -> pd.DataFrame:
-        return part_fn(g.drop(columns="__part"))
+    if part_format == "pyarrow":
+
+        def run(t: pa.Table) -> pa.Table:
+            return part_fn(t.drop_columns(["__part"]))
+
+    elif part_format == "pandas":
+
+        def run(t: pa.Table) -> pa.Table:
+            out = part_fn(t.drop_columns(["__part"]).to_pandas())
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+    else:
+        raise ValueError(f"part_format must be 'pandas' or 'pyarrow', got {part_format!r}")
 
     return (
         ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__part")
-        .map_groups(run, batch_format="pandas")
+        .map_groups(run, batch_format="pyarrow")
     )
 
 

@@ -45,6 +45,21 @@ def _hash_bucket(values: np.ndarray, n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
+_RESERVED = ("__bucket", "__side", "__salt", "__ts", "__part")
+
+
+def _check_reserved(names, where: str) -> None:
+    """Reject inputs that already carry an engine-reserved tag column —
+    the padded union would silently clobber it (same guard idiom as
+    ``partitioned_map_groups``)."""
+    bad = sorted(set(names) & set(_RESERVED))
+    if bad:
+        raise ValueError(
+            f"{where}: input carries reserved column(s) {bad}; rename them "
+            "— these names tag the join's internal bucketed union"
+        )
+
+
 def detect_hot_keys(ds, key_col: str, frac_threshold: float = 0.05, top_n: int = 64):
     """Find keys whose row share exceeds ``frac_threshold`` — the skew
     pre-pass for :func:`shuffle_equi_join`'s salting.
@@ -128,19 +143,24 @@ def _pad_side(side, key_out, own_key, lvals, rvals, ltypes, rtypes, n_buckets):
 def _arrow_type(t) -> pa.DataType:
     """Coerce a Dataset.schema() type to a pyarrow DataType.
 
-    A pipeline whose upstream ran through pandas blocks (e.g. a
-    ``partitioned_map_groups`` finalizer) reports numpy dtypes / Python
-    classes instead of Arrow types; the null-padding in ``_pad_side`` needs
-    real Arrow types. ``object`` dtype maps to string — every engine-internal
-    pandas-block object column is text (list payloads only ever travel in
-    Arrow blocks).
+    Engine-internal streams are all-Arrow (every ``partitioned_map_groups``
+    finalizer emits Arrow blocks), so this is normally the identity. A
+    pandas-origin INPUT dataset (``ray.data.from_pandas``) can still report
+    numpy dtypes; those map through ``pa.from_numpy_dtype``. An ``object``
+    dtype is ambiguous (text? lists? decimals?) — null-padding it as string
+    would silently mistype any non-text payload, so fail loudly and ask the
+    caller to cast at ingest instead.
     """
     if isinstance(t, pa.DataType):
         return t
     try:
         return pa.from_numpy_dtype(np.dtype(t))
     except (TypeError, NotImplementedError, pa.ArrowNotImplementedError):
-        return pa.string()
+        raise TypeError(
+            f"join input column has ambiguous non-Arrow type {t!r} (pandas "
+            "'object' dtype?) — cast the input to explicit Arrow types "
+            "before joining (e.g. map_batches(..., batch_format='pyarrow'))"
+        ) from None
 
 
 def _union_bucketed(left, right, left_key, right_key, n_buckets):
@@ -216,16 +236,20 @@ def shuffle_equi_join(
                 "bloom_prefilter supports inner/semi joins only (outer/anti "
                 "semantics depend on the rows the filter would drop)"
             )
+        if bloom_prefilter not in ("left", "right"):
+            raise ValueError("bloom_prefilter must be 'left', 'right', or None")
+    _check_reserved(
+        list(left.schema().names) + list(right.schema().names), "shuffle_equi_join"
+    )
+    if bloom_prefilter is not None:
         from .sketches import bloom_semi_filter, build_bloom_filter
 
         if bloom_prefilter == "left":
             bm = build_bloom_filter(right, right_key, bits_log2=bloom_bits_log2)
             left = bloom_semi_filter(left, left_key, bm)
-        elif bloom_prefilter == "right":
+        else:
             bm = build_bloom_filter(left, left_key, bits_log2=bloom_bits_log2)
             right = bloom_semi_filter(right, right_key, bm)
-        else:
-            raise ValueError("bloom_prefilter must be 'left', 'right', or None")
     if hot_keys is not None:
         if join_type != "inner":
             raise ValueError("hot_keys salting supports join_type='inner' only")
@@ -260,17 +284,11 @@ def shuffle_equi_join(
         joined = _salted_inner_join(left, right, left_key, right_key, n_buckets)
         return joined
     combined, lvals, rvals = _union_bucketed(left, right, left_key, right_key, n_buckets)
-    # expected output types: Ray's groupby sort sometimes normalizes a
-    # reduce partition through a PANDAS block (observed when the union mixes
-    # empty pandas-origin blocks with Arrow ones), and a null-padded int64
-    # column round-trips pandas as float64 — so the group table can arrive
-    # with laundered dtypes. Cast the bucket result back to the harmonized
-    # schema (exact for integers < 2^53; the pandas detour itself is the
-    # precision ceiling, not this cast).
-    ls, rs = left.schema(), right.schema()
-    types = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
-    types.update({n: _arrow_type(t) for n, t in zip(rs.names, rs.types)})
-    types[left_key] = _arrow_type(ls.types[ls.names.index(left_key)])
+    # The group table arrives with the exact harmonized Arrow types from
+    # `_pad_side` — every finalizer in the engine emits Arrow blocks (see
+    # stages/grouping.py), so no pandas block can enter the groupby sort and
+    # re-launder null-padded int columns to float64. (The cast guard that
+    # used to live here is dead by construction.)
 
     def join_bucket(t: pa.Table) -> pa.Table:
         side = t.column("__side")
@@ -279,9 +297,7 @@ def shuffle_equi_join(
         out = l.join(r, keys=[left_key], join_type=join_type)
         # Acero may reorder columns for right/outer types; normalize.
         want = [c for c in [left_key] + lvals + rvals if c in out.column_names]
-        out = out.select(want)
-        schema = pa.schema([(c, types[c]) for c in want])
-        return out if out.schema.equals(schema) else out.cast(schema)
+        return out.select(want)
 
     return combined.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
@@ -329,19 +345,13 @@ def _salted_inner_join(left, right, left_key, right_key, n_buckets):
         right.map_batches(pad(1), batch_format="pyarrow", zero_copy_batch=True)
     )
 
-    # same dtype-relaundering guard as shuffle_equi_join's join_bucket (a
-    # pandas-normalized reduce partition floats null-padded int columns)
-    types = {**ltypes, **rtypes, left_key: ltypes[left_key]}
-
     def join_bucket(t: pa.Table) -> pa.Table:
         side = t.column("__side")
         l = t.filter(pc.equal(side, 0)).select([left_key, "__salt"] + lvals)
         r = t.filter(pc.equal(side, 1)).select([left_key, "__salt"] + rvals)
         out = l.join(r, keys=[left_key, "__salt"], join_type="inner")
         want = [c for c in [left_key] + lvals + rvals if c in out.column_names]
-        out = out.select(want)
-        schema = pa.schema([(c, types[c]) for c in want])
-        return out if out.schema.equals(schema) else out.cast(schema)
+        return out.select(want)
 
     return combined.groupby("__bucket").map_groups(join_bucket, batch_format="pyarrow")
 
@@ -371,6 +381,7 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be 'backward' or 'forward', got {direction!r}")
     right_ts = right_ts_key or ts
+    _check_reserved(list(left.schema().names) + list(right.schema().names), "asof_join")
     ls, rs = left.schema(), right.schema()
     ltypes = {n: _arrow_type(t) for n, t in zip(ls.names, ls.types)}
     rtypes = {n: _arrow_type(t) for n, t in zip(rs.names, rs.types)}

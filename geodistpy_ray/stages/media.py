@@ -1,12 +1,21 @@
-"""Multimodal (image/audio/video) stages — Ray-side plumbing, stubbed codecs.
+"""Multimodal (image/audio/video) stages — actor-pool plumbing + codecs.
 
-Image/audio libraries are not available in this container, so the *decode*
-kernels are deterministic fakes behind a clearly-marked switch
-(``real_codec=True`` raises ``NotImplementedError``). Everything around
-them — opaque ``binary`` payload columns with typed metadata, actor-pool
-``map_batches`` with small batch sizes for wide rows, fixed-shape output
-columns — is real and tested, so swapping in a real codec is a one-function
-change.
+Two decode modes per actor:
+
+- ``real_codec=True`` — REAL pure-NumPy decoders for the public-spec-simple
+  containers (BMP images, PCM16 WAV audio; ``kernels/codecs.py``). Decoded
+  images resample to the actor's fixed (h, w) model-input shape
+  (nearest-neighbor); decoded audio takes channel 0 and pads/truncates to
+  ``n_samples``. Formats beyond BMP/WAV (JPEG/MP3/...) still need external
+  libraries that this container lacks and raise a descriptive ValueError
+  from the decoder.
+- ``real_codec=False`` (default) — deterministic fake seeded from the
+  payload hash, for payloads that aren't real containers (e.g. raw text
+  bytes standing in for media at test scale).
+
+Everything around the decode — opaque ``binary`` payload columns with typed
+metadata, actor-pool ``map_batches`` with small batch sizes for wide rows,
+fixed-shape output columns — is identical in both modes.
 
 Scale notes baked in: payload-carrying stages default to small
 ``batch_size`` (wide rows), and feature outputs are fixed-shape
@@ -36,13 +45,19 @@ class ImageDecodeActor:
     """
 
     def __init__(self, payload_col: str = "html", height: int = 16, width: int = 16, real_codec: bool = False):
-        if real_codec:
-            raise NotImplementedError(
-                "No image codec available in this environment; "
-                "run with real_codec=False for the deterministic fake."
-            )
         self.payload_col = payload_col
         self.h, self.w = height, width
+        if real_codec:
+            # real decode state binds once per actor (the per-batch hot path
+            # only calls the bound kernels)
+            from ..kernels.codecs import decode_bmp, resize_nearest
+
+            def decode(p: bytes) -> np.ndarray:
+                return resize_nearest(decode_bmp(p), self.h, self.w)
+
+            self._decode = decode
+        else:
+            self._decode = lambda p: _fake_decode(p, self.h, self.w)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
@@ -51,7 +66,7 @@ class ImageDecodeActor:
             batch = batch.append_column("img_h", pa.array([], pa.int32()))
             batch = batch.append_column("img_w", pa.array([], pa.int32()))
             return batch.append_column("payload_bytes", pa.array([], pa.int64()))
-        imgs = np.stack([_fake_decode(p, self.h, self.w) for p in payloads])
+        imgs = np.stack([self._decode(p) for p in payloads])
         sizes = np.fromiter((len(p or b"") for p in payloads), dtype=np.int64, count=len(payloads))
         batch = batch.append_column(
             "image", pa.array(list(imgs.reshape(len(payloads), -1)), pa.list_(pa.uint8()))
@@ -89,11 +104,24 @@ class ImageFeatureActor:
         )
 
 
-def decode_images(ds, payload_col: str = "html", concurrency=(1, 2), batch_size: int = 1024):
+def decode_images(
+    ds,
+    payload_col: str = "html",
+    concurrency=(1, 2),
+    batch_size: int = 1024,
+    height: int = 16,
+    width: int = 16,
+    real_codec: bool = False,
+):
     """Actor-pool decode stage; small batch_size because payload rows are wide."""
     return ds.map_batches(
         ImageDecodeActor,
-        fn_constructor_kwargs={"payload_col": payload_col},
+        fn_constructor_kwargs={
+            "payload_col": payload_col,
+            "height": height,
+            "width": width,
+            "real_codec": real_codec,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,
@@ -127,11 +155,13 @@ def sample_frames(ds, every_n: int = 2, frame_col: str = "image"):
 
 
 class AudioDecodeActor:
-    """binary payload → fixed-rate PCM samples + metadata (deterministic fake).
+    """binary payload → fixed-length PCM samples + metadata.
 
-    Mirrors the image path: ``real_codec=True`` raises (no audio libs here);
-    the fake emits ``n_samples`` int16 samples seeded from the payload hash,
-    so the surrounding plumbing (schema, batching, actor lifecycle) is real.
+    Mirrors the image path: ``real_codec=True`` decodes RIFF/WAVE PCM16
+    (``kernels/codecs.py``), takes channel 0, and pads/truncates to
+    ``n_samples`` (the fixed model-input length); ``audio_sr`` then reports
+    the FILE's sample rate. The default fake emits ``n_samples`` int16
+    samples seeded from the payload hash.
     """
 
     def __init__(
@@ -141,31 +171,45 @@ class AudioDecodeActor:
         n_samples: int = 2048,
         real_codec: bool = False,
     ):
-        if real_codec:
-            raise NotImplementedError(
-                "No audio codec available in this environment; "
-                "run with real_codec=False for the deterministic fake."
-            )
         self.payload_col = payload_col
         self.sr = sample_rate
         self.n = n_samples
+        if real_codec:
+            from ..kernels.codecs import decode_wav
+
+            def decode(p: bytes) -> tuple[np.ndarray, int]:
+                samples, rate = decode_wav(p)
+                mono = samples[:, 0]
+                if mono.size >= self.n:
+                    return mono[: self.n], rate
+                out = np.zeros(self.n, dtype=np.int16)
+                out[: mono.size] = mono
+                return out, rate
+
+            self._decode = decode
+        else:
+
+            def fake(p: bytes) -> tuple[np.ndarray, int]:
+                seed = int.from_bytes(
+                    hashlib.blake2b(p or b"", digest_size=8).digest(), "little"
+                )
+                wave = np.random.default_rng(seed).integers(
+                    -32768, 32768, size=self.n, dtype=np.int16
+                )
+                return wave, self.sr
+
+            self._decode = fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
         waves = np.empty((len(payloads), self.n), dtype=np.int16)
+        rates = np.empty(len(payloads), dtype=np.int32)
         for i, p in enumerate(payloads):
-            seed = int.from_bytes(
-                hashlib.blake2b(p or b"", digest_size=8).digest(), "little"
-            )
-            waves[i] = np.random.default_rng(seed).integers(
-                -32768, 32768, size=self.n, dtype=np.int16
-            )
+            waves[i], rates[i] = self._decode(p)
         batch = batch.append_column(
             "pcm", pa.array(list(waves), pa.list_(pa.int16()))
         )
-        batch = batch.append_column(
-            "audio_sr", pa.array(np.full(len(payloads), self.sr), pa.int32())
-        )
+        batch = batch.append_column("audio_sr", pa.array(rates, pa.int32()))
         return batch.append_column(
             "n_samples", pa.array(np.full(len(payloads), self.n), pa.int64())
         )
@@ -191,11 +235,22 @@ class AudioFeatureActor:
         )
 
 
-def decode_audio(ds, payload_col: str = "html", concurrency=(1, 2), batch_size: int = 1024):
-    """Actor-pool audio decode stage (fake codec; real plumbing)."""
+def decode_audio(
+    ds,
+    payload_col: str = "html",
+    concurrency=(1, 2),
+    batch_size: int = 1024,
+    n_samples: int = 2048,
+    real_codec: bool = False,
+):
+    """Actor-pool audio decode stage (WAV when ``real_codec``, else fake)."""
     return ds.map_batches(
         AudioDecodeActor,
-        fn_constructor_kwargs={"payload_col": payload_col},
+        fn_constructor_kwargs={
+            "payload_col": payload_col,
+            "n_samples": n_samples,
+            "real_codec": real_codec,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         concurrency=concurrency,

@@ -29,7 +29,6 @@ cost is paid 64 times, not once per key (see ``stages/grouping.py``).
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -98,26 +97,37 @@ def ordered_prefix_sum(
     base = np.concatenate(([0], np.cumsum(totals)[:-1]))  # exclusive per-range base
 
     def tag(t: pa.Table) -> pa.Table:
+        if "__range" in t.column_names:
+            raise ValueError(
+                "ordered_prefix_sum: input already has a '__range' column; "
+                "rename it — the name is reserved for the range tag"
+            )
         v = t.column(order_col).to_numpy(zero_copy_only=False)
         return t.append_column("__range", pa.array(range_of(v), pa.int64()))
 
-    def scan_range(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(order_col, kind="mergesort", ignore_index=True)
-        k = g[order_col].to_numpy()
+    def scan_range(t: pa.Table) -> pa.Table:
+        # Arrow-native finalizer: the scan column appends with an explicit
+        # int64 type and the input columns pass through untouched — no
+        # pandas block ever enters the stream (see stages/grouping.py).
+        k = t.column(order_col).to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        k = k[order]
         if k.size > 1 and np.any(k[1:] == k[:-1]):
             raise ValueError(
                 f"ordered_prefix_sum: duplicate {order_col!r} values — the "
                 "exclusive running sum needs a total order over unique ids"
             )
-        x = g[value_col].to_numpy().astype(np.int64)
+        t = t.take(pa.array(order, pa.int64()))
+        x = t.column(value_col).to_numpy(zero_copy_only=False).astype(np.int64)
         cum = np.concatenate(([0], np.cumsum(x)[:-1]))
-        g[out_col] = cum + base[int(g["__range"].iloc[0])]
-        return g.drop(columns="__range")
+        part = int(t.column("__range")[0].as_py()) if t.num_rows else 0
+        t = t.drop_columns(["__range"])
+        return t.append_column(out_col, pa.array(cum + base[part], pa.int64()))
 
     return (
         narrow.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
         .groupby("__range")
-        .map_groups(scan_range, batch_format="pandas")
+        .map_groups(scan_range, batch_format="pyarrow")
     )
 
 

@@ -436,6 +436,27 @@ def pivot_counts(ds, key_col: str, pivot_col: str, values: list[str], other_col:
     return grouped_sum(wide, [key_col], int_sum_cols=sums, count_col="n")
 
 
+def _typed_null_level(dtype, index) -> pd.Series:
+    """An all-NULL Series that keeps a rolled-up key column's dtype.
+
+    Plain ``agg[c] = None`` coerces the column to object dtype; for string
+    levels that's harmless, but an integer level column would come back as
+    a mixed object column that mistypes (or fails) a later pandas→Arrow
+    conversion. Integer levels get pandas' nullable Int/UInt dtype, floats
+    NaN, datetimes NaT, and everything else stays object-with-None.
+    """
+    if pd.api.types.is_integer_dtype(dtype):
+        nullable = str(dtype).replace("uint", "UInt").replace("int", "Int")
+        return pd.Series(pd.NA, index=index, dtype=nullable)
+    if pd.api.types.is_float_dtype(dtype):
+        return pd.Series(np.nan, index=index, dtype=dtype)
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return pd.Series(pd.NaT, index=index, dtype=dtype)
+    # scalar None would be coerced to NaN even at dtype=object; a prebuilt
+    # object array keeps literal None (what the oracle canonicalizes to)
+    return pd.Series(np.full(len(index), None, dtype=object), index=index, dtype=object)
+
+
 def rollup_sum(
     ds,
     levels: list[str],
@@ -471,7 +492,7 @@ def rollup_sum(
             else finest[out_vals].sum().to_frame().T
         )
         for c in levels[len(levels) - g :]:
-            agg[c] = None
+            agg[c] = _typed_null_level(finest[c].dtype, agg.index)
         agg["grouping_id"] = (1 << g) - 1
         frames.append(agg[levels + out_vals + ["grouping_id"]])
     return pd.concat(frames, ignore_index=True)[levels + out_vals + ["grouping_id"]]
@@ -676,7 +697,7 @@ def cube_sum(
             gid = 0
             for i in range(k):
                 if i not in keep:
-                    agg[levels[i]] = None
+                    agg[levels[i]] = _typed_null_level(finest[levels[i]].dtype, agg.index)
                     gid |= 1 << (k - 1 - i)  # GROUPING() treats the FIRST level as the high bit
             agg["grouping_id"] = gid
             frames.append(agg[levels + out_vals + ["grouping_id"]])

@@ -16,6 +16,8 @@ Python's salted ``hash``).
 
 from __future__ import annotations
 
+from typing import NamedTuple
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -243,8 +245,21 @@ def _bloom_hash_pair(values: np.ndarray):
     return a, b
 
 
-def build_bloom_filter(ds, col: str, bits_log2: int = 23, n_hashes: int = 4) -> np.ndarray:
-    """Fold a column into a 2^bits_log2-bit Bloom bitmap → uint8 array.
+class BloomFilter(NamedTuple):
+    """A Bloom bitmap paired with the ``n_hashes`` it was built with.
+
+    The pairing is load-bearing: probing with MORE hashes than the build
+    used produces false negatives (true members silently dropped), which
+    would turn the join pre-filter from exact into lossy. Carrying the
+    header with the bitmap makes the mismatch impossible to construct
+    silently."""
+
+    bits: np.ndarray
+    n_hashes: int
+
+
+def build_bloom_filter(ds, col: str, bits_log2: int = 23, n_hashes: int = 4) -> "BloomFilter":
+    """Fold a column into a 2^bits_log2-bit Bloom bitmap → :class:`BloomFilter`.
 
     Same topology as :func:`approx_distinct_count`: per-BLOCK combiner emits
     one bitmap row (``batch_size=None`` so the partial count is the block
@@ -280,12 +295,16 @@ def build_bloom_filter(ds, col: str, bits_log2: int = 23, n_hashes: int = 4) -> 
     for bt in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
         for buf in bt.column("bm").to_pylist():
             np.bitwise_or(merged, np.frombuffer(buf, dtype=np.uint8), out=merged)
-    return merged
+    return BloomFilter(merged, n_hashes)
 
 
-def bloom_semi_filter(ds, col: str, bitmap: np.ndarray, n_hashes: int = 4):
+def bloom_semi_filter(ds, col: str, bloom, n_hashes: int | None = None):
     """Keep only rows whose ``col`` value MAY be in the Bloom set (no false
     negatives — every true member survives; ~fpr of non-members leak).
+
+    ``bloom`` is a :class:`BloomFilter` (preferred — its ``n_hashes`` header
+    is authoritative and an explicit mismatching ``n_hashes`` raises) or a
+    bare uint8 bitmap (``n_hashes`` then defaults to the builder's 4).
 
     The bitmap is ``ray.put`` once and probed per batch with k vectorized
     gather+mask passes. This is the shuffle-avoidance pre-filter for joins:
@@ -293,6 +312,18 @@ def bloom_semi_filter(ds, col: str, bitmap: np.ndarray, n_hashes: int = 4):
     (`joins.shuffle_equi_join(bloom_prefilter=...)`); the join itself stays
     exact because surviving non-members fail the real key match.
     """
+    if isinstance(bloom, BloomFilter):
+        if n_hashes is not None and n_hashes != bloom.n_hashes:
+            raise ValueError(
+                f"bloom_semi_filter: n_hashes={n_hashes} does not match the "
+                f"filter's build-time n_hashes={bloom.n_hashes} — probing "
+                "with a different hash count loses the no-false-negative "
+                "guarantee"
+            )
+        bitmap, n_hashes = bloom.bits, bloom.n_hashes
+    else:
+        bitmap = bloom
+        n_hashes = 4 if n_hashes is None else n_hashes
     m = int(bitmap.size) << 3
     bits_log2 = m.bit_length() - 1
     if (1 << bits_log2) != m:

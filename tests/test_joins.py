@@ -540,6 +540,49 @@ class TestPivotRollup:
         assert mid["b"].isna().all()
         assert int(total["sv"].iloc[0]) == 7 and int(total["n"].iloc[0]) == 3
 
+    def test_rollup_integer_levels_keep_dtype(self, ray_session):
+        """Integer level columns must roll up to nullable Int64, not a mixed
+        object column that would mistype a later pandas→Arrow conversion
+        (ADVICE r3): the rolled-up frame round-trips Arrow as int64+null."""
+        import duckdb
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import cube_sum, rollup_sum
+
+        tab = pa.table(
+            {
+                "a": pa.array([10, 10, 20], pa.int64()),
+                "b": pa.array([1, 2, 1], pa.int64()),
+                "v": pa.array([1, 2, 4], pa.int64()),
+            }
+        )
+        out = rollup_sum(rd.from_arrow(tab), ["a", "b"], int_sum_cols={"v": "sv"})
+        assert pd.api.types.is_integer_dtype(out["a"].dtype)
+        assert pd.api.types.is_integer_dtype(out["b"].dtype)
+        rt = pa.Table.from_pandas(out, preserve_index=False)
+        assert rt.schema.field("a").type == pa.int64()
+        assert rt.schema.field("b").type == pa.int64()
+        con = duckdb.connect()
+        con.register("t", tab)
+        exp = con.execute(
+            "SELECT a, b, SUM(v) AS sv, COUNT(*) AS n, "
+            "GROUPING(a, b) AS grouping_id FROM t GROUP BY ROLLUP(a, b) "
+            "ORDER BY grouping_id, a NULLS LAST, b NULLS LAST"
+        ).df()
+        got = out.sort_values(
+            ["grouping_id", "a", "b"], ignore_index=True, na_position="last"
+        )[["a", "b", "sv", "n", "grouping_id"]]
+        assert got["sv"].astype(np.int64).tolist() == exp["sv"].astype(np.int64).tolist()
+        assert (
+            got["a"].isna().tolist() == exp["a"].isna().tolist()
+            and got["b"].isna().tolist() == exp["b"].isna().tolist()
+        )
+        cube = cube_sum(rd.from_arrow(tab), ["a", "b"], int_sum_cols={"v": "sv"})
+        assert pd.api.types.is_integer_dtype(cube["a"].dtype)
+        assert pa.Table.from_pandas(cube, preserve_index=False).schema.field(
+            "b"
+        ).type == pa.int64()
+
 
 class TestGlobalTopk:
     def test_topk_and_ties(self, ray_session):

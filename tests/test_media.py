@@ -15,9 +15,29 @@ class TestDecode:
         c = _fake_decode(b"other", 16, 16)
         assert not np.array_equal(a, c)
 
-    def test_real_codec_gate(self):
-        with pytest.raises(NotImplementedError):
-            ImageDecodeActor(real_codec=True)
+    def test_real_codec_decodes_bmp(self):
+        from geodistpy_ray.kernels.codecs import encode_bmp
+
+        img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+        actor = ImageDecodeActor(payload_col="payload", real_codec=True)
+        out = actor(pa.table({"payload": [encode_bmp(img)]}))
+        got = np.asarray(out.column("image")[0].as_py(), dtype=np.uint8).reshape(16, 16)
+        np.testing.assert_array_equal(got, img)  # same dims → exact round-trip
+
+    def test_real_codec_resizes_to_model_shape(self):
+        from geodistpy_ray.kernels.codecs import encode_bmp
+
+        img = np.zeros((32, 48), dtype=np.uint8)
+        img[16:, :] = 200  # bottom half bright
+        actor = ImageDecodeActor(payload_col="payload", height=16, width=16, real_codec=True)
+        out = actor(pa.table({"payload": [encode_bmp(img)]}))
+        got = np.asarray(out.column("image")[0].as_py(), dtype=np.uint8).reshape(16, 16)
+        assert (got[:8] == 0).all() and (got[8:] == 200).all()
+
+    def test_real_codec_rejects_non_bmp(self):
+        actor = ImageDecodeActor(payload_col="payload", real_codec=True)
+        with pytest.raises(ValueError, match="BMP"):
+            actor(pa.table({"payload": [b"not an image"]}))
 
     def test_stage_schema(self, ray_session):
         import ray.data as rd
@@ -73,11 +93,22 @@ def test_audio_pipeline_plumbing(ray_session):
     assert abs(float(np.stack(got["audio_feat"]).mean()) - 0.577) < 0.05
 
 
-def test_audio_real_codec_gated(ray_session):
+def test_audio_real_codec_decodes_wav():
+    from geodistpy_ray.kernels.codecs import encode_wav
     from geodistpy_ray.stages.media import AudioDecodeActor
 
-    with pytest.raises(NotImplementedError):
-        AudioDecodeActor(real_codec=True)
+    t = np.arange(3000)
+    wave = (10_000 * np.sin(2 * np.pi * 440 * t / 16_000)).astype(np.int16)
+    actor = AudioDecodeActor(payload_col="payload", n_samples=2048, real_codec=True)
+    out = actor(pa.table({"payload": [encode_wav(wave, 16_000)]}))
+    assert out.column("audio_sr")[0].as_py() == 16_000  # FILE rate, not default
+    got = np.asarray(out.column("pcm")[0].as_py(), dtype=np.int16)
+    np.testing.assert_array_equal(got, wave[:2048])  # truncate to n_samples
+    # shorter-than-n payloads zero-pad
+    out2 = actor(pa.table({"payload": [encode_wav(wave[:100], 8_000)]}))
+    got2 = np.asarray(out2.column("pcm")[0].as_py(), dtype=np.int16)
+    np.testing.assert_array_equal(got2[:100], wave[:100])
+    assert (got2[100:] == 0).all()
 
 
 def test_resize_images_halves_dims(ray_session):

@@ -196,7 +196,22 @@ class TestBloomFilter:
         many = build_bloom_filter(
             rd.from_arrow(pa.table({"k": v})).repartition(8), "k", bits_log2=17
         )
-        assert np.array_equal(one, many)
+        assert np.array_equal(one.bits, many.bits)
+        assert one.n_hashes == many.n_hashes
+
+    def test_probe_hash_count_mismatch_raises(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sketches import bloom_semi_filter, build_bloom_filter
+
+        bm = build_bloom_filter(
+            rd.from_arrow(pa.table({"k": np.arange(10, dtype=np.int64)})),
+            "k",
+            bits_log2=16,
+            n_hashes=3,
+        )
+        with pytest.raises(ValueError, match="n_hashes"):
+            bloom_semi_filter(None, "k", bm, n_hashes=5)
 
     def test_string_keys(self, ray_session):
         import ray.data as rd

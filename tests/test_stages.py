@@ -807,3 +807,59 @@ def test_grouped_linfit_matches_duckdb(ray_session):
     ).df()
     np.testing.assert_allclose(got["slope"], exp["s"], rtol=1e-9)
     np.testing.assert_allclose(got["intercept"], exp["i"], rtol=1e-9)
+
+
+def test_knn_mile_tie_parity(ray_session):
+    """Engineered rounded ties at metric='mile': two candidates ~1 mm apart
+    in true distance round EQUAL at 6 decimals of miles (the tie window is
+    ~1.6 mm) but DIFFERENT at 6 decimals of meters. Both kNN paths must
+    tie-break on the MILE-rounded key (then id) — the cell-routed path
+    carries raw meters internally and must convert before its merge round
+    (reference selection semantics: converted units,
+    /root/reference/geodistpy/distance.py:530-537)."""
+    import ray.data as rd
+
+    from geodistpy_ray.kernels import EARTH_RADIUS_M, haversine, unit_factor
+    from geodistpy_ray.stages.knn import knn_join, knn_join_cells
+
+    conv = unit_factor("mile")
+    qlat, qlon = 11.0, 11.0
+    deg_per_m = 180.0 / np.pi / EARTH_RADIUS_M  # same-lon haversine is exactly R*dlat
+
+    # find a base distance whose mile value keeps d0 and d0+1mm in ONE
+    # 1e-6-mile rounding bucket (realized distances re-checked below)
+    d0 = 10_000.0
+    for _ in range(2000):
+        if round(d0 * conv, 6) == round((d0 + 0.001) * conv, 6):
+            break
+        d0 += 0.0002
+    # nearer candidate gets the HIGHER id: a meters-rounded tie key would
+    # rank it first; the mile-rounded key ties and must pick the lower id
+    clat = np.array(
+        [qlat + (d0 + 0.001) * deg_per_m, qlat + d0 * deg_per_m, qlat + 0.5, qlat + 0.6]
+    )
+    clon = np.full(4, qlon)
+    ids = np.array([3, 5, 90, 91], dtype=np.int64)
+    d_real = haversine(clat, clon, qlat, qlon)
+    assert round(d_real[0] * conv, 6) == round(d_real[1] * conv, 6)  # mile tie holds
+    assert round(d_real[0], 6) != round(d_real[1], 6)  # meters would NOT tie
+
+    cands = rd.from_arrow(pa.table({"doc_id": ids, "lat": clat, "lon": clon})).repartition(2)
+    want = [(3, 1), (5, 2)]  # farther-but-lower-id wins rank 1 under the mile tie
+    got_b = (
+        knn_join(cands, [7], [qlat], [qlon], k=2, kernel="haversine", metric="mile")
+        .to_pandas()
+        .sort_values("rank", ignore_index=True)
+    )
+    queries = rd.from_arrow(
+        pa.table({"query_id": np.array([7], dtype=np.int64),
+                  "lat": np.array([qlat]), "lon": np.array([qlon])})
+    )
+    got_c = (
+        knn_join_cells(cands, queries, k=2, kernel="haversine", metric="mile", cell_deg=2.0)
+        .to_pandas()
+        .sort_values("rank", ignore_index=True)
+    )
+    assert list(zip(got_b["doc_id"], got_b["rank"])) == want
+    assert list(zip(got_c["doc_id"], got_c["rank"])) == want
+    np.testing.assert_allclose(got_b["dist"], got_c["dist"], rtol=1e-12)
