@@ -1,3 +1,3 @@
 """Composed end-to-end pipelines."""
 
-from .flagship import flagship_pipeline  # noqa: F401
+from .flagship import flagship_pipeline, flagship_transform  # noqa: F401

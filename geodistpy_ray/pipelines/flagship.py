@@ -23,6 +23,14 @@ def flagship_pipeline(sf_dir: str, cell_deg: float = 2.0):
     from ..sources.io import read_parquet_sized
 
     docs = read_parquet_sized(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    return flagship_transform(docs, cell_deg=cell_deg)
+
+
+def flagship_transform(docs, cell_deg: float = 2.0):
+    """The flagship as a ``Dataset -> Dataset`` transform (geocode → PIP
+    join → per-cell match counts), so a checkpointing runner
+    (``state/lineage.py``) can apply it per input fragment; per-fragment
+    counts are partial aggregates that a final per-cell SUM rolls up."""
     docs = docs.map_batches(
         GeocoderActor,
         fn_constructor_kwargs={"id_col": "doc_id"},

@@ -63,10 +63,13 @@ class FragmentRunner:
         Checkpoint epoch recorded in lineage (bump to force recompute).
     """
 
-    def __init__(self, pipeline, out_dir: str, epoch: int = 0):
+    def __init__(self, pipeline, out_dir: str, epoch: int = 0, read_columns=None):
         self.pipeline = pipeline
         self.out_dir = out_dir
         self.epoch = epoch
+        # prune at the read: a fragment read that loads every column for a
+        # narrow transform ships dead bytes through the whole pipeline
+        self.read_columns = list(read_columns) if read_columns is not None else None
         os.makedirs(out_dir, exist_ok=True)
 
     def run(self, input_glob: str, max_fragments: int | None = None) -> dict:
@@ -83,7 +86,7 @@ class FragmentRunner:
 
         for frag in pending:
             t0 = time.perf_counter()
-            ds = rd.read_parquet(frag)
+            ds = rd.read_parquet(frag, columns=self.read_columns)
             out = self.pipeline(ds)
             stem = os.path.splitext(os.path.basename(frag))[0]
             final_dir = os.path.join(self.out_dir, f"fragment={stem}")

@@ -79,3 +79,59 @@ class TestResume:
         os.makedirs(os.path.join(out, "fragment=frag-00.tmp"))
         res = FragmentRunner(_pipeline, out).run(f"{fragmented_input}/*.parquet")
         assert res["completed"] == 4
+
+    def test_read_columns_prunes_fragment_reads(self, ray_session, fragmented_input, tmp_path):
+        """read_columns must reach the fragment read: the pipeline sees ONLY
+        the requested columns (dead payload bytes never enter the stream)."""
+        out = str(tmp_path / "out_c")
+        seen = []
+
+        def probe(ds):
+            seen.append(set(ds.schema().names))
+            return ds
+
+        FragmentRunner(probe, out, read_columns=["doc_id"]).run(
+            f"{fragmented_input}/*.parquet", max_fragments=1
+        )
+        assert seen == [{"doc_id"}]
+
+
+def test_flagship_through_sink_matches_direct(ray_session, tmp_path):
+    """entry()'s sink path: per-fragment checkpointed counts rolled up by a
+    final SUM must equal the direct in-memory flagship aggregate, and the
+    second runner pass must be a byte-identical no-op."""
+    import hashlib
+
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from geodistpy_ray.pipelines import flagship_pipeline, flagship_transform
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "flagship")
+    runner = FragmentRunner(
+        lambda ds: flagship_transform(ds, cell_deg=2.0), out, read_columns=["doc_id"]
+    )
+    runner.run(f"{sf}/documents.parquet")
+
+    def sig():
+        return {
+            p: hashlib.blake2b(open(p, "rb").read(), digest_size=16).hexdigest()
+            for p in sorted(glob.glob(f"{out}/fragment=*/*.parquet"))
+        }
+
+    s1 = sig()
+    second = runner.run(f"{sf}/documents.parquet")
+    assert second["ran_now"] == 0 and sig() == s1
+
+    rolled = (
+        rd.read_parquet(sorted(glob.glob(f"{out}/fragment=*")))
+        .groupby("cell")
+        .aggregate(Sum("n_matches", alias_name="n_matches"))
+        .to_pandas()
+        .sort_values("cell", ignore_index=True)
+    )
+    direct = (
+        flagship_pipeline(sf, cell_deg=2.0).to_pandas().sort_values("cell", ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(rolled, direct)
