@@ -165,35 +165,70 @@ class LangIdActor:
         self.word_re = re.compile(r"[^\W\d_]+", re.UNICODE)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n = len(texts)
+        # Arrow front-end (the shared dedup.py idiom): lower + RE2 letter-run
+        # split — `[^\p{L}]+` reproduces Python's `[^\W\d_]+` findall exactly
+        # (both treat digits/underscore/marks as separators; parity pinned
+        # against _predict_loop in tests) — then dictionary_encode so the
+        # stopword dict is probed once per UNIQUE batch token, and per-doc
+        # hit counts come from vectorized bincounts over occurrences.
+        col = batch.column("text")
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        arr = pc.fill_null(arr, "")
+        n = len(arr)
         L = len(self.langs)
-        # per-doc stopword-hit counts via ONE flat pass: tokenize, expand
-        # each word to its owning languages, then a single 2-D bincount
-        # over (doc, lang) pairs
-        doc_ids, lang_ids, empties = [], [], np.zeros(n, dtype=bool)
-        get = self.word_langs.get
-        for i, t in enumerate(texts):
-            words = self.word_re.findall((t or "").lower())
-            if not words:
-                empties[i] = True
-                continue
-            for w in words:
-                for li in get(w, ()):
-                    doc_ids.append(i)
-                    lang_ids.append(li)
         hits_mat = np.zeros((n, L), dtype=np.int64)
-        if doc_ids:
-            d = np.asarray(doc_ids, dtype=np.int64)
-            g = np.asarray(lang_ids, dtype=np.int64)
-            np.add.at(hits_mat, (d, g), 1)
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"[^\p{L}]+")
+        flat = pc.list_flatten(toks)
+        lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+        flat = flat.filter(pa.array(nonempty))
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        doc_idx = doc_idx[nonempty]
+        if len(flat):
+            de = pc.dictionary_encode(flat)
+            idx = de.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            vocab = de.dictionary.to_pylist()
+            get = self.word_langs.get
+            # ≤ len(word_langs) vocabulary entries can match at all, so the
+            # per-matched-unique loop below is bounded by the profile size,
+            # not the corpus
+            matched = [(u, ls) for u, ls in enumerate((get(t, ()) for t in vocab)) if ls]
+            if matched:
+                code = np.full(len(vocab), -1, dtype=np.int64)
+                for j, (u, _) in enumerate(matched):
+                    code[u] = j
+                occ_code = code[idx]
+                hit = occ_code >= 0
+                occ_code, occ_doc = occ_code[hit], doc_idx[hit]
+                for j, (_, ls) in enumerate(matched):
+                    sel = occ_code == j
+                    if sel.any():
+                        cnt = np.bincount(occ_doc[sel], minlength=n)
+                        for li in ls:
+                            hits_mat[:, li] += cnt
         best = hits_mat.argmax(axis=1)  # first max wins — profile order
         pred = np.where(
-            empties | (hits_mat.max(axis=1, initial=0) == 0),
+            hits_mat.max(axis=1, initial=0) == 0,
             "und",
             np.asarray(self.langs, dtype=object)[best],
         )
         return batch.append_column("lang_pred", pa.array(pred.tolist(), pa.string()))
+
+    def _predict_loop(self, texts) -> list[str]:
+        """Reference per-doc Python loop (the pre-vectorization semantics);
+        kept for the parity test and as executable documentation."""
+        out = []
+        get = self.word_langs.get
+        L = len(self.langs)
+        for t in texts:
+            hits = np.zeros(L, dtype=np.int64)
+            for w in self.word_re.findall((t or "").lower()):
+                for li in get(w, ()):
+                    hits[li] += 1
+            out.append("und" if hits.max(initial=0) == 0 else self.langs[int(hits.argmax())])
+        return out
 
 
 def add_lang_id(ds, concurrency: int | tuple[int, int] = (1, 2), batch_size: int = 4096):

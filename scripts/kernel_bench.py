@@ -93,4 +93,32 @@ for _ in range(3):
     samples.append(time.perf_counter() - t0)
 out["simhash_docs_per_sec_core"] = round(len(_docs) / sorted(samples)[1])
 
+# lang-ID (round 4: Arrow split + dictionary_encode + per-UNIQUE-token
+# profile probe replaced the per-doc tokenize loop; the loop is kept as
+# _predict_loop for the parity row)
+import pyarrow as pa
+
+from geodistpy_ray.stages.text import _LANG_PROFILES, LangIdActor
+
+_lrng = np.random.default_rng(5)
+_lwords = np.array(
+    sorted(set().union(*_LANG_PROFILES.values())) + [f"w{i}" for i in range(2000)],
+    dtype=object,
+)
+_ldocs = [" ".join(_lrng.choice(_lwords, size=60)) for _ in range(8192)]
+_lbatch = pa.table({"text": pa.array(_ldocs, pa.string())})
+_actor = LangIdActor()
+assert _actor(_lbatch).column("lang_pred").to_pylist() == _actor._predict_loop(_ldocs)
+for _key, _fn in (
+    ("langid_docs_per_sec_core", lambda: _actor(_lbatch)),
+    ("langid_loop_docs_per_sec_core", lambda: _actor._predict_loop(_ldocs)),
+):
+    _fn()  # warm
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        _fn()
+        samples.append(time.perf_counter() - t0)
+    out[_key] = round(len(_ldocs) / sorted(samples)[1])
+
 print(json.dumps(out, indent=2))

@@ -444,8 +444,19 @@ class TestTextVectorization:
             "la un que est",
             "la la un un que",  # pure overlap: tie -> first profile order wins
         ]
+        texts += [
+            "la,un;que.est!",  # punctuation-attached stopwords still split out
+            "der_42_und x9y",  # digits/underscore are separators in BOTH tokenizers
+            "das café ist über straße",  # non-ASCII letters stay inside tokens
+            None,
+        ]
         ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))
         got = add_lang_id(ds, concurrency=1).to_pandas().sort_values("doc_id")["lang_pred"].tolist()
+
+        # the kept reference loop must agree with the Arrow path verbatim
+        from geodistpy_ray.stages.text import LangIdActor
+
+        assert got == LangIdActor()._predict_loop(texts)
 
         def ref(t):
             import re as _re
