@@ -199,7 +199,12 @@ def q_knn_cells(sf_dir):
         _pa.table({"query_id": qid, "lat": qlat, "lon": qlon})
     )
     ds = knn_join_cells(
-        _docs_geo(sf_dir), queries, k=KNN_K, kernel="haversine", tie_round=6
+        _docs_geo(sf_dir),
+        queries,
+        k=KNN_K,
+        kernel="haversine",
+        tie_round=6,
+        query_salt="auto",  # exercises hot-cell query subgrouping; results identical
     )
     return ds.select_columns(["query_id", "doc_id", "rank"])
 

@@ -186,6 +186,56 @@ def knn_join(
     return partitioned_map_groups(partials, "query_id", merge_part)
 
 
+def _query_cell_salts(
+    queries_ds,
+    cell_deg: float,
+    ring: int,
+    target_rows: int,
+    max_salt: int,
+    frac_threshold: float = 0.01,
+    top_n: int = 64,
+) -> dict[int, int]:
+    """Hot-cell salt factors for the QUERY side of the cell-routed kNN —
+    the ``pairs.cell_salt_stats`` idiom, but counted over the REPLICATED
+    neighbor-cell rows (each query lands in (2r+1)² cells, and that
+    replicated count is the actual per-group load). Returns
+    ``{cell: n_subgroups}`` for cells above both thresholds; cold cells
+    stay unsalted so candidate replication is paid only where queries
+    cluster."""
+    from ..cells import cell_id, neighbor_cells
+
+    def partial(batch: pa.Table) -> pa.Table:
+        own = cell_id(col_np(batch, "lat"), col_np(batch, "lon"), cell_deg)
+        _, neigh = neighbor_cells(own, cell_deg, ring=ring)
+        cells, counts = np.unique(neigh, return_counts=True)
+        if cells.size > top_n:
+            keep = np.argsort(-counts)[:top_n]
+            cells, counts = cells[keep], counts[keep]
+        tot = np.zeros(cells.size, dtype=np.int64)
+        if cells.size:
+            tot[0] = neigh.size
+        return pa.table(
+            {"cell": cells.astype(np.int64), "__n": counts.astype(np.int64), "__tot": tot}
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in queries_ds.select_columns(["query_id", "lat", "lon"])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if not parts:
+        return {}
+    df = pd.concat(parts, ignore_index=True)
+    total = int(df["__tot"].sum())
+    agg = df.groupby("cell")["__n"].sum()
+    hot = agg[(agg >= frac_threshold * max(total, 1)) & (agg > target_rows)]
+    return {int(c): int(min(-(-n // target_rows), max_salt)) for c, n in hot.items()}
+
+
+_SALT_PACK = 64  # (cell, salt) packs as cell*_SALT_PACK + salt; salts < 64
+
+
 def knn_join_cells(
     ds,
     queries_ds,
@@ -200,6 +250,9 @@ def knn_join_cells(
     tie_round: int | None = 6,
     max_ring: int = 2,
     broadcast_tail_max: int = 65536,
+    query_salt: int | str | None = None,
+    salt_target_rows: int = 2048,
+    max_salt: int = 16,
 ):
     """Cell-routed kNN for *large* query sets (both sides are Datasets).
 
@@ -221,6 +274,14 @@ def knn_join_cells(
     still stream; only query coordinates are driver-held, and only a
     bounded chunk at a time).
 
+    **Query-side skew** (``query_salt``): ``"auto"`` runs a cheap stats
+    pre-pass over the replicated query cells and subgroups every hot cell
+    into ``ceil(load / salt_target_rows)`` (≤ ``max_salt``) groups — queries
+    split by id hash, candidates replicated per subgroup, results identical
+    (each subgroup sees the full candidate set; the merge dedups ring
+    overlap as before). An int applies that salt to every cell; ``None``
+    (default) disables salting.
+
     ``queries_ds``: Dataset with columns (query_id, lat, lon).
     Returns (query_id, {id_col}, dist, rank), nearest-first.
     """
@@ -237,14 +298,65 @@ def knn_join_cells(
     # here ride in raw meters, so the sliver margin converts back to meters
     tie_margin_m = (10.0 ** -tie_round) / conv if tie_round is not None else 0.0
 
-    # candidates tagged into their own cell; queries replicated to ring-1
+    # ── query-side skew (a hot city routes all of its queries to one cell
+    # group and serializes the scan): subgroup hot cells. A query lands in
+    # exactly ONE subgroup per cell (hash of query_id); candidates REPLICATE
+    # into every subgroup of their cell, so each subgroup still sees the
+    # full candidate set and results are identical to the unsalted run.
+    if max_salt < 1 or max_salt >= _SALT_PACK:
+        raise ValueError(f"max_salt must be in [1, {_SALT_PACK - 1}]")
+    salt_of = None
+    if query_salt == "auto":
+        per_salt = _query_cell_salts(
+            queries_ds, cell_deg, ring=1, target_rows=salt_target_rows, max_salt=max_salt
+        )
+        if per_salt:
+            hot_cells = np.array(sorted(per_salt), dtype=np.int64)
+            hot_salts = np.array([per_salt[int(c)] for c in hot_cells], dtype=np.int64)
+
+            def salt_of(cells: np.ndarray) -> np.ndarray:
+                out = np.ones(cells.size, dtype=np.int64)
+                pos = np.minimum(
+                    np.searchsorted(hot_cells, cells), hot_cells.size - 1
+                )
+                m = hot_cells[pos] == cells
+                out[m] = hot_salts[pos[m]]
+                return out
+
+    elif isinstance(query_salt, int) and query_salt > 1:
+        if query_salt >= _SALT_PACK:
+            raise ValueError(f"query_salt must be < {_SALT_PACK}")
+        _gs = int(query_salt)
+
+        def salt_of(cells: np.ndarray) -> np.ndarray:
+            return np.full(cells.size, _gs, dtype=np.int64)
+
+    elif query_salt not in (None, "auto") and query_salt != 1:
+        raise ValueError("query_salt must be None, 1, an int > 1, or 'auto'")
+
+    # candidates tagged into their own cell (replicated per subgroup when
+    # salted); queries replicated to ring-1 neighborhoods
     def cand_rows(batch: pa.Table) -> pa.Table:
         lat = col_np(batch, lat_col)
         lon = col_np(batch, lon_col)
         ids = col_np(batch, id_col)
+        own = cell_id(lat, lon, cell_deg)
+        if salt_of is None:
+            key = own
+        else:
+            s = salt_of(own)
+            idx = np.repeat(np.arange(own.size), s)
+            starts = np.cumsum(s) - s
+            salts = (
+                np.arange(idx.size, dtype=np.int64) - np.repeat(starts, s)
+                if own.size
+                else np.array([], dtype=np.int64)
+            )
+            key = own[idx] * _SALT_PACK + salts
+            lat, lon, ids = lat[idx], lon[idx], ids[idx]
         return pa.table(
             {
-                "cell": cell_id(lat, lon, cell_deg),
+                "cell": key,
                 "rid": ids,
                 "rlat": lat,
                 "rlon": lon,
@@ -259,9 +371,15 @@ def knn_join_cells(
             qid = col_np(batch, "query_id")
             own = cell_id(lat, lon, cell_deg)
             src, neigh = neighbor_cells(own, cell_deg, ring=ring)
+            if salt_of is None:
+                key = neigh
+            else:
+                s = salt_of(neigh)
+                h = pd.util.hash_array(qid[src].astype(np.int64), categorize=False)
+                key = neigh * _SALT_PACK + (h % s.astype(np.uint64)).astype(np.int64)
             return pa.table(
                 {
-                    "cell": neigh,
+                    "cell": key,
                     "rid": qid[src],
                     "rlat": lat[src],
                     "rlon": lon[src],

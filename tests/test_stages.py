@@ -863,3 +863,52 @@ def test_knn_mile_tie_parity(ray_session):
     assert list(zip(got_b["doc_id"], got_b["rank"])) == want
     assert list(zip(got_c["doc_id"], got_c["rank"])) == want
     np.testing.assert_allclose(got_b["dist"], got_c["dist"], rtol=1e-12)
+
+
+def test_knn_cells_query_salting_skewed_city(ray_session):
+    """All queries in ONE cell (the hot-city skew case): query_salt='auto'
+    must return exactly the unsalted result (candidates replicate into every
+    subgroup, so each query still sees the full cell) and beat it on
+    wall-clock by parallelizing the single hot group."""
+    import time
+
+    import ray.data as rd
+
+    from geodistpy_ray.stages.knn import knn_join_cells
+
+    rng = np.random.default_rng(17)
+    nc, nq = 3000, 3000
+    cands = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": np.arange(nc, dtype=np.int64),
+                "lat": 10.0 + rng.uniform(0.1, 1.9, nc),
+                "lon": 10.0 + rng.uniform(0.1, 1.9, nc),
+            }
+        )
+    ).materialize()
+    queries = rd.from_arrow(
+        pa.table(
+            {
+                "query_id": np.arange(nq, dtype=np.int64),
+                "lat": 10.0 + rng.uniform(0.1, 1.9, nq),
+                "lon": 10.0 + rng.uniform(0.1, 1.9, nq),
+            }
+        )
+    ).materialize()
+
+    def run(**kw):
+        t0 = time.perf_counter()
+        df = (
+            knn_join_cells(cands, queries, k=5, kernel="haversine", cell_deg=2.0, **kw)
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        return df, time.perf_counter() - t0
+
+    plain, t_plain = run()
+    salted, t_salted = run(query_salt="auto", salt_target_rows=512)
+    pd.testing.assert_frame_equal(salted, plain)
+    # the hot group serializes the unsalted run; salting must win clearly
+    # even under this box's timing noise
+    assert t_salted < t_plain, (t_salted, t_plain)
