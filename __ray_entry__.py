@@ -670,6 +670,20 @@ def q_image_features_bmp(sf_dir):
     return ds.select_columns(["doc_id", "payload_bytes", "img_h", "img_w", "img_feat"])
 
 
+def q_sorted_export(sf_dir):
+    """Ordered-export sink (rows-only: ordering is a file-layout property,
+    checked by tests/test_sort.py): events globally range-sorted by
+    (value, event_id) into name-ordered parquet files; returns the
+    per-range stats table (always n_parts rows)."""
+    import tempfile
+
+    from geodistpy_ray.stages.sort import sorted_export
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
+    out_dir = tempfile.mkdtemp(prefix="geodist_sorted_")
+    return sorted_export(ev, out_dir, "value", extra_order=["event_id"], n_parts=16)
+
+
 def q_audio_features_wav(sf_dir):
     """REAL-decode variant: text bytes become int16 PCM framed as RIFF/WAVE,
     decoded by the pure-NumPy WAV decoder (real_codec=True; audio_sr reports
@@ -2102,6 +2116,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "video_pipeline": q_video_pipeline,
         "image_features_bmp": q_image_features_bmp,
         "audio_features_wav": q_audio_features_wav,
+        "sorted_export": q_sorted_export,
     }
 
 

@@ -1,0 +1,150 @@
+"""Range-partitioned global sort → ordered parquet export.
+
+``global_topk`` (stages/relational.py) serves ORDER BY … LIMIT k without a
+shuffle, but a full ordered EXPORT (write the whole table in key order —
+the "sorted output files" sink) needs the classic three-step distributed
+sort, which Ray's own ``Dataset.sort`` implements for in-memory datasets
+but not as a file-ordered sink:
+
+1. **Sample**: each batch ships ≤ ``sample_per_batch`` midpoint order
+   statistics of its sorted keys (weighted, the mergeable-summary idiom
+   from ``sketches.grouped_quantile_sketch``); the driver folds them into
+   ``n_parts − 1`` weighted-quantile range boundaries. Driver memory is
+   O(samples), never O(rows).
+2. **One shuffle**: every row is tagged with its range id (a pure function
+   of the KEY value, so equal keys always co-locate and secondary sort
+   columns stay globally consistent) and co-grouped per range.
+3. **Local sort + write**: each range sorts locally and writes ONE parquet
+   file named in range order (``part-00042.parquet``) — concatenating the
+   files in name order IS the global order, which is the property ordered
+   exports need (downstream consumers stream file-by-file).
+
+Sampled boundaries balance, not perfection: a pathological key histogram
+skews partition sizes but never correctness. The returned Dataset is the
+small per-part stats table (part, rows, key_first, key_last) — one row per
+range, including empty ones, so the output row count is always n_parts.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+
+def _range_boundaries(ds, key: str, n_parts: int, sample_per_batch: int = 4096) -> np.ndarray:
+    """(n_parts − 1) ascending boundary values from weighted per-batch
+    order-statistic samples (one streaming pass, driver holds samples only)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(key).to_numpy(zero_copy_only=False)
+        if v.size == 0:
+            return pa.table({"s": pa.array([], batch.schema.field(key).type),
+                             "w": pa.array([], pa.float64())})
+        v = np.sort(v)
+        if v.size > sample_per_batch:
+            idx = ((np.arange(sample_per_batch) + 0.5) * v.size / sample_per_batch).astype(
+                np.int64
+            )
+            s, w = v[idx], v.size / sample_per_batch
+        else:
+            s, w = v, 1.0
+        return pa.table({"s": pa.array(s), "w": pa.array(np.full(s.size, w))})
+
+    parts = [
+        b.to_pandas()
+        for b in ds.select_columns([key])
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+        if b.num_rows
+    ]
+    if not parts:
+        return np.array([], dtype=object)
+    df = pd.concat(parts, ignore_index=True)
+    order = np.argsort(df["s"].to_numpy(), kind="mergesort")
+    s = df["s"].to_numpy()[order]
+    w = df["w"].to_numpy()[order]
+    cum = np.cumsum(w)
+    total = cum[-1]
+    targets = total * np.arange(1, n_parts) / n_parts
+    return s[np.minimum(np.searchsorted(cum, targets), s.size - 1)]
+
+
+def sorted_export(
+    ds,
+    out_dir: str,
+    key: str,
+    descending: bool = False,
+    extra_order: list[str] | None = None,
+    n_parts: int = 32,
+    sample_per_batch: int = 4096,
+):
+    """Write ``ds`` as globally ordered parquet files; return the per-part
+    stats Dataset (part, rows, key_first, key_last — in OUTPUT order).
+
+    Ordering contract: reading ``part-*.parquet`` in file-name order yields
+    rows sorted by (key[, extra_order...]) ascending (or descending when
+    ``descending`` — the flag applies to the KEY and the extra columns
+    alike, SQL ``ORDER BY a DESC, b DESC``). Equal keys never straddle a
+    file boundary (the range id is a function of the key value alone).
+    """
+    if n_parts < 1:
+        raise ValueError("n_parts must be >= 1")
+    order_cols = [key] + list(extra_order or ())
+    os.makedirs(out_dir, exist_ok=True)
+    bounds = _range_boundaries(ds, key, n_parts, sample_per_batch)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if "__sortpart" in batch.column_names:
+            raise ValueError(
+                "sorted_export: input already has a '__sortpart' column; "
+                "rename it — the name is reserved for the range tag"
+            )
+        v = batch.column(key).to_numpy(zero_copy_only=False)
+        part = np.searchsorted(bounds, v, side="right") if bounds.size else np.zeros(
+            batch.num_rows, dtype=np.int64
+        )
+        if descending:
+            part = (n_parts - 1) - part
+        return batch.append_column("__sortpart", pa.array(part.astype(np.int64), pa.int64()))
+
+    def write_part(t: pa.Table) -> pa.Table:
+        part = int(t.column("__sortpart")[0].as_py())
+        t = t.drop_columns(["__sortpart"])
+        order = pc.sort_indices(
+            t,
+            sort_keys=[(c, "descending" if descending else "ascending") for c in order_cols],
+        )
+        t = t.take(order)
+        path = os.path.join(out_dir, f"part-{part:05d}.parquet")
+        tmp = path + ".tmp"
+        pq.write_table(t, tmp)
+        os.replace(tmp, path)  # atomic: a killed run leaves no torn file
+        kv = t.column(key)
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int64()),
+                "rows": pa.array([t.num_rows], pa.int64()),
+                "key_first": pa.array([kv[0].as_py() if t.num_rows else None]),
+                "key_last": pa.array([kv[-1].as_py() if t.num_rows else None]),
+            }
+        )
+
+    stats = (
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("__sortpart")
+        .map_groups(write_part, batch_format="pyarrow")
+        .to_pandas()
+    )
+    # one row per range, empty ranges included (stable output shape); an
+    # empty range writes no file — name-ordered concatenation stays ordered
+    full = pd.DataFrame({"part": np.arange(n_parts, dtype=np.int64)})
+    full = full.merge(stats, on="part", how="left")
+    full["rows"] = full["rows"].fillna(0).astype(np.int64)
+    import ray.data as rd
+
+    return rd.from_pandas(full)

@@ -1,0 +1,78 @@
+"""Range-partitioned global sort sink: ordering across file boundaries."""
+
+import glob
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _read_in_name_order(out_dir: str) -> pd.DataFrame:
+    files = sorted(glob.glob(f"{out_dir}/part-*.parquet"))
+    assert files, "no output files written"
+    return pd.concat([pq.read_table(f).to_pandas() for f in files], ignore_index=True)
+
+
+class TestSortedExport:
+    def test_global_order_across_boundaries(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sort import sorted_export
+
+        rng = np.random.default_rng(23)
+        n = 20_000
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 500, n),  # heavy duplicates
+                "sub": rng.integers(0, 1000, n),
+                "payload": [f"p{i}" for i in range(n)],
+            }
+        )
+        out = str(tmp_path / "sorted")
+        stats = sorted_export(
+            rd.from_pandas(df).repartition(8), out, "k", extra_order=["sub"], n_parts=16
+        ).to_pandas()
+        assert len(stats) == 16 and stats["rows"].sum() == n
+
+        got = _read_in_name_order(out)
+        # exact multiset round-trip, then global (k, sub) order
+        assert sorted(got["payload"]) == sorted(df["payload"])
+        keys = got[["k", "sub"]].to_numpy()
+        assert (np.lexsort((keys[:, 1], keys[:, 0])) == np.arange(n)).all()
+
+        # equal keys never straddle a file boundary
+        files = sorted(glob.glob(f"{out}/part-*.parquet"))
+        ends = [pq.read_table(f).to_pandas()["k"].to_numpy() for f in files]
+        for a, b in zip(ends, ends[1:]):
+            if a.size and b.size:
+                assert a[-1] < b[0]
+
+    def test_descending_and_strings(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sort import sorted_export
+
+        rng = np.random.default_rng(31)
+        words = np.array([f"key-{i:04d}" for i in range(300)], dtype=object)
+        df = pd.DataFrame({"k": rng.choice(words, 5000)})
+        out = str(tmp_path / "desc")
+        sorted_export(rd.from_pandas(df).repartition(5), out, "k", descending=True, n_parts=8)
+        got = _read_in_name_order(out)["k"].tolist()
+        assert got == sorted(df["k"], reverse=True)
+
+    def test_single_part_and_reserved_guard(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sort import sorted_export
+
+        df = pd.DataFrame({"k": [3, 1, 2]})
+        out = str(tmp_path / "one")
+        stats = sorted_export(rd.from_pandas(df), out, "k", n_parts=1).to_pandas()
+        assert stats["rows"].tolist() == [3]
+        assert _read_in_name_order(out)["k"].tolist() == [1, 2, 3]
+
+        bad = rd.from_arrow(pa.table({"k": [1], "__sortpart": [0]}))
+        with pytest.raises(Exception, match="__sortpart"):
+            sorted_export(bad, str(tmp_path / "bad"), "k", n_parts=2).to_pandas()
