@@ -140,6 +140,15 @@ def sorted_export(
         .map_groups(write_part, batch_format="pyarrow")
         .to_pandas()
     )
+    # drop any part files from a previous export into the same directory
+    # with a larger n_parts (stale high-numbered files would break the
+    # name-order contract)
+    import glob as _glob
+
+    for stale in _glob.glob(os.path.join(out_dir, "part-*.parquet")):
+        num = os.path.basename(stale)[5:-8]
+        if num.isdigit() and int(num) >= n_parts:
+            os.remove(stale)
     # one row per range, empty ranges included (stable output shape); an
     # empty range writes no file — name-ordered concatenation stays ordered
     full = pd.DataFrame({"part": np.arange(n_parts, dtype=np.int64)})
@@ -148,3 +157,31 @@ def sorted_export(
     import ray.data as rd
 
     return rd.from_pandas(full)
+
+
+def read_sorted(out_dir: str):
+    """Read a :func:`sorted_export` directory back as a Dataset whose row
+    order is the global sort order.
+
+    Ray's streaming executor reorders blocks unless
+    ``DataContext.execution_options.preserve_order`` is on, so this raises
+    when it isn't — silently returning maybe-ordered rows would defeat the
+    sink's one guarantee. (File-at-a-time consumers that don't need a
+    Dataset can just read ``part-*.parquet`` in name order.) Consumers that
+    re-shuffle (groupby, repartition(shuffle)) give the order up as usual.
+    """
+    import glob as _glob
+
+    import ray.data as rd
+    from ray.data import DataContext
+
+    if not DataContext.get_current().execution_options.preserve_order:
+        raise RuntimeError(
+            "read_sorted needs DataContext.get_current().execution_options"
+            ".preserve_order = True — without it Ray may stream blocks out "
+            "of order and the export's ordering guarantee is lost"
+        )
+    files = sorted(_glob.glob(os.path.join(out_dir, "part-*.parquet")))
+    if not files:
+        raise FileNotFoundError(f"no part-*.parquet files under {out_dir}")
+    return rd.read_parquet(files)

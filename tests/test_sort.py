@@ -76,3 +76,33 @@ class TestSortedExport:
         bad = rd.from_arrow(pa.table({"k": [1], "__sortpart": [0]}))
         with pytest.raises(Exception, match="__sortpart"):
             sorted_export(bad, str(tmp_path / "bad"), "k", n_parts=2).to_pandas()
+
+
+def test_read_sorted_round_trip(ray_session, tmp_path):
+    import ray.data as rd
+    from ray.data import DataContext
+
+    from geodistpy_ray.stages.sort import read_sorted, sorted_export
+
+    rng = np.random.default_rng(41)
+    df = pd.DataFrame({"k": rng.permutation(4000)})
+    out = str(tmp_path / "rt")
+    sorted_export(rd.from_pandas(df).repartition(6), out, "k", n_parts=8)
+
+    ctx = DataContext.get_current()
+    saved = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = False
+    try:
+        with pytest.raises(RuntimeError, match="preserve_order"):
+            read_sorted(out)
+        ctx.execution_options.preserve_order = True
+        got = read_sorted(out).to_pandas()["k"].tolist()
+        assert got == sorted(df["k"])
+    finally:
+        ctx.execution_options.preserve_order = saved
+    with pytest.raises(FileNotFoundError):
+        ctx.execution_options.preserve_order = True
+        try:
+            read_sorted(str(tmp_path / "nope"))
+        finally:
+            ctx.execution_options.preserve_order = saved
