@@ -786,6 +786,35 @@ def q_sample_10pct(sf_dir):
     return sample_fraction(docs, pct=10)
 
 
+SAMPLE_K = 1000
+
+
+def q_sample_exact_k(sf_dir):
+    """Exactly-SAMPLE_K uniform event sample by splitmix64(event_id) order —
+    the fixed-size eval-subset op; partition-independent and SQL-mirrored
+    bit-for-bit (splitmix64 via 32-bit split multiplication in DuckDB)."""
+
+    from geodistpy_ray.stages.text import sample_exact_k
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "user_id"])
+    return sample_exact_k(ev, k=SAMPLE_K, id_col="event_id")
+
+
+def _sample_exact_k_sql() -> str:
+    from geodistpy_ray.stages.text import splitmix64_sql
+
+    steps, final = splitmix64_sql("event_id")
+    ctes, prev = [], "events"
+    for i, expr in enumerate(steps, 1):
+        ctes.append(f"s{i} AS (SELECT event_id, user_id, {expr} AS z{i} FROM {prev})")
+        prev = f"s{i}"
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT event_id, user_id FROM {prev} "
+        + f"ORDER BY {final}, event_id LIMIT {SAMPLE_K}"
+    )
+
+
 def q_user_p90_value(sf_dir):
 
     from geodistpy_ray.stages.relational import grouped_quantile
@@ -2070,6 +2099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_month": q_orders_by_month,
         "hopping_offset": q_hopping_offset,
         "sample_10pct": q_sample_10pct,
+        "sample_exact_k": q_sample_exact_k,
         "revenue_heatmap": q_revenue_heatmap,
         "clean_corpus": q_clean_corpus,
         # curated_corpus composes lang gate + quality gate + dedup_lines +
@@ -2819,6 +2849,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, n_chars FROM documents "
             "WHERE (CAST(((doc_id + 7) % 1000000 + 1000000) % 1000000 AS BIGINT) * 998244353) % 1000000 < 100000"
         ),
+        "sample_exact_k": _sample_exact_k_sql(),
         "user_median_value": (
             "SELECT user_id, ROUND(MEDIAN(value), 6) AS median_value "
             "FROM events GROUP BY 1"

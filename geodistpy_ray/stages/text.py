@@ -452,6 +452,87 @@ def cap_per_key(ds, key_col: str, id_col: str = "doc_id", k: int = 10, n_parts: 
     return partitioned_map_groups(ds, key_col, cap_part, n_parts=n_parts)
 
 
+def splitmix64(ids: np.ndarray) -> np.ndarray:
+    """SplitMix64 finalizer over int64 ids → uint64 (vectorized, public
+    constants). The engine's deterministic uniform-order hash for
+    EXACT-size sampling: unlike the ppm-threshold samplers above (which
+    keep a deterministic FRACTION), ordering by this hash and taking k
+    gives exactly-k rows, reproducible across partitionings and runs.
+    Mirrored bit-for-bit in SQL by :func:`splitmix64_sql`."""
+    x = ids.astype(np.int64).view(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
+
+
+def _mul_u64_sql(col: str, c: int) -> str:
+    """SQL for ``(col * c) mod 2^64`` on UBIGINT — HUGEINT (int128)
+    overflows on a full u64×u64 product, so split the constant into 32-bit
+    halves: a·c ≡ a·c_lo + ((a_lo·c_hi + a_hi·c_lo) mod 2^32)·2^32."""
+    ch, cl = c >> 32, c & 0xFFFFFFFF
+    lo = f"CAST(({col}) % 4294967296 AS HUGEINT)"
+    hi = f"CAST(({col}) // 4294967296 AS HUGEINT)"
+    return (
+        f"CAST(({lo} * {cl} + (({lo} * {ch} + {hi} * {cl}) % 4294967296) * 4294967296) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+
+
+def splitmix64_sql(id_col: str) -> tuple[list[str], str]:
+    """(CTE steps, final hash expression) mirroring :func:`splitmix64`
+    bit-for-bit in DuckDB. Compose as
+    ``WITH s1 AS (SELECT *, <steps[0]> AS z1 FROM t), ...`` — each step
+    reads the previous alias ``z{i}``; the final expression reads the last.
+    Verified identical to the numpy path in tests."""
+    add = (
+        f"CAST((CAST({id_col} AS HUGEINT) + 11400714819323198485) "
+        f"% 18446744073709551616 AS UBIGINT)"
+    )
+    steps = [
+        add,
+        "xor(z1, z1 >> 30)",
+        _mul_u64_sql("z2", 0xBF58476D1CE4E5B9),
+        "xor(z3, z3 >> 27)",
+        _mul_u64_sql("z4", 0x94D049BB133111EB),
+    ]
+    return steps, "xor(z5, z5 >> 31)"
+
+
+def sample_exact_k(ds, k: int, id_col: str = "doc_id", keep_hash: bool = False):
+    """EXACTLY-k uniform sample: the k rows with the smallest
+    ``splitmix64(id)``, ties (impossible for distinct ids) broken by id.
+
+    Scale shape: rides :func:`~.relational.global_topk` — per-batch local
+    top-k combiner + bounded driver merge; no shuffle, no full sort, and
+    the SAMPLE is a pure function of the id set (partition-independent,
+    re-runnable). Use this for fixed-size eval/debug subsets; use
+    ``sample_fraction`` when a fixed RATE is wanted instead. Returns a
+    pandas DataFrame (k rows are driver-bounded by construction).
+    """
+    from .relational import global_topk
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if "__h" in batch.column_names:
+            raise ValueError("sample_exact_k: '__h' column name is reserved")
+        h = splitmix64(batch.column(id_col).to_numpy(zero_copy_only=False))
+        return batch.append_column("__h", pa.array(h, pa.uint64()))
+
+    out = global_topk(
+        ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True),
+        ["__h", id_col],
+        k,
+    )
+    if keep_hash:
+        return out.rename(columns={"__h": "sample_hash"})
+    return out.drop(columns="__h")
+
+
 def cap_rank_sql(id_col: str = "doc_id") -> str:
     """SQL ORDER-BY expression mirroring :func:`cap_per_key`'s rank hash
     bit-for-bit (non-negative inner mod: SQL ``%`` follows the dividend's

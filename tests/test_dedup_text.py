@@ -3,6 +3,7 @@
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -949,3 +950,49 @@ class TestJsonField:
         got = out.sort_values("id")["k"].tolist()
         assert got[0] == 69 and got[1] == -3
         assert all(pd.isna(v) for v in got[2:])
+
+
+class TestSampleExactK:
+    def test_sql_mirror_bit_identical(self):
+        """splitmix64 numpy vs the DuckDB split-multiplication mirror —
+        bit-for-bit over negative, huge, and sequential ids."""
+        import duckdb
+
+        from geodistpy_ray.stages.text import splitmix64, splitmix64_sql
+
+        ids = np.concatenate(
+            [
+                np.arange(-50, 50, dtype=np.int64),
+                np.array([2**62, -(2**62), 2**63 - 1, -(2**63)], dtype=np.int64),
+                np.random.default_rng(3).integers(-(2**62), 2**62, 200),
+            ]
+        )
+        py = splitmix64(ids)
+        steps, final = splitmix64_sql("id")
+        ctes, prev = [], "t"
+        for i, expr in enumerate(steps, 1):
+            ctes.append(f"s{i} AS (SELECT id, {expr} AS z{i} FROM {prev})")
+            prev = f"s{i}"
+        con = duckdb.connect()
+        con.register("t", pd.DataFrame({"id": ids}))
+        got = con.execute(
+            "WITH " + ", ".join(ctes) + f" SELECT {final} AS h FROM {prev} ORDER BY id"
+        ).df()
+        order = np.argsort(ids, kind="mergesort")
+        assert (got["h"].to_numpy().astype(np.uint64) == py[order]).all()
+
+    def test_exact_size_and_partition_independence(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.text import sample_exact_k
+
+        df = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64) * 3 + 1, "v": 0})
+        picks = []
+        for parts in (1, 7):
+            got = sample_exact_k(rd.from_pandas(df).repartition(parts), k=250)
+            assert len(got) == 250
+            picks.append(sorted(got["doc_id"]))
+        assert picks[0] == picks[1]  # pure function of the id set
+        # uniformity smoke: the sample's mean id sits near the population mean
+        mean = np.mean(picks[0])
+        assert abs(mean - df["doc_id"].mean()) < df["doc_id"].mean() * 0.2
