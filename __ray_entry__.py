@@ -389,6 +389,18 @@ def q_ann_topk(sf_dir):
     return ds.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_ann_topk_q8(sf_dir):
+    """Int8-quantized ANN (rows-only: sims carry ≤ scale/2 rounding, recall
+    vs the exact path pinned in tests + recall_bench): quantize the corpus
+    to 1/4 the bytes, then cosine top-k against the same query matrix."""
+
+    from geodistpy_ray.stages.ann import ann_topk_quantized, quantize_embeddings
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ds = ann_topk_quantized(quantize_embeddings(emb), _query_vectors(sf_dir), k=ANN_K)
+    return ds.select_columns(["query_id", "vec_id", "rank"])
+
+
 def q_lsh_ann(sf_dir):
 
     from geodistpy_ray.stages.ann import lsh_ann_topk
@@ -2140,6 +2152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs": q_simhash_pairs,
         "lsh_ann": q_lsh_ann,
         "ivf_ann": q_ivf_ann,
+        "ann_topk_q8": q_ann_topk_q8,
         "embed_near_dup_lsh": q_embed_near_dup_lsh,
         "image_features": q_image_features,
         "audio_features": q_audio_features,

@@ -43,6 +43,31 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-30)
 
 
+def _batch_topk_rows(sims: np.ndarray, ids: np.ndarray, id_col: str, k: int, margin: float) -> pa.Table:
+    """Per-batch windowed top-k over a (B, Q) similarity matrix — keeps a
+    rounding-margin window past the raw kth so boundary ties survive to the
+    merge (which tie-breaks on round(sim, tie_round))."""
+    kk = min(k, ids.size)
+    out_q, out_i, out_s = [], [], []
+    for j in range(sims.shape[1]):
+        s = sims[:, j]
+        if kk < ids.size:
+            kth = np.partition(s, s.size - kk)[s.size - kk]
+            part = np.flatnonzero(s >= kth - margin)
+        else:
+            part = np.arange(ids.size)
+        out_q.append(np.full(part.size, j, dtype=np.int64))
+        out_i.append(ids[part])
+        out_s.append(s[part].astype(np.float64))
+    return pa.table(
+        {
+            "query_id": np.concatenate(out_q),
+            id_col: np.concatenate(out_i),
+            "sim": np.concatenate(out_s),
+        }
+    )
+
+
 def ann_topk(
     ds,
     query_matrix: np.ndarray,
@@ -57,35 +82,83 @@ def ann_topk(
     Deterministic tie-break: (-round(sim), id).
     """
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    margin = 10.0 ** -tie_round if tie_round is not None else 0.0
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_partial(id_col)
         emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
         ids = col_np(batch, id_col)
-        sims = emb @ q.T  # (B, Q)
-        kk = min(k, ids.size)
-        # keep a rounding-margin window past the raw kth so boundary ties
-        # survive to the merge (which tie-breaks on round(sim, tie_round))
-        margin = 10.0 ** -tie_round if tie_round is not None else 0.0
-        out_q, out_i, out_s = [], [], []
-        for j in range(q.shape[0]):
-            s = sims[:, j]
-            if kk < ids.size:
-                kth = np.partition(s, s.size - kk)[s.size - kk]
-                part = np.flatnonzero(s >= kth - margin)
-            else:
-                part = np.arange(ids.size)
-            out_q.append(np.full(part.size, j, dtype=np.int64))
-            out_i.append(ids[part])
-            out_s.append(s[part].astype(np.float64))
-        return pa.table(
-            {
-                "query_id": np.concatenate(out_q),
-                id_col: np.concatenate(out_i),
-                "sim": np.concatenate(out_s),
-            }
-        )
+        return _batch_topk_rows(emb @ q.T, ids, id_col, k, margin)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return _merge_topk_by_sim(partials, id_col, k, tie_round)
+
+
+def quantize_embeddings(
+    ds,
+    emb_col: str = "embedding",
+    code_col: str = "emb_q",
+    scale_col: str = "emb_scale",
+    normalize: bool = True,
+):
+    """Per-vector int8 scalar quantization: ``x ≈ scale · codes`` with
+    ``scale = max|x| / 127`` (per row) and int8 codes — the float column is
+    REPLACED, cutting the embedding bytes that live in the object store and
+    cross every shuffle by 4× (the dominant volume of an embedding corpus
+    at 100 TB). Per-dimension error is ≤ scale/2. With ``normalize=True``
+    (default) vectors are L2-normalized first, so quantized dot products
+    approximate cosine directly (what :func:`ann_topk_quantized` consumes).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            batch = batch.drop_columns([emb_col])
+            batch = batch.append_column(code_col, pa.array([], pa.list_(pa.int8())))
+            return batch.append_column(scale_col, pa.array([], pa.float32()))
+        m = _emb_matrix(batch, emb_col, np.float64)
+        if normalize:
+            m = _normalize(m)
+        scale = np.maximum(np.abs(m).max(axis=1) / 127.0, 1e-30)
+        codes = np.rint(m / scale[:, None]).astype(np.int8)
+        d = m.shape[1]
+        flat = pa.array(codes.reshape(-1), pa.int8())
+        offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+        batch = batch.drop_columns([emb_col])
+        batch = batch.append_column(code_col, pa.ListArray.from_arrays(offsets, flat))
+        return batch.append_column(scale_col, pa.array(scale.astype(np.float32), pa.float32()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def ann_topk_quantized(
+    ds,
+    query_matrix: np.ndarray,
+    k: int,
+    id_col: str = "vec_id",
+    code_col: str = "emb_q",
+    scale_col: str = "emb_scale",
+    tie_round: int = 6,
+):
+    """Cosine top-k over an int8-QUANTIZED corpus (``quantize_embeddings``
+    with ``normalize=True``): ``sim ≈ scale_d · (codes_d · q̂)``. Queries
+    stay float64 (they're tiny and broadcast); only the corpus side — the
+    object-store-resident side — is quantized. Approximate by construction
+    (≤ scale/2 per-dimension rounding); recall vs the exact path is pinned
+    in tests and tracked in scripts/recall_bench.py.
+    """
+    q = _normalize(np.asarray(query_matrix, dtype=np.float64))
+    margin = 10.0 ** -tie_round if tie_round is not None else 0.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_partial(id_col)
+        codes = _emb_matrix(batch, code_col, np.float64)
+        scale = col_np(batch, scale_col).astype(np.float64)
+        ids = col_np(batch, id_col)
+        sims = (codes @ q.T) * scale[:, None]
+        return _batch_topk_rows(sims, ids, id_col, k, margin)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return _merge_topk_by_sim(partials, id_col, k, tie_round)

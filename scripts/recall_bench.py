@@ -50,9 +50,12 @@ def ann_recalls():
     emb = lambda: rd.read_parquet(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
     exact = topk_sets(ann_topk(emb(), qm, k=ANN_K, tie_round=6))
     out = {}
+    from geodistpy_ray.stages.ann import ann_topk_quantized, quantize_embeddings
+
     for name, ds in [
         ("lsh_ann", lsh_ann_topk(emb(), qm, k=ANN_K, n_bits=6)),
         ("ivf_ann", ivf_ann_topk(emb(), qm, k=ANN_K, n_centroids=8, n_probe=3)),
+        ("q8_ann", ann_topk_quantized(quantize_embeddings(emb()), qm, k=ANN_K)),
     ]:
         approx = topk_sets(ds)
         recalls = [

@@ -1,6 +1,7 @@
 """Embedding similarity search: exact vs brute force, LSH recall properties."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 SF = "/root/testdata/sf0.001"
@@ -255,3 +256,55 @@ def _lbl_ds():
     import ray.data as rd
 
     return rd.read_parquet(f"{SF}/embeddings.parquet", columns=["label", "embedding"])
+
+
+class TestQuantizedAnn:
+    def test_quantization_error_bound(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.ann import _emb_matrix, _normalize, quantize_embeddings
+
+        rng = np.random.default_rng(13)
+        m = rng.standard_normal((200, 32))
+        tbl = pa.table(
+            {
+                "vec_id": np.arange(200, dtype=np.int64),
+                "embedding": [row for row in m],
+            }
+        )
+        out = quantize_embeddings(rd.from_arrow(tbl)).to_pandas().sort_values("vec_id")
+        assert "embedding" not in out.columns  # float column replaced
+        codes = np.stack(out["emb_q"].to_numpy())
+        scale = out["emb_scale"].to_numpy().astype(np.float64)
+        recon = codes.astype(np.float64) * scale[:, None]
+        want = _normalize(m)
+        # per-dimension error bounded by scale/2 (+ float32 scale rounding)
+        assert np.abs(recon - want).max() <= (scale.max() / 2) * 1.01
+        assert codes.dtype == np.int8 and np.abs(codes).max() == 127
+
+    def test_recall_vs_exact_and_partition_independence(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from geodistpy_ray.stages.ann import ann_topk, ann_topk_quantized, quantize_embeddings
+
+        SF = "/root/testdata/sf0.001"
+        q = duckdb.sql(
+            f"SELECT vec_id, embedding FROM read_parquet('{SF}/embeddings.parquet') "
+            "WHERE vec_id < 5 ORDER BY vec_id"
+        ).fetchall()
+        qm = np.array([r[1] for r in q], dtype=np.float64)
+        emb = lambda n: rd.read_parquet(
+            f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).repartition(n)
+
+        def sets(ds):
+            df = ds.to_pandas()
+            return {int(k): set(g["vec_id"]) for k, g in df.groupby("query_id")}
+
+        exact = sets(ann_topk(emb(2), qm, k=10))
+        got1 = sets(ann_topk_quantized(quantize_embeddings(emb(2)), qm, k=10))
+        got7 = sets(ann_topk_quantized(quantize_embeddings(emb(7)), qm, k=10))
+        assert got1 == got7  # partitioning cannot change the result set
+        recall = float(np.mean([len(exact[i] & got1[i]) / 10 for i in exact]))
+        assert recall >= 0.9, recall
