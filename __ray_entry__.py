@@ -682,6 +682,38 @@ def q_image_features_bmp(sf_dir):
     return ds.select_columns(["doc_id", "payload_bytes", "img_h", "img_w", "img_feat"])
 
 
+def q_pages_pipeline(sf_dir):
+    """North-rule pages path (BASELINE.json input_hint): deterministic
+    Common-Crawl-style pages fixture (url, warc_ts, html, text, lang) →
+    html→text extraction with the per-url BYTE-IDENTITY invariant enforced
+    inline (any mismatch raises) → url→host → per-lang rollup. Rows-only:
+    the fixture is engine-synthesized, not derivable from the sf tables in
+    SQL; byte-identity is the in-query oracle."""
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from geodistpy_ray.sources.pages import generate_pages
+    from geodistpy_ray.stages.text import (
+        add_host,
+        add_token_count,
+        count_column_mismatches,
+        extract_text,
+    )
+
+    pages = rd.from_arrow(generate_pages(4000, seed=42)).repartition(8)
+    ext = extract_text(pages).materialize()  # two consumers: invariant + rollup
+    bad = count_column_mismatches(ext, "extracted_text", "text")
+    if bad:
+        raise RuntimeError(f"pages text byte-identity violated on {bad} rows")
+    hosted = add_host(ext, url_col="url")
+    toks = add_token_count(hosted, text_col="extracted_text")
+    return (
+        toks.groupby("lang")
+        .aggregate(Count(alias_name="n_pages"), Sum("n_tokens", alias_name="n_tokens"))
+        .sort("lang")
+    )
+
+
 def q_sorted_export(sf_dir):
     """Ordered-export sink (rows-only: ordering is a file-layout property,
     checked by tests/test_sort.py): events globally range-sorted by
@@ -2160,6 +2192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features_bmp": q_image_features_bmp,
         "audio_features_wav": q_audio_features_wav,
         "sorted_export": q_sorted_export,
+        "pages_pipeline": q_pages_pipeline,
     }
 
 

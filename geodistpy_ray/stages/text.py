@@ -541,6 +541,46 @@ def cap_rank_sql(id_col: str = "doc_id") -> str:
     return f"(({nn} * {_CAP_MUL}) % {_SPLIT_MOD})"
 
 
+def extract_text(ds, html_col: str = "html", out_col: str = "extracted_text"):
+    """``html`` binary payload → extracted text (tag-strip via one Arrow RE2
+    kernel — no Python per row, html bytes never leave the task).
+
+    This is the extraction step of the north-rule pages pipeline
+    (BASELINE.json ``input_hint``): the per-url invariant is that the
+    extracted text is BYTE-IDENTICAL to the table's ``text`` column through
+    every stage — enforce it with :func:`count_column_mismatches` after any
+    stage that touches the payload. The markup grammar here is the pages
+    fixture's (tags only, no entities); a production extractor swaps in
+    behind the same column contract.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        s = pc.cast(batch.column(html_col), pa.string())
+        return batch.append_column(out_col, pc.replace_substring_regex(s, "<[^>]*>", ""))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def count_column_mismatches(ds, a_col: str, b_col: str) -> int:
+    """Number of rows where two string columns differ (NULL-safe: a NULL on
+    one side only counts as a mismatch) — the streaming byte-identity
+    check; one pass, one int on the driver."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        a, b = batch.column(a_col), batch.column(b_col)
+        eq = pc.fill_null(pc.equal(a, b), False)
+        both_null = pc.and_(pc.is_null(a), pc.is_null(b))
+        bad = pc.sum(pc.invert(pc.or_(eq, both_null))).as_py() or 0
+        return pa.table({"n_bad": pa.array([bad], pa.int64())})
+
+    total = 0
+    for b in ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        total += int(pc.sum(b.column("n_bad")).as_py() or 0)
+    return total
+
+
 _HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/:?#]+)"
 
 

@@ -119,3 +119,29 @@ def test_add_host_parses_pages_urls(ray_session, tmp_path):
     bad = rd.from_arrow(pa.table({"url": ["not a url", "ftp://x.y/z", ""]}))
     got_bad = add_host(bad).to_pandas()
     assert got_bad["host"].tolist() == ["", "x.y", ""]
+
+
+def test_extract_text_byte_identity(ray_session):
+    """The html→text extraction must reproduce the text column
+    byte-identically on the full fixture (the north-rule per-url
+    invariant), and the mismatch counter must actually catch violations."""
+    import ray.data as rd
+
+    from geodistpy_ray.sources.pages import generate_pages
+    from geodistpy_ray.stages.text import count_column_mismatches, extract_text
+
+    pages = rd.from_arrow(generate_pages(2000, seed=9)).repartition(5)
+    ext = extract_text(pages).materialize()
+    assert count_column_mismatches(ext, "extracted_text", "text") == 0
+
+    def corrupt(batch):
+        import pyarrow.compute as pc
+
+        t = pc.replace_substring_regex(batch.column("text"), "^the", "THE")
+        return batch.set_column(batch.column_names.index("text"), "text", t)
+
+    bad = ext.map_batches(corrupt, batch_format="pyarrow", zero_copy_batch=True)
+    n_start = sum(
+        1 for t in pages.to_pandas()["text"] if t.startswith("the")
+    )
+    assert count_column_mismatches(bad, "extracted_text", "text") == n_start > 0
