@@ -682,6 +682,43 @@ def q_image_features_bmp(sf_dir):
     return ds.select_columns(["doc_id", "payload_bytes", "img_h", "img_w", "img_feat"])
 
 
+def q_link_degrees(sf_dir):
+    """Web-graph in-degree: per doc, synthesize html with 3 deterministic
+    outgoing links (targets are modular arithmetic over doc_id, so the SQL
+    oracle reproduces the EDGE LIST without parsing), parse the links back
+    out of the html with `extract_links` (Arrow list-kernel multi-match),
+    and count per-target in-degree. A parse that drops or garbles any edge
+    fails the value-hash."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    from geodistpy_ray.stages.text import extract_links
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def url_arr(t):
+        host = pc.cast(pa.array(t % 50), pa.string())
+        tid = pc.cast(pa.array(t), pa.string())
+        return pc.binary_join_element_wise(
+            "https://host", host, ".example.com/d/", tid, ""
+        )
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pieces = ["<html><body>"]
+        for j in range(3):
+            t = (ids * 7 + 13 * j + 1) % n_docs
+            pieces.extend(['<a href="', url_arr(t), '">x</a>'])
+        pieces.append("<p>body</p></body></html>")
+        html = pc.binary_join_element_wise(*pieces, "")
+        return pa.table({"url": url_arr(ids), "html": html})
+
+    pages = docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    edges = extract_links(pages, html_col="html", url_col="url")
+    return edges.groupby("href").aggregate(Count(alias_name="n_links"))
+
+
 def q_pages_pipeline(sf_dir):
     """North-rule pages path (BASELINE.json input_hint): deterministic
     Common-Crawl-style pages fixture (url, warc_ts, html, text, lang) →
@@ -2193,6 +2230,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "audio_features_wav": q_audio_features_wav,
         "sorted_export": q_sorted_export,
         "pages_pipeline": q_pages_pipeline,
+        "link_degrees": q_link_degrees,
     }
 
 
@@ -2896,6 +2934,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (CAST(((doc_id + 7) % 1000000 + 1000000) % 1000000 AS BIGINT) * 998244353) % 1000000 < 100000"
         ),
         "sample_exact_k": _sample_exact_k_sql(),
+        "link_degrees": (
+            "WITH e AS ("
+            "  SELECT ((doc_id * 7 + 13 * j + 1) % (SELECT COUNT(*) FROM documents)) AS t"
+            "  FROM documents, (SELECT UNNEST([0, 1, 2]) AS j)"
+            ") "
+            "SELECT 'https://host' || CAST(t % 50 AS VARCHAR) || '.example.com/d/' "
+            "|| CAST(t AS VARCHAR) AS href, CAST(COUNT(*) AS BIGINT) AS n_links "
+            "FROM e GROUP BY 1"
+        ),
         "user_median_value": (
             "SELECT user_id, ROUND(MEDIAN(value), 6) AS median_value "
             "FROM events GROUP BY 1"

@@ -561,6 +561,38 @@ def extract_text(ds, html_col: str = "html", out_col: str = "extracted_text"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def extract_links(ds, html_col: str = "html", url_col: str = "url", href_col: str = "href"):
+    """Explode each page into its outgoing links → one row per
+    ``(url, href)`` edge — the web-graph front-end (feeds per-target
+    in-degree, connected components, PageRank-style iterations).
+
+    Arrow RE2 has no findall, so multi-match extraction is built from list
+    kernels: split the html on ``href="`` (list per page), drop each list's
+    first fragment (pre-first-link prose), and slice every remaining
+    fragment at its closing quote — no Python per row, html bytes stay in
+    the task.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        s = pc.cast(pc.fill_null(batch.column(html_col), b""), pa.string())
+        parts = pc.split_pattern(s, 'href="')
+        lens = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = parts.values if isinstance(parts, pa.Array) else parts.combine_chunks().values
+        # fragment j of page i is a link iff j >= 1 within the page's list
+        doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)
+        starts = np.cumsum(lens) - lens
+        within = np.arange(doc_idx.size, dtype=np.int64) - np.repeat(starts, lens)
+        keep = within >= 1
+        flat = flat.filter(pa.array(keep))
+        doc_idx = doc_idx[keep]
+        href = pc.struct_field(pc.extract_regex(flat, '^(?P<href>[^"]*)'), "href")
+        urls = batch.column(url_col).take(pa.array(doc_idx, pa.int64()))
+        return pa.table({url_col: urls, href_col: href})
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def count_column_mismatches(ds, a_col: str, b_col: str) -> int:
     """Number of rows where two string columns differ (NULL-safe: a NULL on
     one side only counts as a mismatch) — the streaming byte-identity

@@ -145,3 +145,33 @@ def test_extract_text_byte_identity(ray_session):
         1 for t in pages.to_pandas()["text"] if t.startswith("the")
     )
     assert count_column_mismatches(bad, "extracted_text", "text") == n_start > 0
+
+
+def test_extract_links_multi_and_edge_cases(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import extract_links
+
+    tbl = pa.table(
+        {
+            "url": ["u0", "u1", "u2", "u3"],
+            "html": [
+                b'<a href="x">1</a> mid <a href="y">2</a>',
+                b"<p>no links at all</p>",
+                b'<a href="">empty target</a><a href="z',  # unterminated quote
+                None,
+            ],
+        }
+    )
+    got = (
+        extract_links(rd.from_arrow(tbl).repartition(2))
+        .to_pandas()
+        .sort_values(["url", "href"], ignore_index=True)
+    )
+    pairs = list(zip(got["url"], got["href"]))
+    assert ("u0", "x") in pairs and ("u0", "y") in pairs
+    assert not any(u == "u1" for u, _ in pairs)
+    assert ("u2", "") in pairs  # empty href preserved
+    assert ("u2", "z") in pairs  # unterminated quote takes the tail
+    assert not any(u == "u3" for u, _ in pairs)  # null html → no edges
+    assert len(pairs) == 4

@@ -257,3 +257,52 @@ def test_prefix_sum_offsets_tile_the_stream(vals):
     cum = np.concatenate(([0], np.cumsum(x)[:-1]))
     assert cum[0] == 0
     np.testing.assert_array_equal(cum[1:], (cum + x)[:-1])
+
+
+class TestCodecRoundTripProperties:
+    """Property round-trips for the pure-NumPy media codecs."""
+
+    @given(
+        h=st.integers(1, 24),
+        w=st.integers(1, 24),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_bmp_gray_roundtrip(self, h, w, seed):
+        from geodistpy_ray.kernels.codecs import decode_bmp, encode_bmp
+
+        img = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+    @given(
+        n=st.integers(1, 700),
+        ch=st.integers(1, 3),
+        rate=st.sampled_from([8000, 16000, 22050, 44100]),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_wav_roundtrip(self, n, ch, rate, seed):
+        from geodistpy_ray.kernels.codecs import decode_wav, encode_wav
+
+        rng = np.random.default_rng(seed)
+        wave = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+        got, got_rate = decode_wav(encode_wav(wave, rate))
+        assert got_rate == rate
+        np.testing.assert_array_equal(got, wave)
+
+    @given(
+        h=st.integers(1, 16),
+        w=st.integers(1, 16),
+        th=st.integers(1, 16),
+        tw=st.integers(1, 16),
+        seed=st.integers(0, 2**31 - 1),
+    )
+    @settings(max_examples=40, deadline=None)
+    def test_resize_shape_and_value_membership(self, h, w, th, tw, seed):
+        from geodistpy_ray.kernels.codecs import resize_nearest
+
+        img = np.random.default_rng(seed).integers(0, 256, size=(h, w), dtype=np.uint8)
+        out = resize_nearest(img, th, tw)
+        assert out.shape == (th, tw)
+        # nearest-neighbor only ever SAMPLES source pixels
+        assert np.isin(out, img).all()
