@@ -719,6 +719,27 @@ def q_link_degrees(sf_dir):
     return edges.groupby("href").aggregate(Count(alias_name="n_links"))
 
 
+def q_pagerank_links(sf_dir):
+    """Distributed PageRank over the deterministic doc link graph (same
+    modular-arithmetic edges as link_degrees, int node ids). Rows-only:
+    iterative damped power method isn't SQL-expressible; the dense-matrix
+    reference parity (1e-12) is pinned in tests/test_graph.py."""
+    from geodistpy_ray.stages.graph import pagerank
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate([(ids * 7 + 13 * j + 1) % n_docs for j in range(3)])
+        return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+    ranks = pagerank(e, n_iters=5, n_parts=32)
+    return _round_col(ranks, "rank", 9)
+
+
 def q_pages_pipeline(sf_dir):
     """North-rule pages path (BASELINE.json input_hint): deterministic
     Common-Crawl-style pages fixture (url, warc_ts, html, text, lang) →
@@ -2231,6 +2252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sorted_export": q_sorted_export,
         "pages_pipeline": q_pages_pipeline,
         "link_degrees": q_link_degrees,
+        "pagerank_links": q_pagerank_links,
     }
 
 

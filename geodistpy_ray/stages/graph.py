@@ -169,3 +169,193 @@ def connected_components(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def pagerank(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iters: int = 10,
+    n_parts: int = 64,
+    node_col: str = "node",
+    out_col: str = "rank",
+):
+    """Distributed PageRank over a DIRECTED int64 edge Dataset →
+    Dataset (``node_col``, ``out_col``), fixed ``n_iters`` power
+    iterations of the standard damped walk:
+
+        rank' = (1−d)/N + d·(Σ_in rank/outdeg + dangling_mass/N)
+
+    Scale shape per round (the :func:`connected_components` idiom): TWO
+    bounded shuffles of O(E) rows — contributions fan out in the SOURCE
+    partition (each node's one state row meets its outgoing edges), sums
+    reduce in the DESTINATION partition — via ``partitioned_map_groups``;
+    never a per-node group, never an O(V²) matrix. State is O(V)
+    (node, rank, outdeg) and re-materialized once per round; the dangling
+    mass is a driver scalar from one cheap pass over the state. Nodes are
+    every edge endpoint; ranks sum to 1 (tested)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+
+    def directed(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(s),
+                "nbr": pa.array(d),
+                "rank": pa.array(np.zeros(s.size, dtype=np.float64)),
+                "outdeg": pa.array(np.zeros(s.size, dtype=np.int64)),
+                "kind": pa.array(np.full(s.size, _KIND_EDGE, dtype=np.int8)),
+            }
+        )
+
+    # edges materialized once, reused every round (same trade as CC)
+    e = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(directed, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    # node table with out-degrees: one partitioned sweep over endpoints
+    # (sources count toward outdeg; targets enter with outdeg 0)
+    def init_part(g: pd.DataFrame) -> pd.DataFrame:
+        u = np.unique(g["node"].to_numpy())
+        deg = np.zeros(u.size, dtype=np.int64)
+        src = g["is_src"].to_numpy()
+        idx = np.searchsorted(u, g["node"].to_numpy())
+        np.add.at(deg, idx, src)
+        return pd.DataFrame({"node": u, "outdeg": deg})
+
+    def tag_endpoints(batch: pa.Table) -> pa.Table:
+        s = batch.column("node").combine_chunks()
+        d = batch.column("nbr").combine_chunks()
+        n = len(s)
+        return pa.table(
+            {
+                "node": pa.concat_arrays([s, d]),
+                "is_src": pa.array(
+                    np.concatenate(
+                        [np.ones(n, dtype=np.int64), np.zeros(n, dtype=np.int64)]
+                    )
+                ),
+            }
+        )
+
+    nodes = partitioned_map_groups(
+        e.map_batches(tag_endpoints, batch_format="pyarrow", zero_copy_batch=True),
+        "node",
+        init_part,
+        n_parts=n_parts,
+    ).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.map_batches(
+            lambda b: pa.table(
+                {node_col: pa.array([], pa.int64()), out_col: pa.array([], pa.float64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def with_rank(r0: float):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "nbr": pa.array(np.zeros(n, dtype=np.int64)),
+                    "rank": pa.array(np.full(n, r0, dtype=np.float64)),
+                    "outdeg": batch.column("outdeg"),
+                    "kind": pa.array(np.full(n, _KIND_LABEL, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    state = nodes.map_batches(
+        with_rank(1.0 / n_nodes), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # pass 1 — SOURCE partition: each node's one state row meets its
+    # outgoing edges; emit (dst, rank/outdeg) messages + a zero self row
+    # (keeps the node alive and carries outdeg into the reduce)
+    def msgs_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["kind"].to_numpy() == _KIND_EDGE
+        st = g.loc[~is_edge]
+        out = [
+            pd.DataFrame(
+                {
+                    "node": st["node"].to_numpy(),
+                    "contrib": np.zeros(len(st), dtype=np.float64),
+                    "outdeg": st["outdeg"].to_numpy(),
+                }
+            )
+        ]
+        if is_edge.any():
+            ed = g.loc[is_edge]
+            per = st.set_index("node")
+            rank_of = per["rank"].loc[ed["node"]].to_numpy()
+            deg_of = per["outdeg"].loc[ed["node"]].to_numpy().astype(np.float64)
+            out.append(
+                pd.DataFrame(
+                    {
+                        "node": ed["nbr"].to_numpy(),
+                        "contrib": rank_of / deg_of,
+                        "outdeg": np.full(len(ed), -1, dtype=np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True)
+
+    for _ in range(n_iters):
+        # dangling mass: one cheap pass over the O(V) state
+        def dang_partial(batch: pa.Table) -> pa.Table:
+            deg = batch.column("outdeg").to_numpy(zero_copy_only=False)
+            r = batch.column("rank").to_numpy(zero_copy_only=False)
+            return pa.table({"m": pa.array([float(r[deg == 0].sum())], pa.float64())})
+
+        dangling = sum(
+            row["m"]
+            for row in state.map_batches(
+                dang_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+
+        def reduce_part(g: pd.DataFrame, _base=base) -> pd.DataFrame:
+            agg = g.groupby("node", sort=False, as_index=False).agg(
+                contrib=("contrib", "sum"), outdeg=("outdeg", "max")
+            )
+            return pd.DataFrame(
+                {
+                    "node": agg["node"].to_numpy(),
+                    "rank": _base + damping * agg["contrib"].to_numpy(),
+                    "outdeg": agg["outdeg"].to_numpy(),
+                }
+            )
+
+        fanout = state.union(e)
+        msgs = partitioned_map_groups(fanout, "node", msgs_part, n_parts=n_parts)
+        new = partitioned_map_groups(msgs, "node", reduce_part, n_parts=n_parts)
+        state = new.map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b.column("node"),
+                    "nbr": pa.array(np.zeros(b.num_rows, dtype=np.int64)),
+                    "rank": b.column("rank"),
+                    "outdeg": b.column("outdeg"),
+                    "kind": pa.array(np.full(b.num_rows, _KIND_LABEL, dtype=np.int8)),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {node_col: batch.column("node"), out_col: batch.column("rank")}
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -224,3 +224,70 @@ class TestCapPerKey:
         )
         out = cap_per_key(rd.from_arrow(t), "source", k=10).to_pandas()
         assert sorted(out["doc_id"]) == [0, 1, 2, 3]
+
+
+class TestPagerank:
+    @staticmethod
+    def _ref(edges, n_iters=10, d=0.85):
+        nodes = sorted({u for e in edges for u in e})
+        idx = {u: i for i, u in enumerate(nodes)}
+        N = len(nodes)
+        outdeg = {u: 0 for u in nodes}
+        for s, _ in edges:
+            outdeg[s] += 1
+        r = np.full(N, 1.0 / N)
+        for _ in range(n_iters):
+            new = np.zeros(N)
+            dangling = sum(r[idx[u]] for u in nodes if outdeg[u] == 0)
+            for s, t in edges:
+                new[idx[t]] += r[idx[s]] / outdeg[s]
+            r = (1.0 - d) / N + d * (new + dangling / N)
+        return {u: r[idx[u]] for u in nodes}
+
+    def test_matches_dense_reference(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.graph import pagerank
+
+        # cycle + dangling node 4 + an extra source; node 5 has no in-edges
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 1), (5, 3)]
+        tbl = pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+        got = (
+            pagerank(rd.from_arrow(tbl).repartition(3), n_iters=12)
+            .to_pandas()
+            .set_index("node")["rank"]
+        )
+        want = self._ref(edges, n_iters=12)
+        assert set(got.index) == set(want)
+        for u, r in want.items():
+            assert got[u] == pytest.approx(r, abs=1e-12), u
+        assert got.sum() == pytest.approx(1.0, abs=1e-9)
+
+    def test_partition_independence_and_scale_graph(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.graph import pagerank
+
+        rng = np.random.default_rng(29)
+        n = 2000
+        src = rng.integers(0, n, 6000)
+        dst = (src * 7 + rng.integers(1, 5, 6000) * 13 + 1) % n
+        tbl = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+        a = (
+            pagerank(rd.from_arrow(tbl).repartition(2), n_iters=5, n_parts=8)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        b = (
+            pagerank(rd.from_arrow(tbl).repartition(9), n_iters=5, n_parts=32)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        assert a["node"].tolist() == b["node"].tolist()
+        np.testing.assert_allclose(a["rank"], b["rank"], rtol=1e-12)
+        assert a["rank"].sum() == pytest.approx(1.0, abs=1e-9)
