@@ -719,6 +719,46 @@ def q_link_degrees(sf_dir):
     return edges.groupby("href").aggregate(Count(alias_name="n_links"))
 
 
+def q_canonical_urls(sf_dir):
+    """Canonical-URL dedup keys: deterministically messy urls (mixed-case
+    scheme/host, default ports, lone-slash paths, empty queries, fragments)
+    built from doc_id, canonicalized with chained Arrow RE2 kernels, and
+    counted per canonical form. The oracle builds the SAME url strings in
+    SQL and applies the exact mirror (`canonicalize_urls_sql`)."""
+    from geodistpy_ray.stages.text import canonicalize_urls
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        urls = [
+            ("HTTPS://" if i % 2 == 0 else "https://")
+            + f"Host{i % 25}.Example.com"
+            + (":443" if i % 3 == 0 else "")
+            + ("/" if i % 4 == 0 else f"/d/{i % 100}")
+            + ("?" if i % 7 == 0 else "")
+            + ("#Sec" if i % 5 == 0 else "")
+            for i in ids
+        ]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    ds = docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    ds = canonicalize_urls(ds)
+    from ray.data.aggregate import Count
+
+    return ds.groupby("canonical_url").aggregate(Count(alias_name="n"))
+
+
+_CANON_URL_BUILD_SQL = (
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://' ELSE 'https://' END) "
+    "|| 'Host' || CAST(doc_id % 25 AS VARCHAR) || '.Example.com' "
+    "|| (CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END) "
+    "|| (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '/d/' || CAST(doc_id % 100 AS VARCHAR) END) "
+    "|| (CASE WHEN doc_id % 7 = 0 THEN '?' ELSE '' END) "
+    "|| (CASE WHEN doc_id % 5 = 0 THEN '#Sec' ELSE '' END)"
+)
+
+
 def q_pagerank_links(sf_dir):
     """Distributed PageRank over the deterministic doc link graph (same
     modular-arithmetic edges as link_degrees, int node ids). Rows-only:
@@ -2253,6 +2293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_pipeline": q_pages_pipeline,
         "link_degrees": q_link_degrees,
         "pagerank_links": q_pagerank_links,
+        "canonical_urls": q_canonical_urls,
     }
 
 
@@ -2956,6 +2997,17 @@ def oracle_sql() -> dict[str, str]:
             "WHERE (CAST(((doc_id + 7) % 1000000 + 1000000) % 1000000 AS BIGINT) * 998244353) % 1000000 < 100000"
         ),
         "sample_exact_k": _sample_exact_k_sql(),
+        "canonical_urls": (
+            lambda canon: (
+                f"WITH raw AS (SELECT {_CANON_URL_BUILD_SQL} AS url FROM documents) "
+                f"SELECT {canon} AS canonical_url, CAST(COUNT(*) AS BIGINT) AS n "
+                "FROM raw GROUP BY 1"
+            )
+        )(
+            __import__(
+                "geodistpy_ray.stages.text", fromlist=["canonicalize_urls_sql"]
+            ).canonicalize_urls_sql("url")
+        ),
         "link_degrees": (
             "WITH e AS ("
             "  SELECT ((doc_id * 7 + 13 * j + 1) % (SELECT COUNT(*) FROM documents)) AS t"

@@ -561,6 +561,56 @@ def extract_text(ds, html_col: str = "html", out_col: str = "extracted_text"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def canonicalize_urls(ds, url_col: str = "url", out_col: str = "canonical_url"):
+    """Canonical URL form for web-corpus dedup keys: lowercase the
+    scheme+host, strip the fragment, strip a trailing ``?`` or lone ``/``
+    path, and drop explicit default ports (``:80`` for http, ``:443`` for
+    https). Chained Arrow RE2 kernels — no Python per row — mirrored
+    exactly in SQL by :func:`canonicalize_urls_sql` (same kernel order;
+    regex-authority grammar, not a full RFC 3986 parser: userinfo and
+    percent-encoding normalization are out of scope and documented so).
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u = pc.fill_null(batch.column(url_col), "")
+        # 1. drop the fragment
+        u = pc.replace_substring_regex(u, r"#.*$", "")
+        # 2. lowercase scheme://host[:port] (group-referencing replace is
+        #    unavailable, so lowercase the whole string, then restore the
+        #    original path+query tail by length — RE2 gives us the split)
+        m = pc.extract_regex(u, r"^(?P<head>[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)(?P<tail>.*)$")
+        head = pc.struct_field(m, "head")
+        tail = pc.struct_field(m, "tail")
+        parsed = pc.is_valid(head)
+        head = pc.utf8_lower(pc.fill_null(head, ""))
+        # 3. default ports off the lowered head
+        head = pc.replace_substring_regex(head, r"^(http://[^/?#:]*):80$", r"\1")
+        head = pc.replace_substring_regex(head, r"^(https://[^/?#:]*):443$", r"\1")
+        rebuilt = pc.binary_join_element_wise(head, pc.fill_null(tail, ""), "")
+        # 4. trailing '?' (empty query) and a lone '/' path
+        rebuilt = pc.replace_substring_regex(rebuilt, r"\?$", "")
+        rebuilt = pc.replace_substring_regex(rebuilt, r"^([a-z][a-z0-9+.-]*://[^/?#]*)/$", r"\1")
+        out = pc.if_else(parsed, rebuilt, u)  # unparseable rows pass through
+        return batch.append_column(out_col, out)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def canonicalize_urls_sql(url_col: str = "url") -> str:
+    """The exact DuckDB mirror of :func:`canonicalize_urls` (same kernel
+    order, same regexes; RE2 on both sides)."""
+    u = f"regexp_replace({url_col}, '#.*$', '')"
+    head = f"lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)', 1))"
+    head = f"regexp_replace({head}, '^(http://[^/?#:]*):80$', '\\1')"
+    head = f"regexp_replace({head}, '^(https://[^/?#:]*):443$', '\\1')"
+    tail = f"regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$', 1)"
+    rebuilt = f"({head} || {tail})"
+    rebuilt = f"regexp_replace({rebuilt}, '\\?$', '')"
+    rebuilt = f"regexp_replace({rebuilt}, '^([a-z][a-z0-9+.-]*://[^/?#]*)/$', '\\1')"
+    parsed = f"regexp_matches({u}, '^[A-Za-z][A-Za-z0-9+.-]*://')"
+    return f"CASE WHEN {parsed} THEN {rebuilt} ELSE {u} END"
+
+
 def extract_links(ds, html_col: str = "html", url_col: str = "url", href_col: str = "href"):
     """Explode each page into its outgoing links → one row per
     ``(url, href)`` edge — the web-graph front-end (feeds per-target

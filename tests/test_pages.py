@@ -8,6 +8,7 @@ after a full geocode → cell → spatial-join-carrying pipeline.
 import hashlib
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -175,3 +176,45 @@ def test_extract_links_multi_and_edge_cases(ray_session):
     assert ("u2", "z") in pairs  # unterminated quote takes the tail
     assert not any(u == "u3" for u, _ in pairs)  # null html → no edges
     assert len(pairs) == 4
+
+
+def test_canonicalize_urls_matches_sql_mirror(ray_session):
+    """Adversarial forms through BOTH implementations — any divergence in
+    kernel order or regex grammar shows up as a row mismatch."""
+    import duckdb
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import canonicalize_urls, canonicalize_urls_sql
+
+    urls = [
+        "HTTP://Host.Example.COM:80/Path/To?q=1#frag",
+        "https://host.example.com:443/",
+        "https://HOST.example.com:443",      # port, no path
+        "http://h.example.com:8080/x",       # non-default port kept
+        "https://h.example.com/?",           # lone slash + empty query
+        "HtTpS://MiXeD.CaSe/UPPER/path",     # path case preserved
+        "ftp://Files.Example.com:80/a",      # :80 only strips for http
+        "no scheme at all #tail",            # unparseable → fragment strip only
+        "https://h.example.com/a?x=1&y=2",
+        "",
+    ]
+    got = (
+        canonicalize_urls(rd.from_arrow(pa.table({"url": urls})).repartition(3))
+        .to_pandas()
+        .sort_values("url", ignore_index=True, kind="mergesort")
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"url": urls}))
+    exp = con.execute(
+        f"SELECT url, {canonicalize_urls_sql('url')} AS canonical_url FROM t ORDER BY url"
+    ).df()
+    got = got.sort_values("url", ignore_index=True)
+    exp = exp.sort_values("url", ignore_index=True)
+    assert got["canonical_url"].tolist() == exp["canonical_url"].tolist()
+    # spot semantics
+    by = dict(zip(got["url"], got["canonical_url"]))
+    assert by["HTTP://Host.Example.COM:80/Path/To?q=1#frag"] == "http://host.example.com/Path/To?q=1"
+    assert by["https://host.example.com:443/"] == "https://host.example.com"
+    assert by["http://h.example.com:8080/x"] == "http://h.example.com:8080/x"
+    assert by["ftp://Files.Example.com:80/a"] == "ftp://files.example.com:80/a"
+    assert by["https://h.example.com/?"] == "https://h.example.com"
