@@ -45,6 +45,13 @@ def _range_boundaries(ds, key: str, n_parts: int, sample_per_batch: int = 4096) 
         if v.size == 0:
             return pa.table({"s": pa.array([], batch.schema.field(key).type),
                              "w": pa.array([], pa.float64())})
+        if v.dtype.kind == "f" and np.isnan(v).any():
+            # NaN breaks searchsorted range assignment SILENTLY (NaN rows
+            # would all land in the last partition unsorted) — refuse
+            raise ValueError(
+                f"sorted_export: key column {key!r} contains NaN — a total "
+                "order needs NaN-free keys (filter or fill first)"
+            )
         v = np.sort(v)
         if v.size > sample_per_batch:
             idx = ((np.arange(sample_per_batch) + 0.5) * v.size / sample_per_batch).astype(
@@ -151,6 +158,17 @@ def sorted_export(
             os.remove(stale)
     # one row per range, empty ranges included (stable output shape); an
     # empty range writes no file — name-ordered concatenation stays ordered
+    if "part" not in stats.columns:
+        # an all-empty input yields zero groups, and Ray's empty blocks
+        # carry no schema — substitute the typed-empty stats frame
+        stats = pd.DataFrame(
+            {
+                "part": pd.Series(dtype=np.int64),
+                "rows": pd.Series(dtype=np.int64),
+                "key_first": pd.Series(dtype=object),
+                "key_last": pd.Series(dtype=object),
+            }
+        )
     full = pd.DataFrame({"part": np.arange(n_parts, dtype=np.int64)})
     full = full.merge(stats, on="part", how="left")
     full["rows"] = full["rows"].fillna(0).astype(np.int64)

@@ -106,3 +106,19 @@ def test_read_sorted_round_trip(ray_session, tmp_path):
             read_sorted(str(tmp_path / "nope"))
         finally:
             ctx.execution_options.preserve_order = saved
+
+
+def test_sorted_export_empty_and_nan_guard(ray_session, tmp_path):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sort import sorted_export
+
+    # empty input: stats table still has one row per range, zero rows each
+    empty = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+    stats = sorted_export(empty, str(tmp_path / "empty"), "k", n_parts=4).to_pandas()
+    assert stats["rows"].tolist() == [0, 0, 0, 0]
+
+    # NaN keys refuse loudly instead of silently mis-partitioning
+    bad = rd.from_arrow(pa.table({"k": [1.0, float("nan"), 2.0]}))
+    with pytest.raises(Exception, match="NaN"):
+        sorted_export(bad, str(tmp_path / "nan"), "k", n_parts=2).to_pandas()
