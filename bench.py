@@ -223,6 +223,36 @@ def _tokens(sf_dir: str):
     return m.q_token_counts(sf_dir).count()
 
 
+def _sorted_export(sf_dir: str):
+    """Range-partitioned global sort sink over the events table (round 4):
+    sample pass + one shuffle + per-range sorted atomic file writes."""
+    import shutil
+    import tempfile
+
+    import __ray_entry__ as m  # noqa: F401  (path side effects)
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sort import sorted_export
+
+    ev = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"]
+    )
+    out = tempfile.mkdtemp(prefix="bench_sorted_")
+    try:
+        stats = sorted_export(ev, out, "value", extra_order=["event_id"], n_parts=32)
+        return int(stats.to_pandas()["rows"].sum())
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
+def _pagerank(sf_dir: str):
+    """Distributed PageRank, 5 rounds over the deterministic doc link graph
+    (round 4): two bounded O(E) shuffles per round."""
+    import __ray_entry__ as m
+
+    return m.q_pagerank_links(sf_dir).count()
+
+
 BENCH = {
     "spatial_pipeline": (_spatial_pipeline, "lineitem"),
     "vincenty_scan": (_vincenty_scan, "lineitem"),
@@ -233,6 +263,9 @@ BENCH = {
     "q1_pricing": (_q1, "lineitem"),
     "dedup_exact": (_dedup, "documents"),
     "token_counts": (_tokens, "documents"),
+    # round-4 additions (the nine rows above are the stable cross-round set)
+    "sorted_export": (_sorted_export, "events"),
+    "pagerank_links": (_pagerank, "documents"),
 }
 
 
