@@ -1210,6 +1210,22 @@ def q_event_gaps(sf_dir):
     return out.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_track_length(sf_dir):
+    """Per-user geodesic track length — the LAG×kernel window composition:
+    geocode each event (deterministic from event_id), order each user's
+    points by (ts, event_id), haversine per consecutive leg, and sum legs
+    as INTEGER millimeters (order-independent, exactly the SQL mirror's
+    SUM over LAG pairs). One bounded-partition co-location; Arrow in/out."""
+    from geodistpy_ray.stages import add_geocode
+    from geodistpy_ray.stages.windows import geodesic_track_length
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    pts = add_geocode(ev, id_col="event_id")
+    return geodesic_track_length(
+        pts, "user_id", "ts", tiebreak_col="event_id", kernel="haversine"
+    )
+
+
 def q_qty_price_fit(sf_dir):
     """Per-returnflag least-squares line price = slope·qty + intercept
     (REGR_SLOPE / REGR_INTERCEPT parity) from the same Chan-merged moments
@@ -2266,6 +2282,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_fit": q_qty_price_fit,
         "qty_price_covar": q_qty_price_covar,
         "event_gaps": q_event_gaps,
+        "track_length": q_track_length,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2362,6 +2379,7 @@ def oracle_sql() -> dict[str, str]:
     qpts6 = query_points_sql(6)
     hav_q = haversine_sql(lat, lon, "q.qlat", "q.qlon")
 
+    elat, elon = geocode_sql("event_id")
     lat_a, lon_a = geocode_sql("a.doc_id")
     lat_b, lon_b = geocode_sql("b.doc_id")
     hav_ab = haversine_sql(lat_a, lon_a, lat_b, lon_b)
@@ -2733,6 +2751,21 @@ def oracle_sql() -> dict[str, str]:
             "CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER ("
             "PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS BIGINT) "
             "AS gap_us FROM events"
+        ),
+        "track_length": (
+            # integer-mm legs (haversine_sql's documented 1e-3 m comparison
+            # resolution) make the per-user SUM order-independent; argument
+            # order (prev, curr) matches the kernel call in the stage
+            f"WITH pts AS (SELECT user_id, event_id, ts, {elat} AS lat, "
+            f"{elon} AS lon FROM events), "
+            "lagd AS (SELECT user_id, lat, lon, LAG(lat) OVER w AS plat, "
+            "LAG(lon) OVER w AS plon FROM pts "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), "
+            f"legs AS (SELECT user_id, CAST(FLOOR("
+            f"{haversine_sql('plat', 'plon', 'lat', 'lon')} * 1000.0 + 0.5) "
+            "AS BIGINT) AS leg_mm FROM lagd WHERE plat IS NOT NULL) "
+            "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_legs, "
+            "CAST(SUM(leg_mm) AS BIGINT) AS track_mm FROM legs GROUP BY user_id"
         ),
         "qty_price_fit": (
             "SELECT l_returnflag, "

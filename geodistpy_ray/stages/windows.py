@@ -193,6 +193,78 @@ def rolling_count(
     return partitioned_map_groups(ds, key_col, part_fn)
 
 
+def geodesic_track_length(
+    ds,
+    key_col: str,
+    ts_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tiebreak_col: str | None = None,
+    kernel: str = "haversine",
+    n_parts: int = 64,
+):
+    """Per-key geodesic path length over the key's time-ordered points →
+    ``(key, n_legs, track_mm)``.
+
+    The LAG-composed geo window: order each key's points by
+    ``(ts[, tiebreak])``, measure every consecutive leg with the chosen
+    distance kernel, and sum. Legs are converted to INTEGER millimeters
+    (``floor(m*1000 + 0.5)`` — the engine's money-cents convention at the
+    haversine_sql-documented 1e-3 m comparison resolution) so the per-key
+    sum is order-independent and bit-identical to the SQL mirror's
+    ``SUM(leg_mm)``. Keys with a single point (no legs) are dropped, like
+    the mirror's ``WHERE prev IS NOT NULL``.
+
+    One bounded-partition co-location (stages/grouping.py); inside a
+    partition everything is one Arrow sort + one vectorized kernel call +
+    ``np.add.reduceat`` over key spans — no per-key frames, Arrow in/out.
+    """
+    from ..kernels import resolve_ellipsoid
+    from .geo import distance_kernel
+    from .grouping import key_spans, partitioned_map_groups
+
+    kfn = distance_kernel(kernel)
+    _a, _f = resolve_ellipsoid("WGS-84")
+    sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
+        [(tiebreak_col, "ascending")] if tiebreak_col else []
+    )
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_keys)
+        keys = t.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        lat = t.column(lat_col).combine_chunks().to_numpy(zero_copy_only=False)
+        lon = t.column(lon_col).combine_chunks().to_numpy(zero_copy_only=False)
+        n = keys.size
+        if n == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], pa.int64()),
+                    "n_legs": pa.array([], pa.int64()),
+                    "track_mm": pa.array([], pa.int64()),
+                }
+            )
+        leg_mm = np.zeros(n, dtype=np.int64)  # leg_mm[i] = leg ENDING at row i
+        if n > 1:
+            d = kfn(lat[:-1], lon[:-1], lat[1:], lon[1:], _a, _f)
+            same = keys[1:] == keys[:-1]
+            leg_mm[1:] = np.where(same, np.floor(d * 1000.0 + 0.5).astype(np.int64), 0)
+        starts, ends = key_spans(keys)
+        track = np.add.reduceat(leg_mm, starts)  # leg_mm[start-of-key] is 0
+        n_legs = ends - starts - 1
+        keep = n_legs > 0
+        return pa.table(
+            {
+                key_col: pa.array(keys[starts][keep]),
+                "n_legs": pa.array(n_legs[keep], pa.int64()),
+                "track_mm": pa.array(track[keep], pa.int64()),
+            }
+        )
+
+    return partitioned_map_groups(
+        ds, key_col, part_fn, n_parts=n_parts, part_format="pyarrow"
+    )
+
+
 def add_lag_delta(
     ds,
     key_col: str,

@@ -786,3 +786,46 @@ def test_lag_lead_delta_vs_pandas(ray_session):
         )
     with pytest.raises(ValueError, match="direction"):
         add_lag_delta(rd.from_pandas(df), "k", "t", direction="sideways")
+
+
+def test_track_length_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.kernels import haversine
+    from geodistpy_ray.stages.windows import geodesic_track_length
+
+    rng = np.random.default_rng(43)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "k": np.concatenate([rng.integers(0, 7, n - 1), [99]]),  # key 99: 1 point
+            "t": rng.integers(0, 10_000, n).astype(np.int64),
+            "id": np.arange(n),
+            "lat": rng.uniform(-80, 80, n),
+            "lon": rng.uniform(-180, 180, n),
+        }
+    )
+    got = (
+        geodesic_track_length(
+            rd.from_pandas(df).repartition(4), "k", "t", tiebreak_col="id"
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    s = df.sort_values(["k", "t", "id"], ignore_index=True)
+    d = haversine(
+        s["lat"].to_numpy()[:-1], s["lon"].to_numpy()[:-1],
+        s["lat"].to_numpy()[1:], s["lon"].to_numpy()[1:],
+    )
+    same = s["k"].to_numpy()[1:] == s["k"].to_numpy()[:-1]
+    leg_mm = np.where(same, np.floor(d * 1000.0 + 0.5).astype(np.int64), 0)
+    exp = (
+        pd.DataFrame({"k": s["k"].to_numpy()[1:][same], "leg": leg_mm[same]})
+        .groupby("k", as_index=False)
+        .agg(n_legs=("leg", "size"), track_mm=("leg", "sum"))
+    )
+    # single-point key 99 must be absent (no legs), like WHERE prev IS NOT NULL
+    assert 99 not in set(got["k"])
+    assert got["k"].tolist() == exp["k"].tolist()
+    assert got["n_legs"].tolist() == exp["n_legs"].tolist()
+    assert got["track_mm"].tolist() == exp["track_mm"].tolist()
