@@ -1898,6 +1898,90 @@ def q_mktsegment_revenue(sf_dir):
     )
 
 
+def q_regional_revenue(sf_dir):
+    """TPC-H Q5 shape — the 6-table multiway join: customer ⋈ orders ⋈
+    lineitem ⋈ supplier ⋈ nation ⋈ region with the same-nation coupling,
+    a region gate and an order-date window, revenue cents per nation.
+
+    Scale shape: dimension prep (region × nation × supplier — the three
+    genuinely small tables) happens once on the driver and broadcasts;
+    the two fact exchanges are the plan's only shuffles, each pruned
+    BEFORE it ships (orders date-filtered at the read, lineitem reduced
+    to (key, rev_cents) so no payload floats ride the exchange; the inner
+    broadcast against ASIA-only suppliers drops non-matching lineitem
+    rows before the second shuffle's probe side is consumed downstream)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from geodistpy_ray.stages.joins import broadcast_join, shuffle_equi_join
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    # bounded dimension prep: 5 regions × 25 nations × |supplier| rows
+    region = pq.read_table(f"{sf_dir}/region.parquet")
+    nation = pq.read_table(f"{sf_dir}/nation.parquet")
+    asia = region.filter(pc.equal(region.column("r_name"), "ASIA"))
+    nat = nation.join(
+        asia.select(["r_regionkey"]),
+        keys="n_regionkey",
+        right_keys="r_regionkey",
+        join_type="inner",  # pa.Table.join defaults to LEFT OUTER
+    )
+    supp = pq.read_table(f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"])
+    supp = supp.join(
+        nat.select(["n_nationkey", "n_name"]),
+        keys="s_nationkey",
+        right_keys="n_nationkey",
+        join_type="inner",
+    )
+
+    lo = np.datetime64("1996-01-01", "us").astype(np.int64)
+    hi = np.datetime64("1998-01-01", "us").astype(np.int64)
+
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def date_gate(batch: pa.Table) -> pa.Table:
+        us = batch.column("o_orderdate").cast(pa.timestamp("us")).cast(pa.int64())
+        keep = pc.and_(pc.greater_equal(us, lo), pc.less(us, hi))
+        return batch.filter(keep).drop_columns(["o_orderdate"])
+
+    orders = orders.map_batches(date_gate, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    oc = shuffle_equi_join(orders, cust, "o_custkey", "c_custkey")
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+    )
+
+    def to_cents(batch: pa.Table) -> pa.Table:
+        ep = batch.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = batch.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {
+                "l_orderkey": batch.column("l_orderkey"),
+                "l_suppkey": batch.column("l_suppkey"),
+                "rev_cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    li = li.map_batches(to_cents, batch_format="pyarrow", zero_copy_batch=True)
+    li = broadcast_join(li, supp, "l_suppkey", right_keys="s_suppkey")  # ASIA-only
+    joined = shuffle_equi_join(li, oc, "l_orderkey", "o_orderkey")
+
+    def same_nation(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(
+            batch.column("c_nationkey").cast(pa.int64()),
+            batch.column("s_nationkey").cast(pa.int64()),
+        )
+        return batch.filter(keep)
+
+    joined = joined.map_batches(same_nation, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_sum(
+        joined, ["n_name"], int_sum_cols={"rev_cents": "revenue_cents"}, count_col="n_lines"
+    )
+
+
 def _events_by_type(sf_dir, etype, rename=None):
     import pyarrow.compute as pc
 
@@ -2283,6 +2367,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qty_price_covar": q_qty_price_covar,
         "event_gaps": q_event_gaps,
         "track_length": q_track_length,
+        "regional_revenue": q_regional_revenue,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2766,6 +2851,20 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS leg_mm FROM lagd WHERE plat IS NOT NULL) "
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_legs, "
             "CAST(SUM(leg_mm) AS BIGINT) AS track_mm FROM legs GROUP BY user_id"
+        ),
+        "regional_revenue": (
+            "SELECT n_name, "
+            "CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines "
+            "FROM customer, orders, lineitem, supplier, nation, region "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY n_name"
         ),
         "qty_price_fit": (
             "SELECT l_returnflag, "
