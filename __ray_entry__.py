@@ -137,6 +137,22 @@ def q_tile_coarse(sf_dir):
     return grouped_sum(ds, ["cell4"], count_col="n_docs")
 
 
+def q_cell_areas(sf_dir):
+    """Occupied-cell raster with true spherical areas: geocode → cell →
+    count per cell → exact spherical-rectangle area per cell (km², the
+    raster-side geometry a tile layer needs for density normalization)."""
+    from geodistpy_ray.cells import cell_area_km2
+    from geodistpy_ray.stages import add_cell
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    ds = add_cell(_docs_geo(sf_dir), CELL_DEG)
+    counts = grouped_sum(ds, ["cell"], count_col="n_docs")  # bounded-domain driver merge
+    counts["area_km2"] = np.round(
+        cell_area_km2(counts["cell"].to_numpy(), CELL_DEG), 3
+    )
+    return counts
+
+
 def q_dist_to_origin(sf_dir):
     from geodistpy_ray.stages import add_distance_to_point
 
@@ -2368,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_gaps": q_event_gaps,
         "track_length": q_track_length,
         "regional_revenue": q_regional_revenue,
+        "cell_areas": q_cell_areas,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2851,6 +2868,17 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS leg_mm FROM lagd WHERE plat IS NOT NULL) "
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_legs, "
             "CAST(SUM(leg_mm) AS BIGINT) AS track_mm FROM legs GROUP BY user_id"
+        ),
+        "cell_areas": (
+            # spherical-rectangle area, fp ordering term-for-term with
+            # cells.cell_area_km2: ((R·R)·Δλ)·(sin hi − sin lo), band edges
+            # associated as ((lat_idx·d) − 90) [+ d]; nlon=180 at 2°
+            f"WITH c AS (SELECT {cell} AS cell FROM documents) "
+            "SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "ROUND((6371.009 * 6371.009) * RADIANS(2.0) * ("
+            "SIN(RADIANS(CAST(cell // 180 AS DOUBLE) * 2.0 - 90.0 + 2.0)) - "
+            "SIN(RADIANS(CAST(cell // 180 AS DOUBLE) * 2.0 - 90.0))), 3) "
+            "AS area_km2 FROM c GROUP BY cell"
         ),
         "regional_revenue": (
             "SELECT n_name, "

@@ -72,6 +72,25 @@ def cell_bounds(cell, cell_deg: float = DEFAULT_CELL_DEG):
     return min_lat, min_lat + cell_deg, min_lon, min_lon + cell_deg
 
 
+def cell_area_km2(cell, cell_deg: float = DEFAULT_CELL_DEG, radius_km: float = 6371.009):
+    """Spherical surface area of each cell in km²: R²·Δλ·(sinφ_hi − sinφ_lo).
+
+    Exact on the sphere (the lat/lon cell is a spherical rectangle bounded
+    by two parallels and two meridians), so a whole latitude row sums to its
+    ring area and the full grid sums to 4πR². fp ordering is mirrored
+    term-for-term by the SQL oracle (CLAUDE.md convention) — consumers round
+    to 3 decimals of km² (the squared-magnitude rounding rule).
+    """
+    lat_idx, _ = cell_indices(cell, cell_deg)
+    lat0 = lat_idx * cell_deg - 90.0
+    lat1 = lat0 + cell_deg
+    return (
+        (radius_km * radius_km)
+        * np.radians(cell_deg)
+        * (np.sin(np.radians(lat1)) - np.sin(np.radians(lat0)))
+    )
+
+
 def parent_cell(cell, cell_deg: float, factor: int):
     """Coarsen cells by an integer factor (hierarchical tile aggregation).
 

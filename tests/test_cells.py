@@ -132,3 +132,21 @@ def test_tile_aggregate_partitioned_final_equals_shuffle(ray_session):
     assert a["cell"].tolist() == b["cell"].tolist()
     assert a["n"].tolist() == b["n"].tolist()
     assert np.allclose(a["sum_v"], b["sum_v"])
+
+
+def test_cell_area_km2_partitions_the_sphere():
+    from geodistpy_ray.cells import cell_area_km2, grid_shape
+
+    for deg in (2.0, 5.0):
+        nlat, nlon = grid_shape(deg)
+        cells = np.arange(nlat * nlon, dtype=np.int64)
+        a = cell_area_km2(cells, deg)
+        assert (a > 0).all()
+        # exact spherical partition: full grid sums to 4πR²
+        total = 4.0 * np.pi * 6371.009**2
+        assert abs(a.sum() - total) / total < 1e-12
+        # within a latitude row every cell has the same area
+        row = a.reshape(nlat, nlon)
+        assert np.allclose(row, row[:, :1])
+        # equatorial cells are the largest
+        assert a.max() == row[nlat // 2, 0]
