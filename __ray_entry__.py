@@ -698,17 +698,11 @@ def q_image_features_bmp(sf_dir):
     return ds.select_columns(["doc_id", "payload_bytes", "img_h", "img_w", "img_feat"])
 
 
-def q_link_degrees(sf_dir):
-    """Web-graph in-degree: per doc, synthesize html with 3 deterministic
-    outgoing links (targets are modular arithmetic over doc_id, so the SQL
-    oracle reproduces the EDGE LIST without parsing), parse the links back
-    out of the html with `extract_links` (Arrow list-kernel multi-match),
-    and count per-target in-degree. A parse that drops or garbles any edge
-    fails the value-hash."""
+def _synth_link_pages(sf_dir):
+    """(url, html) pages with 3 deterministic outgoing links per doc —
+    targets are modular arithmetic over doc_id, so SQL oracles reproduce
+    the EDGE LIST without parsing. Shared by the web-graph queries."""
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
-
-    from geodistpy_ray.stages.text import extract_links
 
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n_docs = docs.count()
@@ -730,9 +724,53 @@ def q_link_degrees(sf_dir):
         html = pc.binary_join_element_wise(*pieces, "")
         return pa.table({"url": url_arr(ids), "html": html})
 
-    pages = docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    return docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_link_degrees(sf_dir):
+    """Web-graph in-degree: synthesize linked pages, parse the links back
+    out of the html with `extract_links` (Arrow list-kernel multi-match),
+    and count per-target in-degree. A parse that drops or garbles any edge
+    fails the value-hash."""
+    from ray.data.aggregate import Count
+
+    from geodistpy_ray.stages.text import extract_links
+
+    pages = _synth_link_pages(sf_dir)
     edges = extract_links(pages, html_col="html", url_col="url")
     return edges.groupby("href").aggregate(Count(alias_name="n_links"))
+
+
+def q_link_components(sf_dir):
+    """Intra-domain link clusters: parse the link graph out of html, keep
+    only SAME-HOST edges (both endpoint hosts parsed back out of the url
+    strings — a host-parse error changes the kept edge set and fails the
+    hash), and run distributed min-label connected components over the
+    int64 page-id edge list. Oracle: the same arithmetic edge list closed
+    under a recursive min-reachable CTE."""
+    import pyarrow.compute as pc
+
+    from geodistpy_ray.stages.graph import connected_components
+    from geodistpy_ray.stages.text import extract_links
+
+    pages = _synth_link_pages(sf_dir)
+    edges = extract_links(pages, html_col="html", url_col="url")
+
+    def parse_ids(batch: pa.Table) -> pa.Table:
+        def host_and_id(col):
+            host = pc.struct_field(
+                pc.extract_regex(col, r"^https://host(?P<h>\d+)\."), "h"
+            )
+            pid = pc.struct_field(pc.extract_regex(col, r"/d/(?P<i>\d+)$"), "i")
+            return pc.cast(host, pa.int64()), pc.cast(pid, pa.int64())
+
+        sh, sid = host_and_id(batch.column("url"))
+        dh, did = host_and_id(batch.column("href"))
+        t = pa.table({"src": sid, "dst": did})
+        return t.filter(pc.equal(sh, dh))
+
+    ie = edges.map_batches(parse_ids, batch_format="pyarrow", zero_copy_batch=True)
+    return connected_components(ie, src_col="src", dst_col="dst")
 
 
 def q_canonical_urls(sf_dir):
@@ -2385,6 +2423,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_length": q_track_length,
         "regional_revenue": q_regional_revenue,
         "cell_areas": q_cell_areas,
+        "link_components": q_link_components,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2868,6 +2907,22 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS leg_mm FROM lagd WHERE plat IS NOT NULL) "
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_legs, "
             "CAST(SUM(leg_mm) AS BIGINT) AS track_mm FROM legs GROUP BY user_id"
+        ),
+        "link_components": (
+            # same-host edge subgraph of the synthetic link graph, closed
+            # under the same min-reachable recursive CTE as dup_clusters
+            "WITH RECURSIVE e0 AS ("
+            "SELECT doc_id AS s, "
+            "((doc_id * 7 + 13 * j + 1) % (SELECT COUNT(*) FROM documents)) AS t "
+            "FROM documents, (SELECT UNNEST([0, 1, 2]) AS j) "
+            "WHERE (doc_id % 50) = "
+            "(((doc_id * 7 + 13 * j + 1) % (SELECT COUNT(*) FROM documents)) % 50)), "
+            "sym AS (SELECT s AS src, t AS dst FROM e0 "
+            "UNION SELECT t, s FROM e0), "
+            "nodes AS (SELECT DISTINCT src AS node FROM sym), "
+            "reach(node, r) AS (SELECT node, node FROM nodes "
+            "UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node) "
+            "SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node"
         ),
         "cell_areas": (
             # spherical-rectangle area, fp ordering term-for-term with
