@@ -813,6 +813,40 @@ _CANON_URL_BUILD_SQL = (
 )
 
 
+def q_domain_stats(sf_dir):
+    """Per-registrable-domain page counts — the web-corpus rollup key op:
+    urls with subdomain depth 0–2 and both plain and multi-label public
+    suffixes (.com/.org/.net/.co.uk), eTLD+1 extracted with
+    `add_registrable_domain` (Arrow RE2), counted per domain. The oracle
+    builds the SAME urls and applies the exact mirror."""
+    from ray.data.aggregate import Count
+
+    from geodistpy_ray.stages.text import add_registrable_domain
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        pre = ["www.", "blog.", "a.b.", ""]
+        suf = [".com", ".co.uk", ".org", ".net"]
+        urls = [
+            f"https://{pre[i % 4]}site{i % 37}{suf[i % 4]}/p/{i}" for i in ids
+        ]
+        return pa.table({"url": pa.array(urls, pa.string())})
+
+    ds = docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+    ds = add_registrable_domain(ds)
+    return ds.groupby("domain").aggregate(Count(alias_name="n_pages"))
+
+
+_DOMAIN_URL_BUILD_SQL = (
+    "'https://' || (CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' "
+    "WHEN 2 THEN 'a.b.' ELSE '' END) || 'site' || CAST(doc_id % 37 AS VARCHAR) "
+    "|| (CASE doc_id % 4 WHEN 0 THEN '.com' WHEN 1 THEN '.co.uk' "
+    "WHEN 2 THEN '.org' ELSE '.net' END) || '/p/' || CAST(doc_id AS VARCHAR)"
+)
+
+
 def q_pagerank_links(sf_dir):
     """Distributed PageRank over the deterministic doc link graph (same
     modular-arithmetic edges as link_degrees, int node ids). Rows-only:
@@ -2424,6 +2458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regional_revenue": q_regional_revenue,
         "cell_areas": q_cell_areas,
         "link_components": q_link_components,
+        "domain_stats": q_domain_stats,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2495,6 +2530,16 @@ _CURATED_CTE = (
 )
 
 
+
+
+def _domain_stats_sql() -> str:
+    from geodistpy_ray.stages.text import registrable_domain_sql
+
+    return (
+        f"WITH u AS (SELECT {_DOMAIN_URL_BUILD_SQL} AS url FROM documents) "
+        f"SELECT {registrable_domain_sql('url')} AS domain, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pages FROM u GROUP BY 1"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2908,6 +2953,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_legs, "
             "CAST(SUM(leg_mm) AS BIGINT) AS track_mm FROM legs GROUP BY user_id"
         ),
+        "domain_stats": _domain_stats_sql(),
         "link_components": (
             # same-host edge subgraph of the synthetic link graph, closed
             # under the same min-reachable recursive CTE as dup_clusters

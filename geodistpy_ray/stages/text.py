@@ -611,6 +611,69 @@ def canonicalize_urls_sql(url_col: str = "url") -> str:
     return f"CASE WHEN {parsed} THEN {rebuilt} ELSE {u} END"
 
 
+# multi-label public suffixes the registrable-domain rule recognizes — a
+# fixed demo subset of the public-suffix list (the full list is data, not
+# logic; swap it in behind the same rule at deploy time)
+MULTI_SUFFIXES = (
+    "ac.uk", "co.uk", "gov.uk", "org.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "co.in", "co.nz", "com.br",
+)
+
+
+def add_registrable_domain(ds, url_col: str = "url", out_col: str = "domain"):
+    """Registrable domain (eTLD+1) of each url's host — the per-domain
+    rollup / cap / dedup key for web corpora.
+
+    Rule: lowercase the authority host; if the host's last TWO labels form
+    a known multi-label public suffix (:data:`MULTI_SUFFIXES`), the
+    registrable domain is the last THREE labels, else the last two; a
+    dotless host passes through as-is. Pure Arrow RE2 kernels, mirrored
+    exactly by :func:`registrable_domain_sql`.
+
+    Mirror caveat: rows whose url has no ``scheme://host`` authority get a
+    NULL domain here but an empty string in DuckDB (``regexp_extract``'s
+    no-match value) — callers comparing against the mirror keep urls
+    well-formed or filter those rows.
+    """
+
+    def fn(batch: pa.Table) -> pa.Table:
+        u = pc.fill_null(batch.column(url_col), "")
+        host = pc.struct_field(
+            pc.extract_regex(u, r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<h>[^/?#:]*)"), "h"
+        )
+        host = pc.utf8_lower(host)
+        last2 = pc.struct_field(pc.extract_regex(host, r"(?P<d>[^.]+\.[^.]+)$"), "d")
+        last3 = pc.struct_field(
+            pc.extract_regex(host, r"(?P<d>[^.]+\.[^.]+\.[^.]+)$"), "d"
+        )
+        # last two labels PRECEDED by a dot — i.e. a candidate multi-label
+        # suffix of a host that still has a label to its left
+        suf2 = pc.struct_field(pc.extract_regex(host, r"\.(?P<s>[^.]+\.[^.]+)$"), "s")
+        is_multi = pc.fill_null(
+            pc.is_in(suf2, value_set=pa.array(list(MULTI_SUFFIXES))), False
+        )
+        dom = pc.if_else(is_multi, last3, last2)
+        dom = pc.if_else(pc.is_valid(dom), dom, host)  # dotless host → itself
+        return batch.append_column(out_col, dom)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def registrable_domain_sql(url_col: str = "url") -> str:
+    """The exact DuckDB mirror of :func:`add_registrable_domain` (same
+    regexes, same label rule) for well-formed ``scheme://host`` urls."""
+    host = f"lower(regexp_extract({url_col}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]*)', 1))"
+    suf2 = f"regexp_extract({host}, '\\.([^.]+\\.[^.]+)$', 1)"
+    last3 = f"regexp_extract({host}, '([^.]+\\.[^.]+\\.[^.]+)$', 1)"
+    last2 = f"regexp_extract({host}, '([^.]+\\.[^.]+)$', 1)"
+    suffixes = ", ".join(f"'{s}'" for s in MULTI_SUFFIXES)
+    return (
+        f"CASE WHEN {suf2} IN ({suffixes}) THEN {last3} "
+        f"WHEN {host} LIKE '%.%' THEN {last2} ELSE {host} END"
+    )
+
+
 def extract_links(ds, html_col: str = "html", url_col: str = "url", href_col: str = "href"):
     """Explode each page into its outgoing links → one row per
     ``(url, href)`` edge — the web-graph front-end (feeds per-target

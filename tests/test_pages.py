@@ -218,3 +218,48 @@ def test_canonicalize_urls_matches_sql_mirror(ray_session):
     assert by["http://h.example.com:8080/x"] == "http://h.example.com:8080/x"
     assert by["ftp://Files.Example.com:80/a"] == "ftp://files.example.com:80/a"
     assert by["https://h.example.com/?"] == "https://h.example.com"
+
+
+def test_registrable_domain_matches_sql_mirror(ray_session):
+    """eTLD+1 rule through BOTH implementations, including multi-label
+    suffixes, deep subdomains, ports, case, and dotless hosts."""
+    import duckdb
+    import ray.data as rd
+
+    from geodistpy_ray.stages.text import (
+        add_registrable_domain,
+        registrable_domain_sql,
+    )
+
+    urls = [
+        "https://www.example.com/a",
+        "https://blog.shop.example.co.uk/x?q=1",   # multi-label suffix, depth 2
+        "https://example.co.uk",                    # exactly eTLD+1 already
+        "http://a.b.c.d.example.org/deep",
+        "https://EXAMPLE.COM/UPPER",                # case-folded host
+        "https://host.example.com:8080/p",          # port excluded from host
+        "https://localhost/x",                      # dotless host → itself
+        "https://co.uk/suffix-only",                # bare suffix: last two labels
+        "https://x.com.au/",                        # multi-label suffix, depth 0
+    ]
+    got = (
+        add_registrable_domain(rd.from_arrow(pa.table({"url": urls})).repartition(3))
+        .to_pandas()
+        .sort_values("url", ignore_index=True)
+    )
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"url": urls}))
+    exp = con.execute(
+        f"SELECT url, {registrable_domain_sql('url')} AS domain FROM t ORDER BY url"
+    ).df()
+    assert got["domain"].tolist() == exp["domain"].tolist()
+    by = dict(zip(got["url"], got["domain"]))
+    assert by["https://www.example.com/a"] == "example.com"
+    assert by["https://blog.shop.example.co.uk/x?q=1"] == "example.co.uk"
+    assert by["https://example.co.uk"] == "example.co.uk"
+    assert by["http://a.b.c.d.example.org/deep"] == "example.org"
+    assert by["https://EXAMPLE.COM/UPPER"] == "example.com"
+    assert by["https://host.example.com:8080/p"] == "example.com"
+    assert by["https://localhost/x"] == "localhost"
+    assert by["https://co.uk/suffix-only"] == "co.uk"
+    assert by["https://x.com.au/"] == "x.com.au"
