@@ -868,6 +868,28 @@ def q_pagerank_links(sf_dir):
     return _round_col(ranks, "rank", 9)
 
 
+def q_hits_links(sf_dir):
+    """HITS hubs & authorities over the deterministic doc link graph.
+    Rows-only: the mutually-recursive normalized iteration isn't
+    SQL-expressible; dense-reference parity (1e-10) is pinned in
+    tests/test_graph.py::TestHits."""
+    from geodistpy_ray.stages.graph import hits
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate([(ids * 7 + 13 * j + 1) % n_docs for j in range(3)])
+        return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+    scores = hits(e, n_iters=3, n_parts=16)
+    scores = _round_col(scores, "hub", 9)
+    return _round_col(scores, "auth", 9)
+
+
 def q_pages_pipeline(sf_dir):
     """North-rule pages path (BASELINE.json input_hint): deterministic
     Common-Crawl-style pages fixture (url, warc_ts, html, text, lang) →
@@ -2486,6 +2508,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_pipeline": q_pages_pipeline,
         "link_degrees": q_link_degrees,
         "pagerank_links": q_pagerank_links,
+        "hits_links": q_hits_links,
         "canonical_urls": q_canonical_urls,
     }
 

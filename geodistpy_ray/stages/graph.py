@@ -359,3 +359,203 @@ def pagerank(
         )
 
     return state.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def hits(
+    edges,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iters: int = 10,
+    n_parts: int = 64,
+    node_col: str = "node",
+    hub_col: str = "hub",
+    auth_col: str = "auth",
+):
+    """Distributed HITS (Kleinberg hubs & authorities) over a DIRECTED
+    int64 edge Dataset → Dataset (``node_col``, ``hub_col``, ``auth_col``)
+    after ``n_iters`` rounds of the classic mutual recursion
+
+        auth' = Σ_{u→v} hub(u)    then L2-normalize
+        hub'  = Σ_{u→v} auth'(v)  then L2-normalize
+
+    Scale shape (the :func:`pagerank` idiom): each half-step is one
+    message propagation = TWO bounded O(E) shuffles via
+    ``partitioned_map_groups`` (messages fan out in the partition of the
+    message SOURCE where the node's one value row meets its edges; sums
+    reduce in the partition of the TARGET). The L2 norms are driver
+    scalars from one O(V) partial pass. The two edge orientations
+    (src-keyed for the auth step, dst-keyed for the hub step) are
+    materialized once and reused every round — never a per-node group,
+    never a dense matrix.
+    """
+
+    def oriented(key_src: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            a, b = (s, d) if key_src else (d, s)
+            return pa.table(
+                {
+                    "node": pa.array(a),
+                    "nbr": pa.array(b),
+                    "val": pa.array(np.zeros(a.size, dtype=np.float64)),
+                    "kind": pa.array(np.full(a.size, _KIND_EDGE, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    picked = edges.select_columns([src_col, dst_col])
+    e_fwd = picked.map_batches(
+        oriented(True), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    e_rev = picked.map_batches(
+        oriented(False), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # node set = every endpoint, deduplicated with one partitioned sweep
+    def uniq_part(t: pa.Table) -> pa.Table:
+        u = np.unique(t.column("node").to_numpy(zero_copy_only=False))
+        return pa.table({"node": pa.array(u, pa.int64())})
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [batch.column("node").combine_chunks(), batch.column("nbr").combine_chunks()]
+        )
+        return pa.table({"node": both})
+
+    nodes = partitioned_map_groups(
+        e_fwd.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True),
+        "node",
+        uniq_part,
+        n_parts=n_parts,
+        part_format="pyarrow",
+    ).materialize()
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        empty = pa.table(
+            {
+                node_col: pa.array([], pa.int64()),
+                hub_col: pa.array([], pa.float64()),
+                auth_col: pa.array([], pa.float64()),
+            }
+        )
+        import ray.data as rd
+
+        return rd.from_arrow(empty)
+
+    def with_val(v: float):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "nbr": pa.array(np.zeros(n, dtype=np.int64)),
+                    "val": pa.array(np.full(n, v, dtype=np.float64)),
+                    "kind": pa.array(np.full(n, _KIND_LABEL, dtype=np.int8)),
+                }
+            )
+
+        return fn
+
+    def msgs_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["kind"].to_numpy() == _KIND_EDGE
+        st = g.loc[~is_edge]
+        out = [
+            pd.DataFrame(
+                {"node": st["node"].to_numpy(), "s": np.zeros(len(st), dtype=np.float64)}
+            )
+        ]
+        if is_edge.any():
+            ed = g.loc[is_edge]
+            val_of = st.set_index("node")["val"].loc[ed["node"]].to_numpy()
+            out.append(pd.DataFrame({"node": ed["nbr"].to_numpy(), "s": val_of}))
+        return pd.concat(out, ignore_index=True)
+
+    def sum_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False, as_index=False).agg(s=("s", "sum"))
+
+    def propagate(values, e_tbl):
+        """values: Dataset (node, nbr, val, kind=LABEL) covering ALL nodes
+        → Dataset (node, s) with s = Σ val over incoming messages (self
+        rows keep message-less nodes alive at 0)."""
+        fanout = values.union(e_tbl)
+        msgs = partitioned_map_groups(fanout, "node", msgs_part, n_parts=n_parts)
+        return partitioned_map_groups(msgs, "node", sum_part, n_parts=n_parts)
+
+    def l2_normalize(scored):
+        def sq_partial(batch: pa.Table) -> pa.Table:
+            v = batch.column("s").to_numpy(zero_copy_only=False)
+            return pa.table({"ss": pa.array([float((v * v).sum())], pa.float64())})
+
+        ss = sum(
+            row["ss"]
+            for row in scored.map_batches(
+                sq_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).take_all()
+        )
+        norm = float(np.sqrt(ss)) or 1.0
+
+        def div(batch: pa.Table) -> pa.Table:
+            v = batch.column("s").to_numpy(zero_copy_only=False) / norm
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "nbr": pa.array(np.zeros(n, dtype=np.int64)),
+                    "val": pa.array(v, pa.float64()),
+                    "kind": pa.array(np.full(n, _KIND_LABEL, dtype=np.int8)),
+                }
+            )
+
+        return scored.map_batches(
+            div, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+
+    hub = nodes.map_batches(
+        with_val(1.0 / np.sqrt(n_nodes)), batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    auth = None
+    for _ in range(n_iters):
+        auth = l2_normalize(propagate(hub, e_fwd))
+        hub = l2_normalize(propagate(auth, e_rev))
+
+    # final merge: (node, hub) ⊎ (node, auth) → one partitioned sum (both
+    # cover the full node set, so each output row folds exactly two rows)
+    def tagged(which: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            v = batch.column("val").to_numpy(zero_copy_only=False)
+            z = np.zeros(batch.num_rows, dtype=np.float64)
+            h, a = (v, z) if which == 0 else (z, v)
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    hub_col: pa.array(h, pa.float64()),
+                    auth_col: pa.array(a, pa.float64()),
+                }
+            )
+
+        return fn
+
+    both = hub.map_batches(tagged(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        auth.map_batches(tagged(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def merge_part(t: pa.Table) -> pa.Table:
+        node = t.column("node").to_numpy(zero_copy_only=False)
+        u, inv = np.unique(node, return_inverse=True)
+        h = np.zeros(u.size, dtype=np.float64)
+        a = np.zeros(u.size, dtype=np.float64)
+        np.add.at(h, inv, t.column(hub_col).to_numpy(zero_copy_only=False))
+        np.add.at(a, inv, t.column(auth_col).to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                node_col: pa.array(u, pa.int64()),
+                hub_col: pa.array(h, pa.float64()),
+                auth_col: pa.array(a, pa.float64()),
+            }
+        )
+
+    return partitioned_map_groups(
+        both, "node", merge_part, n_parts=n_parts, part_format="pyarrow"
+    )

@@ -291,3 +291,80 @@ class TestPagerank:
         assert a["node"].tolist() == b["node"].tolist()
         np.testing.assert_allclose(a["rank"], b["rank"], rtol=1e-12)
         assert a["rank"].sum() == pytest.approx(1.0, abs=1e-9)
+
+
+class TestHits:
+    @staticmethod
+    def _ref(edges, n_iters=10):
+        nodes = sorted({u for e in edges for u in e})
+        idx = {u: i for i, u in enumerate(nodes)}
+        N = len(nodes)
+        hub = np.full(N, 1.0 / np.sqrt(N))
+        auth = np.zeros(N)
+        for _ in range(n_iters):
+            auth = np.zeros(N)
+            for s, t in edges:
+                auth[idx[t]] += hub[idx[s]]
+            auth /= np.linalg.norm(auth) or 1.0
+            hub = np.zeros(N)
+            for s, t in edges:
+                hub[idx[s]] += auth[idx[t]]
+            hub /= np.linalg.norm(hub) or 1.0
+        return (
+            {u: hub[idx[u]] for u in nodes},
+            {u: auth[idx[u]] for u in nodes},
+        )
+
+    def test_matches_dense_reference(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.graph import hits
+
+        # hub node 5, authority node 1, a cycle, and a sink
+        edges = [(1, 2), (2, 3), (3, 1), (3, 4), (5, 1), (5, 3), (5, 4)]
+        tbl = pa.table(
+            {
+                "src": pa.array([a for a, _ in edges], pa.int64()),
+                "dst": pa.array([b for _, b in edges], pa.int64()),
+            }
+        )
+        got = (
+            hits(rd.from_arrow(tbl).repartition(3), n_iters=4, n_parts=8)
+            .to_pandas()
+            .set_index("node")
+        )
+        hub, auth = self._ref(edges, n_iters=4)
+        assert set(got.index) == set(hub)
+        for u in hub:
+            assert got.loc[u, "hub"] == pytest.approx(hub[u], abs=1e-10), u
+            assert got.loc[u, "auth"] == pytest.approx(auth[u], abs=1e-10), u
+        # node 5 is a pure hub (no in-edges): auth exactly 0
+        assert got.loc[5, "auth"] == 0.0
+        # node 4 is a pure sink: hub exactly 0
+        assert got.loc[4, "hub"] == 0.0
+
+    def test_partition_independence(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.graph import hits
+
+        rng = np.random.default_rng(31)
+        n = 300
+        src = rng.integers(0, n, 900)
+        dst = (src * 11 + rng.integers(1, 4, 900) * 7 + 1) % n
+        tbl = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+        a = (
+            hits(rd.from_arrow(tbl).repartition(2), n_iters=2, n_parts=8)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        b = (
+            hits(rd.from_arrow(tbl).repartition(7), n_iters=2, n_parts=3)
+            .to_pandas()
+            .sort_values("node", ignore_index=True)
+        )
+        assert a["node"].tolist() == b["node"].tolist()
+        np.testing.assert_allclose(a["hub"], b["hub"], atol=1e-12)
+        np.testing.assert_allclose(a["auth"], b["auth"], atol=1e-12)
+        assert np.linalg.norm(a["hub"]) == pytest.approx(1.0, abs=1e-9)
+        assert np.linalg.norm(a["auth"]) == pytest.approx(1.0, abs=1e-9)
