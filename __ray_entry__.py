@@ -153,6 +153,22 @@ def q_cell_areas(sf_dir):
     return counts
 
 
+def q_polygon_areas(sf_dir):
+    """Vector-side polygon geometry: spherical ring area of every
+    SQL-checked join polygon (Chamberlain–Duquette line integral over the
+    Arrow list columns — `stages/pip.py:add_ring_area`). The oracle
+    regenerates the diamond vertices arithmetically and folds the SAME
+    term formula through a LEAD window."""
+    import ray.data as rd
+
+    from geodistpy_ray.sources.polygons import diamond_polygons
+    from geodistpy_ray.stages.pip import add_ring_area
+
+    polys = rd.from_arrow(diamond_polygons())
+    out = add_ring_area(polys)
+    return out.select_columns(["poly_id", "area_km2"])
+
+
 def q_dist_to_origin(sf_dir):
     from geodistpy_ray.stages import add_distance_to_point
 
@@ -2481,6 +2497,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_areas": q_cell_areas,
         "link_components": q_link_components,
         "domain_stats": q_domain_stats,
+        "polygon_areas": q_polygon_areas,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2647,6 +2664,28 @@ def oracle_sql() -> dict[str, str]:
             f"PARTITION BY q.query_id "
             f"ORDER BY ROUND({hav_q.replace('doc_id', 'd.doc_id')}, 6), d.doc_id) AS rank "
             f"FROM documents d, {qpts20} q) WHERE rank <= {KNN_K}"
+        ),
+        "polygon_areas": (
+            # Chamberlain–Duquette terms over the closed diamond ring,
+            # vertex j of 0..4 (first repeated last), fp ordering mirroring
+            # stages/pip.py:add_ring_area term-for-term
+            f"WITH p AS (SELECT * FROM {diamond_polygons_sql()}), "
+            "v AS (SELECT poly_id, j, "
+            "CASE j WHEN 0 THEN clat + half_lat WHEN 1 THEN clat "
+            "WHEN 2 THEN clat - half_lat WHEN 3 THEN clat "
+            "ELSE clat + half_lat END AS vlat, "
+            "CASE j WHEN 0 THEN clon WHEN 1 THEN clon + half_lon "
+            "WHEN 2 THEN clon WHEN 3 THEN clon - half_lon "
+            "ELSE clon END AS vlon "
+            "FROM p, (SELECT CAST(UNNEST(RANGE(5)) AS BIGINT) AS j)), "
+            "t AS (SELECT poly_id, "
+            "(RADIANS(LEAD(vlon) OVER w) - RADIANS(vlon)) * "
+            "(2.0 + SIN(RADIANS(vlat)) + SIN(RADIANS(LEAD(vlat) OVER w))) AS term "
+            "FROM v WINDOW w AS (PARTITION BY poly_id ORDER BY j) "
+            "QUALIFY LEAD(vlat) OVER w IS NOT NULL) "
+            "SELECT poly_id, "
+            "ROUND(ABS(SUM(term)) * (6371.009 * 6371.009) / 2.0, 3) AS area_km2 "
+            "FROM t GROUP BY poly_id"
         ),
         "pip_join": (
             f"SELECT d.doc_id, p.poly_id FROM documents d, {diamond_polygons_sql()} p "

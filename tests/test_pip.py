@@ -165,3 +165,42 @@ def test_concave_star_polygon_conformance(ray_session):
         and min(ring_lons) <= plon[i] <= max(ring_lons)
     }
     assert len(got) < len(bbox)
+
+
+def test_ring_area_matches_cell_area_on_grid_rectangles(ray_session):
+    """The Chamberlain–Duquette line integral is EXACT on rectangles whose
+    edges follow parallels/meridians — it must agree with the closed-form
+    spherical cell area to fp noise, in either ring orientation."""
+    import ray.data as rd
+
+    from geodistpy_ray.cells import cell_area_km2, cell_bounds
+    from geodistpy_ray.stages.pip import add_ring_area
+
+    cells = np.array([0, 5000, 8100, 16199], dtype=np.int64)  # pole→equator→pole
+    lo_lat, hi_lat, lo_lon, hi_lon = cell_bounds(cells, 2.0)
+    lats, lons = [], []
+    for i in range(cells.size):
+        ring_lat = [lo_lat[i], lo_lat[i], hi_lat[i], hi_lat[i], lo_lat[i]]
+        ring_lon = [lo_lon[i], hi_lon[i], hi_lon[i], lo_lon[i], lo_lon[i]]
+        if i % 2:  # reversed orientation must give the same |area|
+            ring_lat, ring_lon = ring_lat[::-1], ring_lon[::-1]
+        lats.append(ring_lat)
+        lons.append(ring_lon)
+    # a degenerate 1-vertex ring must come out 0, not crash reduceat
+    lats.append([10.0])
+    lons.append([20.0])
+    tbl = pa.table(
+        {
+            "poly_id": pa.array(list(range(len(lats))), pa.int64()),
+            "ring_lats": pa.array(lats, pa.list_(pa.float64())),
+            "ring_lons": pa.array(lons, pa.list_(pa.float64())),
+        }
+    )
+    got = (
+        add_ring_area(rd.from_arrow(tbl).repartition(2), round_to=None)
+        .to_pandas()
+        .sort_values("poly_id", ignore_index=True)
+    )
+    want = cell_area_km2(cells, 2.0)
+    np.testing.assert_allclose(got["area_km2"][: cells.size], want, rtol=1e-12)
+    assert got["area_km2"].iloc[-1] == 0.0
