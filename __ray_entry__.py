@@ -153,6 +153,38 @@ def q_cell_areas(sf_dir):
     return counts
 
 
+def q_cell_polygons(sf_dir):
+    """Raster→vector export: the occupied-cell raster back to vector rings —
+    distinct occupied cells exploded to closed ring vertex rows
+    (cell, j, vlat, vlon), the hand-off from tile aggregates to any
+    polygon consumer (PIP join, area, rendering). Exact half-degree
+    arithmetic, so the oracle needs no rounding."""
+    from geodistpy_ray.cells import cell_bounds
+    from geodistpy_ray.stages import add_cell
+    from geodistpy_ray.stages.relational import distinct
+
+    ds = add_cell(_docs_geo(sf_dir), CELL_DEG).select_columns(["cell"])
+    cells = distinct(ds, ["cell"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        c = batch.column("cell").to_numpy(zero_copy_only=False)
+        lo_lat, hi_lat, lo_lon, hi_lon = cell_bounds(c, CELL_DEG)
+        n = c.size
+        j = np.tile(np.arange(5, dtype=np.int64), n)
+        vlat = np.stack([lo_lat, lo_lat, hi_lat, hi_lat, lo_lat], 1).ravel()
+        vlon = np.stack([lo_lon, hi_lon, hi_lon, lo_lon, lo_lon], 1).ravel()
+        return pa.table(
+            {
+                "cell": pa.array(np.repeat(c, 5), pa.int64()),
+                "j": pa.array(j, pa.int64()),
+                "vlat": pa.array(vlat, pa.float64()),
+                "vlon": pa.array(vlon, pa.float64()),
+            }
+        )
+
+    return cells.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_polygon_areas(sf_dir):
     """Vector-side polygon geometry: spherical ring area of every
     SQL-checked join polygon (Chamberlain–Duquette line integral over the
@@ -2498,6 +2530,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_components": q_link_components,
         "domain_stats": q_domain_stats,
         "polygon_areas": q_polygon_areas,
+        "cell_polygons": q_cell_polygons,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2664,6 +2697,18 @@ def oracle_sql() -> dict[str, str]:
             f"PARTITION BY q.query_id "
             f"ORDER BY ROUND({hav_q.replace('doc_id', 'd.doc_id')}, 6), d.doc_id) AS rank "
             f"FROM documents d, {qpts20} q) WHERE rank <= {KNN_K}"
+        ),
+        "cell_polygons": (
+            # exact half-degree arithmetic (lat_idx·d − 90 [+d]) — no
+            # rounding; vertex order (lo,lo)(lo,hi)(hi,hi)(hi,lo)(close)
+            f"WITH c AS (SELECT DISTINCT {cell} AS cell FROM documents), "
+            "b AS (SELECT cell, "
+            "CAST(cell // 180 AS DOUBLE) * 2.0 - 90.0 AS lo_lat, "
+            "CAST(cell % 180 AS DOUBLE) * 2.0 - 180.0 AS lo_lon FROM c) "
+            "SELECT cell, j, "
+            "CASE WHEN j IN (2, 3) THEN lo_lat + 2.0 ELSE lo_lat END AS vlat, "
+            "CASE WHEN j IN (1, 2) THEN lo_lon + 2.0 ELSE lo_lon END AS vlon "
+            "FROM b, (SELECT CAST(UNNEST(RANGE(5)) AS BIGINT) AS j)"
         ),
         "polygon_areas": (
             # Chamberlain–Duquette terms over the closed diamond ring,
