@@ -1384,6 +1384,35 @@ def q_track_length(sf_dir):
     )
 
 
+def q_event_ranks(sf_dir):
+    """Per-user ROW_NUMBER over the event log (ts, event_id ordering) —
+    the rank-column window op behind "nth event per user" features."""
+    from geodistpy_ray.stages.windows import add_rank
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    out = add_rank(ev, "user_id", "ts", tiebreak_col="event_id", out_col="rnk")
+    return out.select_columns(["user_id", "event_id", "rnk"])
+
+
+def q_zonal_stats(sf_dir):
+    """Zonal statistics — the vector-side raster↔vector aggregate: PIP
+    join assigns each doc its polygon, one bucketed shuffle joins the
+    doc payload back, a bounded rollup sums per polygon zone."""
+    from geodistpy_ray.sources.polygons import diamond_polygons
+    from geodistpy_ray.stages import point_in_polygon_join
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    pairs = point_in_polygon_join(
+        _docs_geo(sf_dir), diamond_polygons(), id_col="doc_id", cell_deg=CELL_DEG
+    )
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"])
+    joined = shuffle_equi_join(pairs, docs, "doc_id")
+    return grouped_sum(
+        joined, ["poly_id"], int_sum_cols={"n_chars": "sum_chars"}, count_col="n_docs"
+    )
+
+
 def q_qty_price_fit(sf_dir):
     """Per-returnflag least-squares line price = slope·qty + intercept
     (REGR_SLOPE / REGR_INTERCEPT parity) from the same Chan-merged moments
@@ -2531,6 +2560,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": q_domain_stats,
         "polygon_areas": q_polygon_areas,
         "cell_polygons": q_cell_polygons,
+        "event_ranks": q_event_ranks,
+        "zonal_stats": q_zonal_stats,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2697,6 +2728,20 @@ def oracle_sql() -> dict[str, str]:
             f"PARTITION BY q.query_id "
             f"ORDER BY ROUND({hav_q.replace('doc_id', 'd.doc_id')}, 6), d.doc_id) AS rank "
             f"FROM documents d, {qpts20} q) WHERE rank <= {KNN_K}"
+        ),
+        "event_ranks": (
+            "SELECT user_id, event_id, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id) AS BIGINT) AS rnk FROM events"
+        ),
+        "zonal_stats": (
+            f"SELECT p.poly_id, "
+            "CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs "
+            f"FROM documents d, {diamond_polygons_sql()} p "
+            f"WHERE ABS({lat} - p.clat) / p.half_lat + "
+            f"ABS({lon} - p.clon) / p.half_lon < 1.0 "
+            "GROUP BY p.poly_id"
         ),
         "cell_polygons": (
             # exact half-degree arithmetic (lat_idx·d − 90 [+d]) — no

@@ -193,6 +193,42 @@ def rolling_count(
     return partitioned_map_groups(ds, key_col, part_fn)
 
 
+def add_rank(
+    ds,
+    key_col: str,
+    order_col: str,
+    tiebreak_col: str | None = None,
+    out_col: str = "rnk",
+    n_parts: int = 64,
+):
+    """Per-key ROW_NUMBER: the 1-based position of each row in its key's
+    ``(order_col[, tiebreak_col])`` ordering — SQL ``ROW_NUMBER() OVER
+    (PARTITION BY key ORDER BY ...)``. One bounded-partition co-location
+    (stages/grouping.py); inside a partition one Arrow sort + a
+    span-relative ``arange`` — no per-key frames, Arrow in/out. Pass a
+    unique ``tiebreak_col`` for deterministic numbering under order ties.
+    """
+    from .grouping import key_spans, partitioned_map_groups
+
+    sort_keys = [(key_col, "ascending"), (order_col, "ascending")] + (
+        [(tiebreak_col, "ascending")] if tiebreak_col else []
+    )
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_keys)
+        keys = t.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        n = keys.size
+        if n == 0:
+            return t.append_column(out_col, pa.array([], pa.int64()))
+        starts, ends = key_spans(keys)
+        rnk = np.arange(n, dtype=np.int64) - np.repeat(starts, ends - starts) + 1
+        return t.append_column(out_col, pa.array(rnk, pa.int64()))
+
+    return partitioned_map_groups(
+        ds, key_col, part_fn, n_parts=n_parts, part_format="pyarrow"
+    )
+
+
 def geodesic_track_length(
     ds,
     key_col: str,

@@ -829,3 +829,26 @@ def test_track_length_vs_pandas(ray_session):
     assert got["k"].tolist() == exp["k"].tolist()
     assert got["n_legs"].tolist() == exp["n_legs"].tolist()
     assert got["track_mm"].tolist() == exp["track_mm"].tolist()
+
+
+def test_add_rank_vs_pandas(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import add_rank
+
+    rng = np.random.default_rng(47)
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 6, 250),
+            "t": rng.integers(0, 40, 250).astype(np.int64),  # plenty of ties
+            "id": np.arange(250),
+        }
+    )
+    got = (
+        add_rank(rd.from_pandas(df).repartition(4), "k", "t", tiebreak_col="id")
+        .to_pandas()
+        .sort_values(["k", "t", "id"], ignore_index=True)
+    )
+    s = df.sort_values(["k", "t", "id"], ignore_index=True)
+    exp = s.groupby("k").cumcount().to_numpy() + 1
+    assert got["rnk"].tolist() == exp.tolist()
