@@ -253,6 +253,23 @@ def _pagerank(sf_dir: str):
     return m.q_pagerank_links(sf_dir).count()
 
 
+def _regional_revenue(sf_dir: str):
+    """TPC-H Q5-shape 6-table multiway join (round 4): two fact shuffles
+    (orders⋈customer, lineitem⋈that) + broadcast dimension prep + bounded
+    rollup — the composed relational plan as one wall-clock row."""
+    import __ray_entry__ as m
+
+    return len(m.q_regional_revenue(sf_dir))
+
+
+def _track_length(sf_dir: str):
+    """Per-user geodesic track length over the events log (round 4): one
+    bounded-partition co-location + vectorized haversine legs."""
+    import __ray_entry__ as m
+
+    return m.q_track_length(sf_dir).count()
+
+
 BENCH = {
     "spatial_pipeline": (_spatial_pipeline, "lineitem"),
     "vincenty_scan": (_vincenty_scan, "lineitem"),
@@ -266,6 +283,8 @@ BENCH = {
     # round-4 additions (the nine rows above are the stable cross-round set)
     "sorted_export": (_sorted_export, "events"),
     "pagerank_links": (_pagerank, "documents"),
+    "regional_revenue": (_regional_revenue, "lineitem"),
+    "track_length": (_track_length, "events"),
 }
 
 
