@@ -1413,6 +1413,22 @@ def q_zonal_stats(sf_dir):
     )
 
 
+def q_simplified_tracks(sf_dir):
+    """Douglas–Peucker simplification of each user's geocoded event track
+    (50 km cross-track tolerance). Rows-only: the recursive split isn't
+    SQL-expressible; the scalar-reference parity, deviation bound, and
+    idempotence properties are pinned in tests/test_kernels.py."""
+    from geodistpy_ray.stages import add_geocode
+    from geodistpy_ray.stages.windows import simplify_tracks
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    pts = add_geocode(ev, id_col="event_id")
+    out = simplify_tracks(
+        pts, "user_id", "ts", tol_m=50_000.0, tiebreak_col="event_id"
+    )
+    return out.select_columns(["user_id", "event_id"])
+
+
 def q_qty_price_fit(sf_dir):
     """Per-returnflag least-squares line price = slope·qty + intercept
     (REGR_SLOPE / REGR_INTERCEPT parity) from the same Chan-merged moments
@@ -2590,6 +2606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_degrees": q_link_degrees,
         "pagerank_links": q_pagerank_links,
         "hits_links": q_hits_links,
+        "simplified_tracks": q_simplified_tracks,
         "canonical_urls": q_canonical_urls,
     }
 

@@ -1,0 +1,65 @@
+"""Polyline simplification on the sphere (Douglas–Peucker), pure NumPy.
+
+The reference has no simplification op (its API stops at distance /
+bearing / interpolation); tracks at web scale want the classic DP pass
+before storage or rendering. Deviation is the great-circle CROSS-TRACK
+distance (the standard spherical formula: ``asin(sin(d13/R)·sin(θ13−θ12))·R``),
+degenerating to plain point distance when a segment's endpoints coincide.
+
+Import-clean of Ray (CLAUDE.md kernels rule); the distributed stage wraps
+:func:`simplify_mask` per key span inside one co-located partition
+(``stages/windows.py:simplify_tracks``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .ellipsoids import EARTH_RADIUS_M
+from .sphere import haversine, initial_bearing_sphere
+
+
+def cross_track_distance(lat, lon, lat1, lon1, lat2, lon2, radius: float = EARTH_RADIUS_M):
+    """|cross-track| distance (meters) of points from the great circle
+    through (lat1, lon1) → (lat2, lon2); coincident anchors degenerate to
+    the distance to the anchor point. Vectorized over the points."""
+    d13 = haversine(lat1, lon1, lat, lon, radius=radius)
+    b13 = np.radians(initial_bearing_sphere(lat1, lon1, lat, lon))
+    b12 = np.radians(initial_bearing_sphere(lat1, lon1, lat2, lon2))
+    dxt = np.abs(np.arcsin(np.sin(d13 / radius) * np.sin(b13 - b12))) * radius
+    degenerate = (lat1 == lat2) & (lon1 == lon2)
+    return np.where(degenerate, d13, dxt)
+
+
+def simplify_mask(lat, lon, tol_m: float, radius: float = EARTH_RADIUS_M) -> np.ndarray:
+    """Douglas–Peucker keep-mask for one ordered polyline.
+
+    Iterative stack form (no recursion depth limit); each split evaluates
+    the whole open segment's deviations in one vectorized call. Endpoints
+    are always kept; a 0/1-point line is kept whole.
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = lat.size
+    keep = np.zeros(n, dtype=bool)
+    if n == 0:
+        return keep
+    keep[0] = keep[-1] = True
+    if n <= 2:
+        return keep
+    stack = [(0, n - 1)]
+    while stack:
+        i, j = stack.pop()
+        if j - i < 2:
+            continue
+        sl = slice(i + 1, j)
+        dev = cross_track_distance(
+            lat[sl], lon[sl], lat[i], lon[i], lat[j], lon[j], radius=radius
+        )
+        k = int(np.argmax(dev))
+        if dev[k] > tol_m:
+            m = i + 1 + k
+            keep[m] = True
+            stack.append((i, m))
+            stack.append((m, j))
+    return keep

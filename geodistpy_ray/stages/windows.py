@@ -301,6 +301,50 @@ def geodesic_track_length(
     )
 
 
+def simplify_tracks(
+    ds,
+    key_col: str,
+    ts_col: str,
+    tol_m: float,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tiebreak_col: str | None = None,
+    n_parts: int = 64,
+):
+    """Douglas–Peucker track simplification per key: order each key's
+    points by ``(ts[, tiebreak])``, keep the DP subset whose great-circle
+    cross-track deviation stays ≤ ``tol_m``, drop the rest (endpoints are
+    always kept). Returns the kept rows with all input columns.
+
+    One bounded-partition co-location (stages/grouping.py); within a
+    partition one Arrow sort, then the vectorized DP mask
+    (``kernels/simplify.py``) per key SPAN — per-key work is the
+    algorithm's inherent O(track·splits), on plain array slices, never
+    per-key frames. Tracks of a key must fit one partition's memory —
+    the same assumption every per-key window here makes.
+    """
+    from ..kernels.simplify import simplify_mask
+    from .grouping import key_spans, partitioned_map_groups
+
+    sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
+        [(tiebreak_col, "ascending")] if tiebreak_col else []
+    )
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_keys)
+        keys = t.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        lat = t.column(lat_col).combine_chunks().to_numpy(zero_copy_only=False)
+        lon = t.column(lon_col).combine_chunks().to_numpy(zero_copy_only=False)
+        keep = np.zeros(keys.size, dtype=bool)
+        for s, e in zip(*key_spans(keys)):
+            keep[s:e] = simplify_mask(lat[s:e], lon[s:e], tol_m)
+        return t.filter(pa.array(keep))
+
+    return partitioned_map_groups(
+        ds, key_col, part_fn, n_parts=n_parts, part_format="pyarrow"
+    )
+
+
 def add_lag_delta(
     ds,
     key_col: str,

@@ -182,3 +182,102 @@ class TestEllipsoidsUnits:
         d_m = vincenty_inverse(*BERLIN, *PARIS)
         assert d_m * unit_factor("km") * 1000 == pytest.approx(d_m)
         assert d_m * unit_factor("mile") * MILE == pytest.approx(d_m)
+
+
+class TestSimplify:
+    @staticmethod
+    def _ref_keep(lat, lon, tol):
+        """Scalar recursive Douglas–Peucker (the textbook form)."""
+        from geodistpy_ray.kernels.simplify import cross_track_distance
+
+        n = len(lat)
+        keep = set([0, n - 1])
+
+        def rec(i, j):
+            if j - i < 2:
+                return
+            best, bk = -1.0, None
+            for m in range(i + 1, j):
+                d = float(
+                    cross_track_distance(
+                        lat[m], lon[m], lat[i], lon[i], lat[j], lon[j]
+                    )
+                )
+                if d > best:
+                    best, bk = d, m
+            if best > tol:
+                keep.add(bk)
+                rec(i, bk)
+                rec(bk, j)
+
+        rec(0, n - 1)
+        return sorted(keep)
+
+    def test_mask_matches_scalar_reference(self):
+        from geodistpy_ray.kernels.simplify import simplify_mask
+
+        rng = np.random.default_rng(53)
+        lat = np.cumsum(rng.uniform(-0.5, 0.5, 60)) + 40.0
+        lon = np.cumsum(rng.uniform(-0.5, 0.5, 60)) + 10.0
+        for tol in (1_000.0, 10_000.0, 60_000.0):
+            got = np.flatnonzero(simplify_mask(lat, lon, tol)).tolist()
+            assert got == self._ref_keep(lat, lon, tol), tol
+
+    def test_deviation_bound_and_idempotence(self):
+        from geodistpy_ray.kernels.simplify import (
+            cross_track_distance,
+            simplify_mask,
+        )
+
+        rng = np.random.default_rng(59)
+        lat = np.cumsum(rng.uniform(-0.3, 0.3, 120)) - 20.0
+        lon = np.cumsum(rng.uniform(-0.3, 0.3, 120)) + 100.0
+        tol = 20_000.0
+        keep = simplify_mask(lat, lon, tol)
+        kept = np.flatnonzero(keep)
+        assert kept[0] == 0 and kept[-1] == lat.size - 1
+        # every dropped point deviates <= tol from its simplified segment
+        for a, b in zip(kept[:-1], kept[1:]):
+            if b - a > 1:
+                sl = slice(a + 1, b)
+                dev = cross_track_distance(
+                    lat[sl], lon[sl], lat[a], lon[a], lat[b], lon[b]
+                )
+                assert float(dev.max()) <= tol
+        # idempotence: simplifying the kept subset keeps everything
+        keep2 = simplify_mask(lat[kept], lon[kept], tol)
+        assert keep2.all()
+        # degenerate sizes
+        assert simplify_mask(np.array([1.0]), np.array([2.0]), tol).tolist() == [True]
+        assert simplify_mask(np.array([]), np.array([]), tol).size == 0
+
+    def test_distributed_stage_matches_kernel(self, ray_session):
+        import pandas as pd
+        import ray.data as rd
+
+        from geodistpy_ray.kernels.simplify import simplify_mask
+        from geodistpy_ray.stages.windows import simplify_tracks
+
+        rng = np.random.default_rng(61)
+        n = 300
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 5, n),
+                "t": np.arange(n, dtype=np.int64),
+                "lat": np.cumsum(rng.uniform(-0.4, 0.4, n)),
+                "lon": np.cumsum(rng.uniform(-0.4, 0.4, n)) + 30.0,
+            }
+        )
+        tol = 15_000.0
+        got = (
+            simplify_tracks(rd.from_pandas(df).repartition(4), "k", "t", tol)
+            .to_pandas()
+            .sort_values(["k", "t"], ignore_index=True)
+        )
+        s = df.sort_values(["k", "t"], ignore_index=True)
+        want = []
+        for key, g in s.groupby("k"):
+            m = simplify_mask(g["lat"].to_numpy(), g["lon"].to_numpy(), tol)
+            want.append(g.loc[m])
+        want = pd.concat(want, ignore_index=True)
+        assert got["t"].tolist() == want["t"].tolist()
