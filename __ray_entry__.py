@@ -1183,6 +1183,19 @@ def q_contaminated(sf_dir):
     return contamination_hits(corpus, bench, shingle=3)
 
 
+def q_jaccard_pairs(sf_dir):
+    """Exact n-gram JACCARD similarity join: pairs with
+    |A∩B|/|A∪B| >= 0.2 over distinct 4-gram windows — the threshold form
+    of the overlap join (the quantity MinHash approximates, computed
+    exactly and SQL-verified; the division is exact integer→float64, so
+    no rounding convention is needed)."""
+
+    from geodistpy_ray.stages.dedup import jaccard_pair_join
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return jaccard_pair_join(docs, shingle=4, threshold=0.2)
+
+
 def q_shingle_pairs(sf_dir):
     """Exact n-gram-overlap dedup join: doc pairs sharing >= 2 distinct
     full 4-gram token windows, with the exact shared-window count. Two
@@ -2578,6 +2591,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_polygons": q_cell_polygons,
         "event_ranks": q_event_ranks,
         "zonal_stats": q_zonal_stats,
+        "jaccard_pairs": q_jaccard_pairs,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2978,6 +2992,32 @@ def oracle_sql() -> dict[str, str]:
             "hits AS (SELECT DISTINCT d.doc_id, d.s FROM sh d JOIN bench b ON d.s = b.s "
             "WHERE d.doc_id % 101 <> 7) "
             "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY doc_id"
+        ),
+        "jaccard_pairs": (
+            # threshold form of shingle_pairs: same 4-gram distinct-window
+            # relation, Jaccard = n_common / (n_a + n_b − n_common) as
+            # EXACT integer→double arithmetic (sums < 2^53) — no rounding
+            "WITH arrs AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS a "
+            "FROM documents), "
+            "raw AS (SELECT doc_id, unnest(a) AS tok, unnest(range(1, len(a)+1)) AS pos "
+            "FROM arrs), "
+            "toks AS (SELECT doc_id, tok, pos FROM raw WHERE tok <> ''), "
+            "sh AS (SELECT doc_id, tok || ' ' || LEAD(tok, 1) OVER w || ' ' || "
+            "LEAD(tok, 2) OVER w || ' ' || LEAD(tok, 3) OVER w AS s FROM toks "
+            "WINDOW w AS (PARTITION BY doc_id ORDER BY pos) "
+            "QUALIFY LEAD(tok, 3) OVER w IS NOT NULL), "
+            "d AS (SELECT DISTINCT doc_id, s FROM sh), "
+            "cnt AS (SELECT doc_id, COUNT(*) AS nw FROM d GROUP BY doc_id), "
+            "p AS (SELECT a.doc_id AS ida, b.doc_id AS idb, "
+            "CAST(COUNT(*) AS BIGINT) AS n_common FROM d a "
+            "JOIN d b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT p.ida AS id_a, p.idb AS id_b, p.n_common, "
+            "CAST(p.n_common AS DOUBLE) / "
+            "CAST(ca.nw + cb.nw - p.n_common AS DOUBLE) AS jaccard "
+            "FROM p JOIN cnt ca ON ca.doc_id = p.ida "
+            "JOIN cnt cb ON cb.doc_id = p.idb "
+            "WHERE CAST(p.n_common AS DOUBLE) / "
+            "CAST(ca.nw + cb.nw - p.n_common AS DOUBLE) >= 0.2"
         ),
         "shingle_pairs": (
             # exact INTEGER shared-window counts — same fingerprint⇔string

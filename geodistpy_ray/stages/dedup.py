@@ -769,6 +769,98 @@ def shingle_overlap_pairs(
     return partitioned_map_groups(partials, ["id_a", "id_b"], sum_part, n_parts=n_parts)
 
 
+def distinct_window_counts(ds, id_col: str = "doc_id", text_col: str = "text", shingle: int = 4):
+    """Per-doc DISTINCT full-window count → Dataset (id, n_windows) — the
+    Jaccard denominator legs for :func:`shingle_overlap_pairs`. Batch-local
+    (each doc lives in one row of one batch, so batch dedup is global
+    dedup), same tokenize front-end and 61-bit fingerprints as the pair
+    join. Docs with no full window emit no row (they join no pair)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {id_col: pa.array([], pa.int64()), "n_windows": pa.array([], pa.int64())}
+        )
+        if batch.num_rows == 0:
+            return empty
+        doc_idx, hashes = _full_window_hashes(batch.column(text_col), shingle)
+        if hashes.size == 0:
+            return empty
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)[doc_idx]
+        h = hashes.astype(np.int64)
+        order = np.lexsort((h, ids))
+        ids, h = ids[order], h[order]
+        first = np.ones(ids.size, dtype=bool)
+        first[1:] = (ids[1:] != ids[:-1]) | (h[1:] != h[:-1])
+        ids = ids[first]
+        starts, ends = key_spans(ids)
+        return pa.table(
+            {
+                id_col: pa.array(ids[starts]),
+                "n_windows": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def jaccard_pair_join(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle: int = 4,
+    threshold: float = 0.2,
+    n_parts: int = 64,
+    max_df: int | None = None,
+):
+    """Exact n-gram JACCARD similarity join → Dataset (id_a, id_b,
+    n_common, jaccard) for unordered doc pairs with
+    ``|A∩B| / |A∪B| >= threshold`` over distinct ``shingle``-gram windows.
+
+    The threshold twin of :func:`shingle_overlap_pairs` (which gates on the
+    raw intersection count): the overlap pairs supply the numerator, two
+    bucketed joins attach each side's distinct-window count, and the
+    division is exact integer→float64 arithmetic (bit-identical in SQL, no
+    rounding convention needed). All exchanges hash-partitioned; the pair
+    side is O(overlapping pairs), not O(corpus)."""
+    from .joins import shuffle_equi_join
+
+    pairs = shingle_overlap_pairs(
+        ds, id_col=id_col, text_col=text_col, shingle=shingle,
+        min_common=1, n_parts=n_parts, max_df=max_df,
+    )
+    counts = distinct_window_counts(ds, id_col=id_col, text_col=text_col, shingle=shingle)
+
+    def rn(new_id, new_n):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns([new_id, new_n])
+
+        return fn
+
+    ca = counts.map_batches(rn("id_a", "n_a"), batch_format="pyarrow", zero_copy_batch=True)
+    cb = counts.map_batches(rn("id_b", "n_b"), batch_format="pyarrow", zero_copy_batch=True)
+    j = shuffle_equi_join(pairs, ca, "id_a", n_buckets=min(n_parts, 64))
+    j = shuffle_equi_join(j, cb, "id_b", n_buckets=min(n_parts, 64))
+
+    def score(batch: pa.Table) -> pa.Table:
+        nc = batch.column("n_common").to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch.column("n_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch.column("n_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        jac = nc / (na + nb - nc)
+        out = pa.table(
+            {
+                "id_a": batch.column("id_a"),
+                "id_b": batch.column("id_b"),
+                "n_common": batch.column("n_common"),
+                "jaccard": pa.array(jac, pa.float64()),
+            }
+        )
+        return out.filter(pa.array(jac >= threshold))
+
+    return j.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ngram_jaccard(text_a: str, text_b: str, shingle: int = 3) -> float:
     """Exact n-gram Jaccard similarity between two texts."""
     sa = set(_shingle_hashes(text_a, shingle).tolist())

@@ -996,3 +996,34 @@ class TestSampleExactK:
         # uniformity smoke: the sample's mean id sits near the population mean
         mean = np.mean(picks[0])
         assert abs(mean - df["doc_id"].mean()) < df["doc_id"].mean() * 0.2
+
+
+def test_jaccard_pair_join_matches_scalar(ray_session):
+    import itertools
+
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import jaccard_pair_join, ngram_jaccard
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog today",
+        "the quick brown fox jumps over the lazy cat today",
+        "a completely different sentence with no shared windows at all",
+        "the quick brown fox jumps over the lazy dog today",  # exact dup of 0
+    ]
+    tbl = pa.table({"doc_id": pa.array(range(4), pa.int64()), "text": texts})
+    got = (
+        jaccard_pair_join(rd.from_arrow(tbl).repartition(2), shingle=3, threshold=0.05)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"], ignore_index=True)
+    )
+    want = {}
+    for a, b in itertools.combinations(range(4), 2):
+        j = ngram_jaccard(texts[a], texts[b], shingle=3)
+        if j >= 0.05:
+            want[(a, b)] = j
+    assert set(zip(got["id_a"], got["id_b"])) == set(want)
+    for _, r in got.iterrows():
+        assert r["jaccard"] == pytest.approx(want[(r["id_a"], r["id_b"])], abs=1e-12)
+    exact = got[(got["id_a"] == 0) & (got["id_b"] == 3)]
+    assert exact["jaccard"].iloc[0] == 1.0
