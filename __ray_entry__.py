@@ -1397,6 +1397,31 @@ def q_track_length(sf_dir):
     )
 
 
+def q_cohort_retention(sf_dir):
+    """Cohort retention matrix: users grouped by FIRST-event day, distinct
+    active users per (cohort_day, activity_day). One distributed
+    distinct on (user, day), then cohort assignment and the pair emit
+    happen inside ONE user-co-located partition (min + transform — no
+    second shuffle), finished by a bounded-domain day rollup."""
+    import pandas as pd
+
+    from geodistpy_ray.stages.grouping import partitioned_map_groups
+    from geodistpy_ray.stages.relational import add_day_key, distinct, grouped_sum
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+    ds = add_day_key(ev, "ts", "ymd").select_columns(["user_id", "ymd"])
+    d = distinct(ds, ["user_id", "ymd"])
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        cm = g.groupby("user_id")["ymd"].transform("min")
+        return pd.DataFrame(
+            {"cohort_day": cm.to_numpy(), "activity_day": g["ymd"].to_numpy()}
+        )
+
+    pairs = partitioned_map_groups(d, "user_id", part_fn)
+    return grouped_sum(pairs, ["cohort_day", "activity_day"], count_col="n_users")
+
+
 def q_event_ranks(sf_dir):
     """Per-user ROW_NUMBER over the event log (ts, event_id ordering) —
     the rank-column window op behind "nth event per user" features."""
@@ -2592,6 +2617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_ranks": q_event_ranks,
         "zonal_stats": q_zonal_stats,
         "jaccard_pairs": q_jaccard_pairs,
+        "cohort_retention": q_cohort_retention,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2759,6 +2785,15 @@ def oracle_sql() -> dict[str, str]:
             f"PARTITION BY q.query_id "
             f"ORDER BY ROUND({hav_q.replace('doc_id', 'd.doc_id')}, 6), d.doc_id) AS rank "
             f"FROM documents d, {qpts20} q) WHERE rank <= {KNN_K}"
+        ),
+        "cohort_retention": (
+            "WITH m AS (SELECT DISTINCT user_id, "
+            "CAST(YEAR(ts) * 10000 + MONTH(ts) * 100 + DAY(ts) AS BIGINT) "
+            "AS ymd FROM events), "
+            "c AS (SELECT user_id, MIN(ymd) AS cohort_day FROM m GROUP BY user_id) "
+            "SELECT c.cohort_day, m.ymd AS activity_day, "
+            "CAST(COUNT(*) AS BIGINT) AS n_users "
+            "FROM m JOIN c USING (user_id) GROUP BY 1, 2"
         ),
         "event_ranks": (
             "SELECT user_id, event_id, "

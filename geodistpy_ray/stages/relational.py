@@ -232,6 +232,23 @@ def add_month_key(ds, ts_col: str, out_col: str = "ym"):
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def add_day_key(ds, ts_col: str, out_col: str = "ymd"):
+    """timestamp column → integer year*10000+month*100+day key
+    (SQL-mirrorable: ``YEAR(ts)*10000 + MONTH(ts)*100 + DAY(ts)``)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ts = batch.column(ts_col).combine_chunks().to_numpy(zero_copy_only=False)
+        idx = pd.DatetimeIndex(ts)
+        ymd = (
+            idx.year.to_numpy() * 10000
+            + idx.month.to_numpy() * 100
+            + idx.day.to_numpy()
+        ).astype(np.int64)
+        return batch.append_column(out_col, pa.array(ymd, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def ntile_buckets(rn: np.ndarray, cnt: np.ndarray, n: int) -> np.ndarray:
     """SQL NTILE bucket for 1-based rank ``rn`` in a key of ``cnt`` rows:
     the first ``cnt % n`` buckets take ``cnt // n + 1`` rows, the rest
