@@ -1467,6 +1467,22 @@ def q_simplified_tracks(sf_dir):
     return out.select_columns(["user_id", "event_id"])
 
 
+def q_densified_tracks(sf_dir):
+    """Geodesic track densification (the distributed interpolate): legs
+    over 5000 km gain slerp waypoints every ≤5000 km. The oracle rebuilds
+    the ordered legs with ROW_NUMBER/LEAD and folds the SAME slerp trig
+    term-for-term — the great-circle interpolation formula itself is
+    value-hash-checked, not just row counts."""
+    from geodistpy_ray.stages import add_geocode
+    from geodistpy_ray.stages.windows import densify_tracks
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    pts = add_geocode(ev, id_col="event_id")
+    return densify_tracks(
+        pts, "user_id", "ts", max_leg_m=5_000_000.0, tiebreak_col="event_id"
+    )
+
+
 def q_qty_price_fit(sf_dir):
     """Per-returnflag least-squares line price = slope·qty + intercept
     (REGR_SLOPE / REGR_INTERCEPT parity) from the same Chan-merged moments
@@ -2618,6 +2634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": q_zonal_stats,
         "jaccard_pairs": q_jaccard_pairs,
         "cohort_retention": q_cohort_retention,
+        "densified_tracks": q_densified_tracks,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2785,6 +2802,37 @@ def oracle_sql() -> dict[str, str]:
             f"PARTITION BY q.query_id "
             f"ORDER BY ROUND({hav_q.replace('doc_id', 'd.doc_id')}, 6), d.doc_id) AS rank "
             f"FROM documents d, {qpts20} q) WHERE rank <= {KNN_K}"
+        ),
+        "densified_tracks": (
+            # slerp fp ordering mirrors windows.densify_tracks term-for-term
+            f"WITH pts AS (SELECT user_id, event_id, ts, {elat} AS lat, "
+            f"{elon} AS lon FROM events), "
+            "seq AS (SELECT user_id, lat, lon, ROW_NUMBER() OVER w AS rn, "
+            "LEAD(lat) OVER w AS lat2, LEAD(lon) OVER w AS lon2 FROM pts "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)), "
+            "legs AS (SELECT user_id, rn AS leg_idx, lat, lon, lat2, lon2, "
+            f"{haversine_sql('lat', 'lon', 'lat2', 'lon2')} AS d "
+            "FROM seq WHERE lat2 IS NOT NULL), "
+            "big AS (SELECT *, CAST(CEIL(d / 5000000.0) AS BIGINT) AS n "
+            "FROM legs WHERE d > 5000000.0), "
+            "kk AS (SELECT user_id, leg_idx, lat, lon, lat2, lon2, d, n, "
+            "UNNEST(RANGE(1, n)) AS k FROM big), "
+            "s AS (SELECT user_id, leg_idx, k, "
+            "CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS f, d / 6371009.0 AS delta, "
+            "lat, lon, lat2, lon2 FROM kk), "
+            "c AS (SELECT user_id, leg_idx, k, "
+            "SIN((1.0 - f) * delta) / SIN(delta) AS A, "
+            "SIN(f * delta) / SIN(delta) AS B, "
+            "RADIANS(lat) AS rlat1, RADIANS(lon) AS rlon1, "
+            "RADIANS(lat2) AS rlat2, RADIANS(lon2) AS rlon2 FROM s), "
+            "xyz AS (SELECT user_id, leg_idx, k, "
+            "A * COS(rlat1) * COS(rlon1) + B * COS(rlat2) * COS(rlon2) AS x, "
+            "A * COS(rlat1) * SIN(rlon1) + B * COS(rlat2) * SIN(rlon2) AS y, "
+            "A * SIN(rlat1) + B * SIN(rlat2) AS z FROM c) "
+            "SELECT user_id, CAST(leg_idx AS BIGINT) AS leg_idx, "
+            "CAST(k AS BIGINT) AS k, "
+            "ROUND(DEGREES(ATAN2(z, SQRT(x * x + y * y))), 6) AS lat, "
+            "ROUND(DEGREES(ATAN2(y, x)), 6) AS lon FROM xyz"
         ),
         "cohort_retention": (
             "WITH m AS (SELECT DISTINCT user_id, "

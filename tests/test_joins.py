@@ -852,3 +852,43 @@ def test_add_rank_vs_pandas(ray_session):
     s = df.sort_values(["k", "t", "id"], ignore_index=True)
     exp = s.groupby("k").cumcount().to_numpy() + 1
     assert got["rnk"].tolist() == exp.tolist()
+
+
+def test_densify_tracks_properties(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.kernels import haversine
+    from geodistpy_ray.kernels.simplify import cross_track_distance
+    from geodistpy_ray.stages.windows import densify_tracks
+
+    # one user, three points: a 12000 km leg, a short leg (no inserts)
+    df = pd.DataFrame(
+        {
+            "k": [1, 1, 1],
+            "t": [0, 1, 2],
+            "lat": [10.0, 20.0, 20.1],
+            "lon": [-60.0, 70.0, 70.1],
+        }
+    )
+    out = (
+        densify_tracks(
+            rd.from_pandas(df), "k", "t", max_leg_m=5_000_000.0, round_to=None
+        )
+        .to_pandas()
+        .sort_values(["leg_idx", "k"], ignore_index=True)
+    )
+    d = float(haversine(10.0, -60.0, 20.0, 70.0))
+    n = int(np.ceil(d / 5_000_000.0))
+    assert (out["leg_idx"] == 1).all()  # only the long leg densifies
+    assert out["k"].tolist() == list(range(1, n))
+    # inserted points sit ON the great circle of the leg...
+    dev = cross_track_distance(
+        out["lat"].to_numpy(), out["lon"].to_numpy(), 10.0, -60.0, 20.0, 70.0
+    )
+    assert float(np.abs(dev).max()) < 1.0  # meters
+    # ...and split it into n sub-legs each <= max_leg (plus fp headroom)
+    path_lat = np.concatenate([[10.0], out["lat"].to_numpy(), [20.0]])
+    path_lon = np.concatenate([[-60.0], out["lon"].to_numpy(), [70.0]])
+    sub = haversine(path_lat[:-1], path_lon[:-1], path_lat[1:], path_lon[1:])
+    assert float(sub.max()) <= 5_000_000.0 * 1.001
+    assert abs(float(sub.sum()) - d) < 1.0
