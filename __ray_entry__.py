@@ -1397,6 +1397,50 @@ def q_track_length(sf_dir):
     )
 
 
+def q_top_return_customers(sf_dir):
+    """TPC-H Q10 shape: revenue of RETURNED line items per customer, top 20
+    by revenue — returned lines reduce to (key, cents) at the read, ONE
+    bucketed shuffle to orders, a PARTITIONED per-customer final (unbounded
+    key domain), then the top-k combiner (never a global sort); names
+    attach to the 20 survivors via a driver-bounded dimension lookup."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+    from geodistpy_ray.stages.relational import global_topk, grouped_sum
+
+    li = _read(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    )
+
+    def gate(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.equal(batch.column("l_returnflag"), "R"))
+        ep = t.column("l_extendedprice").to_numpy(zero_copy_only=False)
+        disc = t.column("l_discount").to_numpy(zero_copy_only=False)
+        cents = np.floor(ep * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_cents": pa.array(cents, pa.int64())}
+        )
+
+    li = li.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    j = shuffle_equi_join(li, orders, "l_orderkey", "o_orderkey")
+    per_cust = grouped_sum(
+        j,
+        ["o_custkey"],
+        int_sum_cols={"rev_cents": "revenue_cents"},
+        count_col="n_lines",
+        final="partitioned",
+    )
+    top = global_topk(
+        per_cust, ["revenue_cents", "o_custkey"], 20, descending=[True, False]
+    )
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    out = top.merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
+    return out[["o_custkey", "c_name", "revenue_cents", "n_lines"]]
+
+
 def q_cohort_retention(sf_dir):
     """Cohort retention matrix: users grouped by FIRST-event day, distinct
     active users per (cohort_day, activity_day). One distributed
@@ -2635,6 +2679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "cohort_retention": q_cohort_retention,
         "densified_tracks": q_densified_tracks,
+        "top_return_customers": q_top_return_customers,
         "above_median_docs": q_above_median_docs,
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
@@ -2802,6 +2847,17 @@ def oracle_sql() -> dict[str, str]:
             f"PARTITION BY q.query_id "
             f"ORDER BY ROUND({hav_q.replace('doc_id', 'd.doc_id')}, 6), d.doc_id) AS rank "
             f"FROM documents d, {qpts20} q) WHERE rank <= {KNN_K}"
+        ),
+        "top_return_customers": (
+            "WITH r AS (SELECT l_orderkey, "
+            "CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) "
+            "AS BIGINT) AS cents FROM lineitem WHERE l_returnflag = 'R'), "
+            "pc AS (SELECT o_custkey, CAST(SUM(cents) AS BIGINT) AS revenue_cents, "
+            "CAST(COUNT(*) AS BIGINT) AS n_lines "
+            "FROM r JOIN orders ON l_orderkey = o_orderkey GROUP BY o_custkey) "
+            "SELECT pc.o_custkey, c.c_name, pc.revenue_cents, pc.n_lines "
+            "FROM pc JOIN customer c ON c.c_custkey = pc.o_custkey "
+            "ORDER BY pc.revenue_cents DESC, pc.o_custkey LIMIT 20"
         ),
         "densified_tracks": (
             # slerp fp ordering mirrors windows.densify_tracks term-for-term
