@@ -895,6 +895,19 @@ _DOMAIN_URL_BUILD_SQL = (
 )
 
 
+def q_embed_pca(sf_dir):
+    """Distributed 2-component PCA projection of the embeddings corpus —
+    one moment-partial pass (d×d Gram per batch), O(d²) driver fold,
+    broadcast projection. Rows-only: eigendecomposition isn't
+    SQL-expressible; numpy full-matrix parity is pinned in
+    tests/test_ann.py."""
+    from geodistpy_ray.stages.ann import embedding_pca
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    proj, _ = embedding_pca(emb, n_components=2)
+    return proj
+
+
 def q_pagerank_links(sf_dir):
     """Distributed PageRank over the deterministic doc link graph (same
     modular-arithmetic edges as link_degrees, int node ids). Rows-only:
@@ -2709,6 +2722,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_links": q_pagerank_links,
         "hits_links": q_hits_links,
         "simplified_tracks": q_simplified_tracks,
+        "embed_pca": q_embed_pca,
         "canonical_urls": q_canonical_urls,
     }
 

@@ -690,3 +690,86 @@ def ivf_ann_topk(
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     return _merge_topk_by_sim(partials, id_col, k, tie_round)
+
+
+def embedding_pca(
+    ds,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_components: int = 2,
+    round_to: int | None = 6,
+):
+    """Distributed PCA over an embedding column → (projected Dataset
+    (id, pc1..pcK), explained-variance-ratio ndarray).
+
+    Scale shape: ONE streaming pass emits per-batch moment partials — the
+    count, the coordinate sum vector, and the d×d Gram matrix X'X (d = the
+    embedding dim, tiny next to the corpus) — the driver folds those
+    partials in O(d²) memory independent of row count, eigendecomposes the
+    covariance, and the top-K component matrix broadcasts back into a
+    second map that projects every vector. No row ever leaves its batch;
+    the exchanges carry only d²-sized partials. Component signs are fixed
+    deterministically (largest-|coordinate| entry made positive) so output
+    is partition-independent and reproducible.
+    """
+    import ray
+
+    from .broadcast import get_broadcast
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "n": pa.array([], pa.int64()),
+                    "s": pa.array([], pa.list_(pa.float64())),
+                    "g": pa.array([], pa.list_(pa.float64())),
+                }
+            )
+        x = _emb_matrix(batch, emb_col)
+        return pa.table(
+            {
+                "n": pa.array([x.shape[0]], pa.int64()),
+                "s": pa.array([x.sum(axis=0)], pa.list_(pa.float64())),
+                "g": pa.array([(x.T @ x).ravel()], pa.list_(pa.float64())),
+            }
+        )
+
+    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    n = sum(r["n"] for r in rows)
+    if n < 2:
+        raise ValueError(f"embedding_pca needs >= 2 vectors, got {n}")
+    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
+    d = s.size
+    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in rows], axis=0)
+    mu = s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:n_components]
+    comps = evecs[:, order]  # d × K
+    # deterministic sign: the largest-|coordinate| entry of each component
+    # is positive (eigh's sign is arbitrary and platform-dependent)
+    for j in range(comps.shape[1]):
+        i = int(np.argmax(np.abs(comps[:, j])))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    total_var = float(np.trace(cov))
+    evr = np.maximum(evals[order], 0.0) / total_var if total_var > 0 else evals[order] * 0.0
+    state_ref = ray.put((mu, comps))
+
+    def project(batch: pa.Table) -> pa.Table:
+        names = [f"pc{j + 1}" for j in range(n_components)]
+        if batch.num_rows == 0:
+            cols = {id_col: pa.array([], pa.int64())}
+            cols.update({nm: pa.array([], pa.float64()) for nm in names})
+            return pa.table(cols)
+        mu_, w = get_broadcast(state_ref)
+        x = _emb_matrix(batch, emb_col)
+        p = (x - mu_) @ w
+        if round_to is not None:
+            p = np.round(p, round_to)
+        cols = {id_col: batch.column(id_col)}
+        cols.update({nm: pa.array(p[:, j], pa.float64()) for j, nm in enumerate(names)})
+        return pa.table(cols)
+
+    proj = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
+    return proj, evr

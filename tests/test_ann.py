@@ -308,3 +308,65 @@ class TestQuantizedAnn:
         assert got1 == got7  # partitioning cannot change the result set
         recall = float(np.mean([len(exact[i] & got1[i]) / 10 for i in exact]))
         assert recall >= 0.9, recall
+
+
+class TestEmbeddingPca:
+    def test_matches_full_numpy_pca(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.ann import embedding_pca
+
+        rng = np.random.default_rng(67)
+        n, d = 400, 16
+        # anisotropic cloud: two dominant directions
+        base = rng.normal(size=(n, d)) @ np.diag(np.linspace(3.0, 0.1, d))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(list(base.astype(np.float32)), pa.list_(pa.float32())),
+            }
+        )
+        proj, evr = embedding_pca(
+            rd.from_arrow(tbl).repartition(5), n_components=3, round_to=None
+        )
+        got = proj.to_pandas().sort_values("vec_id", ignore_index=True)
+        x = base.astype(np.float32).astype(np.float64)
+        xc = x - x.mean(axis=0)
+        cov = xc.T @ xc / (n - 1)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:3]
+        w = evecs[:, order]
+        for j in range(3):
+            i = int(np.argmax(np.abs(w[:, j])))
+            if w[i, j] < 0:
+                w[:, j] = -w[:, j]
+        want = xc @ w
+        for j, nm in enumerate(["pc1", "pc2", "pc3"]):
+            np.testing.assert_allclose(got[nm].to_numpy(), want[:, j], atol=1e-8)
+        np.testing.assert_allclose(
+            evr, np.maximum(evals[order], 0) / np.trace(cov), atol=1e-12
+        )
+        assert evr[0] >= evr[1] >= evr[2] > 0
+
+    def test_partition_independence(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.ann import embedding_pca
+
+        rng = np.random.default_rng(71)
+        n, d = 200, 8
+        x = rng.normal(size=(n, d))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(n), pa.int64()),
+                "embedding": pa.array(list(x), pa.list_(pa.float64())),
+            }
+        )
+        a = embedding_pca(rd.from_arrow(tbl).repartition(2))[0].to_pandas()
+        b = embedding_pca(rd.from_arrow(tbl).repartition(9))[0].to_pandas()
+        a = a.sort_values("vec_id", ignore_index=True)
+        b = b.sort_values("vec_id", ignore_index=True)
+        np.testing.assert_allclose(a["pc1"], b["pc1"], atol=1e-9)
+        np.testing.assert_allclose(a["pc2"], b["pc2"], atol=1e-9)
+        with pytest.raises(ValueError, match=">= 2 vectors"):
+            embedding_pca(rd.from_arrow(tbl.slice(0, 1)))
