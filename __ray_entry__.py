@@ -1454,6 +1454,39 @@ def q_top_return_customers(sf_dir):
     return out[["o_custkey", "c_name", "revenue_cents", "n_lines"]]
 
 
+def q_geo_curated(sf_dir):
+    """Geo×text curation capstone: geocode → polygon containment gate
+    (PIP pairs → distinct ids → bucketed SEMI join carries the text
+    payload only for survivors) → lang gate → exact dedup (keep-min-id
+    per text) → per-cell counts of the kept docs. Every stage is
+    SQL-mirrored, so the WHOLE composition is one value-hash check."""
+    import pyarrow.compute as pc
+
+    from geodistpy_ray.sources.polygons import diamond_polygons
+    from geodistpy_ray.stages import add_cell, add_geocode, point_in_polygon_join
+    from geodistpy_ray.stages.dedup import exact_dedup
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+    from geodistpy_ray.stages.relational import distinct, grouped_sum
+
+    pairs = point_in_polygon_join(
+        _docs_geo(sf_dir), diamond_polygons(), id_col="doc_id", cell_deg=CELL_DEG
+    )
+    ids = distinct(pairs.select_columns(["doc_id"]), ["doc_id"])
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    filtered = shuffle_equi_join(docs, ids, "doc_id", join_type="left semi")
+
+    def lang_gate(batch: pa.Table) -> pa.Table:
+        keep = pc.is_in(batch.column("lang"), value_set=pa.array(["en", "de"]))
+        return batch.filter(keep).drop_columns(["lang"])
+
+    gated = filtered.map_batches(lang_gate, batch_format="pyarrow", zero_copy_batch=True)
+    kept = exact_dedup(gated)  # (text_hash, keep_id, n_dups)
+    cells = add_cell(
+        add_geocode(kept.select_columns(["keep_id"]), id_col="keep_id"), CELL_DEG
+    )
+    return grouped_sum(cells, ["cell"], count_col="n_docs")
+
+
 def q_cohort_retention(sf_dir):
     """Cohort retention matrix: users grouped by FIRST-event day, distinct
     active users per (cohort_day, activity_day). One distributed
@@ -2691,6 +2724,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zonal_stats": q_zonal_stats,
         "jaccard_pairs": q_jaccard_pairs,
         "cohort_retention": q_cohort_retention,
+        "geo_curated": q_geo_curated,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
         "above_median_docs": q_above_median_docs,
@@ -2803,6 +2837,8 @@ def oracle_sql() -> dict[str, str]:
     hav_q = haversine_sql(lat, lon, "q.qlat", "q.qlon")
 
     elat, elon = geocode_sql("event_id")
+    klat, klon = geocode_sql("keep_id")
+    kcell = cell_sql(klat, klon, CELL_DEG)
     lat_a, lon_a = geocode_sql("a.doc_id")
     lat_b, lon_b = geocode_sql("b.doc_id")
     hav_ab = haversine_sql(lat_a, lon_a, lat_b, lon_b)
@@ -2903,6 +2939,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(k AS BIGINT) AS k, "
             "ROUND(DEGREES(ATAN2(z, SQRT(x * x + y * y))), 6) AS lat, "
             "ROUND(DEGREES(ATAN2(y, x)), 6) AS lon FROM xyz"
+        ),
+        "geo_curated": (
+            f"WITH geo AS (SELECT doc_id, text, lang, {lat} AS lat, {lon} AS lon "
+            "FROM documents), "
+            f"inpoly AS (SELECT DISTINCT g.doc_id, g.text, g.lang FROM geo g, "
+            f"{diamond_polygons_sql()} p "
+            "WHERE ABS(g.lat - p.clat) / p.half_lat + "
+            "ABS(g.lon - p.clon) / p.half_lon < 1.0), "
+            "gated AS (SELECT doc_id, text FROM inpoly WHERE lang IN ('en', 'de')), "
+            "kept AS (SELECT MIN(doc_id) AS keep_id FROM gated GROUP BY text) "
+            f"SELECT {kcell} AS cell, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs FROM kept GROUP BY 1"
         ),
         "cohort_retention": (
             "WITH m AS (SELECT DISTINCT user_id, "
