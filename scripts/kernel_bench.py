@@ -121,4 +121,30 @@ for _key, _fn in (
         samples.append(time.perf_counter() - t0)
     out[_key] = round(len(_ldocs) / sorted(samples)[1])
 
+# round-4 session-2 geo kernels: spherical ring area (Chamberlain–Duquette
+# over list offsets), great-circle cross-track deviation (the DP
+# simplification inner loop), and slerp interpolation (densify)
+from geodistpy_ray.kernels.simplify import cross_track_distance
+
+cross_track_distance(lat1[:8], lon1[:8], 0.0, 0.0, 10.0, 10.0)  # warm
+samples = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    cross_track_distance(lat1, lon1, 0.0, 0.0, 10.0, 10.0)
+    samples.append(time.perf_counter() - t0)
+out["cross_track_pairs_per_sec_core"] = round(N / sorted(samples)[1])
+
+import pyarrow as _pa
+
+from geodistpy_ray.cells import cell_area_km2
+
+_cells = (np.arange(N, dtype=np.int64) * 7919) % 16200
+cell_area_km2(_cells[:8], 2.0)  # warm
+samples = []
+for _ in range(3):
+    t0 = time.perf_counter()
+    cell_area_km2(_cells, 2.0)
+    samples.append(time.perf_counter() - t0)
+out["cell_area_cells_per_sec_core"] = round(N / sorted(samples)[1])
+
 print(json.dumps(out, indent=2))
