@@ -201,6 +201,53 @@ def q_polygon_areas(sf_dir):
     return out.select_columns(["poly_id", "area_km2"])
 
 
+def q_polygon_perimeters(sf_dir):
+    """Geodesic perimeter of every SQL-checked join polygon — haversine
+    per ring edge summed as integer millimeters (order-independent), the
+    perimeter twin of `polygon_areas`."""
+    import ray.data as rd
+
+    from geodistpy_ray.sources.polygons import diamond_polygons
+    from geodistpy_ray.stages.pip import add_ring_perimeter
+
+    polys = rd.from_arrow(diamond_polygons())
+    return add_ring_perimeter(polys).select_columns(["poly_id", "perimeter_mm"])
+
+
+def q_cell_centroids(sf_dir):
+    """Per-cell doc centroid: mean lat/lon of the docs in each occupied
+    cell, via INTEGER micro-degree sums (floor(deg·1e6 + 0.5)) so the
+    per-cell SUM is order-independent and the mean divides exactly the
+    same integers on both sides — the raster density-centroid op."""
+    from geodistpy_ray.stages import add_cell
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    ds = add_cell(_docs_geo(sf_dir), CELL_DEG)
+
+    def to_micro(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "cell": batch.column("cell"),
+                "ulat": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64), pa.int64()),
+                "ulon": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = ds.map_batches(to_micro, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sum(
+        ds, ["cell"], int_sum_cols={"ulat": "sum_ulat", "ulon": "sum_ulon"}, count_col="n_docs"
+    )
+    # FLOOR(x + 0.5), not ROUND: integer-ratio means land EXACTLY on the
+    # half-µdeg boundary whenever sum % n == n/2, where np.round
+    # (half-even) and SQL ROUND (half-away) disagree — floor+0.5 is the
+    # same fp op on both sides
+    out["clat"] = np.floor(out["sum_ulat"] / out["n_docs"] + 0.5) / 1e6
+    out["clon"] = np.floor(out["sum_ulon"] / out["n_docs"] + 0.5) / 1e6
+    return out[["cell", "n_docs", "clat", "clon"]]
+
+
 def q_dist_to_origin(sf_dir):
     from geodistpy_ray.stages import add_distance_to_point
 
@@ -2725,6 +2772,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_pairs": q_jaccard_pairs,
         "cohort_retention": q_cohort_retention,
         "geo_curated": q_geo_curated,
+        "polygon_perimeters": q_polygon_perimeters,
+        "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
         "above_median_docs": q_above_median_docs,
@@ -2986,6 +3035,40 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN j IN (2, 3) THEN lo_lat + 2.0 ELSE lo_lat END AS vlat, "
             "CASE WHEN j IN (1, 2) THEN lo_lon + 2.0 ELSE lo_lon END AS vlon "
             "FROM b, (SELECT CAST(UNNEST(RANGE(5)) AS BIGINT) AS j)"
+        ),
+        "polygon_perimeters": (
+            # same closed-ring vertex relation as polygon_areas, haversine
+            # per edge (prev→next fp order matches the kernel call), legs
+            # as integer mm so the SUM is order-independent
+            f"WITH p AS (SELECT * FROM {diamond_polygons_sql()}), "
+            "v AS (SELECT poly_id, j, "
+            "CASE j WHEN 0 THEN clat + half_lat WHEN 1 THEN clat "
+            "WHEN 2 THEN clat - half_lat WHEN 3 THEN clat "
+            "ELSE clat + half_lat END AS vlat, "
+            "CASE j WHEN 0 THEN clon WHEN 1 THEN clon + half_lon "
+            "WHEN 2 THEN clon WHEN 3 THEN clon - half_lon "
+            "ELSE clon END AS vlon "
+            "FROM p, (SELECT CAST(UNNEST(RANGE(5)) AS BIGINT) AS j)), "
+            "t AS (SELECT poly_id, CAST(FLOOR("
+            f"{haversine_sql('vlat', 'vlon', 'LEAD(vlat) OVER w', 'LEAD(vlon) OVER w')}"
+            " * 1000.0 + 0.5) AS BIGINT) AS leg_mm "
+            "FROM v WINDOW w AS (PARTITION BY poly_id ORDER BY j) "
+            "QUALIFY LEAD(vlat) OVER w IS NOT NULL) "
+            "SELECT poly_id, CAST(SUM(leg_mm) AS BIGINT) AS perimeter_mm "
+            "FROM t GROUP BY poly_id"
+        ),
+        "cell_centroids": (
+            f"WITH g AS (SELECT {cell} AS cell, "
+            f"CAST(FLOOR({lat} * 1000000.0 + 0.5) AS BIGINT) AS ulat, "
+            f"CAST(FLOOR({lon} * 1000000.0 + 0.5) AS BIGINT) AS ulon "
+            "FROM documents), "
+            "a AS (SELECT cell, CAST(SUM(ulat) AS BIGINT) AS sum_ulat, "
+            "CAST(SUM(ulon) AS BIGINT) AS sum_ulon, "
+            "CAST(COUNT(*) AS BIGINT) AS n_docs FROM g GROUP BY cell) "
+            "SELECT cell, n_docs, "
+            "FLOOR(CAST(sum_ulat AS DOUBLE) / n_docs + 0.5) / 1000000.0 AS clat, "
+            "FLOOR(CAST(sum_ulon AS DOUBLE) / n_docs + 0.5) / 1000000.0 AS clon "
+            "FROM a"
         ),
         "polygon_areas": (
             # Chamberlain–Duquette terms over the closed diamond ring,

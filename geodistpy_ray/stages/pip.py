@@ -242,3 +242,38 @@ def add_ring_area(
         return batch.append_column(out_col, pa.array(area, pa.float64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def add_ring_perimeter(
+    ds,
+    lats_col: str = "ring_lats",
+    lons_col: str = "ring_lons",
+    out_col: str = "perimeter_mm",
+):
+    """Geodesic ring perimeter per polygon row, as INTEGER millimeters
+    (haversine per edge, ``floor(m·1000 + 0.5)`` — the same order-
+    independent integer-sum convention as ``geodesic_track_length``).
+    Vectorized over the Arrow list offsets like :func:`add_ring_area`."""
+    from ..kernels.sphere import haversine
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lats = batch.column(lats_col).combine_chunks()
+        lons = batch.column(lons_col).combine_chunks()
+        off = np.asarray(lats.offsets)
+        flat_lat = np.asarray(lats.values, dtype=np.float64)
+        flat_lon = np.asarray(lons.values, dtype=np.float64)
+        n = batch.num_rows
+        total = flat_lat.size
+        per = np.zeros(n, dtype=np.int64)
+        if total >= 2:
+            d = haversine(flat_lat[:-1], flat_lon[:-1], flat_lat[1:], flat_lon[1:])
+            t = np.zeros(total, dtype=np.int64)
+            t[:-1] = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+            t[np.clip(off[1:] - 1, 0, total - 1)] = 0  # cross-ring pairs
+            starts = off[:-1]
+            nonempty = off[1:] > starts
+            if nonempty.any():
+                per[nonempty] = np.add.reduceat(t, starts[nonempty])
+        return batch.append_column(out_col, pa.array(per, pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
