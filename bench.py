@@ -720,6 +720,44 @@ def run_scale8(sf_dir: str, num_cpus: int) -> dict:
             "queries_per_sec": round(nq / dt),
         }
 
+    # shuffle-join tier: replicate BOTH sides into 8 distinct key spaces so
+    # buckets see 8x genuine keys and the output grows 8x — the evidence
+    # that the one-exchange join's throughput holds as the same job grows
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+
+    def rep_keyed(table, key, cols, replicate, n_blocks):
+        src_ds = rd.read_parquet(f"{sf_dir}/{table}.parquet", columns=cols)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            k = batch.column(key).to_numpy()
+            outs = []
+            for r in range(replicate):
+                t = batch.set_column(
+                    batch.schema.get_field_index(key),
+                    key,
+                    pa.array(k + (r << 40), pa.int64()),
+                )
+                outs.append(t)
+            return pa.concat_tables(outs)
+
+        return src_ds.repartition(n_blocks).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    for name, replicate in [("equi_join_1x", 1), ("equi_join_8x", 8)]:
+        o = rep_keyed("orders", "o_orderkey", ["o_orderkey", "o_orderpriority"], replicate, 8 * replicate)
+        li8 = rep_keyed("lineitem", "l_orderkey", ["l_orderkey", "l_quantity"], replicate, 8 * replicate)
+        t0 = time.perf_counter()
+        n = shuffle_equi_join(o, li8, "o_orderkey", "l_orderkey", n_buckets=16 * replicate).count()
+        dt = time.perf_counter() - t0
+        out[name] = {
+            "sec": round(dt, 2),
+            "left_rows": table_rows(sf_dir, "orders") * replicate,
+            "right_rows": table_rows(sf_dir, "lineitem") * replicate,
+            "out_rows": n,
+            "rows_per_sec": round((table_rows(sf_dir, "lineitem") * replicate) / dt),
+        }
+
     # line-dedup tier: replicate documents with per-replica per-LINE salt
     # tokens so the duplicated-line FRACTION stays constant while volume
     # grows 8x (unsalted replication would make every line a duplicate and
