@@ -201,6 +201,31 @@ def q_polygon_areas(sf_dir):
     return out.select_columns(["poly_id", "area_km2"])
 
 
+def q_rhumb_to_origin(sf_dir):
+    """Rhumb-line (constant-bearing loxodrome) distance and course from
+    every doc to the origin — the navigation twin of `dist_to_origin` /
+    `bearing_origin`, mirrored term-for-term in SQL (Mercator-stretched
+    Δψ, E-W stretch q, atan2 course)."""
+    from geodistpy_ray.kernels.sphere import rhumb_inverse
+    from geodistpy_ray.stages.geo import col_np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        d, b = rhumb_inverse(
+            col_np(batch, "lat"), col_np(batch, "lon"), ORIGIN[0], ORIGIN[1]
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "rhumb_km": pa.array(np.round(d / 1000.0, 6), pa.float64()),
+                "course": pa.array(np.round(b, 6), pa.float64()),
+            }
+        )
+
+    return _docs_geo(sf_dir).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_polygon_perimeters(sf_dir):
     """Geodesic perimeter of every SQL-checked join polygon — haversine
     per ring edge summed as integer millimeters (order-independent), the
@@ -2773,6 +2798,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_retention": q_cohort_retention,
         "geo_curated": q_geo_curated,
         "polygon_perimeters": q_polygon_perimeters,
+        "rhumb_to_origin": q_rhumb_to_origin,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -2859,6 +2885,29 @@ def _domain_stats_sql() -> str:
         f"WITH u AS (SELECT {_DOMAIN_URL_BUILD_SQL} AS url FROM documents) "
         f"SELECT {registrable_domain_sql('url')} AS domain, "
         "CAST(COUNT(*) AS BIGINT) AS n_pages FROM u GROUP BY 1"
+    )
+
+
+def _rhumb_to_origin_sql(lat: str, lon: str) -> str:
+    """fp ordering mirrors kernels.sphere.rhumb_inverse term-for-term."""
+    olat, olon = ORIGIN
+    dlat = f"(RADIANS({olat}) - RADIANS({lat}))"
+    dpsi = (
+        f"LN(TAN(PI() / 4.0 + RADIANS({olat}) / 2.0) / "
+        f"TAN(PI() / 4.0 + RADIANS({lat}) / 2.0))"
+    )
+    dlon_raw = f"(RADIANS({olon}) - RADIANS({lon}))"
+    dlon = f"({dlon_raw} - FLOOR({dlon_raw} / (2.0 * PI()) + 0.5) * (2.0 * PI()))"
+    q = (
+        f"(CASE WHEN ABS({dpsi}) > 1e-12 THEN {dlat} / {dpsi} "
+        f"ELSE COS(RADIANS({lat})) END)"
+    )
+    dist = f"(6371009.0 * SQRT({dlat} * {dlat} + {q} * {q} * {dlon} * {dlon}))"
+    brg_raw = f"DEGREES(ATAN2({dlon}, {dpsi}))"
+    brg = f"({brg_raw} - FLOOR({brg_raw} / 360.0) * 360.0)"
+    return (
+        f"SELECT doc_id, ROUND({dist} / 1000.0, 6) AS rhumb_km, "
+        f"ROUND({brg}, 6) AS course FROM documents"
     )
 
 
@@ -3036,6 +3085,7 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN j IN (1, 2) THEN lo_lon + 2.0 ELSE lo_lon END AS vlon "
             "FROM b, (SELECT CAST(UNNEST(RANGE(5)) AS BIGINT) AS j)"
         ),
+        "rhumb_to_origin": _rhumb_to_origin_sql(lat, lon),
         "polygon_perimeters": (
             # same closed-ring vertex relation as polygon_areas, haversine
             # per edge (prev→next fp order matches the kernel call), legs

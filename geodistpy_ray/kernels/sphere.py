@@ -113,3 +113,31 @@ def haversine_dimwise_sq(lat1, lon1, lat2, lon2, radius: float = EARTH_RADIUS_M)
     ) * np.sin(dlng / 2.0) ** 2
     dlon_m_sq = (radius * 2.0 * np.arcsin(np.sqrt(np.clip(inner, 0.0, None)))) ** 2
     return dlat_m_sq, dlon_m_sq
+
+
+def rhumb_inverse(lat1, lon1, lat2, lon2, radius: float = EARTH_RADIUS_M):
+    """Rhumb-line (loxodrome, constant-bearing) distance and forward
+    bearing between points — the navigation twin of the great circle
+    (public formulas: Mercator-stretched latitude Δψ, E-W stretch factor
+    q = Δφ/Δψ, distance R·√(Δφ² + q²Δλ²), bearing atan2(Δλ, Δψ)).
+
+    Returns ``(dist_m, bearing_deg)`` with the bearing normalized to
+    [0, 360). The near-parallel branch (|Δψ| < 1e-12 → q = cos φ1) is an
+    exact conditional, mirrorable in SQL on bit-identical inputs.
+    """
+    lat1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    lon1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    lat2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    lon2 = np.radians(np.asarray(lon2, dtype=np.float64))
+    dlat = lat2 - lat1
+    dpsi = np.log(
+        np.tan(np.pi / 4.0 + lat2 / 2.0) / np.tan(np.pi / 4.0 + lat1 / 2.0)
+    )
+    # anti-meridian wrap: take the shorter E-W direction
+    dlon = lon2 - lon1
+    dlon = dlon - np.floor(dlon / (2.0 * np.pi) + 0.5) * (2.0 * np.pi)
+    q = np.where(np.abs(dpsi) > 1e-12, dlat / np.where(dpsi == 0.0, 1.0, dpsi), np.cos(lat1))
+    dist = radius * np.sqrt(dlat * dlat + q * q * dlon * dlon)
+    brg_raw = np.degrees(np.arctan2(dlon, dpsi))
+    brg = brg_raw - np.floor(brg_raw / 360.0) * 360.0
+    return dist, brg

@@ -281,3 +281,30 @@ class TestSimplify:
             want.append(g.loc[m])
         want = pd.concat(want, ignore_index=True)
         assert got["t"].tolist() == want["t"].tolist()
+
+
+def test_rhumb_inverse_properties():
+    from geodistpy_ray.kernels.sphere import haversine, rhumb_inverse
+
+    R = 6371009.0
+    # along a meridian the rhumb IS the great circle (course 0 or 180)
+    d, b = rhumb_inverse(10.0, 5.0, 50.0, 5.0)
+    assert float(d) == pytest.approx(float(haversine(10.0, 5.0, 50.0, 5.0)), rel=1e-12)
+    assert float(b) == 0.0
+    d, b = rhumb_inverse(50.0, 5.0, 10.0, 5.0)
+    assert float(b) == 180.0
+    # along a parallel the rhumb follows it: d = R·cosφ·Δλ, course 90/270
+    d, b = rhumb_inverse(45.0, 0.0, 45.0, 90.0)
+    assert float(d) == pytest.approx(R * np.cos(np.radians(45.0)) * np.pi / 2, rel=1e-12)
+    assert float(b) == 90.0
+    # antimeridian wrap takes the short way
+    d, b = rhumb_inverse(0.0, 179.0, 0.0, -179.0)
+    assert float(d) == pytest.approx(R * np.radians(2.0), rel=1e-9)
+    assert float(b) == 90.0
+    # rhumb is never shorter than the geodesic
+    rng = np.random.default_rng(73)
+    la1, lo1 = rng.uniform(-80, 80, 2000), rng.uniform(-180, 180, 2000)
+    la2, lo2 = rng.uniform(-80, 80, 2000), rng.uniform(-180, 180, 2000)
+    dr, _ = rhumb_inverse(la1, lo1, la2, lo2)
+    dg = haversine(la1, lo1, la2, lo2)
+    assert (dr >= dg - 1e-6).all()
