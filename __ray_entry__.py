@@ -137,6 +137,27 @@ def q_tile_coarse(sf_dir):
     return grouped_sum(ds, ["cell4"], count_col="n_docs")
 
 
+def q_zorder_keys(sf_dir):
+    """Z-order (Morton) spatial keys: the locality-preserving
+    linearization for range partitioning / file clustering — bit-for-bit
+    SQL-mirrored integer arithmetic (no bit operators needed)."""
+    from geodistpy_ray.cells import zorder_key
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "zkey": pa.array(zorder_key(lat, lon), pa.int64()),
+            }
+        )
+
+    return _docs_geo(sf_dir).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_cell_areas(sf_dir):
     """Occupied-cell raster with true spherical areas: geocode → cell →
     count per cell → exact spherical-rectangle area per cell (km², the
@@ -2799,6 +2820,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "geo_curated": q_geo_curated,
         "polygon_perimeters": q_polygon_perimeters,
         "rhumb_to_origin": q_rhumb_to_origin,
+        "zorder_keys": q_zorder_keys,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -2920,6 +2942,7 @@ def oracle_sql() -> dict[str, str]:
         haversine_sql,
         query_points_sql,
     )
+    from geodistpy_ray.cells import zorder_sql
     from geodistpy_ray.sources.polygons import diamond_polygons_sql
     from geodistpy_ray.stages.text import cap_rank_sql
 
@@ -3086,6 +3109,9 @@ def oracle_sql() -> dict[str, str]:
             "FROM b, (SELECT CAST(UNNEST(RANGE(5)) AS BIGINT) AS j)"
         ),
         "rhumb_to_origin": _rhumb_to_origin_sql(lat, lon),
+        "zorder_keys": (
+            f"SELECT doc_id, {zorder_sql(lat, lon)} AS zkey FROM documents"
+        ),
         "polygon_perimeters": (
             # same closed-ring vertex relation as polygon_areas, haversine
             # per edge (prev→next fp order matches the kernel call), legs

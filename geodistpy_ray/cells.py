@@ -175,3 +175,53 @@ def disc_cover(lat, lon, radius_m, cell_deg: float = DEFAULT_CELL_DEG):
     row = lat_idx_lo[src] + j // w
     col = (lon_idx[src] - half_w[src] + j % w) % nlon
     return src, row * nlon + col
+
+
+def zorder_key(lat, lon, bits: int = 16):
+    """Z-order (Morton) spatial key: interleave the ``bits``-bit lat/lon
+    grid indices into one int64 — the locality-preserving linearization
+    used for spatial range partitioning and file clustering (the H3/S2
+    alternative when ranges, not cells, drive the layout). Pure integer
+    arithmetic, mirrored bit-for-bit in SQL by :func:`zorder_sql`.
+
+    lat occupies the even bit positions, lon the odd ones (lon has one
+    more significant bit in the classic geohash layout, matched here).
+    """
+    if not 1 <= bits <= 31:
+        raise ValueError("bits must be in [1, 31]")
+    lat = np.asarray(lat, dtype=np.float64)
+    lon = np.asarray(lon, dtype=np.float64)
+    n = np.int64(1) << bits
+    lat_i = np.minimum(np.floor((lat + 90.0) / 180.0 * n), n - 1).astype(np.int64)
+    lon_i = np.minimum(np.floor((lon + 180.0) / 360.0 * n), n - 1).astype(np.int64)
+    lat_i = np.maximum(lat_i, 0)
+    lon_i = np.maximum(lon_i, 0)
+    out = np.zeros(lat_i.shape, dtype=np.int64)
+    for k in range(bits):
+        out |= ((lat_i >> k) & 1) << (2 * k)
+        out |= ((lon_i >> k) & 1) << (2 * k + 1)
+    return out
+
+
+def zorder_sql(lat_expr: str, lon_expr: str, bits: int = 16) -> str:
+    """SQL mirroring :func:`zorder_key` bit-for-bit: the quantization via
+    FLOOR/LEAST/GREATEST, the interleave as a sum of FLOOR(x / 2^k) % 2
+    terms (no bit operators needed — pure integer arithmetic)."""
+    n = 1 << bits
+    lat_i = (
+        f"GREATEST(LEAST(CAST(FLOOR(({lat_expr} + 90.0) / 180.0 * {n}.0) AS BIGINT), "
+        f"{n - 1}), 0)"
+    )
+    lon_i = (
+        f"GREATEST(LEAST(CAST(FLOOR(({lon_expr} + 180.0) / 360.0 * {n}.0) AS BIGINT), "
+        f"{n - 1}), 0)"
+    )
+    terms = []
+    for k in range(bits):
+        terms.append(f"(la // {1 << k}) % 2 * {1 << (2 * k)}")
+        terms.append(f"(lo // {1 << k}) % 2 * {1 << (2 * k + 1)}")
+    total = " + ".join(terms)
+    return (
+        f"(SELECT CAST({total} AS BIGINT) "
+        f"FROM (SELECT {lat_i} AS la, {lon_i} AS lo) AS __z)"
+    )

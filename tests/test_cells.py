@@ -150,3 +150,27 @@ def test_cell_area_km2_partitions_the_sphere():
         assert np.allclose(row, row[:, :1])
         # equatorial cells are the largest
         assert a.max() == row[nlat // 2, 0]
+
+
+def test_zorder_key_locality_and_sql_mirror():
+    import duckdb
+    import pandas as pd
+
+    from geodistpy_ray.cells import zorder_key, zorder_sql
+
+    rng = np.random.default_rng(79)
+    lat = np.concatenate([rng.uniform(-90, 90, 500), [90.0, -90.0, 0.0]])
+    lon = np.concatenate([rng.uniform(-180, 180, 500), [180.0, -180.0, 0.0]])
+    z = zorder_key(lat, lon)
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"lat": lat, "lon": lon}))
+    got = con.execute(f"SELECT {zorder_sql('lat', 'lon')} AS z FROM t").df()["z"]
+    assert (got.to_numpy() == z).all()
+    # locality: nearby points share a long key prefix (same high bits)
+    za = zorder_key(np.array([40.0]), np.array([10.0]))[0]
+    zb = zorder_key(np.array([40.001]), np.array([10.001]))[0]
+    zc = zorder_key(np.array([-40.0]), np.array([-170.0]))[0]
+    assert (za >> 18) == (zb >> 18)
+    assert (za >> 18) != (zc >> 18)
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(lat, lon, bits=0)
