@@ -1666,6 +1666,39 @@ def q_densified_tracks(sf_dir):
     )
 
 
+def q_track_envelopes(sf_dir):
+    """Per-user track bounding box + its geodesic diagonal — envelope
+    min/max are fp-EXACT (no accumulation), so only the diagonal needs
+    the rounding convention. One user-co-located partition, vectorized
+    group min/max inside."""
+    import pandas as pd
+
+    from geodistpy_ray.kernels import haversine
+    from geodistpy_ray.stages import add_geocode
+    from geodistpy_ray.stages.grouping import partitioned_map_groups
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"])
+    pts = add_geocode(ev, id_col="event_id")
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("user_id", as_index=False, sort=False).agg(
+            min_lat=("lat", "min"),
+            max_lat=("lat", "max"),
+            min_lon=("lon", "min"),
+            max_lon=("lon", "max"),
+        )
+        diag = haversine(
+            agg["min_lat"].to_numpy(),
+            agg["min_lon"].to_numpy(),
+            agg["max_lat"].to_numpy(),
+            agg["max_lon"].to_numpy(),
+        )
+        agg["diag_km"] = np.round(diag / 1000.0, 6)
+        return agg
+
+    return partitioned_map_groups(pts, "user_id", part_fn)
+
+
 def q_qty_price_fit(sf_dir):
     """Per-returnflag least-squares line price = slope·qty + intercept
     (REGR_SLOPE / REGR_INTERCEPT parity) from the same Chan-merged moments
@@ -2821,6 +2854,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "polygon_perimeters": q_polygon_perimeters,
         "rhumb_to_origin": q_rhumb_to_origin,
         "zorder_keys": q_zorder_keys,
+        "track_envelopes": q_track_envelopes,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3111,6 +3145,15 @@ def oracle_sql() -> dict[str, str]:
         "rhumb_to_origin": _rhumb_to_origin_sql(lat, lon),
         "zorder_keys": (
             f"SELECT doc_id, {zorder_sql(lat, lon)} AS zkey FROM documents"
+        ),
+        "track_envelopes": (
+            f"WITH pts AS (SELECT user_id, {elat} AS lat, {elon} AS lon "
+            "FROM events), "
+            "a AS (SELECT user_id, MIN(lat) AS min_lat, MAX(lat) AS max_lat, "
+            "MIN(lon) AS min_lon, MAX(lon) AS max_lon FROM pts GROUP BY user_id) "
+            "SELECT user_id, min_lat, max_lat, min_lon, max_lon, "
+            f"ROUND({haversine_sql('min_lat', 'min_lon', 'max_lat', 'max_lon')}"
+            " / 1000.0, 6) AS diag_km FROM a"
         ),
         "polygon_perimeters": (
             # same closed-ring vertex relation as polygon_areas, haversine
