@@ -222,6 +222,51 @@ def q_polygon_areas(sf_dir):
     return out.select_columns(["poly_id", "area_km2"])
 
 
+def q_sphere_destinations(sf_dir):
+    """Spherical direct problem over the corpus: per-doc destination at a
+    deterministic bearing (doc_id%360) and range (100–590 km) — the
+    SQL-mirrorable twin of the Vincenty-direct `destinations` query, so
+    the destination FAMILY gets a value-hash check too."""
+    from geodistpy_ray.kernels.sphere import destination_sphere
+    from geodistpy_ray.stages.geo import col_np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids = col_np(batch, "doc_id")
+        brg = (ids % 360).astype(np.float64)
+        dist = 100000.0 + (ids % 50).astype(np.float64) * 10000.0
+        la, lo = destination_sphere(col_np(batch, "lat"), col_np(batch, "lon"), brg, dist)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dest_lat": pa.array(np.round(la, 6), pa.float64()),
+                "dest_lon": pa.array(np.round(lo, 6), pa.float64()),
+            }
+        )
+
+    return _docs_geo(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_midpoints_origin(sf_dir):
+    """Spherical great-circle midpoint between every doc and the origin —
+    the SQL-mirrorable member of the midpoint family (P7)."""
+    from geodistpy_ray.kernels.sphere import midpoint_sphere
+    from geodistpy_ray.stages.geo import col_np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        la, lo = midpoint_sphere(
+            col_np(batch, "lat"), col_np(batch, "lon"), ORIGIN[0], ORIGIN[1]
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "mid_lat": pa.array(np.round(la, 6), pa.float64()),
+                "mid_lon": pa.array(np.round(lo, 6), pa.float64()),
+            }
+        )
+
+    return _docs_geo(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_rhumb_to_origin(sf_dir):
     """Rhumb-line (constant-bearing loxodrome) distance and course from
     every doc to the origin — the navigation twin of `dist_to_origin` /
@@ -2855,6 +2900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rhumb_to_origin": q_rhumb_to_origin,
         "zorder_keys": q_zorder_keys,
         "track_envelopes": q_track_envelopes,
+        "sphere_destinations": q_sphere_destinations,
+        "midpoints_origin": q_midpoints_origin,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -2941,6 +2988,47 @@ def _domain_stats_sql() -> str:
         f"WITH u AS (SELECT {_DOMAIN_URL_BUILD_SQL} AS url FROM documents) "
         f"SELECT {registrable_domain_sql('url')} AS domain, "
         "CAST(COUNT(*) AS BIGINT) AS n_pages FROM u GROUP BY 1"
+    )
+
+
+def _sphere_dest_sql(lat: str, lon: str) -> str:
+    """fp ordering mirrors kernels.sphere.destination_sphere term-for-term."""
+    brg = "RADIANS(CAST(doc_id % 360 AS DOUBLE))"
+    delta = "((100000.0 + CAST(doc_id % 50 AS DOUBLE) * 10000.0) / 6371009.0)"
+    sl2 = (
+        f"(SIN(RADIANS({lat})) * COS({delta}) + "
+        f"COS(RADIANS({lat})) * SIN({delta}) * COS({brg}))"
+    )
+    sl2c = f"LEAST(GREATEST({sl2}, -1.0), 1.0)"
+    lat2 = f"DEGREES(ASIN({sl2c}))"
+    lon2 = (
+        f"DEGREES(RADIANS({lon}) + ATAN2("
+        f"SIN({brg}) * SIN({delta}) * COS(RADIANS({lat})), "
+        f"COS({delta}) - SIN(RADIANS({lat})) * {sl2}))"
+    )
+    lon2w = f"(({lon2} + 540.0) % 360.0 - 180.0)"
+    return (
+        f"SELECT doc_id, ROUND({lat2}, 6) AS dest_lat, "
+        f"ROUND({lon2w}, 6) AS dest_lon FROM documents"
+    )
+
+
+def _midpoint_sql(lat: str, lon: str) -> str:
+    """fp ordering mirrors kernels.sphere.midpoint_sphere term-for-term."""
+    olat, olon = ORIGIN
+    dlon = f"(RADIANS({olon}) - RADIANS({lon}))"
+    bx = f"(COS(RADIANS({olat})) * COS({dlon}))"
+    by = f"(COS(RADIANS({olat})) * SIN({dlon}))"
+    cpx = f"(COS(RADIANS({lat})) + {bx})"
+    latm = (
+        f"DEGREES(ATAN2(SIN(RADIANS({lat})) + SIN(RADIANS({olat})), "
+        f"SQRT({cpx} * {cpx} + {by} * {by})))"
+    )
+    lonm = f"DEGREES(RADIANS({lon}) + ATAN2({by}, {cpx}))"
+    lonw = f"(({lonm} + 540.0) % 360.0 - 180.0)"
+    return (
+        f"SELECT doc_id, ROUND({latm}, 6) AS mid_lat, "
+        f"ROUND({lonw}, 6) AS mid_lon FROM documents"
     )
 
 
@@ -3143,6 +3231,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM b, (SELECT CAST(UNNEST(RANGE(5)) AS BIGINT) AS j)"
         ),
         "rhumb_to_origin": _rhumb_to_origin_sql(lat, lon),
+        "sphere_destinations": _sphere_dest_sql(lat, lon),
+        "midpoints_origin": _midpoint_sql(lat, lon),
         "zorder_keys": (
             f"SELECT doc_id, {zorder_sql(lat, lon)} AS zkey FROM documents"
         ),

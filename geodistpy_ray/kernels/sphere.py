@@ -141,3 +141,45 @@ def rhumb_inverse(lat1, lon1, lat2, lon2, radius: float = EARTH_RADIUS_M):
     brg_raw = np.degrees(np.arctan2(dlon, dpsi))
     brg = brg_raw - np.floor(brg_raw / 360.0) * 360.0
     return dist, brg
+
+
+def destination_sphere(lat, lon, bearing_deg, dist_m, radius: float = EARTH_RADIUS_M):
+    """Spherical direct problem: destination after ``dist_m`` on initial
+    ``bearing_deg`` (the great-circle twin of the ellipsoidal Vincenty
+    direct — SQL-mirrorable, unlike the iterative ellipsoidal form).
+    Returns ``(lat2, lon2)`` degrees, lon wrapped to [-180, 180)."""
+    lat1 = np.radians(np.asarray(lat, dtype=np.float64))
+    lon1 = np.radians(np.asarray(lon, dtype=np.float64))
+    brg = np.radians(np.asarray(bearing_deg, dtype=np.float64))
+    delta = np.asarray(dist_m, dtype=np.float64) / radius
+    sin_lat2 = np.sin(lat1) * np.cos(delta) + np.cos(lat1) * np.sin(delta) * np.cos(brg)
+    lat2 = np.arcsin(np.clip(sin_lat2, -1.0, 1.0))
+    lon2 = lon1 + np.arctan2(
+        np.sin(brg) * np.sin(delta) * np.cos(lat1),
+        np.cos(delta) - np.sin(lat1) * sin_lat2,
+    )
+    lat2d = np.degrees(lat2)
+    lon2d = np.degrees(lon2)
+    lon2d = (lon2d + 540.0) % 360.0 - 180.0
+    return lat2d, lon2d
+
+
+def midpoint_sphere(lat1, lon1, lat2, lon2):
+    """Spherical great-circle midpoint (degrees), the standard Bx/By form;
+    lon wrapped to [-180, 180). SQL-mirrorable."""
+    p1 = np.radians(np.asarray(lat1, dtype=np.float64))
+    l1 = np.radians(np.asarray(lon1, dtype=np.float64))
+    p2 = np.radians(np.asarray(lat2, dtype=np.float64))
+    l2 = np.radians(np.asarray(lon2, dtype=np.float64))
+    dlon = l2 - l1
+    bx = np.cos(p2) * np.cos(dlon)
+    by = np.cos(p2) * np.sin(dlon)
+    latm = np.arctan2(
+        np.sin(p1) + np.sin(p2),
+        np.sqrt((np.cos(p1) + bx) * (np.cos(p1) + bx) + by * by),
+    )
+    lonm = l1 + np.arctan2(by, np.cos(p1) + bx)
+    latd = np.degrees(latm)
+    lond = np.degrees(lonm)
+    lond = (lond + 540.0) % 360.0 - 180.0
+    return latd, lond

@@ -308,3 +308,34 @@ def test_rhumb_inverse_properties():
     dr, _ = rhumb_inverse(la1, lo1, la2, lo2)
     dg = haversine(la1, lo1, la2, lo2)
     assert (dr >= dg - 1e-6).all()
+
+
+def test_destination_and_midpoint_sphere_properties():
+    from geodistpy_ray.kernels.sphere import (
+        destination_sphere,
+        haversine,
+        initial_bearing_sphere,
+        midpoint_sphere,
+    )
+
+    rng = np.random.default_rng(83)
+    lat = rng.uniform(-80, 80, 1000)
+    lon = rng.uniform(-180, 180, 1000)
+    brg = rng.uniform(0, 360, 1000)
+    dist = rng.uniform(1e3, 2e6, 1000)
+    la2, lo2 = destination_sphere(lat, lon, brg, dist)
+    # roundtrip: distance back equals the requested range
+    np.testing.assert_allclose(haversine(lat, lon, la2, lo2), dist, rtol=1e-9)
+    # initial bearing of the produced leg matches the request
+    b = initial_bearing_sphere(lat, lon, la2, lo2)
+    db = np.abs((b - brg + 180.0) % 360.0 - 180.0)
+    assert float(db.max()) < 1e-6
+    # midpoint: equidistant and collinear (on the same great circle)
+    lat2 = rng.uniform(-80, 80, 1000)
+    lon2 = rng.uniform(-180, 180, 1000)
+    mla, mlo = midpoint_sphere(lat, lon, lat2, lon2)
+    d1 = haversine(lat, lon, mla, mlo)
+    d2 = haversine(lat2, lon2, mla, mlo)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-3)
+    total = haversine(lat, lon, lat2, lon2)
+    np.testing.assert_allclose(d1 + d2, total, rtol=1e-6, atol=1e-3)
