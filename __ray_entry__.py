@@ -267,6 +267,26 @@ def q_midpoints_origin(sf_dir):
     return _docs_geo(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_bbox_scan(sf_dir):
+    """Z-order clustered layout + statistics-pruned bbox scan: export the
+    geocoded corpus spatially clustered (Morton-key range partitioning),
+    then answer a bounding-box query reading ONLY the files whose parquet
+    footer statistics intersect the box. The oracle checks the exact bbox
+    semantics; the pruning ratio is pinned in tests/test_sort.py."""
+    import shutil
+    import tempfile
+
+    from geodistpy_ray.stages.sort import bbox_scan, zorder_export
+
+    out = tempfile.mkdtemp(prefix="geodist_zorder_")
+    try:
+        zorder_export(_docs_geo(sf_dir), out, n_parts=16)
+        ds, _read_n, _tot = bbox_scan(out, 20.0, 60.0, -40.0, 40.0)
+        return ds.select_columns(["doc_id"]).to_pandas()
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
+
+
 def q_rhumb_to_origin(sf_dir):
     """Rhumb-line (constant-bearing loxodrome) distance and course from
     every doc to the origin — the navigation twin of `dist_to_origin` /
@@ -2902,6 +2922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "track_envelopes": q_track_envelopes,
         "sphere_destinations": q_sphere_destinations,
         "midpoints_origin": q_midpoints_origin,
+        "bbox_scan": q_bbox_scan,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3233,6 +3254,10 @@ def oracle_sql() -> dict[str, str]:
         "rhumb_to_origin": _rhumb_to_origin_sql(lat, lon),
         "sphere_destinations": _sphere_dest_sql(lat, lon),
         "midpoints_origin": _midpoint_sql(lat, lon),
+        "bbox_scan": (
+            f"SELECT doc_id FROM documents WHERE {lat} BETWEEN 20.0 AND 60.0 "
+            f"AND {lon} BETWEEN -40.0 AND 40.0"
+        ),
         "zorder_keys": (
             f"SELECT doc_id, {zorder_sql(lat, lon)} AS zkey FROM documents"
         ),

@@ -122,3 +122,41 @@ def test_sorted_export_empty_and_nan_guard(ray_session, tmp_path):
     bad = rd.from_arrow(pa.table({"k": [1.0, float("nan"), 2.0]}))
     with pytest.raises(Exception, match="NaN"):
         sorted_export(bad, str(tmp_path / "nan"), "k", n_parts=2).to_pandas()
+
+
+def test_zorder_bbox_scan_prunes_and_matches(ray_session, tmp_path):
+    import ray.data as rd
+
+    from geodistpy_ray.functions.geocode import geocode_ids
+    from geodistpy_ray.stages.sort import bbox_scan, zorder_export
+
+    ids = np.arange(20_000, dtype=np.int64)
+    lat, lon = geocode_ids(ids)
+    tbl = pa.table({"doc_id": pa.array(ids), "lat": pa.array(lat), "lon": pa.array(lon)})
+    box = (10.0, 50.0, -30.0, 30.0)
+    want = set(ids[(lat >= box[0]) & (lat <= box[1]) & (lon >= box[2]) & (lon <= box[3])])
+
+    zdir = str(tmp_path / "z")
+    zorder_export(rd.from_arrow(tbl).repartition(8), zdir, n_parts=32)
+    ds, n_read, n_total = bbox_scan(zdir, *box)
+    got = set(ds.to_pandas()["doc_id"])
+    assert got == want
+    # the clustered layout must actually skip files (the point of the op)
+    assert n_read < n_total, (n_read, n_total)
+
+    # an UNCLUSTERED layout (id-ordered) gives every file a near-global
+    # envelope: nothing prunes, results identical — pruning is pure I/O
+    udir = str(tmp_path / "u")
+    from geodistpy_ray.stages.sort import sorted_export
+
+    sorted_export(rd.from_arrow(tbl).repartition(8), udir, key="doc_id", n_parts=32)
+    ds_u, n_read_u, n_total_u = bbox_scan(udir, *box)
+    assert set(ds_u.to_pandas()["doc_id"]) == want
+    assert n_read_u == n_total_u
+    assert n_read < n_read_u
+
+    # empty box: zero files read, typed-empty result
+    ds_e, n_read_e, _ = bbox_scan(zdir, 89.5, 89.9, 179.0, 179.5)
+    assert ds_e.count() == 0
+    # (a fully-disjoint box may prune every file)
+    assert n_read_e <= n_total
