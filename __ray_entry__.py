@@ -1367,6 +1367,16 @@ def q_jaccard_pairs(sf_dir):
     return jaccard_pair_join(docs, shingle=4, threshold=0.2)
 
 
+def q_token_entropy(sf_dir):
+    """Per-doc Shannon entropy of the token distribution (nats) — the
+    repetition-vs-diversity quality signal; batch-local over the shared
+    Arrow token front-end."""
+    from geodistpy_ray.stages.text import token_entropy
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return token_entropy(docs)
+
+
 def q_shingle_pairs(sf_dir):
     """Exact n-gram-overlap dedup join: doc pairs sharing >= 2 distinct
     full 4-gram token windows, with the exact shared-window count. Two
@@ -2923,6 +2933,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sphere_destinations": q_sphere_destinations,
         "midpoints_origin": q_midpoints_origin,
         "bbox_scan": q_bbox_scan,
+        "token_entropy": q_token_entropy,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3510,6 +3521,18 @@ def oracle_sql() -> dict[str, str]:
             "hits AS (SELECT DISTINCT d.doc_id, d.s FROM sh d JOIN bench b ON d.s = b.s "
             "WHERE d.doc_id % 101 <> 7) "
             "SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits FROM hits GROUP BY doc_id"
+        ),
+        "token_entropy": (
+            "WITH raw AS (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '\\s+')) AS tok FROM documents), "
+            "toks AS (SELECT doc_id, tok FROM raw WHERE tok <> ''), "
+            "cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2), "
+            "tot AS (SELECT doc_id, SUM(c) AS n FROM cnt GROUP BY doc_id), "
+            "e AS (SELECT c.doc_id, SUM(-(CAST(c.c AS DOUBLE) / t.n) * "
+            "LN(CAST(c.c AS DOUBLE) / t.n)) AS ent "
+            "FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id) "
+            "SELECT d.doc_id, ROUND(COALESCE(e.ent, 0.0), 6) AS entropy "
+            "FROM documents d LEFT JOIN e USING (doc_id)"
         ),
         "jaccard_pairs": (
             # threshold form of shingle_pairs: same 4-gram distinct-window

@@ -966,3 +966,46 @@ def repetition_stats(ds, id_col: str = "doc_id", text_col: str = "text"):
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def token_entropy(ds, id_col: str = "doc_id", text_col: str = "text", round_to: int = 6):
+    """Per-doc Shannon entropy of the (lowercased, whitespace) token
+    distribution, in nats — the repetition-vs-diversity quality signal
+    (a uniform vocabulary maximizes it; a one-token loop zeroes it).
+
+    Batch-local (each doc lives in one row): the shared
+    :func:`_doc_token_pairs` front-end yields per-(doc, token) counts, one
+    ``reduceat`` per doc folds −Σ (c/n)·ln(c/n). Docs with no tokens emit
+    entropy 0. fp note: the per-doc term sum is ordered by token id on both
+    sides only up to SQL's unordered SUM — the magnitude (≤ ln V ≈ 4) keeps
+    reorder noise ~1e-13, far under the 1e-6 rounding.
+    """
+    from .grouping import key_spans
+
+    def fn(batch: pa.Table) -> pa.Table:
+        ids_all = batch.column(id_col).combine_chunks()
+        n_rows = batch.num_rows
+        ent = np.zeros(n_rows, dtype=np.float64)
+        doc_ids, _toks, tf = _doc_token_pairs(batch, id_col, text_col)
+        if doc_ids.size:
+            # doc_ids come out grouped by doc (np.unique key order)
+            starts, ends = key_spans(doc_ids)
+            ids_np = ids_all.to_numpy(zero_copy_only=False)
+            tot = np.add.reduceat(tf.astype(np.float64), starts)
+            p_all = tf.astype(np.float64) / np.repeat(tot, ends - starts)
+            terms = -(p_all * np.log(p_all))
+            e = np.add.reduceat(terms, starts)
+            # vectorized id→row-position lookup (no Python per doc)
+            order = np.argsort(ids_np, kind="stable")
+            pos = order[np.searchsorted(ids_np[order], doc_ids[starts])]
+            ent[pos] = e
+        return pa.table(
+            {
+                id_col: ids_all,
+                "entropy": pa.array(np.round(ent, round_to), pa.float64()),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )
