@@ -158,6 +158,43 @@ def q_zorder_keys(sf_dir):
     )
 
 
+def q_cell_focal(sf_dir):
+    """Focal (3×3 neighborhood) raster statistics: per occupied cell, the
+    doc count summed over itself + its 8 grid neighbors (lon wraps, lat
+    edge rows drop out-of-grid neighbors) — the raster-convolution /
+    kernel-smoothing op, expressed as a neighbor EXPLODE over the per-cell
+    partials and one more bounded rollup, then an inner join back to the
+    occupied set."""
+    import pyarrow.compute as pc
+
+    from geodistpy_ray.cells import neighbor_cells
+    from geodistpy_ray.stages import add_cell
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    ds = add_cell(_docs_geo(sf_dir), CELL_DEG).select_columns(["cell"])
+    counts = grouped_sum(ds, ["cell"], count_col="n", final="partitioned")
+
+    def spread(batch: pa.Table) -> pa.Table:
+        c = batch.column("cell").to_numpy(zero_copy_only=False)
+        n = batch.column("n").to_numpy(zero_copy_only=False)
+        src, nbr = neighbor_cells(c, CELL_DEG, ring=1)
+        return pa.table(
+            {"cell": pa.array(nbr, pa.int64()), "n": pa.array(n[src], pa.int64())}
+        )
+
+    nb = counts.map_batches(spread, batch_format="pyarrow", zero_copy_batch=True)
+    focal = grouped_sum(
+        nb, ["cell"], int_sum_cols={"n": "focal_n"}, count_col="n_nbrs", final="partitioned"
+    )
+
+    def prune(batch: pa.Table) -> pa.Table:
+        return batch.select(["cell", "focal_n"])
+
+    focal = focal.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+    return shuffle_equi_join(focal, counts, "cell", n_buckets=16)
+
+
 def q_cell_areas(sf_dir):
     """Occupied-cell raster with true spherical areas: geocode → cell →
     count per cell → exact spherical-rectangle area per cell (km², the
@@ -2934,6 +2971,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "midpoints_origin": q_midpoints_origin,
         "bbox_scan": q_bbox_scan,
         "token_entropy": q_token_entropy,
+        "cell_focal": q_cell_focal,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3719,6 +3757,20 @@ def oracle_sql() -> dict[str, str]:
             "reach(node, r) AS (SELECT node, node FROM nodes "
             "UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node) "
             "SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node"
+        ),
+        "cell_focal": (
+            # 3x3 neighbor explode with lon wrap and lat-edge drop (grid is
+            # 90 x 180 at 2 deg) — mirrors cells.neighbor_cells semantics
+            f"WITH g AS (SELECT {cell} AS cell FROM documents), "
+            "cnt AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY cell), "
+            "nb AS (SELECT ((c.cell // 180) + di) * 180 + "
+            "(((c.cell % 180) + dj + 180) % 180) AS cell, c.n "
+            "FROM cnt c, (SELECT UNNEST([-1, 0, 1]) AS di), "
+            "(SELECT UNNEST([-1, 0, 1]) AS dj) "
+            "WHERE (c.cell // 180) + di BETWEEN 0 AND 89), "
+            "f AS (SELECT cell, CAST(SUM(n) AS BIGINT) AS focal_n "
+            "FROM nb GROUP BY cell) "
+            "SELECT f.cell, f.focal_n, cnt.n FROM f JOIN cnt USING (cell)"
         ),
         "cell_areas": (
             # spherical-rectangle area, fp ordering term-for-term with
