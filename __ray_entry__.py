@@ -1692,6 +1692,31 @@ def q_geo_curated(sf_dir):
     return grouped_sum(cells, ["cell"], count_col="n_docs")
 
 
+def q_value_outliers(sf_dir):
+    """Per-user anomaly flags: events whose value deviates more than 2.5
+    sample standard deviations from the user's mean — mean/std and the
+    z-scores all computed inside ONE user-co-located partition (no
+    cross-partition accumulation), users with a degenerate std dropped
+    like the SQL mirror's NULLIF."""
+    import pandas as pd
+
+    from geodistpy_ray.stages.grouping import partitioned_map_groups
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "value"])
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        grp = g.groupby("user_id")["value"]
+        mu = grp.transform("mean")
+        sd = grp.transform("std")  # ddof=1 == STDDEV_SAMP
+        z = (g["value"] - mu) / sd
+        keep = sd.gt(0) & z.abs().gt(2.5)
+        out = g.loc[keep, ["user_id", "event_id"]].copy()
+        out["z"] = z[keep].round(6)
+        return out
+
+    return partitioned_map_groups(ev, "user_id", part_fn)
+
+
 def q_cohort_retention(sf_dir):
     """Cohort retention matrix: users grouped by FIRST-event day, distinct
     active users per (cohort_day, activity_day). One distributed
@@ -2972,6 +2997,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bbox_scan": q_bbox_scan,
         "token_entropy": q_token_entropy,
         "cell_focal": q_cell_focal,
+        "value_outliers": q_value_outliers,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3757,6 +3783,14 @@ def oracle_sql() -> dict[str, str]:
             "reach(node, r) AS (SELECT node, node FROM nodes "
             "UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node) "
             "SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node"
+        ),
+        "value_outliers": (
+            "WITH s AS (SELECT user_id, AVG(value) AS mu, "
+            "STDDEV_SAMP(value) AS sd FROM events GROUP BY user_id) "
+            "SELECT e.user_id, e.event_id, "
+            "ROUND((e.value - s.mu) / s.sd, 6) AS z "
+            "FROM events e JOIN s USING (user_id) "
+            "WHERE s.sd > 0 AND ABS((e.value - s.mu) / s.sd) > 2.5"
         ),
         "cell_focal": (
             # 3x3 neighbor explode with lon wrap and lat-edge drop (grid is
