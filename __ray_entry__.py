@@ -2606,6 +2606,22 @@ def _events_by_type(sf_dir, etype, rename=None):
     return ev.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_colocation(sf_dir):
+    """Spatiotemporal co-location join: click events of DIFFERENT users
+    within 150 km AND 24 h of each other — the "who was near whom, when"
+    self-join, exactly-once over (cell × time-bucket) groups
+    (stages/pairs.py:colocation_pairs)."""
+    from geodistpy_ray.stages import add_geocode
+    from geodistpy_ray.stages.pairs import colocation_pairs
+
+    pts = _events_by_type(sf_dir, "click")
+    pts = add_geocode(pts, id_col="event_id")
+    out = colocation_pairs(
+        pts, PAIR_DIST_M, 24 * 3600 * 1_000_000, cell_deg=CELL_DEG
+    )
+    return _round_col(out, "dist", 6, out="dist_km", div=1000.0)
+
+
 def q_asof_click_view(sf_dir):
     from geodistpy_ray.stages.joins import asof_join
 
@@ -2998,6 +3014,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_entropy": q_token_entropy,
         "cell_focal": q_cell_focal,
         "value_outliers": q_value_outliers,
+        "colocation": q_colocation,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3783,6 +3800,18 @@ def oracle_sql() -> dict[str, str]:
             "reach(node, r) AS (SELECT node, node FROM nodes "
             "UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node) "
             "SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node"
+        ),
+        "colocation": (
+            f"WITH e AS (SELECT event_id, user_id, ts, {elat} AS lat, "
+            f"{elon} AS lon FROM events WHERE event_type = 'click') "
+            "SELECT a.event_id AS id_left, b.event_id AS id_right, "
+            f"ROUND({haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} / 1000.0, 6) "
+            "AS dist_km, "
+            "CAST(ABS(epoch_us(a.ts) - epoch_us(b.ts)) AS BIGINT) AS dt_us "
+            "FROM e a JOIN e b ON a.event_id < b.event_id "
+            "AND a.user_id <> b.user_id "
+            f"WHERE {haversine_sql('a.lat', 'a.lon', 'b.lat', 'b.lon')} <= {PAIR_DIST_M} "
+            "AND ABS(epoch_us(a.ts) - epoch_us(b.ts)) <= 86400000000"
         ),
         "value_outliers": (
             "WITH s AS (SELECT user_id, AVG(value) AS mu, "

@@ -912,3 +912,56 @@ def test_knn_cells_query_salting_skewed_city(ray_session):
     # the hot group serializes the unsalted run; salting must win clearly
     # even under this box's timing noise
     assert t_salted < t_plain, (t_salted, t_plain)
+
+
+def test_colocation_pairs_vs_bruteforce(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.kernels import haversine
+    from geodistpy_ray.stages.pairs import colocation_pairs
+
+    rng = np.random.default_rng(89)
+    n = 600
+    # clustered points so spatial pairs actually occur, several users,
+    # timestamps spanning many buckets (exercises the ±1 replication)
+    centers = rng.integers(0, 5, n)
+    lat = np.array([10.0, 12.0, 50.0, -30.0, 11.0])[centers] + rng.normal(0, 0.8, n)
+    lon = np.array([20.0, 22.0, 100.0, -60.0, 21.0])[centers] + rng.normal(0, 0.8, n)
+    ts = rng.integers(0, 30 * 86_400_000_000, n)  # 30 days of µs
+    users = rng.integers(0, 40, n)
+    ids = np.arange(n, dtype=np.int64)
+    tbl = pa.table(
+        {
+            "event_id": pa.array(ids),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+            "lat": pa.array(lat),
+            "lon": pa.array(lon),
+        }
+    )
+    D, W = 120_000.0, 12 * 3600 * 1_000_000
+    got = (
+        colocation_pairs(rd.from_arrow(tbl).repartition(5), D, W, cell_deg=2.0)
+        .to_pandas()
+        .sort_values(["id_left", "id_right"], ignore_index=True)
+    )
+    # brute force
+    d = haversine(lat[:, None], lon[:, None], lat[None, :], lon[None, :])
+    dt = np.abs(ts[:, None].astype(np.int64) - ts[None, :].astype(np.int64))
+    mask = (
+        (d <= D)
+        & (dt <= W)
+        & (ids[:, None] < ids[None, :])
+        & (users[:, None] != users[None, :])
+    )
+    li, ri = np.nonzero(mask)
+    want = pd.DataFrame(
+        {"id_left": ids[li], "id_right": ids[ri], "dist": d[li, ri], "dt_us": dt[li, ri]}
+    ).sort_values(["id_left", "id_right"], ignore_index=True)
+    assert len(got) == len(want) > 50
+    assert got["id_left"].tolist() == want["id_left"].tolist()
+    assert got["id_right"].tolist() == want["id_right"].tolist()
+    np.testing.assert_allclose(got["dist"], want["dist"], rtol=1e-12)
+    assert got["dt_us"].tolist() == want["dt_us"].tolist()
+    # exactly-once: no duplicate unordered pairs
+    assert not got.duplicated(["id_left", "id_right"]).any()
