@@ -3145,6 +3145,34 @@ def _midpoint_sql(lat: str, lon: str) -> str:
     )
 
 
+def _lang_id_sql() -> str:
+    """Exact mirror of LangIdActor: occurrence counts of profile stopwords
+    per language (a shared word counts for EVERY owning profile), argmax
+    with profile-ORDER tie-break, 'und' on zero hits. The tokenizer mirror
+    is the pinned RE2 equivalence `[^\\p{L}]+` ≡ Python `[^\\W\\d_]+`."""
+    from geodistpy_ray.stages.text import _LANG_PROFILES
+
+    rows = []
+    for pri, (lang, words) in enumerate(_LANG_PROFILES.items()):
+        for w in sorted(words):
+            rows.append(f"('{w}', '{lang}', {pri})")
+    values = ", ".join(rows)
+    split = "string_split_regex(lower(text), '[^\\p{L}]+')"
+    return (
+        "WITH raw AS (SELECT doc_id, unnest(" + split + ") AS tok FROM documents), "
+        "toks AS (SELECT doc_id, tok FROM raw WHERE tok <> ''), "
+        "prof(word, lang, pri) AS (VALUES " + values + "), "
+        "hits AS (SELECT t.doc_id, p.lang, p.pri, COUNT(*) AS c "
+        "FROM toks t JOIN prof p ON t.tok = p.word GROUP BY 1, 2, 3), "
+        "best AS (SELECT doc_id, lang, "
+        "ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY c DESC, pri ASC) AS rn "
+        "FROM hits) "
+        "SELECT d.doc_id, COALESCE(b.lang, 'und') AS lang_pred "
+        "FROM documents d LEFT JOIN "
+        "(SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)"
+    )
+
+
 def _rhumb_to_origin_sql(lat: str, lon: str) -> str:
     """fp ordering mirrors kernels.sphere.rhumb_inverse term-for-term."""
     olat, olon = ORIGIN
@@ -3801,6 +3829,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT s.dst, reach.r FROM reach JOIN sym s ON s.src = reach.node) "
             "SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node"
         ),
+        "lang_id": _lang_id_sql(),
         "colocation": (
             f"WITH e AS (SELECT event_id, user_id, ts, {elat} AS lat, "
             f"{elon} AS lon FROM events WHERE event_type = 'click') "
