@@ -3145,6 +3145,31 @@ def _midpoint_sql(lat: str, lon: str) -> str:
     )
 
 
+def _fingerprints_sql() -> str:
+    """Exact mirror of `add_fingerprint`'s polynomial hash
+    h = Σ cp_i · base^(n−1−i) mod (2^61−1): powers from a recursive CTE,
+    per-character terms and the sum in HUGEINT (operands < 2^82, inside
+    int128), normalization via the corpus-pinned RE2 `\\s+` collapse."""
+    M = (1 << 61) - 1
+    B = 1000003
+    return (
+        "WITH RECURSIVE n AS (SELECT doc_id, "
+        "TRIM(REGEXP_REPLACE(text, '\\s+', ' ', 'g')) AS t FROM documents), "
+        f"r(k, v) AS (SELECT 0, CAST(1 AS HUGEINT) UNION ALL "
+        f"SELECT k + 1, (v * {B}) % {M} FROM r "
+        "WHERE k < (SELECT COALESCE(MAX(length(t)), 0) FROM n)), "
+        "chars AS (SELECT doc_id, i, "
+        "CAST(unicode(substr(t, CAST(i AS INTEGER), 1)) AS HUGEINT) AS cp, "
+        "length(t) AS len FROM n, UNNEST(range(1, length(t) + 1)) AS u(i)), "
+        f"terms AS (SELECT c.doc_id, (c.cp * r.v) % {M} AS term "
+        "FROM chars c JOIN r ON r.k = c.len - c.i), "
+        f"h AS (SELECT doc_id, CAST(SUM(term) % {M} AS BIGINT) AS fingerprint "
+        "FROM terms GROUP BY doc_id) "
+        "SELECT d.doc_id, COALESCE(h.fingerprint, 0) AS fingerprint "
+        "FROM documents d LEFT JOIN h USING (doc_id)"
+    )
+
+
 def _lang_id_sql() -> str:
     """Exact mirror of LangIdActor: occurrence counts of profile stopwords
     per language (a shared word counts for EVERY owning profile), argmax
@@ -3830,6 +3855,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node"
         ),
         "lang_id": _lang_id_sql(),
+        "fingerprints": _fingerprints_sql(),
         "colocation": (
             f"WITH e AS (SELECT event_id, user_id, ts, {elat} AS lat, "
             f"{elon} AS lon FROM events WHERE event_type = 'click') "
