@@ -1717,6 +1717,20 @@ def q_value_outliers(sf_dir):
     return partitioned_map_groups(ev, "user_id", part_fn)
 
 
+def q_trending_daily(sf_dir):
+    """Daily trending event types: the windowed top-k composition —
+    day-keyed counts (partitioned final) → per-day top-3 with the exact
+    deterministic tie-break."""
+    from geodistpy_ray.stages.relational import add_day_key, grouped_sum, top_k_per_group
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["ts", "event_type"])
+    ds = add_day_key(ev, "ts", "ymd").select_columns(["ymd", "event_type"])
+    counts = grouped_sum(ds, ["ymd", "event_type"], count_col="n", final="partitioned")
+    return top_k_per_group(
+        counts, "ymd", "n", k=3, ascending=False, tiebreak_col="event_type"
+    )
+
+
 def q_cohort_retention(sf_dir):
     """Cohort retention matrix: users grouped by FIRST-event day, distinct
     active users per (cohort_day, activity_day). One distributed
@@ -3015,6 +3029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_focal": q_cell_focal,
         "value_outliers": q_value_outliers,
         "colocation": q_colocation,
+        "trending_daily": q_trending_daily,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3855,6 +3870,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node"
         ),
         "lang_id": _lang_id_sql(),
+        "trending_daily": (
+            "WITH c AS (SELECT "
+            "CAST(YEAR(ts) * 10000 + MONTH(ts) * 100 + DAY(ts) AS BIGINT) AS ymd, "
+            "event_type, CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2) "
+            "SELECT ymd, event_type, n, "
+            "CAST(ROW_NUMBER() OVER (PARTITION BY ymd "
+            "ORDER BY n DESC, event_type) AS BIGINT) AS rank "
+            "FROM c QUALIFY rank <= 3"
+        ),
         "fingerprints": _fingerprints_sql(),
         "colocation": (
             f"WITH e AS (SELECT event_id, user_id, ts, {elat} AS lat, "
