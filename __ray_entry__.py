@@ -1717,6 +1717,19 @@ def q_value_outliers(sf_dir):
     return partitioned_map_groups(ev, "user_id", part_fn)
 
 
+def q_global_median(sf_dir):
+    """Exact GLOBAL median via distributed selection (iterative histogram
+    refinement, stages/relational.py:exact_order_stats) — ~2 streaming
+    passes folding O(bins) driver scalars, never a global sort; SQL MEDIAN
+    parity including the even-count two-middle average."""
+    import pandas as pd
+
+    from geodistpy_ray.stages.relational import global_median
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["value"])
+    return pd.DataFrame({"median_value": [global_median(ev, "value")]})
+
+
 def q_trending_daily(sf_dir):
     """Daily trending event types: the windowed top-k composition —
     day-keyed counts (partitioned final) → per-day top-3 with the exact
@@ -3030,6 +3043,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_outliers": q_value_outliers,
         "colocation": q_colocation,
         "trending_daily": q_trending_daily,
+        "global_median": q_global_median,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3870,6 +3884,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node"
         ),
         "lang_id": _lang_id_sql(),
+        "global_median": "SELECT MEDIAN(value) AS median_value FROM events",
         "trending_daily": (
             "WITH c AS (SELECT "
             "CAST(YEAR(ts) * 10000 + MONTH(ts) * 100 + DAY(ts) AS BIGINT) AS ymd, "

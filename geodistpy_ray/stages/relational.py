@@ -783,3 +783,114 @@ def grouped_mode(ds, key_col: str, value_col: str, n_parts: int = 64):
         return top.rename(columns={value_col: "mode_value", "c": "mode_count"})
 
     return partitioned_map_groups(pairs, key_col, pick_part, n_parts=n_parts)
+
+
+def exact_order_stats(ds, col: str, ks, bins: int = 4096, cap: int = 200_000, max_rounds: int = 12):
+    """Exact 0-indexed order statistics of a numeric column — the
+    distributed SELECTION algorithm (quantiles without a global sort):
+
+    each round is ONE streaming pass emitting per-batch histogram partials
+    over the current candidate interval (``bins`` int64 counts per batch —
+    the driver folds O(bins) scalars, never rows), narrowing to the bucket
+    span that contains the requested ranks; when few enough candidates
+    remain (``cap``) one final pass collects just those values and indexes
+    them exactly. O(log_bins(n/cap)) passes — 2 for corpus-scale inputs.
+
+    Contrast: ``Dataset.sort`` pays a full range-shuffle of every row for
+    the same answer; the per-key variant of this need is served by
+    `grouped_quantile` (exact) / `grouped_quantile_sketch` (mergeable).
+    NaNs raise (no total order). ``ks`` may hold several ranks (e.g. both
+    middle elements of an even-count median); they are refined JOINTLY.
+    """
+    ks = sorted(int(k) for k in ks)
+
+    def minmax_partial(batch: pa.Table) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        if v.size and np.isnan(v).any():
+            raise ValueError(f"exact_order_stats: column {col!r} contains NaN")
+        if v.size == 0:
+            return pa.table({"lo": pa.array([], pa.float64()),
+                             "hi": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        return pa.table({"lo": pa.array([float(v.min())]),
+                         "hi": pa.array([float(v.max())]),
+                         "n": pa.array([int(v.size)], pa.int64())})
+
+    parts = ds.map_batches(
+        minmax_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not parts:
+        raise ValueError("exact_order_stats: empty input")
+    lo = min(p["lo"] for p in parts)
+    hi = max(p["hi"] for p in parts)
+    n = sum(p["n"] for p in parts)
+    if ks[0] < 0 or ks[-1] >= n:
+        raise ValueError(f"ranks {ks} out of range for {n} rows")
+    below = 0  # rows strictly below the current interval
+
+    for _ in range(max_rounds):
+        def count_partial(batch: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            inside = v[(v >= _lo) & (v <= _hi)]
+            edges = np.linspace(_lo, _hi, bins + 1)
+            h, _ = np.histogram(inside, bins=edges)
+            return pa.table({"h": pa.array([h.astype(np.int64)], pa.list_(pa.int64()))})
+
+        rows = ds.map_batches(
+            count_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+        h = np.sum([np.asarray(r["h"], dtype=np.int64) for r in rows], axis=0)
+        total_in = int(h.sum())
+        if total_in <= cap or lo == hi:
+            break
+        cum = below + np.cumsum(h)
+        b_first = int(np.searchsorted(cum, ks[0] + 1))
+        b_last = int(np.searchsorted(cum, ks[-1] + 1))
+        edges = np.linspace(lo, hi, bins + 1)
+        new_below = below + int(h[:b_first].sum())
+        new_lo, new_hi = float(edges[b_first]), float(edges[b_last + 1])
+        # floating bucket edges can stall (lo==new_lo, hi==new_hi with a
+        # huge equal-value bucket) — then the candidates ARE collectable
+        if (new_lo, new_hi) == (lo, hi):
+            break
+        below, lo, hi = new_below, new_lo, new_hi
+
+    def collect_partial(batch: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+        v = batch.column(col).to_numpy(zero_copy_only=False)
+        keep = v[(v >= _lo) & (v <= _hi)]
+        return pa.table({"v": pa.array(keep, pa.float64())})
+
+    vals = np.concatenate(
+        [
+            np.asarray(r["v"], dtype=np.float64).reshape(-1)
+            for r in ds.map_batches(
+                collect_partial, batch_format="pyarrow", zero_copy_batch=True
+            ).select_columns(["v"]).take_all()
+        ]
+        or [np.array([], dtype=np.float64)]
+    )
+    vals.sort()
+    return [float(vals[k - below]) for k in ks], n
+
+
+def global_median(ds, col: str):
+    """Exact global median (SQL ``MEDIAN`` semantics: even counts average
+    the two middle values) via :func:`exact_order_stats` — never a global
+    sort."""
+
+    def n_partial(batch: pa.Table) -> pa.Table:
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    n = sum(
+        r["n"]
+        for r in ds.map_batches(
+            n_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    )
+    if n == 0:
+        raise ValueError("global_median: empty input")
+    if n % 2:
+        (v,), _ = exact_order_stats(ds, col, [n // 2])
+        return v
+    (a, b), _ = exact_order_stats(ds, col, [n // 2 - 1, n // 2])
+    return (a + b) / 2.0

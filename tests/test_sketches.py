@@ -327,3 +327,32 @@ class TestHeavyHitters:
 
         with pytest.raises(ValueError):
             heavy_hitters(None, "k", 0.0)
+
+
+class TestExactOrderStats:
+    def test_matches_numpy_sort(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import exact_order_stats, global_median
+
+        rng = np.random.default_rng(97)
+        # heavy duplicate mass (stall-branch coverage) + a smooth tail
+        v = np.concatenate(
+            [np.full(5000, 7.25), rng.normal(100, 30, 7001), rng.uniform(-5, 5, 3000)]
+        )
+        tbl = pa.table({"value": pa.array(v, pa.float64())})
+        ds = rd.from_arrow(tbl).repartition(6)
+        s = np.sort(v)
+        ks = [0, 1, 2500, 7500, v.size // 2, v.size - 1]
+        got, n = exact_order_stats(ds, "value", ks, bins=64, cap=500)
+        assert n == v.size
+        for k, g in zip(ks, got):
+            assert g == s[k], (k, g, s[k])
+        # median parity with numpy (odd count here)
+        assert global_median(ds, "value") == float(np.median(v))
+        # even count: average of the two middle values
+        ds2 = rd.from_arrow(tbl.slice(0, v.size - 1)).repartition(4)
+        v2 = np.sort(v[: v.size - 1])
+        assert global_median(ds2, "value") == (v2[v2.size // 2 - 1] + v2[v2.size // 2]) / 2.0
+        with pytest.raises(ValueError, match="out of range"):
+            exact_order_stats(ds, "value", [v.size])
