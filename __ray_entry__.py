@@ -1717,6 +1717,32 @@ def q_value_outliers(sf_dir):
     return partitioned_map_groups(ev, "user_id", part_fn)
 
 
+def q_lang_samples(sf_dir):
+    """EXACTLY-5 uniform docs per language — the per-stratum fixed-size
+    eval-subset op (`sample_exact_k_per_key`): k smallest splitmix64 ids
+    within each lang, partition-independent, within-stratum rank emitted."""
+    from geodistpy_ray.stages.text import sample_exact_k_per_key
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"])
+    return sample_exact_k_per_key(docs, k=5, key_col="lang", id_col="doc_id")
+
+
+def _lang_samples_sql() -> str:
+    from geodistpy_ray.stages.text import splitmix64_sql
+
+    steps, final = splitmix64_sql("doc_id")
+    ctes, prev = [], "documents"
+    for i, expr in enumerate(steps, 1):
+        ctes.append(f"s{i} AS (SELECT doc_id, lang, {expr} AS z{i} FROM {prev})")
+        prev = f"s{i}"
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT doc_id, lang, rank FROM (SELECT doc_id, lang, "
+        f"CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {final}, doc_id) "
+        f"AS BIGINT) AS rank FROM {prev}) WHERE rank <= 5"
+    )
+
+
 def q_global_median(sf_dir):
     """Exact GLOBAL median via distributed selection (iterative histogram
     refinement, stages/relational.py:exact_order_stats) — ~2 streaming
@@ -3044,6 +3070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "colocation": q_colocation,
         "trending_daily": q_trending_daily,
         "global_median": q_global_median,
+        "lang_samples": q_lang_samples,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3885,6 +3912,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": _lang_id_sql(),
         "global_median": "SELECT MEDIAN(value) AS median_value FROM events",
+        "lang_samples": _lang_samples_sql(),
         "trending_daily": (
             "WITH c AS (SELECT "
             "CAST(YEAR(ts) * 10000 + MONTH(ts) * 100 + DAY(ts) AS BIGINT) AS ymd, "

@@ -1009,3 +1009,29 @@ def token_entropy(ds, id_col: str = "doc_id", text_col: str = "text", round_to: 
     return ds.select_columns([id_col, text_col]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def sample_exact_k_per_key(ds, k: int, key_col: str, id_col: str = "doc_id"):
+    """EXACTLY-k uniform sample PER KEY (stratum): within each key, the k
+    rows with the smallest ``splitmix64(id)`` — fixed-size per-language /
+    per-domain eval subsets, the stratified twin of :func:`sample_exact_k`.
+    Rides ``top_k_per_group`` (per-batch ≤k×keys combiner + bounded per-key
+    finalizer), so it's partition-independent and a pure function of each
+    stratum's id set. Emits the within-stratum ``rank`` (1-based hash
+    order, the stable sub-sampling order: rank ≤ j is the j-subset)."""
+    from .relational import top_k_per_group
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        if "__h" in batch.column_names:
+            raise ValueError("sample_exact_k_per_key: '__h' column name is reserved")
+        h = splitmix64(batch.column(id_col).to_numpy(zero_copy_only=False))
+        return batch.append_column("__h", pa.array(h, pa.uint64()))
+
+    tagged = ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True)
+    out = top_k_per_group(
+        tagged, key_col, "__h", k=k, ascending=True, tiebreak_col=id_col
+    )
+    return out.drop_columns(["__h"])
