@@ -324,6 +324,73 @@ def q_bbox_scan(sf_dir):
         shutil.rmtree(out, ignore_errors=True)
 
 
+def q_reverse_geocode(sf_dir):
+    """Reverse geocode: nearest synthetic city center per doc (broadcast
+    211-center argmin per batch — the nearest_centroid shape on geodesic
+    distance). Ties break to the smaller center id on both sides."""
+    from geodistpy_ray.functions.geocode import N_CENTERS, center_latlon
+    from geodistpy_ray.kernels import haversine
+    from geodistpy_ray.stages.geo import col_np
+
+    cid = np.arange(N_CENTERS, dtype=np.int64)
+    clat, clon = center_latlon(cid)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = col_np(batch, "lat")
+        lon = col_np(batch, "lon")
+        d = haversine(lat[:, None], lon[:, None], clat[None, :], clon[None, :])
+        best = np.argmin(d, axis=1)  # first min → smallest center id
+        dk = np.round(d[np.arange(lat.size), best] / 1000.0, 6)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "center_id": pa.array(cid[best], pa.int64()),
+                "center_km": pa.array(dk, pa.float64()),
+            }
+        )
+
+    return _docs_geo(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_idw_estimate(sf_dir):
+    """Inverse-distance-weighted spatial interpolation: estimate n_chars
+    at 8 query points from all docs within 750 km — Σ(v/d²)/Σ(1/d²) over
+    the radius join's neighbor set (the geostatistics estimator). The
+    weighted sums accumulate ≤ a few dozen terms, so the 1e-6 rounding
+    absorbs cross-engine sum-order noise."""
+    import pandas as pd
+
+    from geodistpy_ray.functions.geocode import query_points
+    from geodistpy_ray.stages import radius_join
+    from geodistpy_ray.stages.joins import broadcast_join
+
+    qid, qlat, qlon = query_points(8)
+    neighbors = radius_join(
+        _docs_geo(sf_dir), qid, qlat, qlon, RADIUS_M, kernel="haversine"
+    )
+
+    def to_pairs(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["query_id", "doc_id", "dist"])
+
+    neighbors = neighbors.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    import pyarrow.parquet as pq
+
+    j = broadcast_join(
+        neighbors, pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]),
+        "doc_id",
+    )
+    df = j.to_pandas()  # bounded: |queries| × neighbors-in-radius
+    w = 1.0 / (df["dist"] ** 2)
+    df["_wv"] = w * df["n_chars"]
+    df["_w"] = w
+    agg = df.groupby("query_id", as_index=False).agg(
+        _wv=("_wv", "sum"), _w=("_w", "sum"), n_neighbors=("_w", "size")
+    )
+    agg["idw_chars"] = (agg["_wv"] / agg["_w"]).round(6)
+    agg["n_neighbors"] = agg["n_neighbors"].astype(np.int64)
+    return agg[["query_id", "idw_chars", "n_neighbors"]]
+
+
 def q_rhumb_to_origin(sf_dir):
     """Rhumb-line (constant-bearing loxodrome) distance and course from
     every doc to the origin — the navigation twin of `dist_to_origin` /
@@ -3071,6 +3138,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trending_daily": q_trending_daily,
         "global_median": q_global_median,
         "lang_samples": q_lang_samples,
+        "reverse_geocode": q_reverse_geocode,
+        "idw_estimate": q_idw_estimate,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3453,6 +3522,29 @@ def oracle_sql() -> dict[str, str]:
             "FROM b, (SELECT CAST(UNNEST(RANGE(5)) AS BIGINT) AS j)"
         ),
         "rhumb_to_origin": _rhumb_to_origin_sql(lat, lon),
+        "reverse_geocode": (
+            "WITH c AS (SELECT CAST(UNNEST(RANGE(211)) AS BIGINT) AS center_id), "
+            "cc AS (SELECT center_id, "
+            "CAST((center_id * 7919) % 160 AS DOUBLE) - 79.5 AS clat, "
+            "CAST((center_id * 104729) % 360 AS DOUBLE) - 179.5 AS clon FROM c), "
+            f"d AS (SELECT doc_id, center_id, "
+            f"{haversine_sql(lat, lon, 'cc.clat', 'cc.clon')} AS dist "
+            "FROM documents, cc), "
+            "r AS (SELECT doc_id, center_id, dist, ROW_NUMBER() OVER ("
+            "PARTITION BY doc_id ORDER BY dist, center_id) AS rn FROM d) "
+            "SELECT doc_id, center_id, ROUND(dist / 1000.0, 6) AS center_km "
+            "FROM r WHERE rn = 1"
+        ),
+        "idw_estimate": (
+            f"WITH nb AS (SELECT q.query_id, d.doc_id, "
+            f"{hav_q.replace('doc_id', 'd.doc_id')} AS dist, d.n_chars "
+            f"FROM documents d, {qpts} q "
+            f"WHERE {hav_q.replace('doc_id', 'd.doc_id')} <= {RADIUS_M}) "
+            "SELECT query_id, "
+            "ROUND(SUM(n_chars / (dist * dist)) / SUM(1.0 / (dist * dist)), 6) "
+            "AS idw_chars, CAST(COUNT(*) AS BIGINT) AS n_neighbors "
+            "FROM nb GROUP BY query_id"
+        ),
         "sphere_destinations": _sphere_dest_sql(lat, lon),
         "midpoints_origin": _midpoint_sql(lat, lon),
         "bbox_scan": (
