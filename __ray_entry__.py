@@ -1123,6 +1123,26 @@ _CANON_URL_BUILD_SQL = (
 )
 
 
+def q_link_hops(sf_dir):
+    """Distributed BFS over the directed link graph: minimum hop count
+    from the seed pages {0, 1, 2} — the crawl-frontier / influence-radius
+    op (graph.py:bfs_hops, the CC idiom with a min-plus semilattice).
+    Oracle: a depth-capped recursive CTE taking MIN(d) per node."""
+    from geodistpy_ray.stages.graph import bfs_hops
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate([(ids * 7 + 13 * j + 1) % n_docs for j in range(3)])
+        return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+
+    e = docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+    return bfs_hops(e, seeds=[0, 1, 2], n_parts=16)
+
+
 def q_domain_stats(sf_dir):
     """Per-registrable-domain page counts — the web-corpus rollup key op:
     urls with subdomain depth 0–2 and both plain and multi-label public
@@ -3140,6 +3160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_samples": q_lang_samples,
         "reverse_geocode": q_reverse_geocode,
         "idw_estimate": q_idw_estimate,
+        "link_hops": q_link_hops,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3986,6 +4007,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(leg_mm) AS BIGINT) AS track_mm FROM legs GROUP BY user_id"
         ),
         "domain_stats": _domain_stats_sql(),
+        "link_hops": (
+            # depth-capped recursive BFS; UNION dedups (node, d) states so
+            # cycles terminate; MIN(d) per node is the hop distance
+            "WITH RECURSIVE e AS ("
+            "SELECT doc_id AS s, "
+            "((doc_id * 7 + 13 * j + 1) % (SELECT COUNT(*) FROM documents)) AS t "
+            "FROM documents, (SELECT UNNEST([0, 1, 2]) AS j)), "
+            "reach(node, d) AS ("
+            "SELECT CAST(UNNEST([0, 1, 2]) AS BIGINT), 0 "
+            "UNION "
+            "SELECT e.t, reach.d + 1 FROM reach JOIN e ON e.s = reach.node "
+            "WHERE reach.d < 40) "
+            "SELECT node, CAST(MIN(d) AS BIGINT) AS hops FROM reach GROUP BY node"
+        ),
         "link_components": (
             # same-host edge subgraph of the synthetic link graph, closed
             # under the same min-reachable recursive CTE as dup_clusters

@@ -559,3 +559,140 @@ def hits(
     return partitioned_map_groups(
         both, "node", merge_part, n_parts=n_parts, part_format="pyarrow"
     )
+
+
+def bfs_hops(
+    edges,
+    seeds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    out_col: str = "hops",
+    n_parts: int = 64,
+    max_iters: int = 50,
+):
+    """Distributed BFS: minimum hop count from any seed node, following
+    DIRECTED edges → Dataset (node, hops) for every REACHED node.
+
+    The :func:`connected_components` idiom with a different semilattice —
+    labels are hop distances, the update rule is ``min(node, neighbor+1)``
+    — so each round is the same two bounded O(E) shuffles (state meets its
+    out-edges in the source partition; mins reduce in the destination
+    partition), and the round count is the reached diameter (capped by
+    ``max_iters``, raising on non-convergence like CC). Unreached nodes
+    don't appear — absence IS the infinite distance.
+    """
+    import ray
+
+    seeds = np.asarray(list(seeds), dtype=np.int64)
+    if seeds.size == 0:
+        raise ValueError("bfs_hops needs at least one seed")
+    INF = np.int64(1 << 62)
+
+    def directed(batch: pa.Table) -> pa.Table:
+        s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(s),
+                "nbr": pa.array(d),
+                "lbl": pa.array(np.full(s.size, INF, dtype=np.int64)),
+                "kind": pa.array(np.full(s.size, _KIND_EDGE, dtype=np.int8)),
+            }
+        )
+
+    e = (
+        edges.select_columns([src_col, dst_col])
+        .map_batches(directed, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+    seed_set = ray.put(np.unique(seeds))
+
+    # node state: every endpoint, hops = 0 for seeds else INF
+    def init_part(t: pa.Table) -> pa.Table:
+        from .broadcast import get_broadcast
+
+        u = np.unique(t.column("node").to_numpy(zero_copy_only=False))
+        sd = get_broadcast(seed_set)
+        lbl = np.where(np.isin(u, sd), 0, INF).astype(np.int64)
+        return pa.table(
+            {
+                "node": pa.array(u, pa.int64()),
+                "nbr": pa.array(np.zeros(u.size, dtype=np.int64)),
+                "lbl": pa.array(lbl),
+                "kind": pa.array(np.full(u.size, _KIND_LABEL, dtype=np.int8)),
+            }
+        )
+
+    def endpoints(batch: pa.Table) -> pa.Table:
+        both = pa.concat_arrays(
+            [batch.column("node").combine_chunks(), batch.column("nbr").combine_chunks()]
+        )
+        return pa.table({"node": both})
+
+    state = partitioned_map_groups(
+        e.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True),
+        "node",
+        init_part,
+        n_parts=n_parts,
+        part_format="pyarrow",
+    ).materialize()
+
+    def msgs_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_edge = g["kind"].to_numpy() == _KIND_EDGE
+        st = g.loc[~is_edge]
+        out = [pd.DataFrame({"node": st["node"].to_numpy(), "lbl": st["lbl"].to_numpy()})]
+        if is_edge.any():
+            ed = g.loc[is_edge]
+            lbl_of = st.set_index("node")["lbl"].loc[ed["node"]].to_numpy()
+            nxt = np.where(lbl_of >= INF, INF, lbl_of + 1)
+            out.append(pd.DataFrame({"node": ed["nbr"].to_numpy(), "lbl": nxt}))
+        return pd.concat(out, ignore_index=True)
+
+    def min_part(g: pd.DataFrame) -> pd.DataFrame:
+        return g.groupby("node", sort=False, as_index=False).agg(lbl=("lbl", "min"))
+
+    for it in range(max_iters):
+        msgs = partitioned_map_groups(state.union(e), "node", msgs_part, n_parts=n_parts)
+        new = partitioned_map_groups(msgs, "node", min_part, n_parts=n_parts)
+
+        def relabel(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            return pa.table(
+                {
+                    "node": batch.column("node"),
+                    "nbr": pa.array(np.zeros(n, dtype=np.int64)),
+                    "lbl": batch.column("lbl"),
+                    "kind": pa.array(np.full(n, _KIND_LABEL, dtype=np.int8)),
+                }
+            )
+
+        new_state = new.map_batches(
+            relabel, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+        # convergence: total label sum is strictly decreasing until fixed
+        def lbl_sum(batch: pa.Table) -> pa.Table:
+            v = batch.column("lbl").to_numpy(zero_copy_only=False)
+            return pa.table({"s": pa.array([int(v.sum())], pa.int64())})
+
+        s_old = sum(r["s"] for r in state.map_batches(lbl_sum, batch_format="pyarrow").take_all())
+        s_new = sum(r["s"] for r in new_state.map_batches(lbl_sum, batch_format="pyarrow").take_all())
+        state = new_state
+        if s_new == s_old:
+            break
+    else:
+        raise RuntimeError(f"bfs_hops did not converge in {max_iters} rounds")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        lbl = batch.column("lbl").to_numpy(zero_copy_only=False)
+        keep = lbl < INF
+        return pa.table(
+            {
+                node_col: pa.array(
+                    batch.column("node").to_numpy(zero_copy_only=False)[keep]
+                ),
+                out_col: pa.array(lbl[keep], pa.int64()),
+            }
+        )
+
+    return state.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -368,3 +368,45 @@ class TestHits:
         np.testing.assert_allclose(a["auth"], b["auth"], atol=1e-12)
         assert np.linalg.norm(a["hub"]) == pytest.approx(1.0, abs=1e-9)
         assert np.linalg.norm(a["auth"]) == pytest.approx(1.0, abs=1e-9)
+
+
+class TestBfsHops:
+    def test_matches_python_bfs(self, ray_session):
+        from collections import deque
+
+        import ray.data as rd
+
+        from geodistpy_ray.stages.graph import bfs_hops
+
+        rng = np.random.default_rng(101)
+        n = 400
+        src = rng.integers(0, n, 1000)
+        dst = rng.integers(0, n, 1000)
+        # an island unreachable from the seeds (nodes 500..509 in a cycle)
+        isl = np.arange(500, 510)
+        src = np.concatenate([src, isl])
+        dst = np.concatenate([dst, np.roll(isl, -1)])
+        tbl = pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+        seeds = [3, 77]
+        got = (
+            bfs_hops(rd.from_arrow(tbl).repartition(4), seeds, n_parts=8)
+            .to_pandas()
+            .set_index("node")["hops"]
+            .to_dict()
+        )
+        adj = {}
+        for a, b in zip(src, dst):
+            adj.setdefault(int(a), []).append(int(b))
+        dist = {s: 0 for s in seeds}
+        q = deque(seeds)
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, ()):  # directed
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        assert got == dist
+        # the unreachable island must be absent
+        assert not any(500 <= k < 510 for k in got)
+        with pytest.raises(ValueError, match="seed"):
+            bfs_hops(rd.from_arrow(tbl), [])
