@@ -1830,6 +1830,18 @@ def _lang_samples_sql() -> str:
     )
 
 
+def q_session_spans(sf_dir):
+    """Full sessionization: per user, every 30-min-gap session's index,
+    start/end µs and event count — the span form of the session COUNT op
+    (`windows.py:session_spans`; one co-located sort + diff + cumsum)."""
+    from geodistpy_ray.stages.windows import session_spans
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+    return session_spans(
+        ev, "user_id", "ts", gap_us=1_800_000_000, tiebreak_col="event_id"
+    )
+
+
 def q_global_median(sf_dir):
     """Exact GLOBAL median via distributed selection (iterative histogram
     refinement, stages/relational.py:exact_order_stats) — ~2 streaming
@@ -3161,6 +3173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reverse_geocode": q_reverse_geocode,
         "idw_estimate": q_idw_estimate,
         "link_hops": q_link_hops,
+        "session_spans": q_session_spans,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -4039,6 +4052,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "lang_id": _lang_id_sql(),
         "global_median": "SELECT MEDIAN(value) AS median_value FROM events",
+        "session_spans": (
+            "WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events), "
+            "f AS (SELECT user_id, event_id, us, "
+            "CASE WHEN LAG(us) OVER w IS NULL "
+            "OR us - LAG(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS brk "
+            "FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+            "s AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id "
+            "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f) "
+            "SELECT user_id, CAST(sid AS BIGINT) AS session_idx, "
+            "CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_events "
+            "FROM s GROUP BY user_id, sid"
+        ),
         "lang_samples": _lang_samples_sql(),
         "trending_daily": (
             "WITH c AS (SELECT "

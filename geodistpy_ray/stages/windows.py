@@ -491,3 +491,75 @@ def add_lag_delta(
         return g
 
     return partitioned_map_groups(ds, key_col, part_fn, n_parts=n_parts)
+
+
+def session_spans(
+    ds,
+    key_col: str,
+    ts_col: str,
+    gap_us: int,
+    tiebreak_col: str | None = None,
+    n_parts: int = 64,
+):
+    """Full sessionization: per key, the 1-based session index plus each
+    session's (start_us, end_us, n_events) — the span form of
+    :func:`sessionize` (which only counts). A new session starts when the
+    gap to the previous event exceeds ``gap_us`` (strict, matching the
+    count op and the SQL LAG mirror). One bounded-partition co-location;
+    inside: one sort, one diff, one cumsum, one reduceat — no per-key
+    frames. Exact-tie timestamps can't straddle a session boundary
+    (gap 0 ≤ any positive gap), so the output is tiebreak-independent.
+    """
+    from .grouping import partitioned_map_groups
+
+    sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
+        [(tiebreak_col, "ascending")] if tiebreak_col else []
+    )
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "session_idx": pa.array([], pa.int64()),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+                "n_events": pa.array([], pa.int64()),
+            }
+        )
+        t = t.sort_by(sort_keys)
+        n = t.num_rows
+        if n == 0:
+            return empty
+        keys = t.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        us = (
+            t.column(ts_col)
+            .combine_chunks()
+            .cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        brk = np.ones(n, dtype=bool)  # row starts a session
+        if n > 1:
+            same = keys[1:] == keys[:-1]
+            brk[1:] = ~same | (np.diff(us) > gap_us)
+        starts = np.flatnonzero(brk)
+        ends = np.append(starts[1:], n)
+        # 1-based session index within each key: global session ordinal
+        # minus the ordinal of the key's FIRST session
+        key_of_sess = keys[starts]
+        newkey = np.r_[True, key_of_sess[1:] != key_of_sess[:-1]]
+        base_idx = np.maximum.accumulate(np.where(newkey, np.arange(starts.size), 0))
+        sidx = np.arange(starts.size, dtype=np.int64) - base_idx + 1
+        return pa.table(
+            {
+                key_col: pa.array(key_of_sess),
+                "session_idx": pa.array(sidx, pa.int64()),
+                "start_us": pa.array(us[starts], pa.int64()),
+                "end_us": pa.array(us[ends - 1], pa.int64()),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+            }
+        )
+
+    return partitioned_map_groups(
+        ds, key_col, part_fn, n_parts=n_parts, part_format="pyarrow"
+    )
