@@ -652,6 +652,16 @@ def bfs_hops(
     def min_part(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", sort=False, as_index=False).agg(lbl=("lbl", "min"))
 
+    def _lbl_sum(st) -> int:
+        def partial(batch: pa.Table) -> pa.Table:
+            v = batch.column("lbl").to_numpy(zero_copy_only=False)
+            return pa.table({"s": pa.array([int(v.sum())], pa.int64())})
+
+        return sum(
+            r["s"] for r in st.map_batches(partial, batch_format="pyarrow").take_all()
+        )
+
+    s_old = _lbl_sum(state)
     for it in range(max_iters):
         msgs = partitioned_map_groups(state.union(e), "node", msgs_part, n_parts=n_parts)
         new = partitioned_map_groups(msgs, "node", min_part, n_parts=n_parts)
@@ -671,15 +681,12 @@ def bfs_hops(
             relabel, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
         # convergence: total label sum is strictly decreasing until fixed
-        def lbl_sum(batch: pa.Table) -> pa.Table:
-            v = batch.column("lbl").to_numpy(zero_copy_only=False)
-            return pa.table({"s": pa.array([int(v.sum())], pa.int64())})
-
-        s_old = sum(r["s"] for r in state.map_batches(lbl_sum, batch_format="pyarrow").take_all())
-        s_new = sum(r["s"] for r in new_state.map_batches(lbl_sum, batch_format="pyarrow").take_all())
+        # (the previous round's sum is carried, not recomputed)
+        s_new = _lbl_sum(new_state)
         state = new_state
         if s_new == s_old:
             break
+        s_old = s_new
     else:
         raise RuntimeError(f"bfs_hops did not converge in {max_iters} rounds")
 

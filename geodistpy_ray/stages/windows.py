@@ -274,7 +274,7 @@ def geodesic_track_length(
         if n == 0:
             return pa.table(
                 {
-                    key_col: pa.array([], pa.int64()),
+                    key_col: pa.array([], t.schema.field(key_col).type),
                     "n_legs": pa.array([], pa.int64()),
                     "track_mm": pa.array([], pa.int64()),
                 }
@@ -381,16 +381,16 @@ def densify_tracks(
     )
 
     def part_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_keys)
         empty = pa.table(
             {
-                key_col: pa.array([], pa.int64()),
+                key_col: pa.array([], t.schema.field(key_col).type),
                 "leg_idx": pa.array([], pa.int64()),
                 "k": pa.array([], pa.int64()),
                 lat_col: pa.array([], pa.float64()),
                 lon_col: pa.array([], pa.float64()),
             }
         )
-        t = t.sort_by(sort_keys)
         keys = t.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
         lat = t.column(lat_col).combine_chunks().to_numpy(zero_copy_only=False)
         lon = t.column(lon_col).combine_chunks().to_numpy(zero_copy_only=False)
@@ -517,16 +517,16 @@ def session_spans(
     )
 
     def part_fn(t: pa.Table) -> pa.Table:
+        t = t.sort_by(sort_keys)
         empty = pa.table(
             {
-                key_col: pa.array([], pa.int64()),
+                key_col: pa.array([], t.schema.field(key_col).type),
                 "session_idx": pa.array([], pa.int64()),
                 "start_us": pa.array([], pa.int64()),
                 "end_us": pa.array([], pa.int64()),
                 "n_events": pa.array([], pa.int64()),
             }
         )
-        t = t.sort_by(sort_keys)
         n = t.num_rows
         if n == 0:
             return empty
