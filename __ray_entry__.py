@@ -195,6 +195,27 @@ def q_cell_focal(sf_dir):
     return shuffle_equi_join(focal, counts, "cell", n_buckets=16)
 
 
+def q_cell_lang_entropy(sf_dir):
+    """Spatial diversity map: Shannon entropy of the language mix per
+    occupied cell (0 = monolingual cell) — the (cell × lang) rollup is the
+    distributed pass; the ≤5-term entropy fold runs on the driver's
+    bounded result."""
+    from geodistpy_ray.stages import add_cell
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    ds = add_cell(_docs_geo(sf_dir, ("doc_id", "lang")), CELL_DEG)
+    counts = grouped_sum(ds, ["cell", "lang"], count_col="c")
+    tot = counts.groupby("cell")["c"].transform("sum")
+    p = counts["c"] / tot
+    counts["t"] = -(p * np.log(p))
+    out = counts.groupby("cell", as_index=False).agg(
+        n_docs=("c", "sum"), lang_entropy=("t", "sum")
+    )
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    out["lang_entropy"] = out["lang_entropy"].round(6)
+    return out
+
+
 def q_cell_areas(sf_dir):
     """Occupied-cell raster with true spherical areas: geocode → cell →
     count per cell → exact spherical-rectangle area per cell (km², the
@@ -3174,6 +3195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "idw_estimate": q_idw_estimate,
         "link_hops": q_link_hops,
         "session_spans": q_session_spans,
+        "cell_lang_entropy": q_cell_lang_entropy,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -4095,6 +4117,16 @@ def oracle_sql() -> dict[str, str]:
             "ROUND((e.value - s.mu) / s.sd, 6) AS z "
             "FROM events e JOIN s USING (user_id) "
             "WHERE s.sd > 0 AND ABS((e.value - s.mu) / s.sd) > 2.5"
+        ),
+        "cell_lang_entropy": (
+            f"WITH g AS (SELECT {cell} AS cell, lang FROM documents), "
+            "c AS (SELECT cell, lang, COUNT(*) AS c FROM g GROUP BY 1, 2), "
+            "t AS (SELECT cell, c, "
+            "-(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY cell)) * "
+            "LN(CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY cell)) AS term "
+            "FROM c) "
+            "SELECT cell, CAST(SUM(c) AS BIGINT) AS n_docs, "
+            "ROUND(SUM(term), 6) AS lang_entropy FROM t GROUP BY cell"
         ),
         "cell_focal": (
             # 3x3 neighbor explode with lon wrap and lat-edge drop (grid is
