@@ -892,3 +892,45 @@ def test_densify_tracks_properties(ray_session):
     sub = haversine(path_lat[:-1], path_lon[:-1], path_lat[1:], path_lon[1:])
     assert float(sub.max()) <= 5_000_000.0 * 1.001
     assert abs(float(sub.sum()) - d) < 1.0
+
+
+def test_session_spans_consistency(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import session_spans, sessionize
+
+    rng = np.random.default_rng(103)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "k": rng.integers(0, 8, n),
+            "ts": pd.to_datetime(
+                rng.integers(0, 3 * 86_400_000_000, n), unit="us"
+            ),
+            "id": np.arange(n),
+        }
+    )
+    gap = 1_800_000_000
+    spans = (
+        session_spans(rd.from_pandas(df).repartition(4), "k", "ts", gap, tiebreak_col="id")
+        .to_pandas()
+        .sort_values(["k", "session_idx"], ignore_index=True)
+    )
+    counts = (
+        sessionize(rd.from_pandas(df).repartition(4), "k", "ts", gap, order_tiebreak_col="id")
+        .to_pandas()
+        .set_index("k")["n_sessions"]
+    )
+    # span count per key == the count op's n_sessions
+    got_counts = spans.groupby("k")["session_idx"].max()
+    assert got_counts.to_dict() == counts.to_dict()
+    # session indices are 1..n contiguous per key
+    for k, g in spans.groupby("k"):
+        assert g["session_idx"].tolist() == list(range(1, len(g) + 1))
+        # spans ordered, non-overlapping, separated by > gap
+        assert (g["end_us"] >= g["start_us"]).all()
+        nxt = g["start_us"].to_numpy()[1:]
+        prv = g["end_us"].to_numpy()[:-1]
+        assert (nxt - prv > gap).all()
+    # event counts add up
+    assert spans["n_events"].sum() == n
