@@ -412,6 +412,73 @@ def q_idw_estimate(sf_dir):
     return agg[["query_id", "idw_chars", "n_neighbors"]]
 
 
+ROUTE = ((40.0, -5.0), (48.0, 10.0), (52.0, 20.0), (55.0, 35.0))
+CORRIDOR_M = 800_000.0
+
+
+def q_corridor_docs(sf_dir):
+    """Corridor join: docs within 800 km of a 3-segment great-circle route
+    (kernels/simplify.py:gc_segment_distance — along-track decomposition
+    with endpoint clamping), min over segments. The route-search /
+    near-a-path query class."""
+    from geodistpy_ray.kernels.simplify import gc_segment_distance
+    from geodistpy_ray.stages.geo import col_np
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lat = col_np(batch, "lat")
+        lon = col_np(batch, "lon")
+        d = None
+        for (a1, o1), (a2, o2) in zip(ROUTE[:-1], ROUTE[1:]):
+            seg = gc_segment_distance(lat, lon, a1, o1, a2, o2)
+            d = seg if d is None else np.minimum(d, seg)
+        keep = d <= CORRIDOR_M
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").filter(pa.array(keep)),
+                "corridor_km": pa.array(np.round(d[keep] / 1000.0, 6), pa.float64()),
+            }
+        )
+
+    return _docs_geo(sf_dir).map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _corridor_sql(lat: str, lon: str) -> str:
+    """Per-segment along-track CASE mirror of gc_segment_distance; the
+    segment constants (forward bearing b12 in radians, length d12) are
+    embedded as exact repr literals of the engine's own float64 values,
+    so both sides branch on bit-identical comparisons."""
+    from geodistpy_ray.functions.geocode import haversine_sql
+    from geodistpy_ray.kernels.sphere import haversine, initial_bearing_sphere
+
+    R = "6371009.0"
+    segs = []
+    for (a1, o1), (a2, o2) in zip(ROUTE[:-1], ROUTE[1:]):
+        b12 = float(np.radians(initial_bearing_sphere(a1, o1, a2, o2)))
+        d12 = float(haversine(a1, o1, a2, o2))
+        d13 = haversine_sql(str(a1), str(o1), lat, lon)
+        d2p = haversine_sql(str(a2), str(o2), lat, lon)
+        y13 = f"(SIN(RADIANS({lon}) - RADIANS({o1})) * COS(RADIANS({lat})))"
+        x13 = (
+            f"(COS(RADIANS({a1})) * SIN(RADIANS({lat})) - "
+            f"SIN(RADIANS({a1})) * COS(RADIANS({lat})) * "
+            f"COS(RADIANS({lon}) - RADIANS({o1})))"
+        )
+        raw = f"DEGREES(ATAN2({y13}, {x13}))"
+        b13 = f"RADIANS({raw} - FLOOR({raw} / 360.0) * 360.0)"
+        dxt = f"(ASIN(SIN({d13} / {R}) * SIN({b13} - {b12!r})) * {R})"
+        cosr = f"(COS({d13} / {R}) / COS({dxt} / {R}))"
+        dat = f"(ACOS(LEAST(GREATEST({cosr}, -1.0), 1.0)) * {R})"
+        segs.append(
+            f"(CASE WHEN COS({b13} - {b12!r}) < 0.0 THEN {d13} "
+            f"WHEN {dat} > {d12!r} THEN {d2p} ELSE ABS({dxt}) END)"
+        )
+    mind = f"LEAST({', '.join(segs)})"
+    return (
+        f"SELECT doc_id, ROUND({mind} / 1000.0, 6) AS corridor_km "
+        f"FROM documents WHERE {mind} <= {CORRIDOR_M}"
+    )
+
+
 def q_rhumb_to_origin(sf_dir):
     """Rhumb-line (constant-bearing loxodrome) distance and course from
     every doc to the origin — the navigation twin of `dist_to_origin` /
@@ -3196,6 +3263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_hops": q_link_hops,
         "session_spans": q_session_spans,
         "cell_lang_entropy": q_cell_lang_entropy,
+        "corridor_docs": q_corridor_docs,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3578,6 +3646,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM b, (SELECT CAST(UNNEST(RANGE(5)) AS BIGINT) AS j)"
         ),
         "rhumb_to_origin": _rhumb_to_origin_sql(lat, lon),
+        "corridor_docs": _corridor_sql(lat, lon),
         "reverse_geocode": (
             "WITH c AS (SELECT CAST(UNNEST(RANGE(211)) AS BIGINT) AS center_id), "
             "cc AS (SELECT center_id, "

@@ -63,3 +63,32 @@ def simplify_mask(lat, lon, tol_m: float, radius: float = EARTH_RADIUS_M) -> np.
             stack.append((i, m))
             stack.append((m, j))
     return keep
+
+
+def gc_segment_distance(lat, lon, lat1, lon1, lat2, lon2, radius: float = EARTH_RADIUS_M):
+    """Distance (meters) from points to a great-circle SEGMENT (not the
+    infinite circle): the standard along-track decomposition —
+
+    - behind the start (cos(θ13−θ12) < 0): distance to the start point,
+    - beyond the end (along-track > segment length): distance to the end,
+    - else |cross-track|.
+
+    Vectorized over the points; mirrored term-for-term in SQL by the
+    corridor queries. Degenerate zero-length segments fall back to the
+    point distance.
+    """
+    d13 = haversine(lat1, lon1, lat, lon, radius=radius)
+    b13 = np.radians(initial_bearing_sphere(lat1, lon1, lat, lon))
+    b12 = np.radians(initial_bearing_sphere(lat1, lon1, lat2, lon2))
+    dxt = np.arcsin(np.sin(d13 / radius) * np.sin(b13 - b12)) * radius
+    # along-track via the spherical Pythagoras; clip guards |cos ratio| > 1
+    # by 1 ulp at dxt ≈ d13
+    cos_ratio = np.cos(d13 / radius) / np.cos(dxt / radius)
+    dat = np.arccos(np.clip(cos_ratio, -1.0, 1.0)) * radius
+    d12 = haversine(lat1, lon1, lat2, lon2, radius=radius)
+    d2p = haversine(lat2, lon2, lat, lon, radius=radius)
+    behind = np.cos(b13 - b12) < 0.0
+    beyond = dat > d12
+    out = np.where(behind, d13, np.where(beyond, d2p, np.abs(dxt)))
+    degenerate = (lat1 == lat2) & (lon1 == lon2)
+    return np.where(degenerate, d13, out)

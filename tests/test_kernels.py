@@ -339,3 +339,28 @@ def test_destination_and_midpoint_sphere_properties():
     np.testing.assert_allclose(d1, d2, rtol=1e-6, atol=1e-3)
     total = haversine(lat, lon, lat2, lon2)
     np.testing.assert_allclose(d1 + d2, total, rtol=1e-6, atol=1e-3)
+
+
+def test_gc_segment_distance_cases():
+    from geodistpy_ray.kernels.simplify import gc_segment_distance
+    from geodistpy_ray.kernels.sphere import haversine
+
+    # abeam the middle → |cross-track|; behind → to start; beyond → to end
+    d = float(gc_segment_distance(1.0, 5.0, 0.0, 0.0, 0.0, 10.0))
+    assert d == pytest.approx(float(haversine(1.0, 5.0, 0.0, 5.0)), rel=1e-4)
+    d = float(gc_segment_distance(0.0, -5.0, 0.0, 0.0, 0.0, 10.0))
+    assert d == float(haversine(0.0, -5.0, 0.0, 0.0))
+    d = float(gc_segment_distance(0.0, 15.0, 0.0, 0.0, 0.0, 10.0))
+    assert d == float(haversine(0.0, 15.0, 0.0, 10.0))
+    assert float(gc_segment_distance(0.0, 5.0, 0.0, 0.0, 0.0, 10.0)) < 1e-6
+    # degenerate zero-length segment → plain point distance
+    d = float(gc_segment_distance(3.0, 4.0, 10.0, 10.0, 10.0, 10.0))
+    assert d == float(haversine(3.0, 4.0, 10.0, 10.0))
+    # never exceeds the distance to either endpoint (vectorized sweep)
+    rng = np.random.default_rng(107)
+    lat = rng.uniform(-80, 80, 2000)
+    lon = rng.uniform(-180, 180, 2000)
+    seg = gc_segment_distance(lat, lon, 40.0, -5.0, 48.0, 10.0)
+    to_a = haversine(lat, lon, 40.0, -5.0)
+    to_b = haversine(lat, lon, 48.0, 10.0)
+    assert (seg <= np.minimum(to_a, to_b) + 1e-6).all()
