@@ -469,8 +469,10 @@ def _corridor_sql(lat: str, lon: str) -> str:
         cosr = f"(COS({d13} / {R}) / COS({dxt} / {R}))"
         dat = f"(ACOS(LEAST(GREATEST({cosr}, -1.0), 1.0)) * {R})"
         segs.append(
-            f"(CASE WHEN COS({b13} - {b12!r}) < 0.0 THEN {d13} "
-            f"WHEN {dat} > {d12!r} THEN {d2p} ELSE ABS({dxt}) END)"
+            # the trailing LEAST is the kernel's far-field endpoint clamp
+            f"LEAST((CASE WHEN COS({b13} - {b12!r}) < 0.0 THEN {d13} "
+            f"WHEN {dat} > {d12!r} THEN {d2p} ELSE ABS({dxt}) END), "
+            f"LEAST({d13}, {d2p}))"
         )
     mind = f"LEAST({', '.join(segs)})"
     return (

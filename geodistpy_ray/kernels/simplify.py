@@ -90,5 +90,10 @@ def gc_segment_distance(lat, lon, lat1, lon1, lat2, lon2, radius: float = EARTH_
     behind = np.cos(b13 - b12) < 0.0
     beyond = dat > d12
     out = np.where(behind, d13, np.where(beyond, d2p, np.abs(dxt)))
+    # far-field guard: past ~a quarter circumference the asin/acos
+    # decomposition folds and can overestimate — but the segment distance
+    # is by definition ≤ the distance to each endpoint, so clamp (exact
+    # for the near field, where corridor queries live)
+    out = np.minimum(out, np.minimum(d13, d2p))
     degenerate = (lat1 == lat2) & (lon1 == lon2)
     return np.where(degenerate, d13, out)
