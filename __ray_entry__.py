@@ -216,6 +216,31 @@ def q_cell_lang_entropy(sf_dir):
     return out
 
 
+def q_tile_pyramid(sf_dir):
+    """Tile pyramid: per-cell counts at three resolutions (1°, 2°, 4° via
+    integer coarsening) in ONE output keyed by (level, cell) — the
+    multi-zoom raster a tile server precomputes. The finest level is the
+    only corpus pass; coarser levels re-aggregate its partials."""
+    import pandas as pd
+
+    from geodistpy_ray.cells import parent_cell
+    from geodistpy_ray.stages import add_cell
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    ds = add_cell(_docs_geo(sf_dir), 1.0)
+    fine = grouped_sum(ds, ["cell"], count_col="n_docs")  # bounded driver DF
+    levels = [fine.assign(level=np.int64(1))]
+    for lvl, factor in ((2, 2), (4, 4)):
+        up = fine.copy()
+        up["cell"] = parent_cell(up["cell"].to_numpy(), 1.0, factor)
+        up = up.groupby("cell", as_index=False)["n_docs"].sum()
+        up["level"] = np.int64(lvl)
+        levels.append(up)
+    out = pd.concat(levels, ignore_index=True)
+    out["n_docs"] = out["n_docs"].astype(np.int64)
+    return out[["level", "cell", "n_docs"]]
+
+
 def q_cell_areas(sf_dir):
     """Occupied-cell raster with true spherical areas: geocode → cell →
     count per cell → exact spherical-rectangle area per cell (km², the
@@ -401,6 +426,7 @@ def q_idw_estimate(sf_dir):
         "doc_id",
     )
     df = j.to_pandas()  # bounded: |queries| × neighbors-in-radius
+    df = df[df["dist"] > 0]  # the d=0 singularity (both sides drop it)
     w = 1.0 / (df["dist"] ** 2)
     df["_wv"] = w * df["n_chars"]
     df["_w"] = w
@@ -3266,6 +3292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_spans": q_session_spans,
         "cell_lang_entropy": q_cell_lang_entropy,
         "corridor_docs": q_corridor_docs,
+        "tile_pyramid": q_tile_pyramid,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3670,7 +3697,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, "
             "ROUND(SUM(n_chars / (dist * dist)) / SUM(1.0 / (dist * dist)), 6) "
             "AS idw_chars, CAST(COUNT(*) AS BIGINT) AS n_neighbors "
-            "FROM nb GROUP BY query_id"
+            "FROM nb WHERE dist > 0 GROUP BY query_id"
         ),
         "sphere_destinations": _sphere_dest_sql(lat, lon),
         "midpoints_origin": _midpoint_sql(lat, lon),
@@ -4188,6 +4215,19 @@ def oracle_sql() -> dict[str, str]:
             "ROUND((e.value - s.mu) / s.sd, 6) AS z "
             "FROM events e JOIN s USING (user_id) "
             "WHERE s.sd > 0 AND ABS((e.value - s.mu) / s.sd) > 2.5"
+        ),
+        "tile_pyramid": (
+            # 1° grid is 180×360; factor-f parent = (lat//f)·(360/f) + lon//f
+            f"WITH c1 AS (SELECT {cell_sql(lat, lon, 1.0)} AS cell FROM documents), "
+            "f AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_docs "
+            "FROM c1 GROUP BY cell) "
+            "SELECT CAST(1 AS BIGINT) AS level, cell, n_docs FROM f "
+            "UNION ALL SELECT CAST(2 AS BIGINT), "
+            "((cell // 360) // 2) * 180 + (cell % 360) // 2, "
+            "CAST(SUM(n_docs) AS BIGINT) FROM f GROUP BY 2 "
+            "UNION ALL SELECT CAST(4 AS BIGINT), "
+            "((cell // 360) // 4) * 90 + (cell % 360) // 4, "
+            "CAST(SUM(n_docs) AS BIGINT) FROM f GROUP BY 2"
         ),
         "cell_lang_entropy": (
             f"WITH g AS (SELECT {cell} AS cell, lang FROM documents), "
