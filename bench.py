@@ -253,6 +253,14 @@ def _pagerank(sf_dir: str):
     return m.q_pagerank_links(sf_dir).count()
 
 
+def _colocation(sf_dir: str):
+    """Spatiotemporal co-location self-join over the click events (round
+    4 s2): ONE (cell × time-bucket) exchange, exactly-once pair sweep."""
+    import __ray_entry__ as m
+
+    return m.q_colocation(sf_dir).count()
+
+
 def _regional_revenue(sf_dir: str):
     """TPC-H Q5-shape 6-table multiway join (round 4): two fact shuffles
     (orders⋈customer, lineitem⋈that) + broadcast dimension prep + bounded
@@ -285,6 +293,7 @@ BENCH = {
     "pagerank_links": (_pagerank, "documents"),
     "regional_revenue": (_regional_revenue, "lineitem"),
     "track_length": (_track_length, "events"),
+    "colocation": (_colocation, "events"),
 }
 
 
