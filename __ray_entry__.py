@@ -1971,6 +1971,48 @@ def q_global_median(sf_dir):
     return pd.DataFrame({"median_value": [global_median(ev, "value")]})
 
 
+def q_source_dedup_ratio(sf_dir):
+    """Per-source duplication profile: docs vs DISTINCT texts per source
+    and the exact dup count — the corpus-health diagnostic before a dedup
+    pass. Distinct (source, text-hash) rides the distributed distinct;
+    the per-source rollup is bounded-domain."""
+    import pandas as pd
+
+    from geodistpy_ray.stages.dedup import add_text_hash
+    from geodistpy_ray.stages.relational import distinct, grouped_sum
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "source", "text"])
+    hashed = add_text_hash(docs).select_columns(["source", "text_hash"])
+    n_docs = grouped_sum(hashed, ["source"], count_col="n_docs")
+    d = distinct(hashed, ["source", "text_hash"])
+    n_uniq = grouped_sum(d, ["source"], count_col="n_distinct")
+    out = n_docs.merge(n_uniq, on="source")
+    out["n_dups"] = (out["n_docs"] - out["n_distinct"]).astype(np.int64)
+    return out[["source", "n_docs", "n_distinct", "n_dups"]]
+
+
+def q_user_first_last(sf_dir):
+    """Per-user FIRST and LAST event (by ts, event_id) — the
+    FIRST_VALUE/LAST_VALUE window pair, computed in one co-located
+    partition per key span."""
+    import pandas as pd
+
+    from geodistpy_ray.stages.grouping import partitioned_map_groups
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"])
+
+    def part_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        agg = g.groupby("user_id", as_index=False).agg(
+            first_event=("event_id", "first"), last_event=("event_id", "last")
+        )
+        agg["first_event"] = agg["first_event"].astype(np.int64)
+        agg["last_event"] = agg["last_event"].astype(np.int64)
+        return agg
+
+    return partitioned_map_groups(ev, "user_id", part_fn)
+
+
 def q_trending_daily(sf_dir):
     """Daily trending event types: the windowed top-k composition —
     day-keyed counts (partitioned final) → per-day top-3 with the exact
@@ -3293,6 +3335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cell_lang_entropy": q_cell_lang_entropy,
         "corridor_docs": q_corridor_docs,
         "tile_pyramid": q_tile_pyramid,
+        "source_dedup_ratio": q_source_dedup_ratio,
+        "user_first_last": q_user_first_last,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -4215,6 +4259,23 @@ def oracle_sql() -> dict[str, str]:
             "ROUND((e.value - s.mu) / s.sd, 6) AS z "
             "FROM events e JOIN s USING (user_id) "
             "WHERE s.sd > 0 AND ABS((e.value - s.mu) / s.sd) > 2.5"
+        ),
+        "source_dedup_ratio": (
+            "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+            "CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct, "
+            "CAST(COUNT(*) - COUNT(DISTINCT md5(text)) AS BIGINT) AS n_dups "
+            "FROM documents GROUP BY source"
+        ),
+        "user_first_last": (
+            "WITH r AS (SELECT user_id, event_id, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts), event_id) AS rn, "
+            "ROW_NUMBER() OVER (PARTITION BY user_id "
+            "ORDER BY epoch_us(ts) DESC, event_id DESC) AS rrn FROM events) "
+            "SELECT user_id, "
+            "CAST(MAX(CASE WHEN rn = 1 THEN event_id END) AS BIGINT) AS first_event, "
+            "CAST(MAX(CASE WHEN rrn = 1 THEN event_id END) AS BIGINT) AS last_event "
+            "FROM r GROUP BY user_id"
         ),
         "tile_pyramid": (
             # 1° grid is 180×360; factor-f parent = (lat//f)·(360/f) + lon//f
