@@ -228,3 +228,25 @@ class TestDimwise:
         d = geodist_dimwise(X)
         assert d[0, 1, 0] == pytest.approx(d[1, 0, 0], rel=1e-12)
         assert d[0, 1, 1] == -d[1, 0, 1]
+
+
+def test_driver_contract_registry_consistency():
+    """Every oracle_sql key must name a queries() entry, every entry is
+    callable, and the registry sizes match COVERAGE.md's running totals
+    (update both together)."""
+    import __ray_entry__ as m
+
+    q = m.queries()
+    o = m.oracle_sql()
+    assert set(o) <= set(q), sorted(set(o) - set(q))
+    assert all(callable(f) for f in q.values())
+    # keep the documented tallies honest
+    import re
+
+    cov = open("/root/repo/COVERAGE.md").read()
+    mt = re.search(r"Totals: (\d+) queries — (\d+) oracle-matched, (\d+) rows-only", cov)
+    assert mt, "COVERAGE.md totals line missing"
+    n_q, n_o, n_r = map(int, mt.groups())
+    assert len(q) == n_q, (len(q), n_q)
+    assert len(o) == n_o, (len(o), n_o)
+    assert n_q - n_o == n_r, (n_q, n_o, n_r)
