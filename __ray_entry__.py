@@ -831,6 +831,17 @@ def q_ann_topk(sf_dir):
     return ds.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_knn_graph(sf_dir):
+    """k-NN graph over the embedding corpus: each vector's top-3 cosine
+    neighbors, self excluded — the edge list graph-dedup / HNSW builds
+    consume (stages/ann.py:knn_graph, budget-guarded broadcast with the
+    streamed windowed-top-k combiner)."""
+    from geodistpy_ray.stages.ann import knn_graph
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_graph(emb, k=3)
+
+
 def q_ann_topk_q8(sf_dir):
     """Int8-quantized ANN (rows-only: sims carry ≤ scale/2 rounding, recall
     vs the exact path pinned in tests + recall_bench): quantize the corpus
@@ -3337,6 +3348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tile_pyramid": q_tile_pyramid,
         "source_dedup_ratio": q_source_dedup_ratio,
         "user_first_last": q_user_first_last,
+        "knn_graph": q_knn_graph,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3861,6 +3873,15 @@ def oracle_sql() -> dict[str, str]:
         "source_stats": (
             "SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
             "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
+        ),
+        "knn_graph": (
+            "SELECT vec_id, nbr_id, rank FROM ("
+            "SELECT q.vec_id AS vec_id, e.vec_id AS nbr_id, "
+            "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            "ROUND(-list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 6), e.vec_id) AS rank "
+            "FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id"
+            ") WHERE rank <= 3"
         ),
         "ann_topk": (
             f"SELECT query_id, vec_id, rank FROM ("

@@ -773,3 +773,73 @@ def embedding_pca(
 
     proj = ds.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)
     return proj, evr
+
+
+def knn_graph(
+    ds,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tie_round: int = 6,
+    max_rows: int = 100_000,
+):
+    """k-NN GRAPH over an embedding corpus: each vector's top-k cosine
+    neighbors with SELF excluded → (vec_id, nbr_id, rank) — the edge list
+    behind graph-based dedup, clustering, and HNSW-style index builds.
+
+    Broadcast form with a budget guard (the :func:`embedding_near_dup_pairs`
+    trade): the query side is the WHOLE corpus, collected once and closed
+    over; the corpus then STREAMS through the same windowed top-k combiner
+    as :func:`ann_topk`, with self-pairs masked before the window. Beyond
+    ``max_rows``, generate candidate edges with the IVF/LSH bucket paths
+    instead. Rank ties break on (-round(sim), neighbor id), mirroring the
+    SQL ROW_NUMBER exactly; raw sims are dropped from the output (numpy
+    and SQL cosine differ in fp ordering — ranks are the stable contract).
+    """
+    rows = ds.select_columns([id_col, emb_col]).take_all()
+    if len(rows) > max_rows:
+        raise ValueError(
+            f"knn_graph broadcast budget exceeded ({len(rows)} > {max_rows}); "
+            "use the IVF/LSH candidate paths for larger corpora"
+        )
+    if not rows:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    "nbr_id": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    qids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    q = _normalize(
+        np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
+    )
+    margin = 10.0 ** -tie_round if tie_round is not None else 0.0
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return _empty_partial("nbr_id")
+        emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
+        ids = col_np(batch, id_col)
+        sims = emb @ q.T
+        sims[ids[:, None] == qids[None, :]] = -2.0  # mask self-pairs
+        return _batch_topk_rows(sims, ids, "nbr_id", k, margin)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    merged = _merge_topk_by_sim(partials, "nbr_id", k, tie_round)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        pos = batch.column("query_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: pa.array(qids[pos], pa.int64()),
+                "nbr_id": batch.column("nbr_id"),
+                "rank": batch.column("rank"),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
