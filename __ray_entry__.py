@@ -1270,6 +1270,68 @@ def q_link_hops(sf_dir):
     return bfs_hops(e, seeds=[0, 1, 2], n_parts=16)
 
 
+def q_link_triangles(sf_dir):
+    """Distributed triangle count over the undirected link graph — the
+    canonical wedge-close algorithm as TWO bucketed joins: canonical
+    edges (a<b) join themselves on the middle vertex to form wedges
+    (a<b<c), then a SEMI join against the edge set keeps closed wedges.
+    Per-wedge work never leaves its hash bucket; output is the count per
+    smallest vertex (so the row set, not just one scalar, is verified)."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+    from geodistpy_ray.stages.relational import distinct, grouped_sum
+
+    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    n_docs = docs.count()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        src = np.concatenate([ids, ids, ids])
+        dst = np.concatenate([(ids * 7 + 13 * j + 1) % n_docs for j in range(3)])
+        a = np.minimum(src, dst)
+        b = np.maximum(src, dst)
+        keep = a != b  # drop self-loops
+        return pa.table({"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())})
+
+    e = distinct(
+        docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True), ["a", "b"]
+    ).materialize()
+
+    # wedges a<b<c: e(a,b) ⋈ e(b,c) on the middle vertex b
+    def rn(cols):
+        def fn(batch: pa.Table) -> pa.Table:
+            return batch.rename_columns(cols)
+
+        return fn
+
+    left = e.map_batches(rn(["wa", "b"]), batch_format="pyarrow", zero_copy_batch=True)
+    right = e.map_batches(rn(["b", "wc"]), batch_format="pyarrow", zero_copy_batch=True)
+    wedges = shuffle_equi_join(left, right, "b", n_buckets=16)
+    # close the wedge: SEMI join (wa, wc) against the edge set
+    w = wedges.map_batches(
+        lambda t: t.select(["wa", "wc"]).rename_columns(["a", "b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def tag_pair(batch: pa.Table) -> pa.Table:
+        a = batch.column("a").to_numpy(zero_copy_only=False)
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        return batch.append_column("pair", pa.array(a * np.int64(n_docs) + b, pa.int64()))
+
+    w = w.map_batches(tag_pair, batch_format="pyarrow", zero_copy_batch=True)
+    ek = e.map_batches(tag_pair, batch_format="pyarrow", zero_copy_batch=True).select_columns(["pair"])
+    closed = shuffle_equi_join(w, ek, "pair", join_type="left semi", n_buckets=16)
+    out = grouped_sum(closed, ["a"], count_col="n_triangles", final="partitioned")
+    return out.map_batches(
+        lambda t: t.select(["a", "n_triangles"]).rename_columns(["node", "n_triangles"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_domain_stats(sf_dir):
     """Per-registrable-domain page counts — the web-corpus rollup key op:
     urls with subdomain depth 0–2 and both plain and multi-label public
@@ -3349,6 +3411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dedup_ratio": q_source_dedup_ratio,
         "user_first_last": q_user_first_last,
         "knn_graph": q_knn_graph,
+        "link_triangles": q_link_triangles,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -4205,6 +4268,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(SUM(leg_mm) AS BIGINT) AS track_mm FROM legs GROUP BY user_id"
         ),
         "domain_stats": _domain_stats_sql(),
+        "link_triangles": (
+            # wedge-close with canonical a<b<c: each triangle counted once
+            # at its middle vertex, grouped by the smallest vertex
+            "WITH e0 AS (SELECT doc_id AS s, "
+            "((doc_id * 7 + 13 * j + 1) % (SELECT COUNT(*) FROM documents)) AS t "
+            "FROM documents, (SELECT UNNEST([0, 1, 2]) AS j)), "
+            "e AS (SELECT DISTINCT LEAST(s, t) AS a, GREATEST(s, t) AS b "
+            "FROM e0 WHERE s <> t), "
+            "tri AS (SELECT e1.a AS a FROM e e1 "
+            "JOIN e e2 ON e2.a = e1.b "
+            "JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b) "
+            "SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+            "FROM tri GROUP BY a"
+        ),
         "link_hops": (
             # depth-capped recursive BFS; UNION dedups (node, d) states so
             # cycles terminate; MIN(d) per node is the hop distance
