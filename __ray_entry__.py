@@ -2086,6 +2086,65 @@ def q_user_first_last(sf_dir):
     return partitioned_map_groups(ev, "user_id", part_fn)
 
 
+def q_weekly_actives(sf_dir):
+    """Rolling 7-day distinct active users per day — the windowed
+    COUNT(DISTINCT) that does NOT decompose into partials: distinct
+    (user, day) rows replicate to the 7 days they keep active (bounded
+    ×7), then one day-partitioned exact distinct-count. Days are epoch
+    day indices (integer µs // 86400e6), immune to calendar boundaries."""
+    import pandas as pd
+
+    from geodistpy_ray.stages.grouping import partitioned_map_groups
+    from geodistpy_ray.stages.relational import distinct
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "ts"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        day = us.to_numpy(zero_copy_only=False) // 86_400_000_000
+        return pa.table(
+            {"user_id": batch.column("user_id"), "day": pa.array(day, pa.int64())}
+        )
+
+    pairs = distinct(
+        ev.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id", "day"],
+    )
+    active_days = set(
+        r["day"]
+        for r in pairs.map_batches(
+            lambda t: pa.table(
+                {"day": pa.array(np.unique(t.column("day").to_numpy(zero_copy_only=False)))}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+    )  # bounded: the day domain
+
+    active_arr = np.array(sorted(active_days), dtype=np.int64)
+
+    def spread(batch: pa.Table) -> pa.Table:
+        u = batch.column("user_id").to_numpy(zero_copy_only=False)
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        n = u.size
+        u7 = np.repeat(u, 7)
+        d7 = np.repeat(d, 7) + np.tile(np.arange(7, dtype=np.int64), n)
+        keep = np.isin(d7, active_arr)  # only report days with activity
+        return pa.table(
+            {"user_id": pa.array(u7[keep]), "day": pa.array(d7[keep], pa.int64())}
+        )
+
+    spreaded = pairs.map_batches(spread, batch_format="pyarrow", zero_copy_batch=True)
+
+    def count_part(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("day", as_index=False)["user_id"].nunique()
+        agg.columns = ["day", "n_active_7d"]
+        agg["n_active_7d"] = agg["n_active_7d"].astype(np.int64)
+        return agg
+
+    return partitioned_map_groups(spreaded, "day", count_part)
+
+
 def q_trending_daily(sf_dir):
     """Daily trending event types: the windowed top-k composition —
     day-keyed counts (partitioned final) → per-day top-3 with the exact
@@ -3412,6 +3471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": q_user_first_last,
         "knn_graph": q_knn_graph,
         "link_triangles": q_link_triangles,
+        "weekly_actives": q_weekly_actives,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -4328,6 +4388,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM s GROUP BY user_id, sid"
         ),
         "lang_samples": _lang_samples_sql(),
+        "weekly_actives": (
+            "WITH m AS (SELECT DISTINCT user_id, "
+            "CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day FROM events), "
+            "days AS (SELECT DISTINCT day FROM m) "
+            "SELECT d.day, CAST(COUNT(DISTINCT m.user_id) AS BIGINT) AS n_active_7d "
+            "FROM days d JOIN m ON m.day BETWEEN d.day - 6 AND d.day "
+            "GROUP BY d.day"
+        ),
         "trending_daily": (
             "WITH c AS (SELECT "
             "CAST(YEAR(ts) * 10000 + MONTH(ts) * 100 + DAY(ts) AS BIGINT) AS ymd, "
