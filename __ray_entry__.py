@@ -2245,6 +2245,53 @@ def q_densified_tracks(sf_dir):
     )
 
 
+def q_track_centroids(sf_dir):
+    """Per-user track centroid (mean lat/lon) over an UNBOUNDED key domain
+    — the partitioned-final twin of `cell_centroids`: integer micro-degree
+    partials (order-independent sums) merged on hash partitions of the
+    user, FLOOR(x+0.5) mean on both sides (the CLAUDE.md tie rule)."""
+    from geodistpy_ray.stages import add_geocode
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"])
+    pts = add_geocode(ev, id_col="event_id")
+
+    def to_micro(batch: pa.Table) -> pa.Table:
+        lat = batch.column("lat").to_numpy(zero_copy_only=False)
+        lon = batch.column("lon").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "ulat": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64), pa.int64()),
+                "ulon": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64), pa.int64()),
+            }
+        )
+
+    ds = pts.map_batches(to_micro, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_sum(
+        ds,
+        ["user_id"],
+        int_sum_cols={"ulat": "sum_ulat", "ulon": "sum_ulon"},
+        count_col="n_pts",
+        final="partitioned",
+    )
+
+    def finish(batch: pa.Table) -> pa.Table:
+        su = batch.column("sum_ulat").to_numpy(zero_copy_only=False)
+        so = batch.column("sum_ulon").to_numpy(zero_copy_only=False)
+        n = batch.column("n_pts").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                "n_pts": batch.column("n_pts"),
+                "clat": pa.array(np.floor(su / n + 0.5) / 1e6, pa.float64()),
+                "clon": pa.array(np.floor(so / n + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return out.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_track_envelopes(sf_dir):
     """Per-user track bounding box + its geodesic diagonal — envelope
     min/max are fp-EXACT (no accumulation), so only the diagonal needs
@@ -3472,6 +3519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "link_triangles": q_link_triangles,
         "weekly_actives": q_weekly_actives,
+        "track_centroids": q_track_centroids,
         "cell_centroids": q_cell_centroids,
         "densified_tracks": q_densified_tracks,
         "top_return_customers": q_top_return_customers,
@@ -3886,6 +3934,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "zorder_keys": (
             f"SELECT doc_id, {zorder_sql(lat, lon)} AS zkey FROM documents"
+        ),
+        "track_centroids": (
+            f"WITH g AS (SELECT user_id, "
+            f"CAST(FLOOR({elat} * 1000000.0 + 0.5) AS BIGINT) AS ulat, "
+            f"CAST(FLOOR({elon} * 1000000.0 + 0.5) AS BIGINT) AS ulon "
+            "FROM events), "
+            "a AS (SELECT user_id, CAST(SUM(ulat) AS BIGINT) AS su, "
+            "CAST(SUM(ulon) AS BIGINT) AS so, CAST(COUNT(*) AS BIGINT) AS n_pts "
+            "FROM g GROUP BY user_id) "
+            "SELECT user_id, n_pts, "
+            "FLOOR(CAST(su AS DOUBLE) / n_pts + 0.5) / 1000000.0 AS clat, "
+            "FLOOR(CAST(so AS DOUBLE) / n_pts + 0.5) / 1000000.0 AS clon "
+            "FROM a"
         ),
         "track_envelopes": (
             f"WITH pts AS (SELECT user_id, {elat} AS lat, {elon} AS lon "
