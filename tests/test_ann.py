@@ -370,3 +370,40 @@ class TestEmbeddingPca:
         np.testing.assert_allclose(a["pc2"], b["pc2"], atol=1e-9)
         with pytest.raises(ValueError, match=">= 2 vectors"):
             embedding_pca(rd.from_arrow(tbl.slice(0, 1)))
+
+
+def test_knn_graph_matches_bruteforce_and_guards(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import knn_graph
+
+    rng = np.random.default_rng(109)
+    n, d, k = 120, 8, 4
+    x = rng.normal(size=(n, d))
+    ids = rng.permutation(n).astype(np.int64) * 7 + 3  # non-contiguous ids
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(x), pa.list_(pa.float64())),
+        }
+    )
+    got = (
+        knn_graph(rd.from_arrow(tbl).repartition(5), k=k)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"], ignore_index=True)
+    )
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    for i in range(n):
+        order = sorted(
+            (j for j in range(n) if j != i),
+            key=lambda j: (-round(sims[j, i], 6), ids[j]),
+        )[:k]
+        want = [ids[j] for j in order]
+        rows = got[got["vec_id"] == ids[i]].sort_values("rank")
+        assert rows["nbr_id"].tolist() == want, ids[i]
+    assert (got.groupby("vec_id").size() == k).all()
+    # self never appears
+    assert (got["vec_id"] != got["nbr_id"]).all()
+    with pytest.raises(ValueError, match="budget"):
+        knn_graph(rd.from_arrow(tbl), k=2, max_rows=10)
