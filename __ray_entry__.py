@@ -3103,12 +3103,24 @@ def q_colocation(sf_dir):
     from geodistpy_ray.stages import add_geocode
     from geodistpy_ray.stages.pairs import colocation_pairs
 
+    import pandas as pd
+
     pts = _events_by_type(sf_dir, "click")
     pts = add_geocode(pts, id_col="event_id")
     out = colocation_pairs(
         pts, PAIR_DIST_M, 24 * 3600 * 1_000_000, cell_deg=CELL_DEG
     )
-    return _round_col(out, "dist", 6, out="dist_km", div=1000.0)
+    df = _round_col(out, "dist", 6, out="dist_km", div=1000.0).to_pandas()
+    if df.empty:  # all-empty datasets lose their schema (known Ray behavior)
+        df = pd.DataFrame(
+            {
+                "id_left": pd.Series(dtype=np.int64),
+                "id_right": pd.Series(dtype=np.int64),
+                "dist_km": pd.Series(dtype=np.float64),
+                "dt_us": pd.Series(dtype=np.int64),
+            }
+        )
+    return df
 
 
 def q_asof_click_view(sf_dir):
