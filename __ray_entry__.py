@@ -3691,7 +3691,8 @@ def _lang_id_sql() -> str:
     """Exact mirror of LangIdActor: occurrence counts of profile stopwords
     per language (a shared word counts for EVERY owning profile), argmax
     with profile-ORDER tie-break, 'und' on zero hits. The tokenizer mirror
-    is the pinned RE2 equivalence `[^\\p{L}]+` ≡ Python `[^\\W\\d_]+`."""
+    is the pinned RE2 equivalence `[^\\p{L}\\p{Nl}\\p{No}]+` ≡ Python
+    `[^\\W\\d_]+` (Python \\w admits Nl/No letter-numbers beyond \\p{L})."""
     from geodistpy_ray.stages.text import _LANG_PROFILES
 
     rows = []
@@ -3699,7 +3700,7 @@ def _lang_id_sql() -> str:
         for w in sorted(words):
             rows.append(f"('{w}', '{lang}', {pri})")
     values = ", ".join(rows)
-    split = "string_split_regex(lower(text), '[^\\p{L}]+')"
+    split = "string_split_regex(lower(text), '[^\\p{L}\\p{Nl}\\p{No}]+')"
     return (
         "WITH raw AS (SELECT doc_id, unnest(" + split + ") AS tok FROM documents), "
         "toks AS (SELECT doc_id, tok FROM raw WHERE tok <> ''), "

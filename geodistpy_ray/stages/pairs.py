@@ -328,6 +328,15 @@ def colocation_pairs(
                 "colocation_pairs: time bucket out of the packable range "
                 "[0, 2^40) — timestamps must be non-negative epoch µs"
             )
+        if cover3.size and int(cover3.max()) >= (1 << 23):
+            # the <<40 pack leaves 23 high bits for the cell id; a fine
+            # cell_deg (e.g. 0.01°) exceeds that and would silently collide
+            # unrelated (cell, bucket) groups — refuse instead
+            raise ValueError(
+                "colocation_pairs: cell id >= 2^23 — cell_deg is too fine "
+                "for the packed (cell << 40) + bucket group key; use a "
+                "coarser cell_deg (cell ids must stay below 8,388,608)"
+            )
         # a bucket −1 replica (the b−1 copy of bucket-0 points) can never
         # meet a primary — no real bucket is negative — so drop it rather
         # than widen the key range

@@ -218,30 +218,45 @@ def add_ring_area(
     """
 
     def fn(batch: pa.Table) -> pa.Table:
-        lats = batch.column(lats_col).combine_chunks()
-        lons = batch.column(lons_col).combine_chunks()
-        off = np.asarray(lats.offsets)
-        flat_lat = np.asarray(lats.values, dtype=np.float64)
-        flat_lon = np.asarray(lons.values, dtype=np.float64)
-        n = batch.num_rows
-        total = flat_lat.size
-        area = np.zeros(n, dtype=np.float64)
-        if total >= 2:
-            rlat = np.radians(flat_lat)
-            rlon = np.radians(flat_lon)
-            t = np.zeros(total, dtype=np.float64)
-            t[:-1] = (rlon[1:] - rlon[:-1]) * (2.0 + np.sin(rlat[:-1]) + np.sin(rlat[1:]))
-            t[np.clip(off[1:] - 1, 0, total - 1)] = 0.0  # cross-ring pairs
-            starts = off[:-1]
-            nonempty = off[1:] > starts  # reduceat misreads empty segments
-            if nonempty.any():
-                sums = np.add.reduceat(t, starts[nonempty])
-                area[nonempty] = np.abs(sums) * (radius_km * radius_km) / 2.0
-        if round_to is not None:
-            area = np.round(area, round_to)
-        return batch.append_column(out_col, pa.array(area, pa.float64()))
+        return _ring_area_batch(batch, lats_col, lons_col, out_col, radius_km, round_to)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ring_area_batch(
+    batch: pa.Table,
+    lats_col: str,
+    lons_col: str,
+    out_col: str,
+    radius_km: float,
+    round_to: int | None,
+) -> pa.Table:
+    lats = batch.column(lats_col).combine_chunks()
+    lons = batch.column(lons_col).combine_chunks()
+    off = np.asarray(lats.offsets)
+    flat_lat = np.asarray(lats.values, dtype=np.float64)
+    flat_lon = np.asarray(lons.values, dtype=np.float64)
+    n = batch.num_rows
+    total = flat_lat.size
+    area = np.zeros(n, dtype=np.float64)
+    if total >= 2:
+        rlat = np.radians(flat_lat)
+        rlon = np.radians(flat_lon)
+        t = np.zeros(total, dtype=np.float64)
+        t[:-1] = (rlon[1:] - rlon[:-1]) * (2.0 + np.sin(rlat[:-1]) + np.sin(rlat[1:]))
+        t[np.clip(off[1:] - 1, 0, total - 1)] = 0.0  # cross-ring pairs
+        # On a SLICED list column, .values is the FULL child array, so the
+        # final reduceat segment runs to len(t) — zero everything past the
+        # view so out-of-view trailing values can't leak into the last row.
+        t[off[-1] :] = 0.0
+        starts = off[:-1]
+        nonempty = off[1:] > starts  # reduceat misreads empty segments
+        if nonempty.any():
+            sums = np.add.reduceat(t, starts[nonempty])
+            area[nonempty] = np.abs(sums) * (radius_km * radius_km) / 2.0
+    if round_to is not None:
+        area = np.round(area, round_to)
+    return batch.append_column(out_col, pa.array(area, pa.float64()))
 
 
 def add_ring_perimeter(
@@ -254,26 +269,33 @@ def add_ring_perimeter(
     (haversine per edge, ``floor(m·1000 + 0.5)`` — the same order-
     independent integer-sum convention as ``geodesic_track_length``).
     Vectorized over the Arrow list offsets like :func:`add_ring_area`."""
-    from ..kernels.sphere import haversine
-
     def fn(batch: pa.Table) -> pa.Table:
-        lats = batch.column(lats_col).combine_chunks()
-        lons = batch.column(lons_col).combine_chunks()
-        off = np.asarray(lats.offsets)
-        flat_lat = np.asarray(lats.values, dtype=np.float64)
-        flat_lon = np.asarray(lons.values, dtype=np.float64)
-        n = batch.num_rows
-        total = flat_lat.size
-        per = np.zeros(n, dtype=np.int64)
-        if total >= 2:
-            d = haversine(flat_lat[:-1], flat_lon[:-1], flat_lat[1:], flat_lon[1:])
-            t = np.zeros(total, dtype=np.int64)
-            t[:-1] = np.floor(d * 1000.0 + 0.5).astype(np.int64)
-            t[np.clip(off[1:] - 1, 0, total - 1)] = 0  # cross-ring pairs
-            starts = off[:-1]
-            nonempty = off[1:] > starts
-            if nonempty.any():
-                per[nonempty] = np.add.reduceat(t, starts[nonempty])
-        return batch.append_column(out_col, pa.array(per, pa.int64()))
+        return _ring_perimeter_batch(batch, lats_col, lons_col, out_col)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _ring_perimeter_batch(
+    batch: pa.Table, lats_col: str, lons_col: str, out_col: str
+) -> pa.Table:
+    from ..kernels.sphere import haversine
+
+    lats = batch.column(lats_col).combine_chunks()
+    lons = batch.column(lons_col).combine_chunks()
+    off = np.asarray(lats.offsets)
+    flat_lat = np.asarray(lats.values, dtype=np.float64)
+    flat_lon = np.asarray(lons.values, dtype=np.float64)
+    n = batch.num_rows
+    total = flat_lat.size
+    per = np.zeros(n, dtype=np.int64)
+    if total >= 2:
+        d = haversine(flat_lat[:-1], flat_lon[:-1], flat_lat[1:], flat_lon[1:])
+        t = np.zeros(total, dtype=np.int64)
+        t[:-1] = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+        t[np.clip(off[1:] - 1, 0, total - 1)] = 0  # cross-ring pairs
+        t[off[-1] :] = 0  # sliced view: see _ring_area_batch
+        starts = off[:-1]
+        nonempty = off[1:] > starts
+        if nonempty.any():
+            per[nonempty] = np.add.reduceat(t, starts[nonempty])
+    return batch.append_column(out_col, pa.array(per, pa.int64()))

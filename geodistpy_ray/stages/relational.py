@@ -37,6 +37,7 @@ def grouped_sum(
     count_col: str = "n",
     final: str = "driver",
     nulls: str = "raise",
+    driver_row_budget: int = 1_000_000,
 ):
     """Partial-then-final grouped aggregation.
 
@@ -114,7 +115,21 @@ def grouped_sum(
     if final == "partials":
         return partials
     if final == "driver":
-        tabs = list(partials.iter_batches(batch_size=None, batch_format="pyarrow"))
+        tabs, seen = [], 0
+        for t in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+            seen += t.num_rows
+            if seen > driver_row_budget:
+                # an unbounded key domain (users, hashes, urls) must never
+                # silently land on the driver — the distributed finals exist
+                # for exactly this
+                raise ValueError(
+                    f"grouped_sum: driver-final partials exceed "
+                    f"{driver_row_budget} rows — the key domain "
+                    f"{key_cols!r} looks unbounded; pass "
+                    "final='partitioned' (distributed merge) or raise "
+                    "driver_row_budget explicitly"
+                )
+            tabs.append(t)
         # drop 0-row blocks (Ray emits them schema-LESS, which would fail
         # the Arrow concat; keep one as the schema carrier if all are empty)
         tabs = [t for t in tabs if t.num_rows] or tabs[:1]
@@ -855,22 +870,50 @@ def exact_order_stats(ds, col: str, ks, bins: int = 4096, cap: int = 200_000, ma
             break
         below, lo, hi = new_below, new_lo, new_hi
 
+    if lo == hi:
+        # the interval collapsed to one value — every remaining candidate
+        # equals it, so the selection is answered without collecting a row
+        # (the heavy-duplicate stall case: a billion equal values never
+        # reach the driver)
+        return [float(lo)] * len(ks), n
+
     def collect_partial(batch: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+        # ship per-batch (value, count) UNIQUES, not raw rows — a column
+        # dominated by a few duplicated values collapses to a few rows per
+        # batch regardless of how many rows sit in the final interval
         v = batch.column(col).to_numpy(zero_copy_only=False)
         keep = v[(v >= _lo) & (v <= _hi)]
-        return pa.table({"v": pa.array(keep, pa.float64())})
+        u, c = np.unique(keep, return_counts=True)
+        return pa.table({"v": pa.array(u, pa.float64()), "c": pa.array(c, pa.int64())})
 
-    vals = np.concatenate(
-        [
-            np.asarray(r["v"], dtype=np.float64).reshape(-1)
-            for r in ds.map_batches(
-                collect_partial, batch_format="pyarrow", zero_copy_batch=True
-            ).select_columns(["v"]).take_all()
-        ]
-        or [np.array([], dtype=np.float64)]
-    )
-    vals.sort()
-    return [float(vals[k - below]) for k in ks], n
+    # hard driver ceiling on DISTINCT candidate values (raw rows never ship):
+    # wide joint-rank spans legitimately exceed `cap`, so floor the ceiling
+    # at 1M distinct doubles (~16 MB) — plenty for any stalled refinement,
+    # still a refusal for a pathological all-distinct corpus-scale interval
+    budget = max(int(cap) * 8, 1_000_000)
+
+    def _merge(uv: np.ndarray, uc: np.ndarray):
+        u, inv = np.unique(uv, return_inverse=True)
+        return u, np.bincount(inv, weights=uc).astype(np.int64)
+
+    uv = np.array([], dtype=np.float64)
+    uc = np.array([], dtype=np.int64)
+    for b in ds.map_batches(
+        collect_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        uv = np.concatenate([uv, b.column("v").to_numpy(zero_copy_only=False)])
+        uc = np.concatenate([uc, b.column("c").to_numpy(zero_copy_only=False)])
+        if uv.size > budget:
+            uv, uc = _merge(uv, uc)  # re-fold duplicates before judging
+            if uv.size > budget:
+                raise ValueError(
+                    f"exact_order_stats: {uv.size} distinct candidate values "
+                    f"exceed the driver budget ({budget}); raise `cap`/`bins` "
+                    "or `max_rounds` so refinement can narrow further"
+                )
+    uv, uc = _merge(uv, uc)
+    cum = below + np.cumsum(uc)
+    return [float(uv[int(np.searchsorted(cum, k + 1))]) for k in ks], n
 
 
 def global_median(ds, col: str):

@@ -147,14 +147,19 @@ def sorted_export(
         .map_groups(write_part, batch_format="pyarrow")
         .to_pandas()
     )
-    # drop any part files from a previous export into the same directory
-    # with a larger n_parts (stale high-numbered files would break the
-    # name-order contract)
+    # drop every part file THIS run didn't write: a previous export into the
+    # same directory may have left files for part numbers this run's data
+    # never produced (empty ranges write no file), and any survivor would
+    # break the name-order global-sort contract for read_sorted/bbox_scan
     import glob as _glob
 
+    written = (
+        {f"part-{int(p):05d}.parquet" for p in stats["part"]}
+        if "part" in stats.columns
+        else set()
+    )
     for stale in _glob.glob(os.path.join(out_dir, "part-*.parquet")):
-        num = os.path.basename(stale)[5:-8]
-        if num.isdigit() and int(num) >= n_parts:
+        if os.path.basename(stale) not in written:
             os.remove(stale)
     # one row per range, empty ranges included (stable output shape); an
     # empty range writes no file — name-ordered concatenation stays ordered

@@ -166,9 +166,11 @@ class LangIdActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # Arrow front-end (the shared dedup.py idiom): lower + RE2 letter-run
-        # split — `[^\p{L}]+` reproduces Python's `[^\W\d_]+` findall exactly
-        # (both treat digits/underscore/marks as separators; parity pinned
-        # against _predict_loop in tests) — then dictionary_encode so the
+        # split — `[^\p{L}\p{Nl}\p{No}]+` reproduces Python's `[^\W\d_]+`
+        # findall exactly: Python \w also admits letter-numbers (Nl, '½' 'Ⅻ')
+        # beyond \p{L}, while digits (Nd), underscore and marks all separate
+        # on both sides (parity pinned against _predict_loop in tests,
+        # including Nl/No inputs) — then dictionary_encode so the
         # stopword dict is probed once per UNIQUE batch token, and per-doc
         # hit counts come from vectorized bincounts over occurrences.
         col = batch.column("text")
@@ -177,7 +179,7 @@ class LangIdActor:
         n = len(arr)
         L = len(self.langs)
         hits_mat = np.zeros((n, L), dtype=np.int64)
-        toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"[^\p{L}]+")
+        toks = pc.split_pattern_regex(pc.utf8_lower(arr), r"[^\p{L}\p{Nl}\p{No}]+")
         flat = pc.list_flatten(toks)
         lens = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
         doc_idx = np.repeat(np.arange(n, dtype=np.int64), lens)

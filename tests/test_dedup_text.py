@@ -449,6 +449,10 @@ class TestTextVectorization:
             "la,un;que.est!",  # punctuation-attached stopwords still split out
             "der_42_und x9y",  # digits/underscore are separators in BOTH tokenizers
             "das café ist über straße",  # non-ASCII letters stay inside tokens
+            # letter-numbers (Nl 'Ⅻ', No '½') are WORD characters in Python's
+            # \w — '½the' must stay ONE token (no stopword hit) on both sides
+            "½the ½the ½the und die ist",
+            "Ⅻthe Ⅻfox der und die",
             None,
         ]
         ds = rd.from_arrow(pa.table({"doc_id": list(range(len(texts))), "text": texts}))

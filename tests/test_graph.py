@@ -435,3 +435,10 @@ def test_graph_op_guards(ray_session):
     )
     with pytest.raises(ValueError, match="window_us"):
         colocation_pairs(rd.from_arrow(pts), 1000.0, 0)
+
+    # a cell_deg fine enough to push cell ids past 2^23 would silently
+    # collide unrelated (cell << 40) + bucket group keys — must refuse
+    with pytest.raises(Exception, match="2\\^23|cell_deg"):
+        colocation_pairs(
+            rd.from_arrow(pts), 1000.0, 1_000_000, cell_deg=0.01
+        ).to_pandas()

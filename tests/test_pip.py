@@ -204,3 +204,56 @@ def test_ring_area_matches_cell_area_on_grid_rectangles(ray_session):
     want = cell_area_km2(cells, 2.0)
     np.testing.assert_allclose(got["area_km2"][: cells.size], want, rtol=1e-12)
     assert got["area_km2"].iloc[-1] == 0.0
+
+
+def test_ring_area_perimeter_on_sliced_list_view():
+    """A zero-copy Arrow batch can be a SLICE of a larger list array whose
+    `.values` child keeps trailing out-of-view rings — the final reduceat
+    segment must not run past `offsets[-1]` into them (silently corrupting
+    the last visible row)."""
+    from geodistpy_ray.stages.pip import _ring_area_batch, _ring_perimeter_batch
+
+    rings_lat = [
+        [10.0, 10.0, 12.0, 12.0, 10.0],
+        [0.0, 0.0, 2.0, 2.0, 0.0],
+        [-45.0, -45.0, -40.0, -40.0, -45.0],  # out-of-view trailing ring
+    ]
+    rings_lon = [
+        [20.0, 24.0, 24.0, 20.0, 20.0],
+        [5.0, 6.0, 6.0, 5.0, 5.0],
+        [100.0, 110.0, 110.0, 100.0, 100.0],
+    ]
+    full = pa.table(
+        {
+            "poly_id": pa.array([0, 1, 2], pa.int64()),
+            "ring_lats": pa.array(rings_lat, pa.list_(pa.float64())),
+            "ring_lons": pa.array(rings_lon, pa.list_(pa.float64())),
+        }
+    )
+    view = full.slice(0, 2)  # sliced list columns, child arrays untouched
+    fresh = pa.table(
+        {
+            "poly_id": pa.array([0, 1], pa.int64()),
+            "ring_lats": pa.array(rings_lat[:2], pa.list_(pa.float64())),
+            "ring_lons": pa.array(rings_lon[:2], pa.list_(pa.float64())),
+        }
+    )
+    for fn, col in (
+        (lambda t: _ring_area_batch(t, "ring_lats", "ring_lons", "a", 6371.009, None), "a"),
+        (lambda t: _ring_perimeter_batch(t, "ring_lats", "ring_lons", "p"), "p"),
+    ):
+        got = fn(view).column(col).to_pylist()
+        want = fn(fresh).column(col).to_pylist()
+        assert got == want, f"sliced view diverged for {col}: {got} != {want}"
+    # tail slice too: offsets start mid-child
+    tail_view = full.slice(1, 2)
+    tail_fresh = pa.table(
+        {
+            "poly_id": pa.array([1, 2], pa.int64()),
+            "ring_lats": pa.array(rings_lat[1:], pa.list_(pa.float64())),
+            "ring_lons": pa.array(rings_lon[1:], pa.list_(pa.float64())),
+        }
+    )
+    got = _ring_area_batch(tail_view, "ring_lats", "ring_lons", "a", 6371.009, None)
+    want = _ring_area_batch(tail_fresh, "ring_lats", "ring_lons", "a", 6371.009, None)
+    assert got.column("a").to_pylist() == want.column("a").to_pylist()

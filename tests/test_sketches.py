@@ -356,3 +356,26 @@ class TestExactOrderStats:
         assert global_median(ds2, "value") == (v2[v2.size // 2 - 1] + v2[v2.size // 2]) / 2.0
         with pytest.raises(ValueError, match="out of range"):
             exact_order_stats(ds, "value", [v.size])
+
+    def test_heavy_duplicates_never_materialize(self, ray_session):
+        """An equal-value bucket far above `cap` must answer WITHOUT pulling
+        raw rows to the driver: the collapsed interval short-circuits, and
+        the collection path ships per-batch (value, count) uniques."""
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import exact_order_stats, global_median
+
+        # 50k rows, ONE value: total_in stalls above cap=10 immediately
+        v = np.full(50_000, 3.5)
+        ds = rd.from_arrow(pa.table({"value": pa.array(v)})).repartition(4)
+        got, n = exact_order_stats(ds, "value", [0, 25_000, 49_999], bins=16, cap=10)
+        assert n == 50_000 and got == [3.5, 3.5, 3.5]
+        assert global_median(ds, "value") == 3.5
+
+        # two-value stall: refinement can't split below fp resolution but
+        # the unique-count collection keeps the driver at 2 values
+        w = np.concatenate([np.full(20_000, 1.0), np.full(20_000, np.nextafter(1.0, 2.0))])
+        ds2 = rd.from_arrow(pa.table({"value": pa.array(w)})).repartition(4)
+        s = np.sort(w)
+        got2, _ = exact_order_stats(ds2, "value", [0, 19_999, 20_000, 39_999], bins=16, cap=10)
+        assert got2 == [s[0], s[19_999], s[20_000], s[39_999]]

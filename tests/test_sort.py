@@ -124,6 +124,34 @@ def test_sorted_export_empty_and_nan_guard(ray_session, tmp_path):
         sorted_export(bad, str(tmp_path / "nan"), "k", n_parts=2).to_pandas()
 
 
+def test_sorted_export_reexport_removes_stale_parts(ray_session, tmp_path):
+    """Re-exporting different data into the SAME directory must leave only
+    the files this run wrote — an empty range writes no file, so the old
+    `num >= n_parts` cleanup left stale part-k.parquet files behind and
+    broke the name-order global-sort contract."""
+    import os
+
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sort import sorted_export
+
+    out = str(tmp_path / "re")
+    # run 1: wide key range fills many parts
+    df1 = pd.DataFrame({"k": np.arange(1000)})
+    sorted_export(rd.from_pandas(df1).repartition(4), out, "k", n_parts=8)
+    first = set(os.listdir(out))
+    assert len(first) >= 4
+
+    # run 2: all-equal keys → ONE part file; every other file must vanish
+    df2 = pd.DataFrame({"k": np.full(100, 7)})
+    stats = sorted_export(rd.from_pandas(df2).repartition(4), out, "k", n_parts=8).to_pandas()
+    files = sorted(glob.glob(f"{out}/part-*.parquet"))
+    written = {f"part-{int(p):05d}.parquet" for p in stats.loc[stats["rows"] > 0, "part"]}
+    assert {f.split("/")[-1] for f in files} == written
+    got = _read_in_name_order(out)
+    assert got["k"].tolist() == [7] * 100
+
+
 def test_zorder_bbox_scan_prunes_and_matches(ray_session, tmp_path):
     import ray.data as rd
 

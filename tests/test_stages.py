@@ -169,6 +169,22 @@ class TestRelational:
         )
         assert a[["l_returnflag", "sq", "n"]].equals(b[["l_returnflag", "sq", "n"]])
 
+    def test_grouped_sum_driver_budget_guard(self, ray_session):
+        """final='driver' must refuse unbounded key domains instead of
+        silently materializing them; bounded calls stay unchanged."""
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import grouped_sum
+
+        n = 5000
+        ds = rd.from_arrow(
+            pa.table({"k": pa.array(np.arange(n)), "v": pa.array(np.ones(n))})
+        ).repartition(2)
+        with pytest.raises(ValueError, match="partitioned"):
+            grouped_sum(ds, ["k"], int_sum_cols={"v": "s"}, driver_row_budget=100)
+        ok = grouped_sum(ds, ["k"], int_sum_cols={"v": "s"})  # default budget
+        assert len(ok) == n and ok["s"].sum() == n
+
     def test_grouped_finals_partitioned_equals_driver(self, ray_session):
         import ray.data as rd
 
