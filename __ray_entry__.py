@@ -842,6 +842,18 @@ def q_knn_graph(sf_dir):
     return knn_graph(emb, k=3)
 
 
+def q_knn_graph_blocked(sf_dir):
+    """Distributed exact k-NN graph (stages/ann.py:knn_graph_blocked):
+    block-replicated cartesian — one shuffle, per-query local top-k windows
+    per block pair, hash-partitioned global merge — no take_all/driver
+    matrix, so it runs past knn_graph's broadcast budget. Same ROW_NUMBER
+    oracle as knn_graph: both paths must produce the identical edge list."""
+    from geodistpy_ray.stages.ann import knn_graph_blocked
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    return knn_graph_blocked(emb, k=3, n_blocks=8)
+
+
 def q_ann_topk_q8(sf_dir):
     """Int8-quantized ANN (rows-only: sims carry ≤ scale/2 rounding, recall
     vs the exact path pinned in tests + recall_bench): quantize the corpus
@@ -3529,6 +3541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_dedup_ratio": q_source_dedup_ratio,
         "user_first_last": q_user_first_last,
         "knn_graph": q_knn_graph,
+        "knn_graph_blocked": q_knn_graph_blocked,
         "link_triangles": q_link_triangles,
         "weekly_actives": q_weekly_actives,
         "track_centroids": q_track_centroids,
@@ -4072,6 +4085,17 @@ def oracle_sql() -> dict[str, str]:
             "CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
         ),
         "knn_graph": (
+            "SELECT vec_id, nbr_id, rank FROM ("
+            "SELECT q.vec_id AS vec_id, e.vec_id AS nbr_id, "
+            "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "
+            "ROUND(-list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 6), e.vec_id) AS rank "
+            "FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id"
+            ") WHERE rank <= 3"
+        ),
+        "knn_graph_blocked": (
+            # identical oracle to knn_graph: the blocked path's contract is
+            # "same edge list, no broadcast budget"
             "SELECT vec_id, nbr_id, rank FROM ("
             "SELECT q.vec_id AS vec_id, e.vec_id AS nbr_id, "
             "ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY "

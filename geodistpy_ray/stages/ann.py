@@ -800,7 +800,8 @@ def knn_graph(
     if len(rows) > max_rows:
         raise ValueError(
             f"knn_graph broadcast budget exceeded ({len(rows)} > {max_rows}); "
-            "use the IVF/LSH candidate paths for larger corpora"
+            "use knn_graph_blocked (exact, no driver matrix) or the IVF/LSH "
+            "candidate paths for larger corpora"
         )
     if not rows:
         import ray.data as rd
@@ -837,6 +838,111 @@ def knn_graph(
         return pa.table(
             {
                 id_col: pa.array(qids[pos], pa.int64()),
+                "nbr_id": batch.column("nbr_id"),
+                "rank": batch.column("rank"),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def knn_graph_blocked(
+    ds,
+    k: int = 3,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tie_round: int = 6,
+    n_blocks: int = 8,
+):
+    """Distributed exact k-NN graph — the scale path past
+    :func:`knn_graph`'s broadcast budget, same output contract
+    (``{id_col}``, ``nbr_id``, ``rank``) and the same (-round(sim), id)
+    tie-break, so both paths mirror one SQL ROW_NUMBER oracle.
+
+    Block-replicated cartesian (the :func:`exact_near_dup_pairs_blocked`
+    shape): vectors hash into ``n_blocks`` blocks; each vector ships once
+    per block PAIR (``n_blocks`` copies through ONE shuffle), each of the
+    B·(B+1)/2 pair-groups computes its submatrix product locally and emits
+    per-query LOCAL top-k windows in BOTH directions, and the shared
+    hash-partitioned merge (:func:`_merge_topk_by_sim`) folds each query's
+    ≤ B·k surviving candidates into the global top-k. Every (query,
+    candidate) pair lives in exactly one group, so the merge never sees a
+    duplicate; a query's global top-k is a subset of its per-group top-ks,
+    so local windows lose nothing. No ``take_all``, no driver matrix: peak
+    task memory is two blocks of N/B rows — size ``n_blocks`` so
+    (N/B)·d·8 bytes fits a worker. Total FLOPs stay N²·d (exactness is
+    the point; approximate corpora belong on the IVF/LSH paths).
+    """
+    if "__pair" in (id_col, emb_col):
+        raise ValueError(
+            "knn_graph_blocked: '__pair' is reserved for the block-pair tag; "
+            "rename the input column"
+        )
+    margin = 10.0 ** -tie_round if tie_round is not None else 0.0
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return batch.append_column("__pair", pa.array([], pa.int64()))
+        ids = col_np(batch, id_col)
+        blk = (pd.util.hash_array(ids, categorize=False) % np.uint64(n_blocks)).astype(
+            np.int64
+        )
+        outs = []
+        for j in range(n_blocks):
+            lo = np.minimum(blk, j)
+            hi = np.maximum(blk, j)
+            outs.append(
+                batch.append_column("__pair", pa.array(lo * n_blocks + hi, pa.int64()))
+            )
+        return pa.concat_tables(outs)
+
+    def _with_query_ids(t: pa.Table, qids: np.ndarray) -> pa.Table:
+        pos = t.column("query_id").to_numpy(zero_copy_only=False)
+        return t.set_column(0, "query_id", pa.array(qids[pos], pa.int64()))
+
+    def sweep(t: pa.Table) -> pa.Table:
+        empty = _empty_partial("nbr_id")
+        if t.num_rows == 0:
+            return empty
+        pair = int(t.column("__pair")[0].as_py())
+        i, j = pair // n_blocks, pair % n_blocks
+        ids = col_np(t, id_col)
+        blk = (pd.util.hash_array(ids, categorize=False) % np.uint64(n_blocks)).astype(
+            np.int64
+        )
+        emb = _normalize(_emb_matrix(t, emb_col, np.float64))
+        if i == j:
+            sims = emb @ emb.T
+            sims[ids[:, None] == ids[None, :]] = -2.0  # mask self-pairs
+            return _with_query_ids(_batch_topk_rows(sims, ids, "nbr_id", k, margin), ids)
+        li, ri = np.flatnonzero(blk == i), np.flatnonzero(blk == j)
+        if li.size == 0 or ri.size == 0:
+            return empty
+        sims = emb[li] @ emb[ri].T  # (block-i rows, block-j columns)
+        return pa.concat_tables(
+            [
+                # queries = block j, candidates = block i
+                _with_query_ids(
+                    _batch_topk_rows(sims, ids[li], "nbr_id", k, margin), ids[ri]
+                ),
+                # queries = block i, candidates = block j
+                _with_query_ids(
+                    _batch_topk_rows(sims.T, ids[ri], "nbr_id", k, margin), ids[li]
+                ),
+            ]
+        )
+
+    rep = ds.select_columns([id_col, emb_col]).map_batches(
+        replicate, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = rep.groupby("__pair").map_groups(sweep, batch_format="pyarrow")
+    merged = _merge_topk_by_sim(partials, "nbr_id", k, tie_round)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column("query_id").cast(pa.int64()),
                 "nbr_id": batch.column("nbr_id"),
                 "rank": batch.column("rank"),
             }

@@ -407,3 +407,56 @@ def test_knn_graph_matches_bruteforce_and_guards(ray_session):
     assert (got["vec_id"] != got["nbr_id"]).all()
     with pytest.raises(ValueError, match="budget"):
         knn_graph(rd.from_arrow(tbl), k=2, max_rows=10)
+
+
+def test_knn_graph_blocked_matches_broadcast_above_budget(ray_session):
+    """The distributed path must (a) produce the broadcast path's exact edge
+    list, and (b) keep working on a corpus ABOVE knn_graph's broadcast
+    budget, where the broadcast path refuses."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import knn_graph, knn_graph_blocked
+
+    rng = np.random.default_rng(211)
+    n, d, k = 400, 8, 3
+    x = rng.normal(size=(n, d))
+    ids = rng.permutation(n).astype(np.int64) * 3 + 11
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(x), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(7)
+    a = (
+        knn_graph(ds, k=k)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"], ignore_index=True)
+    )
+    b = (
+        knn_graph_blocked(ds, k=k, n_blocks=5)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"], ignore_index=True)
+    )
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+    # above the broadcast budget: broadcast raises, blocked answers — and
+    # matches a local numpy brute force
+    with pytest.raises(ValueError, match="budget"):
+        knn_graph(ds, k=k, max_rows=n - 1)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = xn @ xn.T
+    for vid in ids[:20]:
+        i = int(np.flatnonzero(ids == vid)[0])
+        order = sorted(
+            (j for j in range(n) if j != i),
+            key=lambda j: (-round(sims[j, i], 6), ids[j]),
+        )[:k]
+        rows = b[b["vec_id"] == vid].sort_values("rank")
+        assert rows["nbr_id"].tolist() == [ids[j] for j in order]
+    # degenerate block counts still work (everything in one block / n=1)
+    one = knn_graph_blocked(ds, k=k, n_blocks=1).to_pandas()
+    pd.testing.assert_frame_equal(
+        a, one.sort_values(["vec_id", "rank"], ignore_index=True)[a.columns]
+    )
