@@ -12,14 +12,16 @@ id (a deterministic, order-independent cluster id — exactly what a SQL
 
 Scale shape per round: TWO bounded shuffles of O(E) rows (label+edge
 co-group in the source partition, min-reduction in the destination
-partition), both via :func:`~.grouping.partitioned_map_groups` — never a
-per-node group. Labels are O(V) and re-materialized once per round
-(consumed by the next round AND the convergence check; everything bigger
-streams). Round count = eccentricity of each component's minimum node
-≤ component diameter: near-dup clusters are shallow (boilerplate cliques,
-short mutation chains), so this converges in a handful of rounds;
-``max_iters`` guards pathological chains and names the fix
-(pointer-jumping) in the error.
+partition) plus ONE bounded O(V) pointer-jump shuffle (label-of-label
+contraction, ``lbl[v] ← lbl[lbl[v]]``), all via
+:func:`~.grouping.partitioned_map_groups` — never a per-node group.
+Labels are O(V) and re-materialized once per round (consumed by the next
+round AND the convergence check; everything bigger streams). The jump
+halves the remaining chain depth each round, so round count is
+O(log component-diameter) — near-dup clusters are shallow and finish in
+2-3 rounds either way (the jump is skipped once propagation fixes), and
+long link-graph chains converge logarithmically instead of hitting
+``max_iters``.
 """
 
 from __future__ import annotations
@@ -45,6 +47,7 @@ def connected_components(
     out_col: str = "cluster_id",
     n_parts: int = 64,
     max_iters: int = 50,
+    return_rounds: bool = False,
 ):
     """Components of the undirected graph given by an edge Dataset →
     Dataset (``node_col``, ``out_col``): one row per node that appears in
@@ -53,6 +56,19 @@ def connected_components(
     Nodes with no edges don't appear (an edge list doesn't know about
     them); the caller keeps singletons by construction — every doc absent
     from the output is its own cluster's representative.
+
+    Rounds are min-propagation PLUS pointer-jumping: after each
+    propagation pass that still changed labels, one label-of-label
+    contraction (``lbl[v] ← lbl[lbl[v]]`` — a single bounded shuffle
+    keyed on the label) halves the remaining pointer depth, so a long
+    chain converges in O(log diameter) rounds instead of O(diameter).
+    Label values are always node ids within the component and monotonically
+    non-increasing, so the jump lookup always resolves and the fixpoint is
+    unchanged: the loop stops when a propagation pass changes nothing,
+    which is exactly the min-label fixpoint (= component minima). Shallow
+    components (the near-dup norm) skip the jump on their final round and
+    pay nothing extra. ``return_rounds=True`` returns ``(dataset, rounds)``
+    for convergence tests.
     """
 
     def sym(batch: pa.Table) -> pa.Table:
@@ -88,11 +104,12 @@ def connected_components(
         sym_edges, "node", init_part, n_parts=n_parts
     ).materialize()
     if labels.count() == 0:
-        return labels.map_batches(
+        out = labels.map_batches(
             lambda b: b.rename_columns([node_col, out_col]),
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
+        return (out, 0) if return_rounds else out
 
     def tag_labels(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
@@ -144,7 +161,53 @@ def connected_components(
         ).astype(np.int64)
         return agg
 
+    # pointer-jump shuffle: label rows keyed by their NODE meet request
+    # rows keyed by their LABEL (the parent whose label we want); each
+    # request's new label is its parent's label. Request rows don't need
+    # to carry their old label separately — the old label IS the key.
+    # BOTH row kinds come out of ONE pass over the label table: a
+    # two-branch ``labels.map_batches(req).union(labels.map_batches(lbl))``
+    # DOUBLES the block count every round (Ray's sort-groupby emits one
+    # output block per input block), which measured as geometric per-round
+    # slowdown — 512 blocks and 20 s/round by round 8 on a 300-row graph.
+    def tag_jump(batch: pa.Table) -> pa.Table:
+        node = batch.column("node").to_numpy(zero_copy_only=False)
+        lbl = batch.column("lbl").to_numpy(zero_copy_only=False)
+        n = node.size
+        z = np.zeros(n, dtype=np.int64)
+        return pa.table(
+            {
+                "key": pa.array(np.concatenate([lbl, node])),
+                "node": pa.array(np.concatenate([node, z])),
+                "lbl": pa.array(np.concatenate([z, lbl])),
+                "kind": pa.array(
+                    np.concatenate(
+                        [
+                            np.full(n, _KIND_EDGE, dtype=np.int8),
+                            np.full(n, _KIND_LABEL, dtype=np.int8),
+                        ]
+                    )
+                ),
+            }
+        )
+
+    def jump_part(g: pd.DataFrame) -> pd.DataFrame:
+        is_req = g["kind"].to_numpy() == _KIND_EDGE
+        lbl_of = g.loc[~is_req].set_index("key")["lbl"]
+        req = g.loc[is_req]
+        old = req["key"].to_numpy()
+        new = lbl_of.loc[old].to_numpy()
+        return pd.DataFrame(
+            {
+                "node": req["node"].to_numpy(),
+                "lbl": new,
+                "changed": (new < old).astype(np.int64),
+            }
+        )
+
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         fanout = labels.map_batches(
             tag_labels, batch_format="pyarrow", zero_copy_batch=True
         ).union(sym_edges)
@@ -155,20 +218,36 @@ def connected_components(
         n_changed = new_labels.sum("changed")
         labels = new_labels.drop_columns(["changed"])
         if not n_changed:
+            # a propagation pass that changed nothing IS the min-label
+            # fixpoint — a jump could not change anything either
             break
+        # pointer jump (one bounded shuffle): lbl[v] ← lbl[lbl[v]] halves
+        # the remaining chain depth, giving O(log diameter) total rounds
+        jun = labels.map_batches(
+            tag_jump, batch_format="pyarrow", zero_copy_batch=True
+        )
+        jumped = partitioned_map_groups(jun, "key", jump_part, n_parts=n_parts).materialize()
+        labels = jumped.drop_columns(["changed"])
+        # the prop groupby's output block count tracks its INPUT block
+        # count (labels + sym_edges blocks), so labels gain ~|sym blocks|
+        # per round — clamp before linear growth turns into linear
+        # per-round scheduling cost over many rounds
+        if jumped.num_blocks() > 4 * n_parts:
+            labels = labels.repartition(n_parts).materialize()
     else:
         raise RuntimeError(
-            f"connected_components: no fixpoint after {max_iters} rounds — "
-            "a component with a min-node eccentricity this deep wants "
-            "pointer-jumping (label-of-label contraction); raise max_iters "
-            "only if the chain is known-legitimate"
+            f"connected_components: no fixpoint after {max_iters} rounds of "
+            "min-propagation + pointer-jumping — at O(log diameter) rounds "
+            "this graph's diameter exceeds ~2^{max_iters}; raise max_iters "
+            "only if that is known-legitimate"
         )
 
-    return labels.map_batches(
+    out = labels.map_batches(
         lambda b: b.rename_columns([node_col, out_col]),
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+    return (out, rounds) if return_rounds else out
 
 
 def pagerank(

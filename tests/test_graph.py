@@ -38,10 +38,33 @@ class TestConnectedComponents:
         chain = [(i, i + 1) for i in range(12)]
         cc = connected_components(_edges(chain)).to_pandas()
         assert set(cc["cluster_id"]) == {0} and len(cc) == 13
-        # min-label propagation moves the 0 one hop per round: a cap below
-        # the chain depth must refuse loudly, not return a wrong fixpoint
+        # a cap below what even pointer-jumping needs must refuse loudly,
+        # not return a wrong fixpoint
         with pytest.raises(RuntimeError, match="pointer-jumping"):
-            connected_components(_edges(chain), max_iters=3)
+            connected_components(_edges(chain), max_iters=1)
+
+    def test_path_graph_converges_logarithmically(self, ray_session):
+        """Pointer-jumping contract: a 10k-node PATH (diameter 9999) must
+        converge in O(log n) rounds, not O(n) — the old propagation-only
+        loop hit max_iters=50 here."""
+        import ray.data as rd
+
+        from geodistpy_ray.stages.graph import connected_components
+
+        n = 10_000
+        edges = rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array(np.arange(n - 1), pa.int64()),
+                    "id_b": pa.array(np.arange(1, n), pa.int64()),
+                }
+            )
+        )
+        out, rounds = connected_components(edges, n_parts=16, return_rounds=True)
+        df = out.to_pandas()
+        assert len(df) == n and set(df["cluster_id"]) == {0}
+        # log2(10000) ≈ 13.3; allow slack for the prop/jump interleave
+        assert rounds <= 24, rounds
 
     def test_python_reference_random_graph(self, ray_session):
         from geodistpy_ray.stages.graph import connected_components
