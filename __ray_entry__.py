@@ -1477,7 +1477,16 @@ def q_sorted_export(sf_dir):
 
     ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
     out_dir = tempfile.mkdtemp(prefix="geodist_sorted_")
-    return sorted_export(ev, out_dir, "value", extra_order=["event_id"], n_parts=16)
+    return sorted_export(
+        ev,
+        out_dir,
+        "value",
+        extra_order=["event_id"],
+        n_parts=16,
+        # file-backed input: seed range boundaries from the parquet
+        # row-group footers — one full read instead of two
+        stats_paths=f"{sf_dir}/events.parquet",
+    )
 
 
 def q_audio_features_wav(sf_dir):

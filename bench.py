@@ -224,8 +224,9 @@ def _tokens(sf_dir: str):
 
 
 def _sorted_export(sf_dir: str):
-    """Range-partitioned global sort sink over the events table (round 4):
-    sample pass + one shuffle + per-range sorted atomic file writes."""
+    """Range-partitioned global sort sink over the events table (round 4;
+    round 5 seeds boundaries from the parquet footers): ONE full read +
+    one shuffle + per-range sorted atomic file writes."""
     import shutil
     import tempfile
 
@@ -239,7 +240,14 @@ def _sorted_export(sf_dir: str):
     )
     out = tempfile.mkdtemp(prefix="bench_sorted_")
     try:
-        stats = sorted_export(ev, out, "value", extra_order=["event_id"], n_parts=32)
+        stats = sorted_export(
+            ev,
+            out,
+            "value",
+            extra_order=["event_id"],
+            n_parts=32,
+            stats_paths=f"{sf_dir}/events.parquet",
+        )
         return int(stats.to_pandas()["rows"].sum())
     finally:
         shutil.rmtree(out, ignore_errors=True)

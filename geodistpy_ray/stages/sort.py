@@ -81,6 +81,57 @@ def _range_boundaries(ds, key: str, n_parts: int, sample_per_batch: int = 4096) 
     return s[np.minimum(np.searchsorted(cum, targets), s.size - 1)]
 
 
+def _boundaries_from_parquet_stats(paths, key: str, n_parts: int):
+    """(n_parts − 1) range boundaries from parquet ROW-GROUP statistics —
+    a footer-only read, zero data scan (the sampling pass this replaces is
+    a second full scan of the key column; at 100 TB that scan runs twice).
+
+    Each row group contributes interpolated points across its [min, max]
+    span (uniform-within-group assumption), weighted by its row count, and
+    the same weighted-quantile fold as the sampling path picks boundaries.
+    The assumption only affects partition BALANCE, never correctness —
+    range assignment downstream is a pure function of the key value.
+    Returns ``None`` when any row group lacks min/max stats for ``key`` or
+    the key isn't numeric (strings can't be interpolated; with plentiful
+    row groups their endpoints alone would do, but the sampling pass is
+    the honest fallback) — the caller then samples as before.
+    """
+    mins, maxs, wts = [], [], []
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if key not in idx:
+            return None
+        for rg in range(md.num_row_groups):
+            rgm = md.row_group(rg)
+            if rgm.num_rows == 0:
+                continue
+            st = rgm.column(idx[key]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            if not isinstance(st.min, (int, float)) or isinstance(st.min, bool):
+                return None
+            mins.append(st.min)
+            maxs.append(st.max)
+            wts.append(rgm.num_rows)
+    if not mins:
+        return np.array([], dtype=np.float64)
+    lo = np.asarray(mins, dtype=np.float64)
+    hi = np.asarray(maxs, dtype=np.float64)
+    w = np.asarray(wts, dtype=np.float64)
+    # enough interpolation points that even ONE row group resolves all
+    # boundaries; cheap either way (driver math over footer scalars)
+    m = max(2, int(np.ceil(8.0 * n_parts / lo.size)))
+    frac = np.arange(m, dtype=np.float64) / (m - 1)
+    s = (lo[:, None] + (hi - lo)[:, None] * frac[None, :]).ravel()
+    ws = np.repeat(w / m, m)
+    order = np.argsort(s, kind="mergesort")
+    s, ws = s[order], ws[order]
+    cum = np.cumsum(ws)
+    targets = cum[-1] * np.arange(1, n_parts) / n_parts
+    return s[np.minimum(np.searchsorted(cum, targets), s.size - 1)]
+
+
 def sorted_export(
     ds,
     out_dir: str,
@@ -89,6 +140,7 @@ def sorted_export(
     extra_order: list[str] | None = None,
     n_parts: int = 32,
     sample_per_batch: int = 4096,
+    stats_paths=None,
 ):
     """Write ``ds`` as globally ordered parquet files; return the per-part
     stats Dataset (part, rows, key_first, key_last — in OUTPUT order).
@@ -98,12 +150,31 @@ def sorted_export(
     ``descending`` — the flag applies to the KEY and the extra columns
     alike, SQL ``ORDER BY a DESC, b DESC``). Equal keys never straddle a
     file boundary (the range id is a function of the key value alone).
+
+    ``stats_paths`` (a parquet file path, directory, or list of paths —
+    the FILES BACKING ``ds``) seeds the range boundaries from the parquet
+    row-group footers instead of the sampling pass, turning the sink into
+    a SINGLE full read of the input. Falls back to sampling when the
+    footers can't resolve (missing stats, non-numeric key).
     """
     if n_parts < 1:
         raise ValueError("n_parts must be >= 1")
     order_cols = [key] + list(extra_order or ())
     os.makedirs(out_dir, exist_ok=True)
-    bounds = _range_boundaries(ds, key, n_parts, sample_per_batch)
+    bounds = None
+    if stats_paths is not None:
+        if isinstance(stats_paths, str):
+            if os.path.isdir(stats_paths):
+                import glob as _glob
+
+                paths = sorted(_glob.glob(os.path.join(stats_paths, "*.parquet")))
+            else:
+                paths = [stats_paths]
+        else:
+            paths = list(stats_paths)
+        bounds = _boundaries_from_parquet_stats(paths, key, n_parts)
+    if bounds is None:
+        bounds = _range_boundaries(ds, key, n_parts, sample_per_batch)
 
     def tag(batch: pa.Table) -> pa.Table:
         if "__sortpart" in batch.column_names:
@@ -112,6 +183,14 @@ def sorted_export(
                 "rename it — the name is reserved for the range tag"
             )
         v = batch.column(key).to_numpy(zero_copy_only=False)
+        if v.dtype.kind == "f" and np.isnan(v).any():
+            # the sampling pass raises on NaN before the shuffle; the
+            # footer-seeded path skips that pass, so guard here too (NaN
+            # searchsorted lands in the last partition UNSORTED, silently)
+            raise ValueError(
+                f"sorted_export: key column {key!r} contains NaN — a total "
+                "order needs NaN-free keys (filter or fill first)"
+            )
         part = np.searchsorted(bounds, v, side="right") if bounds.size else np.zeros(
             batch.num_rows, dtype=np.int64
         )

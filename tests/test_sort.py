@@ -188,3 +188,112 @@ def test_zorder_bbox_scan_prunes_and_matches(ray_session, tmp_path):
     assert ds_e.count() == 0
     # (a fully-disjoint box may prune every file)
     assert n_read_e <= n_total
+
+
+class TestFooterSeededBoundaries:
+    """stats_paths: boundaries from parquet row-group footers — the sink
+    becomes a single full read; ordering contract must be identical."""
+
+    def _write_input(self, tmp_path, n=20_000, row_group_size=None, skew=False):
+        rng = np.random.default_rng(31)
+        v = rng.exponential(100.0, n) if skew else rng.uniform(-50, 50, n)
+        df = pd.DataFrame(
+            {
+                "k": np.round(v, 3),
+                "sub": rng.integers(0, 1000, n),
+                "payload": [f"p{i}" for i in range(n)],
+            }
+        )
+        src = str(tmp_path / "input.parquet")
+        pq.write_table(
+            pa.Table.from_pandas(df, preserve_index=False),
+            src,
+            row_group_size=row_group_size or n,
+        )
+        return src, df
+
+    def _check_contract(self, out, df):
+        got = _read_in_name_order(out)
+        assert sorted(got["payload"]) == sorted(df["payload"])
+        keys = got[["k", "sub"]].to_numpy()
+        assert (np.lexsort((keys[:, 1], keys[:, 0])) == np.arange(len(df))).all()
+        files = sorted(glob.glob(f"{out}/part-*.parquet"))
+        ends = [pq.read_table(f).to_pandas()["k"].to_numpy() for f in files]
+        for a, b in zip(ends, ends[1:]):
+            if a.size and b.size:
+                assert a[-1] <= b[0]  # ranges ordered; equal keys co-located
+                if a[-1] == b[0]:
+                    raise AssertionError("equal keys straddle a file boundary")
+
+    def test_multi_row_group_footers(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sort import sorted_export
+
+        src, df = self._write_input(tmp_path, row_group_size=1024)
+        out = str(tmp_path / "sorted_multi")
+        stats = sorted_export(
+            rd.read_parquet(src),
+            out,
+            "k",
+            extra_order=["sub"],
+            n_parts=16,
+            stats_paths=src,
+        ).to_pandas()
+        assert len(stats) == 16 and stats["rows"].sum() == len(df)
+        self._check_contract(out, df)
+        # footers resolve: with ~20 row groups the interpolated quantiles
+        # should spread rows over most ranges, not pile into one
+        assert (stats["rows"] > 0).sum() >= 8
+
+    def test_single_row_group_interpolates(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sort import sorted_export
+
+        src, df = self._write_input(tmp_path, row_group_size=None, skew=True)
+        out = str(tmp_path / "sorted_single")
+        stats = sorted_export(
+            rd.read_parquet(src),
+            out,
+            "k",
+            extra_order=["sub"],
+            n_parts=8,
+            stats_paths=src,
+        ).to_pandas()
+        assert stats["rows"].sum() == len(df)
+        self._check_contract(out, df)
+
+    def test_string_key_falls_back_to_sampling(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sort import _boundaries_from_parquet_stats, sorted_export
+
+        df = pd.DataFrame({"k": [f"s{i:05d}" for i in range(500)], "sub": range(500)})
+        src = str(tmp_path / "strs.parquet")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+        assert _boundaries_from_parquet_stats([src], "k", 4) is None
+        out = str(tmp_path / "sorted_str")
+        stats = sorted_export(
+            rd.read_parquet(src), out, "k", n_parts=4, stats_paths=src
+        ).to_pandas()
+        assert stats["rows"].sum() == 500
+        got = _read_in_name_order(out)
+        assert got["k"].is_monotonic_increasing
+
+    def test_nan_guard_on_footer_path(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.sort import sorted_export
+
+        df = pd.DataFrame({"k": [1.0, np.nan, 3.0], "sub": [1, 2, 3]})
+        src = str(tmp_path / "nan.parquet")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), src)
+        with pytest.raises((ValueError, Exception), match="NaN"):
+            sorted_export(
+                rd.read_parquet(src),
+                str(tmp_path / "sorted_nan"),
+                "k",
+                n_parts=2,
+                stats_paths=src,
+            ).to_pandas()
