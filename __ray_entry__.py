@@ -879,7 +879,9 @@ def q_ivf_ann(sf_dir):
     from geodistpy_ray.stages.ann import ivf_ann_topk
 
     emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    return ivf_ann_topk(emb, _query_vectors(sf_dir), k=ANN_K, n_centroids=8, n_probe=3)
+    return ivf_ann_topk(
+        emb, _query_vectors(sf_dir), k=ANN_K, n_centroids=8, n_probe=4, n_assign=3
+    )
 
 
 def q_embed_near_dup(sf_dir):

@@ -54,7 +54,7 @@ def ann_recalls():
 
     for name, ds in [
         ("lsh_ann", lsh_ann_topk(emb(), qm, k=ANN_K, n_bits=6)),
-        ("ivf_ann", ivf_ann_topk(emb(), qm, k=ANN_K, n_centroids=8, n_probe=3)),
+        ("ivf_ann", ivf_ann_topk(emb(), qm, k=ANN_K, n_centroids=8, n_probe=4, n_assign=3)),
         ("q8_ann", ann_topk_quantized(quantize_embeddings(emb()), qm, k=ANN_K)),
     ]:
         approx = topk_sets(ds)

@@ -171,21 +171,33 @@ def test_ivf_ann_recall_vs_exact(ray_session):
     qm = np.array([r[0] for r in q], dtype=np.float64)
     emb = rd.read_parquet(f"{sf}/embeddings.parquet", columns=["vec_id", "embedding"])
     exact = ann_topk(emb, qm, k=10).to_pandas()
-    ivf = ivf_ann_topk(emb, qm, k=10, n_centroids=8, n_probe=3, train_sample=512).to_pandas()
+    kw = dict(k=10, n_centroids=8, n_probe=4, n_assign=3, train_sample=512)
+    ivf = ivf_ann_topk(emb, qm, **kw).to_pandas()
     # deterministic across runs
-    ivf2 = ivf_ann_topk(emb, qm, k=10, n_centroids=8, n_probe=3, train_sample=512).to_pandas()
+    ivf2 = ivf_ann_topk(emb, qm, **kw).to_pandas()
     import pandas as pd
     pd.testing.assert_frame_equal(
         ivf.sort_values(["query_id", "rank"], ignore_index=True),
         ivf2.sort_values(["query_id", "rank"], ignore_index=True),
     )
-    # recall vs exact: probing 3/8 lists should still recover most true neighbors
-    recalls = []
-    for j in range(5):
-        e = set(exact[exact.query_id == j]["vec_id"])
-        a = set(ivf[ivf.query_id == j]["vec_id"])
-        recalls.append(len(e & a) / len(e))
-    assert np.mean(recalls) >= 0.5, recalls
+
+    def mean_recall(approx):
+        recalls = []
+        for j in range(5):
+            e = set(exact[exact.query_id == j]["vec_id"])
+            a = set(approx[approx.query_id == j]["vec_id"])
+            recalls.append(len(e & a) / len(e))
+        return float(np.mean(recalls))
+
+    # the recall_bench configuration (farthest-point init + multi-assign)
+    # must clear the documented floor
+    assert mean_recall(ivf) >= 0.9, ivf
+    # multi-assignment is the recall lever: dropping to single assignment
+    # with the same probes must not beat it
+    ivf1 = ivf_ann_topk(
+        emb, qm, k=10, n_centroids=8, n_probe=4, n_assign=1, train_sample=512
+    ).to_pandas()
+    assert mean_recall(ivf1) <= mean_recall(ivf) + 1e-9
     # each query's own vector is its nearest neighbor and must survive probing
     for j in range(5):
         top = ivf[(ivf.query_id == j) & (ivf["rank"] == 1)]["vec_id"].iloc[0]
