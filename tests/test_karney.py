@@ -99,3 +99,98 @@ class TestKarneyDirect:
         s, az1, az2 = karney_inverse(52.52, 13.405, 48.8566, 2.3522)
         _, _, az2d = karney_direct(52.52, 13.405, az1, s)
         assert az2d == pytest.approx(az2, abs=1e-6)
+
+
+def _meridian_arc(lat_deg_from: float, lat_deg_to: float) -> float:
+    """Independent meridian arc length (meters) on WGS-84 by 64-node
+    Gauss-Legendre quadrature of a(1-e²)(1-e² sin²φ)^(-3/2) — machine
+    precision for the one geodesic family with a closed integral form,
+    used as the external oracle for over-the-pole near-antipodal cases
+    (geographiclib is not available in this environment)."""
+    from geodistpy_ray.kernels.ellipsoids import WGS84_A, WGS84_F
+
+    e2 = WGS84_F * (2.0 - WGS84_F)
+    lo, hi = np.radians(lat_deg_from), np.radians(lat_deg_to)
+    x, w = np.polynomial.legendre.leggauss(64)
+    t = 0.5 * (hi - lo) * x + 0.5 * (hi + lo)
+    integrand = (1.0 - e2 * np.sin(t) ** 2) ** -1.5
+    return float(WGS84_A * (1.0 - e2) * 0.5 * (hi - lo) * np.dot(w, integrand))
+
+
+class TestKarneyNearAntipodal:
+    """Stress suite for the inverse bisection at the antipodal boundary —
+    the regime where Vincenty sentinels (fails to converge) and Karney is
+    the engine's only answer. Oracles: the independent meridian-arc
+    quadrature for over-the-pole cases, and inverse↔direct self-consistency
+    (the direct solver never bisects, so a roundtrip is a genuine check).
+    Mirrors the reference's antipodal stress case
+    (/root/reference/tests/test_geodist.py:142-145) at golden precision.
+    """
+
+    def test_over_the_pole_vs_meridian_quadrature(self):
+        # Δlon = 180°: the geodesic runs along the meridian pair over the
+        # nearer pole; exact distance = arc(lat1→90) + arc(lat2→90).
+        cases = []
+        for lat1 in (80.0, 60.0, 45.0, 20.0, 5.0, 0.5):
+            for gap in (1.0, 2.0, 5.0):
+                lat2 = -lat1 + gap  # lat1+lat2 = gap > 0 → north pole path
+                for lon1 in (0.0, 13.4, -77.0, 179.0):
+                    cases.append((lat1, lon1, lat2, lon1 + 180.0))
+        lat1, lon1, lat2, lon2 = map(np.asarray, zip(*cases))
+        lon2 = np.where(lon2 > 180.0, lon2 - 360.0, lon2)
+        s, _, _ = karney_inverse(lat1, lon1, lat2, lon2)
+        expected = np.array(
+            [_meridian_arc(a, 90.0) + _meridian_arc(b, 90.0) for a, b in zip(lat1, lat2)]
+        )
+        err = np.abs(s - expected)
+        assert err.max() < 1e-3, err.max()  # sub-millimeter vs the quadrature
+
+    def test_pole_to_antipode_sweep(self):
+        # pole → antipodal pole is exactly the half meridian, for ANY
+        # longitude pair (the azimuth is degenerate at the pole)
+        half = _meridian_arc(-90.0, 90.0)
+        lons = np.linspace(-180.0, 179.0, 25)
+        s, _, _ = karney_inverse(
+            np.full(lons.size, 90.0), lons, np.full(lons.size, -90.0), -lons
+        )
+        assert np.abs(s - half).max() < 1e-3
+
+    def test_reference_near_antipodal_case_pinned(self):
+        # the reference's own stress case asserts only > 19000 km; pin the
+        # engine's value so a solver regression can't hide inside the bound
+        s, az1, az2 = karney_inverse(0.0, 0.0, 0.5, 179.5)
+        assert s > 19_000_000  # the reference's bound
+        assert s == pytest.approx(19936288.579, abs=0.5)  # engine golden ±0.5 m
+        # the lane-masked Vincenty still converges on THIS case — two
+        # independent solvers (iterative Vincenty, quadrature+bisection
+        # Karney) agreeing sub-mm is the strongest check available here
+        dv = float(vincenty_inverse(0.0, 0.0, 0.5, 179.5))
+        assert dv >= 0 and abs(dv - s) < 1e-3
+        # the composed kernel returns the Vincenty lane here (it converged);
+        # sub-mm against Karney either way
+        gd = float(
+            geodesic_inverse(
+                np.array([0.0]), np.array([0.0]), np.array([0.5]), np.array([179.5])
+            )[0]
+        )
+        assert abs(gd - s) < 1e-3
+
+    def test_random_near_antipodal_roundtrip_and_symmetry(self):
+        rng = np.random.default_rng(300)
+        n = 400
+        lat1 = rng.uniform(-88.0, 88.0, n)
+        lon1 = rng.uniform(-180.0, 180.0, n)
+        lat2 = -lat1 + rng.uniform(-0.4, 0.4, n)
+        lon2 = _norm_lon_deg(lon1 + 180.0 + rng.uniform(-0.4, 0.4, n))
+        # this band is exactly where Vincenty gives up — make sure the
+        # sweep actually exercises the bisection, not the easy path
+        assert (vincenty_inverse(lat1, lon1, lat2, lon2) < 0).mean() > 0.5
+        s, az1, _ = karney_inverse(lat1, lon1, lat2, lon2)
+        s_sw, _, _ = karney_inverse(lat2, lon2, lat1, lon1)
+        # endpoint swap takes an independent bisection path; distances
+        # must still agree sub-millimeter
+        assert np.abs(s - s_sw).max() < 1e-3
+        # inverse → direct roundtrip lands on the target sub-millimeter
+        la, lo, _ = karney_direct(lat1, lon1, az1, s)
+        derr_deg = np.hypot(la - lat2, _norm_lon_deg(lo - lon2) * np.cos(np.radians(lat2)))
+        assert derr_deg.max() * 111_000.0 < 1e-3
