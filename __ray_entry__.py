@@ -854,6 +854,30 @@ def q_knn_graph_blocked(sf_dir):
     return knn_graph_blocked(emb, k=3, n_blocks=8)
 
 
+def q_ann_join(sf_dir):
+    """Two-sided blocked exact ANN JOIN (stages/ann.py:ann_join_blocked):
+    the query side is a Dataset too (here: vec_id < 50 of the corpus), not
+    a driver-side matrix — query rows hash into blocks and ship once per
+    corpus block, one shuffle, per-group submatrix products, hash-
+    partitioned top-k merge. Same (-round(sim,6), id) rank contract as
+    ann_topk, mirrored by the same ROW_NUMBER oracle."""
+    import pyarrow.compute as _pc
+
+    from geodistpy_ray.stages.ann import ann_join_blocked
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def to_queries(b):
+        t = b.filter(_pc.less(b.column("vec_id"), 50))
+        return t.rename_columns(["query_id", "embedding"])
+
+    q = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+        to_queries, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ds = ann_join_blocked(q, emb, k=5, n_query_blocks=4, n_corpus_blocks=8)
+    return ds.select_columns(["query_id", "vec_id", "rank"])
+
+
 def q_ann_topk_q8(sf_dir):
     """Int8-quantized ANN (rows-only: sims carry ≤ scale/2 rounding, recall
     vs the exact path pinned in tests + recall_bench): quantize the corpus
@@ -3553,6 +3577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_first_last": q_user_first_last,
         "knn_graph": q_knn_graph,
         "knn_graph_blocked": q_knn_graph_blocked,
+        "ann_join": q_ann_join,
         "link_triangles": q_link_triangles,
         "weekly_actives": q_weekly_actives,
         "track_centroids": q_track_centroids,
@@ -4114,6 +4139,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(q.embedding AS DOUBLE[])), 6), e.vec_id) AS rank "
             "FROM embeddings e, embeddings q WHERE e.vec_id <> q.vec_id"
             ") WHERE rank <= 3"
+        ),
+        "ann_join": (
+            "SELECT query_id, vec_id, rank FROM ("
+            "SELECT q.vec_id AS query_id, e.vec_id, ROW_NUMBER() OVER ("
+            "PARTITION BY q.vec_id ORDER BY "
+            "ROUND(-list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(q.embedding AS DOUBLE[])), 6), e.vec_id) AS rank "
+            "FROM embeddings e, (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 50) q"
+            ") WHERE rank <= 5"
         ),
         "ann_topk": (
             f"SELECT query_id, vec_id, rank FROM ("

@@ -723,6 +723,105 @@ def ivf_ann_topk(
     return _merge_topk_by_sim(partials, id_col, k, tie_round)
 
 
+def ann_join_blocked(
+    queries_ds,
+    corpus_ds,
+    k: int,
+    query_id_col: str = "query_id",
+    query_emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tie_round: int = 6,
+    n_query_blocks: int = 4,
+    n_corpus_blocks: int = 8,
+):
+    """Exact cosine top-k JOIN between two corpus-scale Datasets — the
+    two-sided generalization of :func:`knn_graph_blocked` for when the
+    QUERY side is itself a table too big for :func:`ann_topk`'s
+    driver-side query matrix (e.g. "for every new document, its k nearest
+    existing documents").
+
+    Output: (``query_id``, ``id_col``, ``sim``, ``rank``) with the same
+    (-round(sim, tie_round), id) rank contract as :func:`ann_topk`, so the
+    same ROW_NUMBER SQL mirrors both.
+
+    Scale shape — ONE shuffle, no driver matrix on either side: query rows
+    hash into QB blocks and ship once per corpus block (QB·CB pair-groups,
+    CB copies of the query side), corpus rows ship QB copies; each
+    pair-group computes its (corpus-block × query-block) submatrix product
+    locally and emits per-query LOCAL top-k windows; the hash-partitioned
+    merge folds each query's ≤ CB·k surviving candidates into the global
+    top-k. Every (query, candidate) pair lives in exactly one group, so
+    the merge never sees duplicates. Peak task memory is one query block
+    plus one corpus block — size the block counts so
+    (rows/blocks)·d·8 bytes fits a worker; total FLOPs stay |Q|·|C|·d
+    (exactness is the point; candidate-pruned corpora belong on the
+    IVF/LSH paths).
+    """
+    reserved = {"__pair", "__side"}
+    if reserved & {query_id_col, query_emb_col, id_col, emb_col}:
+        raise ValueError(
+            "ann_join_blocked: '__pair'/'__side' are reserved for the "
+            "block-pair tags; rename the input columns"
+        )
+    margin = 10.0 ** -tie_round if tie_round is not None else 0.0
+    qb_n, cb_n = int(n_query_blocks), int(n_corpus_blocks)
+
+    def _harmonize(batch: pa.Table, idc: str, embc: str, side: int, my_n: int, other_n: int, stride: bool) -> pa.Table:
+        n = batch.num_rows
+        base = pa.table(
+            {
+                "__id": batch.column(idc).cast(pa.int64()),
+                "__emb": batch.column(embc),
+                "__side": pa.array(np.full(n, side, dtype=np.int8)),
+            }
+        )
+        if n == 0:
+            return base.append_column("__pair", pa.array([], pa.int64()))
+        ids = base.column("__id").to_numpy(zero_copy_only=False)
+        blk = (pd.util.hash_array(ids, categorize=False) % np.uint64(my_n)).astype(np.int64)
+        outs = []
+        for j in range(other_n):
+            # pair id is always qblock * CB + cblock
+            pair = blk * cb_n + j if stride else j * cb_n + blk
+            outs.append(base.append_column("__pair", pa.array(pair, pa.int64())))
+        return pa.concat_tables(outs)
+
+    def rep_q(batch: pa.Table) -> pa.Table:
+        return _harmonize(batch, query_id_col, query_emb_col, 0, qb_n, cb_n, stride=True)
+
+    def rep_c(batch: pa.Table) -> pa.Table:
+        return _harmonize(batch, id_col, emb_col, 1, cb_n, qb_n, stride=False)
+
+    rep = (
+        queries_ds.select_columns([query_id_col, query_emb_col])
+        .map_batches(rep_q, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            corpus_ds.select_columns([id_col, emb_col]).map_batches(
+                rep_c, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        empty = _empty_partial(id_col)
+        if t.num_rows == 0:
+            return empty
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        qi, ci = np.flatnonzero(side == 0), np.flatnonzero(side == 1)
+        if qi.size == 0 or ci.size == 0:
+            return empty
+        emb = _normalize(_emb_matrix(t, "__emb", np.float64))
+        ids = t.column("__id").to_numpy(zero_copy_only=False)
+        sims = emb[ci] @ emb[qi].T  # (corpus rows, query rows)
+        out = _batch_topk_rows(sims, ids[ci], id_col, k, margin)
+        pos = out.column("query_id").to_numpy(zero_copy_only=False)
+        return out.set_column(0, "query_id", pa.array(ids[qi][pos], pa.int64()))
+
+    partials = rep.groupby("__pair").map_groups(sweep, batch_format="pyarrow")
+    return _merge_topk_by_sim(partials, id_col, k, tie_round)
+
+
 def embedding_pca(
     ds,
     emb_col: str = "embedding",

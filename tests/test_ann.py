@@ -472,3 +472,62 @@ def test_knn_graph_blocked_matches_broadcast_above_budget(ray_session):
     pd.testing.assert_frame_equal(
         a, one.sort_values(["vec_id", "rank"], ignore_index=True)[a.columns]
     )
+
+
+def test_ann_join_blocked_matches_broadcast_and_blocking(ray_session):
+    """ann_join_blocked must (a) equal ann_topk on the same queries and
+    (b) be independent of block-count choices (every (query, candidate)
+    pair lives in exactly one pair-group regardless)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import ann_join_blocked, ann_topk
+
+    rng = np.random.default_rng(41)
+    n, d, k = 300, 16, 4
+    emb = rng.standard_normal((n, d))
+    # non-contiguous ids on both sides: positions must never leak out
+    cids = np.arange(n, dtype=np.int64) * 7 + 3
+    corpus = pa.table({"vec_id": cids, "embedding": list(emb)})
+    qpos = np.array([5, 17, 42, 160, 299])
+    queries = pa.table(
+        {"query_id": cids[qpos], "embedding": list(emb[qpos])}
+    )
+
+    def run(qb, cb):
+        return (
+            ann_join_blocked(
+                rd.from_arrow(queries).repartition(3),
+                rd.from_arrow(corpus).repartition(5),
+                k=k,
+                n_query_blocks=qb,
+                n_corpus_blocks=cb,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+
+    got = run(4, 8)
+    # broadcast reference on the identical inputs; ann_topk query ids are
+    # ROW POSITIONS of the query matrix — map them to the real ids
+    ref = ann_topk(rd.from_arrow(corpus), emb[qpos], k=k).to_pandas()
+    ref["query_id"] = cids[qpos][ref["query_id"].to_numpy()]
+    ref = ref.sort_values(["query_id", "rank"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        got[["query_id", "vec_id", "rank"]], ref[["query_id", "vec_id", "rank"]]
+    )
+    # blocking-independence incl. the degenerate single-block case
+    pd.testing.assert_frame_equal(got, run(1, 1))
+    pd.testing.assert_frame_equal(got, run(2, 3))
+
+
+def test_ann_join_blocked_reserved_columns(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import ann_join_blocked
+
+    t = pa.table({"__pair": [1], "embedding": [[1.0, 0.0]]})
+    with pytest.raises(ValueError, match="reserved"):
+        ann_join_blocked(
+            rd.from_arrow(t), rd.from_arrow(t), k=1, query_id_col="__pair", id_col="__pair"
+        )
