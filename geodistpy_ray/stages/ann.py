@@ -912,6 +912,7 @@ def knn_graph(
     emb_col: str = "embedding",
     tie_round: int = 6,
     max_rows: int = 100_000,
+    over_budget: str = "blocked",
 ):
     """k-NN GRAPH over an embedding corpus: each vector's top-k cosine
     neighbors with SELF excluded → (vec_id, nbr_id, rank) — the edge list
@@ -920,18 +921,30 @@ def knn_graph(
     Broadcast form with a budget guard (the :func:`embedding_near_dup_pairs`
     trade): the query side is the WHOLE corpus, collected once and closed
     over; the corpus then STREAMS through the same windowed top-k combiner
-    as :func:`ann_topk`, with self-pairs masked before the window. Beyond
-    ``max_rows``, generate candidate edges with the IVF/LSH bucket paths
-    instead. Rank ties break on (-round(sim), neighbor id), mirroring the
-    SQL ROW_NUMBER exactly; raw sims are dropped from the output (numpy
-    and SQL cosine differ in fp ordering — ranks are the stable contract).
+    as :func:`ann_topk`, with self-pairs masked before the window. The
+    driver collection is LIMIT-bounded to ``max_rows + 1`` rows — a corpus
+    past the budget never lands on the driver; with
+    ``over_budget="blocked"`` (default) it auto-delegates to
+    :func:`knn_graph_blocked` (exact, no driver matrix; block count sized
+    so a block PAIR stays within ``max_rows`` rows), ``"raise"`` keeps the
+    hard error for callers that want the switch explicit. Both paths share
+    the (-round(sim), neighbor id) tie-break, mirroring the SQL ROW_NUMBER
+    exactly; raw sims are dropped from the output (numpy and SQL cosine
+    differ in fp ordering — ranks are the stable contract).
     """
-    rows = ds.select_columns([id_col, emb_col]).take_all()
+    rows = ds.select_columns([id_col, emb_col]).limit(max_rows + 1).take_all()
     if len(rows) > max_rows:
-        raise ValueError(
-            f"knn_graph broadcast budget exceeded ({len(rows)} > {max_rows}); "
-            "use knn_graph_blocked (exact, no driver matrix) or the IVF/LSH "
-            "candidate paths for larger corpora"
+        if over_budget == "raise":
+            raise ValueError(
+                f"knn_graph broadcast budget exceeded (> {max_rows} rows); "
+                "use knn_graph_blocked (exact, no driver matrix) or the "
+                "IVF/LSH candidate paths for larger corpora"
+            )
+        n = ds.count()
+        n_blocks = max(2, -(-2 * n // max(1, max_rows)))
+        return knn_graph_blocked(
+            ds, k=k, id_col=id_col, emb_col=emb_col, tie_round=tie_round,
+            n_blocks=n_blocks,
         )
     if not rows:
         import ray.data as rd

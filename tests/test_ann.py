@@ -417,8 +417,18 @@ def test_knn_graph_matches_bruteforce_and_guards(ray_session):
     assert (got.groupby("vec_id").size() == k).all()
     # self never appears
     assert (got["vec_id"] != got["nbr_id"]).all()
+    # over budget: "raise" keeps the hard error; the default auto-delegates
+    # to the blocked path and must return the IDENTICAL edge list
     with pytest.raises(ValueError, match="budget"):
-        knn_graph(rd.from_arrow(tbl), k=2, max_rows=10)
+        knn_graph(rd.from_arrow(tbl), k=2, max_rows=10, over_budget="raise")
+    auto = (
+        knn_graph(rd.from_arrow(tbl).repartition(5), k=k, max_rows=10)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"], ignore_index=True)
+    )
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(auto[got.columns], got)
 
 
 def test_knn_graph_blocked_matches_broadcast_above_budget(ray_session):
@@ -453,10 +463,10 @@ def test_knn_graph_blocked_matches_broadcast_above_budget(ray_session):
     )
     pd.testing.assert_frame_equal(a, b[a.columns])
 
-    # above the broadcast budget: broadcast raises, blocked answers — and
-    # matches a local numpy brute force
+    # above the broadcast budget: explicit "raise" refuses, blocked answers
+    # — and matches a local numpy brute force
     with pytest.raises(ValueError, match="budget"):
-        knn_graph(ds, k=k, max_rows=n - 1)
+        knn_graph(ds, k=k, max_rows=n - 1, over_budget="raise")
     xn = x / np.linalg.norm(x, axis=1, keepdims=True)
     sims = xn @ xn.T
     for vid in ids[:20]:
