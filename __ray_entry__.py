@@ -402,8 +402,12 @@ def q_idw_estimate(sf_dir):
     """Inverse-distance-weighted spatial interpolation: estimate n_chars
     at 8 query points from all docs within 750 km — Σ(v/d²)/Σ(1/d²) over
     the radius join's neighbor set (the geostatistics estimator). The
-    weighted sums accumulate ≤ a few dozen terms, so the 1e-6 rounding
-    absorbs cross-engine sum-order noise."""
+    neighbor set is corpus-scale (every doc within radius), so the weighted
+    sums combine PER BATCH inside map_batches; only the (8 query_ids ×
+    n_blocks) partial rows reach the driver. The 1e-6 rounding absorbs
+    cross-engine/cross-order float-sum noise (the oracle compare was
+    already order-insensitive: pandas, DuckDB and the partials each sum in
+    a different order)."""
     import pandas as pd
 
     from geodistpy_ray.functions.geocode import query_points
@@ -425,13 +429,31 @@ def q_idw_estimate(sf_dir):
         neighbors, pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "n_chars"]),
         "doc_id",
     )
-    df = j.to_pandas()  # bounded: |queries| × neighbors-in-radius
-    df = df[df["dist"] > 0]  # the d=0 singularity (both sides drop it)
-    w = 1.0 / (df["dist"] ** 2)
-    df["_wv"] = w * df["n_chars"]
-    df["_w"] = w
+    def partial(batch: pa.Table) -> pa.Table:
+        d = batch.column("dist").to_numpy(zero_copy_only=False)
+        q = batch.column("query_id").to_numpy(zero_copy_only=False)
+        v = batch.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        m = d > 0  # the d=0 singularity (both sides drop it)
+        q, d, v = q[m], d[m], v[m]
+        uq, inv = np.unique(q, return_inverse=True)
+        w = 1.0 / (d * d)
+        wv = np.zeros(uq.size)
+        np.add.at(wv, inv, w * v)
+        ws = np.zeros(uq.size)
+        np.add.at(ws, inv, w)
+        return pa.table(
+            {
+                "query_id": pa.array(uq.astype(np.int64), pa.int64()),
+                "_wv": pa.array(wv, pa.float64()),
+                "_w": pa.array(ws, pa.float64()),
+                "n": pa.array(np.bincount(inv).astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = j.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    df = partials.to_pandas()  # bounded: ≤ |queries| × n_blocks rows
     agg = df.groupby("query_id", as_index=False).agg(
-        _wv=("_wv", "sum"), _w=("_w", "sum"), n_neighbors=("_w", "size")
+        _wv=("_wv", "sum"), _w=("_w", "sum"), n_neighbors=("n", "sum")
     )
     agg["idw_chars"] = (agg["_wv"] / agg["_w"]).round(6)
     agg["n_neighbors"] = agg["n_neighbors"].astype(np.int64)
