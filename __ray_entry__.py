@@ -900,6 +900,32 @@ def q_ann_join(sf_dir):
     return ds.select_columns(["query_id", "vec_id", "rank"])
 
 
+def q_ivf_ann_join(sf_dir):
+    """IVF-pruned two-sided ANN join (stages/ann.py:ivf_ann_join) — the
+    approximate complement to `ann_join` when |Q|·|C| exact FLOPs are not
+    affordable: rows-only (candidate pruning is the point; recall floors
+    and the exact-degeneracy at full probe are pinned in test_ann.py).
+    Same query construction as q_ann_join so the two paths are directly
+    comparable."""
+    import pyarrow.compute as _pc
+
+    from geodistpy_ray.stages.ann import ivf_ann_join
+
+    emb = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+
+    def to_queries(b):
+        t = b.filter(_pc.less(b.column("vec_id"), 50))
+        return t.rename_columns(["query_id", "embedding"])
+
+    q = _read(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]).map_batches(
+        to_queries, batch_format="pyarrow", zero_copy_batch=True
+    )
+    ds = ivf_ann_join(
+        q, emb, k=5, n_centroids=8, n_probe=4, n_assign=2, train_sample=512
+    )
+    return ds.select_columns(["query_id", "vec_id", "rank"])
+
+
 def q_ann_topk_q8(sf_dir):
     """Int8-quantized ANN (rows-only: sims carry ≤ scale/2 rounding, recall
     vs the exact path pinned in tests + recall_bench): quantize the corpus
@@ -3600,6 +3626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": q_knn_graph,
         "knn_graph_blocked": q_knn_graph_blocked,
         "ann_join": q_ann_join,
+        "ivf_ann_join": q_ivf_ann_join,
         "link_triangles": q_link_triangles,
         "weekly_actives": q_weekly_actives,
         "track_centroids": q_track_centroids,

@@ -164,15 +164,30 @@ def ann_topk_quantized(
     return _merge_topk_by_sim(partials, id_col, k, tie_round)
 
 
-def _merge_topk_by_sim(partials, id_col: str, k: int, tie_round: int | None):
+def _merge_topk_by_sim(partials, id_col: str, k: int, tie_round: int | None, dedup: bool = False):
     """Per-query top-k merge on a hash partition of query_ids (bounded group
-    count — see stages/grouping.py), ranked by (-round(sim), id)."""
+    count — see stages/grouping.py), ranked by (-round(sim), id).
+
+    ``dedup``: drop repeated (query, candidate) pairs before ranking —
+    needed by candidate generators whose partitions can OVERLAP (IVF
+    multi-assignment × multi-probe), where the same pair legitimately
+    arrives from two groups. The best (smallest-key) copy survives, so an
+    ulp-level sim difference between the two computations (different BLAS
+    blocking in different groups) can't make the outcome partition-
+    dependent. The blocked exact paths keep the default — their pair
+    coverage is exactly-once by construction and skipping the extra sort
+    is free performance."""
     from .grouping import partitioned_map_groups, topk_per_group_part
 
     def merge_part(g: pd.DataFrame) -> pd.DataFrame:
         key = (-g["sim"]).round(tie_round) if tie_round is not None else -g["sim"]
+        g = g.assign(_key=key)
+        if dedup:
+            g = g.sort_values(["query_id", id_col, "_key"]).drop_duplicates(
+                ["query_id", id_col], keep="first"
+            )
         return topk_per_group_part(
-            g.assign(_key=key), "query_id", ["_key", id_col], [True, True], k, drop=["_key"]
+            g, "query_id", ["_key", id_col], [True, True], k, drop=["_key"]
         )
 
     return partitioned_map_groups(partials, "query_id", merge_part)
@@ -820,6 +835,132 @@ def ann_join_blocked(
 
     partials = rep.groupby("__pair").map_groups(sweep, batch_format="pyarrow")
     return _merge_topk_by_sim(partials, id_col, k, tie_round)
+
+
+def ivf_ann_join(
+    queries_ds,
+    corpus_ds,
+    k: int,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_assign: int = 2,
+    train_sample: int = 4096,
+    n_sub_blocks: int = 1,
+    query_id_col: str = "query_id",
+    query_emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+    tie_round: int = 6,
+):
+    """IVF-pruned two-sided ANN join — the approximate complement to
+    :func:`ann_join_blocked` for when |Q|·|C|·d exact FLOPs are not
+    affordable: both sides are corpus-scale Datasets, but each query is
+    compared only against the corpus rows sharing one of its ``n_probe``
+    nearest inverted lists (scan fraction ≈ n_probe·n_assign/n_centroids).
+
+    Shape: centroids train once on a bounded corpus sample (driver-side,
+    like real IVF training) and broadcast via ``ray.put``; corpus rows ship
+    ``n_assign`` copies (one per assigned list), query rows ship
+    ``n_probe``·``n_sub_blocks`` copies; ONE shuffle groups on (list ×
+    sub-block), each group computes its submatrix product and emits local
+    top-k windows, and the hash-partitioned merge folds — with pair DEDUP,
+    since multi-assignment × multi-probe means a (query, candidate) pair
+    can legitimately appear in up to min(n_probe, n_assign) groups.
+
+    Partitioning assumptions (document-grade, the knobs ARE the contract):
+    a single inverted list's corpus rows must fit one worker ÷
+    ``n_sub_blocks`` — size ``n_centroids`` (real IVF deployments use
+    thousands) and raise ``n_sub_blocks`` for skewed lists; group count is
+    n_centroids·n_sub_blocks (bounded — safe for ``map_groups``' ~1.5 ms
+    per-group cost up to ~10k groups). Recall is governed by the same
+    (n_probe, n_assign) levers as :func:`ivf_ann_topk` (curve in its
+    docstring); ``n_probe = n_centroids`` with ``n_assign = 1`` degenerates
+    to the exact join (every pair covered, tested).
+    """
+    import ray
+
+    from .broadcast import get_broadcast
+
+    reserved = {"__key", "__side"}
+    if reserved & {query_id_col, query_emb_col, id_col, emb_col}:
+        raise ValueError(
+            "ivf_ann_join: '__key'/'__side' are reserved for the list tags; "
+            "rename the input columns"
+        )
+    sample_pd = corpus_ds.select_columns([emb_col]).limit(train_sample).to_pandas()
+    cents = train_ivf_centroids(np.stack(sample_pd[emb_col].to_numpy()), n_centroids)
+    ref = ray.put(cents)
+    nc = cents.shape[0]
+    npr, na, ns = min(int(n_probe), nc), min(int(n_assign), nc), max(1, int(n_sub_blocks))
+    margin = 10.0 ** -tie_round if tie_round is not None else 0.0
+
+    def _tagged(batch: pa.Table, idc: str, embc: str, side: int, idx: np.ndarray, keys: np.ndarray) -> pa.Table:
+        base = pa.table(
+            {
+                "__id": batch.column(idc).cast(pa.int64()),
+                "__emb": batch.column(embc),
+            }
+        ).take(pa.array(idx, pa.int64()))
+        return base.append_column("__key", pa.array(keys, pa.int64())).append_column(
+            "__side", pa.array(np.full(idx.size, side, dtype=np.int8))
+        )
+
+    def tag_q(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _tagged(batch, query_id_col, query_emb_col, 0,
+                           np.array([], np.int64), np.array([], np.int64))
+        c = get_broadcast(ref)
+        emb = _normalize(_emb_matrix(batch, query_emb_col, np.float64))
+        probe = np.argpartition(-(emb @ c.T), npr - 1, axis=1)[:, :npr]
+        idx = np.repeat(np.arange(n, dtype=np.int64), npr)
+        keys = probe.ravel().astype(np.int64) * ns
+        if ns > 1:
+            idx = np.tile(idx, ns)
+            keys = np.concatenate([keys + s for s in range(ns)])
+        return _tagged(batch, query_id_col, query_emb_col, 0, idx, keys)
+
+    def tag_c(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return _tagged(batch, id_col, emb_col, 1,
+                           np.array([], np.int64), np.array([], np.int64))
+        c = get_broadcast(ref)
+        emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
+        ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        assign = np.argpartition(-(emb @ c.T), na - 1, axis=1)[:, :na]
+        sub = (pd.util.hash_array(ids, categorize=False) % np.uint64(ns)).astype(np.int64)
+        idx = np.repeat(np.arange(n, dtype=np.int64), na)
+        keys = assign.ravel().astype(np.int64) * ns + np.repeat(sub, na)
+        return _tagged(batch, id_col, emb_col, 1, idx, keys)
+
+    rep = (
+        queries_ds.select_columns([query_id_col, query_emb_col])
+        .map_batches(tag_q, batch_format="pyarrow", zero_copy_batch=True)
+        .union(
+            corpus_ds.select_columns([id_col, emb_col]).map_batches(
+                tag_c, batch_format="pyarrow", zero_copy_batch=True
+            )
+        )
+    )
+
+    def sweep(t: pa.Table) -> pa.Table:
+        empty = _empty_partial(id_col)
+        if t.num_rows == 0:
+            return empty
+        side = t.column("__side").to_numpy(zero_copy_only=False)
+        qi, ci = np.flatnonzero(side == 0), np.flatnonzero(side == 1)
+        if qi.size == 0 or ci.size == 0:
+            return empty
+        emb = _normalize(_emb_matrix(t, "__emb", np.float64))
+        ids = t.column("__id").to_numpy(zero_copy_only=False)
+        sims = emb[ci] @ emb[qi].T
+        out = _batch_topk_rows(sims, ids[ci], id_col, k, margin)
+        pos = out.column("query_id").to_numpy(zero_copy_only=False)
+        return out.set_column(0, "query_id", pa.array(ids[qi][pos], pa.int64()))
+
+    partials = rep.groupby("__key").map_groups(sweep, batch_format="pyarrow")
+    return _merge_topk_by_sim(partials, id_col, k, tie_round, dedup=True)
 
 
 def embedding_pca(

@@ -541,3 +541,122 @@ def test_ann_join_blocked_reserved_columns(ray_session):
         ann_join_blocked(
             rd.from_arrow(t), rd.from_arrow(t), k=1, query_id_col="__pair", id_col="__pair"
         )
+
+
+class TestIvfAnnJoin:
+    @pytest.fixture(scope="class")
+    def blob_fixture(self):
+        """Clustered blobs (IVF's home turf) with non-contiguous ids."""
+        rng = np.random.default_rng(97)
+        n_blobs, per, d = 6, 50, 12
+        centers = rng.standard_normal((n_blobs, d)) * 4.0
+        x = np.concatenate(
+            [c + 0.3 * rng.standard_normal((per, d)) for c in centers]
+        )
+        n = n_blobs * per
+        ids = rng.permutation(n).astype(np.int64) * 5 + 2
+        corpus = pa.table({"vec_id": ids, "embedding": list(x)})
+        qpos = np.arange(0, n, 17)
+        queries = pa.table(
+            {"query_id": ids[qpos] + 1_000_000, "embedding": list(x[qpos])}
+        )
+        return corpus, queries, x, ids, qpos
+
+    def _exact(self, corpus, queries, k):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.ann import ann_join_blocked
+
+        return (
+            ann_join_blocked(
+                rd.from_arrow(queries), rd.from_arrow(corpus), k=k,
+                n_query_blocks=2, n_corpus_blocks=3,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+
+    def test_full_probe_degenerates_to_exact(self, ray_session, blob_fixture):
+        """n_probe=n_centroids with n_assign=1 covers every (q, c) pair
+        exactly once -> identical edge list to the exact blocked join,
+        independent of sub-blocking."""
+        import pandas as pd
+        import ray.data as rd
+
+        from geodistpy_ray.stages.ann import ivf_ann_join
+
+        corpus, queries, *_ = blob_fixture
+        k = 4
+        exact = self._exact(corpus, queries, k)[["query_id", "vec_id", "rank"]]
+
+        def run(ns):
+            return (
+                ivf_ann_join(
+                    rd.from_arrow(queries).repartition(3),
+                    rd.from_arrow(corpus).repartition(4),
+                    k=k, n_centroids=6, n_probe=6, n_assign=1,
+                    n_sub_blocks=ns,
+                )
+                .to_pandas()
+                .sort_values(["query_id", "rank"], ignore_index=True)
+            )
+
+        got = run(1)
+        pd.testing.assert_frame_equal(got[["query_id", "vec_id", "rank"]], exact)
+        pd.testing.assert_frame_equal(run(3), got)
+
+    def test_overlapping_lists_dedup(self, ray_session, blob_fixture):
+        """Max overlap (every list probed AND multi-assignment) floods the
+        merge with duplicate pairs; the dedup must still produce the exact
+        edge list with contiguous ranks and no repeated (query, vec)."""
+        import pandas as pd
+        import ray.data as rd
+
+        from geodistpy_ray.stages.ann import ivf_ann_join
+
+        corpus, queries, *_ = blob_fixture
+        k = 3
+        got = (
+            ivf_ann_join(
+                rd.from_arrow(queries), rd.from_arrow(corpus), k=k,
+                n_centroids=4, n_probe=4, n_assign=4,
+            )
+            .to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)
+        )
+        assert not got.duplicated(["query_id", "vec_id"]).any()
+        assert (got.groupby("query_id")["rank"].agg(list)
+                .apply(lambda r: r == list(range(1, len(r) + 1))).all())
+        exact = self._exact(corpus, queries, k)[["query_id", "vec_id", "rank"]]
+        pd.testing.assert_frame_equal(got[["query_id", "vec_id", "rank"]], exact)
+
+    def test_partial_probe_recall_floor(self, ray_session, blob_fixture):
+        """The pruned configuration must keep recall >= 0.9 on the blob
+        fixture while scanning ~n_probe*n_assign/n_centroids of the corpus."""
+        import ray.data as rd
+
+        from geodistpy_ray.stages.ann import ivf_ann_join
+
+        corpus, queries, *_ = blob_fixture
+        k = 5
+        exact = self._exact(corpus, queries, k)
+        got = ivf_ann_join(
+            rd.from_arrow(queries), rd.from_arrow(corpus), k=k,
+            n_centroids=8, n_probe=3, n_assign=2,
+        ).to_pandas()
+        truth = set(map(tuple, exact[["query_id", "vec_id"]].to_numpy()))
+        found = set(map(tuple, got[["query_id", "vec_id"]].to_numpy()))
+        recall = len(truth & found) / len(truth)
+        assert recall >= 0.9, recall
+
+    def test_reserved_columns(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.ann import ivf_ann_join
+
+        t = pa.table({"__key": [1], "embedding": [[1.0, 0.0]]})
+        with pytest.raises(ValueError, match="reserved"):
+            ivf_ann_join(
+                rd.from_arrow(t), rd.from_arrow(t), k=1,
+                query_id_col="__key", id_col="__key",
+            )
