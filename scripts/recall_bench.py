@@ -63,6 +63,33 @@ def ann_recalls():
             for qid in exact
         ]
         out[f"{name}_recall_at_{ANN_K}"] = round(float(np.mean(recalls)), 4)
+
+    # two-sided IVF join vs the exact blocked join, same 50-query table as
+    # the driver's ann_join/ivf_ann_join entries
+    import pyarrow.compute as pc
+
+    from geodistpy_ray.stages.ann import ann_join_blocked, ivf_ann_join
+
+    def to_queries(b):
+        return b.filter(pc.less(b.column("vec_id"), 50)).rename_columns(
+            ["query_id", "embedding"]
+        )
+
+    queries = lambda: emb().map_batches(
+        to_queries, batch_format="pyarrow", zero_copy_batch=True
+    )
+    exact_j = topk_sets(ann_join_blocked(queries(), emb(), k=ANN_K))
+    approx_j = topk_sets(
+        ivf_ann_join(
+            queries(), emb(), k=ANN_K,
+            n_centroids=8, n_probe=4, n_assign=2, train_sample=512,
+        )
+    )
+    recalls = [
+        len(exact_j[qid] & approx_j.get(qid, set())) / max(len(exact_j[qid]), 1)
+        for qid in exact_j
+    ]
+    out[f"ivf_ann_join_recall_at_{ANN_K}"] = round(float(np.mean(recalls)), 4)
     return out
 
 
