@@ -738,6 +738,44 @@ def ivf_ann_topk(
     return _merge_topk_by_sim(partials, id_col, k, tie_round)
 
 
+def _check_two_sided_cols(fn_name, reserved_tags, query_id_col, query_emb_col, id_col, emb_col):
+    """Shared input-name validation for the two-sided joins: the internal
+    tag columns must not collide with input names, and the corpus id column
+    must not collide with the fixed OUTPUT names (a ``pa.table`` dict
+    literal would silently collapse the duplicate key)."""
+    if reserved_tags & {query_id_col, query_emb_col, id_col, emb_col}:
+        tags = "/".join(f"'{t}'" for t in sorted(reserved_tags))
+        raise ValueError(
+            f"{fn_name}: {tags} are reserved for the internal tags; "
+            "rename the input columns"
+        )
+    if id_col in ("query_id", "sim", "rank"):
+        raise ValueError(
+            f"{fn_name}: id_col={id_col!r} collides with an output column "
+            "('query_id'/'sim'/'rank'); rename the corpus id column"
+        )
+
+
+def _two_sided_sweep(t: pa.Table, id_col: str, k: int, margin: float) -> pa.Table:
+    """Per-group submatrix sweep shared by the two-sided joins: split the
+    group into its query/corpus sides, compute the cosine submatrix, and
+    emit per-query LOCAL top-k windows with the query positions remapped to
+    real ids."""
+    empty = _empty_partial(id_col)
+    if t.num_rows == 0:
+        return empty
+    side = t.column("__side").to_numpy(zero_copy_only=False)
+    qi, ci = np.flatnonzero(side == 0), np.flatnonzero(side == 1)
+    if qi.size == 0 or ci.size == 0:
+        return empty
+    emb = _normalize(_emb_matrix(t, "__emb", np.float64))
+    ids = t.column("__id").to_numpy(zero_copy_only=False)
+    sims = emb[ci] @ emb[qi].T  # (corpus rows, query rows)
+    out = _batch_topk_rows(sims, ids[ci], id_col, k, margin)
+    pos = out.column("query_id").to_numpy(zero_copy_only=False)
+    return out.set_column(0, "query_id", pa.array(ids[qi][pos], pa.int64()))
+
+
 def ann_join_blocked(
     queries_ds,
     corpus_ds,
@@ -773,12 +811,10 @@ def ann_join_blocked(
     (exactness is the point; candidate-pruned corpora belong on the
     IVF/LSH paths).
     """
-    reserved = {"__pair", "__side"}
-    if reserved & {query_id_col, query_emb_col, id_col, emb_col}:
-        raise ValueError(
-            "ann_join_blocked: '__pair'/'__side' are reserved for the "
-            "block-pair tags; rename the input columns"
-        )
+    _check_two_sided_cols(
+        "ann_join_blocked", {"__pair", "__side"},
+        query_id_col, query_emb_col, id_col, emb_col,
+    )
     margin = 10.0 ** -tie_round if tie_round is not None else 0.0
     qb_n, cb_n = int(n_query_blocks), int(n_corpus_blocks)
 
@@ -787,7 +823,10 @@ def ann_join_blocked(
         base = pa.table(
             {
                 "__id": batch.column(idc).cast(pa.int64()),
-                "__emb": batch.column(embc),
+                # harmonize the embedding type across the union — a
+                # float32/fixed_size_list query table joined against a
+                # float64 corpus must not break the single shuffle
+                "__emb": batch.column(embc).cast(pa.list_(pa.float64())),
                 "__side": pa.array(np.full(n, side, dtype=np.int8)),
             }
         )
@@ -818,22 +857,9 @@ def ann_join_blocked(
         )
     )
 
-    def sweep(t: pa.Table) -> pa.Table:
-        empty = _empty_partial(id_col)
-        if t.num_rows == 0:
-            return empty
-        side = t.column("__side").to_numpy(zero_copy_only=False)
-        qi, ci = np.flatnonzero(side == 0), np.flatnonzero(side == 1)
-        if qi.size == 0 or ci.size == 0:
-            return empty
-        emb = _normalize(_emb_matrix(t, "__emb", np.float64))
-        ids = t.column("__id").to_numpy(zero_copy_only=False)
-        sims = emb[ci] @ emb[qi].T  # (corpus rows, query rows)
-        out = _batch_topk_rows(sims, ids[ci], id_col, k, margin)
-        pos = out.column("query_id").to_numpy(zero_copy_only=False)
-        return out.set_column(0, "query_id", pa.array(ids[qi][pos], pa.int64()))
-
-    partials = rep.groupby("__pair").map_groups(sweep, batch_format="pyarrow")
+    partials = rep.groupby("__pair").map_groups(
+        lambda t: _two_sided_sweep(t, id_col, k, margin), batch_format="pyarrow"
+    )
     return _merge_topk_by_sim(partials, id_col, k, tie_round)
 
 
@@ -881,12 +907,10 @@ def ivf_ann_join(
 
     from .broadcast import get_broadcast
 
-    reserved = {"__key", "__side"}
-    if reserved & {query_id_col, query_emb_col, id_col, emb_col}:
-        raise ValueError(
-            "ivf_ann_join: '__key'/'__side' are reserved for the list tags; "
-            "rename the input columns"
-        )
+    _check_two_sided_cols(
+        "ivf_ann_join", {"__key", "__side"},
+        query_id_col, query_emb_col, id_col, emb_col,
+    )
     sample_pd = corpus_ds.select_columns([emb_col]).limit(train_sample).to_pandas()
     cents = train_ivf_centroids(np.stack(sample_pd[emb_col].to_numpy()), n_centroids)
     ref = ray.put(cents)
@@ -898,7 +922,8 @@ def ivf_ann_join(
         base = pa.table(
             {
                 "__id": batch.column(idc).cast(pa.int64()),
-                "__emb": batch.column(embc),
+                # same union-schema harmonization as ann_join_blocked
+                "__emb": batch.column(embc).cast(pa.list_(pa.float64())),
             }
         ).take(pa.array(idx, pa.int64()))
         return base.append_column("__key", pa.array(keys, pa.int64())).append_column(
@@ -944,22 +969,9 @@ def ivf_ann_join(
         )
     )
 
-    def sweep(t: pa.Table) -> pa.Table:
-        empty = _empty_partial(id_col)
-        if t.num_rows == 0:
-            return empty
-        side = t.column("__side").to_numpy(zero_copy_only=False)
-        qi, ci = np.flatnonzero(side == 0), np.flatnonzero(side == 1)
-        if qi.size == 0 or ci.size == 0:
-            return empty
-        emb = _normalize(_emb_matrix(t, "__emb", np.float64))
-        ids = t.column("__id").to_numpy(zero_copy_only=False)
-        sims = emb[ci] @ emb[qi].T
-        out = _batch_topk_rows(sims, ids[ci], id_col, k, margin)
-        pos = out.column("query_id").to_numpy(zero_copy_only=False)
-        return out.set_column(0, "query_id", pa.array(ids[qi][pos], pa.int64()))
-
-    partials = rep.groupby("__key").map_groups(sweep, batch_format="pyarrow")
+    partials = rep.groupby("__key").map_groups(
+        lambda t: _two_sided_sweep(t, id_col, k, margin), batch_format="pyarrow"
+    )
     return _merge_topk_by_sim(partials, id_col, k, tie_round, dedup=True)
 
 
@@ -1063,8 +1075,8 @@ def knn_graph(
     trade): the query side is the WHOLE corpus, collected once and closed
     over; the corpus then STREAMS through the same windowed top-k combiner
     as :func:`ann_topk`, with self-pairs masked before the window. The
-    driver collection is LIMIT-bounded to ``max_rows + 1`` rows — a corpus
-    past the budget never lands on the driver; with
+    budget check is an id-only LIMIT probe — a corpus past the budget
+    never ships a single embedding to the driver; with
     ``over_budget="blocked"`` (default) it auto-delegates to
     :func:`knn_graph_blocked` (exact, no driver matrix; block count sized
     so a block PAIR stays within ``max_rows`` rows), ``"raise"`` keeps the
@@ -1073,8 +1085,14 @@ def knn_graph(
     exactly; raw sims are dropped from the output (numpy and SQL cosine
     differ in fp ordering — ranks are the stable contract).
     """
-    rows = ds.select_columns([id_col, emb_col]).limit(max_rows + 1).take_all()
-    if len(rows) > max_rows:
+    if over_budget not in ("blocked", "raise"):
+        raise ValueError(
+            f"knn_graph: over_budget must be 'blocked' or 'raise', got {over_budget!r}"
+        )
+    # id-only probe: the embedding payload never reaches the driver just to
+    # learn the corpus is too big
+    over = ds.select_columns([id_col]).limit(max_rows + 1).count() > max_rows
+    if over:
         if over_budget == "raise":
             raise ValueError(
                 f"knn_graph broadcast budget exceeded (> {max_rows} rows); "
@@ -1087,6 +1105,7 @@ def knn_graph(
             ds, k=k, id_col=id_col, emb_col=emb_col, tie_round=tie_round,
             n_blocks=n_blocks,
         )
+    rows = ds.select_columns([id_col, emb_col]).take_all()
     if not rows:
         import ray.data as rd
 

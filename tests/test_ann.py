@@ -660,3 +660,71 @@ class TestIvfAnnJoin:
                 rd.from_arrow(t), rd.from_arrow(t), k=1,
                 query_id_col="__key", id_col="__key",
             )
+
+
+def test_two_sided_join_mixed_embedding_types(ray_session):
+    """A float32 query table joined against a float64 corpus must not break
+    the union shuffle — the tag step harmonizes both to list<float64>."""
+    import pandas as pd
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import ann_join_blocked, ivf_ann_join
+
+    rng = np.random.default_rng(53)
+    n, d, k = 60, 8, 3
+    x = rng.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    corpus = pa.table({"vec_id": ids, "embedding": list(x)})
+    qpos = np.array([2, 11, 40])
+    q32 = pa.table(
+        {
+            "query_id": pa.array(ids[qpos]),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in x[qpos]],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    q64 = pa.table({"query_id": ids[qpos], "embedding": list(x[qpos])})
+
+    def norm(ds):
+        return (
+            ds.to_pandas()
+            .sort_values(["query_id", "rank"], ignore_index=True)[
+                ["query_id", "vec_id", "rank"]
+            ]
+        )
+
+    got32 = norm(ann_join_blocked(rd.from_arrow(q32), rd.from_arrow(corpus), k=k))
+    got64 = norm(ann_join_blocked(rd.from_arrow(q64), rd.from_arrow(corpus), k=k))
+    # float32 queries may flip a >6-decimal tie, but on random data the edge
+    # lists must agree
+    pd.testing.assert_frame_equal(got32, got64)
+    ivf32 = norm(
+        ivf_ann_join(
+            rd.from_arrow(q32), rd.from_arrow(corpus), k=k,
+            n_centroids=4, n_probe=4, n_assign=1, train_sample=60,
+        )
+    )
+    pd.testing.assert_frame_equal(ivf32, got64)
+
+
+def test_two_sided_join_output_name_collision(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import ann_join_blocked, ivf_ann_join
+
+    t = pa.table({"query_id": [1], "embedding": [[1.0, 0.0]]})
+    for fn in (ann_join_blocked, ivf_ann_join):
+        with pytest.raises(ValueError, match="collides with an output"):
+            fn(rd.from_arrow(t), rd.from_arrow(t), k=1, id_col="query_id")
+
+
+def test_knn_graph_over_budget_validation(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import knn_graph
+
+    t = pa.table({"vec_id": [1, 2], "embedding": [[1.0, 0.0], [0.0, 1.0]]})
+    with pytest.raises(ValueError, match="over_budget must be"):
+        knn_graph(rd.from_arrow(t), k=1, over_budget="Raise")
