@@ -164,6 +164,19 @@ def ann_topk_quantized(
     return _merge_topk_by_sim(partials, id_col, k, tie_round)
 
 
+def _drop_masked(out: pa.Table) -> pa.Table:
+    """Drop self-pair rows masked to sim = −2.0 from a local top-k window.
+
+    When a query has FEWER than k real candidates (tiny corpus, n ≤ k),
+    ``_batch_topk_rows`` keeps every row and the sentinel would survive to
+    the merge as a phantom rank — the 'SELF excluded' contract (and the
+    ``vec_id <> nbr_id`` SQL mirror) requires it to vanish, emitting fewer
+    than k ranks instead. Real cosines are ≥ −1, so −1.5 splits cleanly."""
+    import pyarrow.compute as pc
+
+    return out.filter(pc.greater(out.column("sim"), -1.5))
+
+
 def _merge_topk_by_sim(partials, id_col: str, k: int, tie_round: int | None, dedup: bool = False):
     """Per-query top-k merge on a hash partition of query_ids (bounded group
     count — see stages/grouping.py), ranked by (-round(sim), id).
@@ -634,10 +647,16 @@ def train_ivf_centroids(
     # (measured: +4-6 recall points at 10 on the fixture embeddings)
     seeds = [0]
     best = x @ x[0]
+    best[0] = np.inf
     for _ in range(n_centroids - 1):
         nxt = int(np.argmin(best))
         seeds.append(nxt)
         np.maximum(best, x @ x[nxt], out=best)
+        # a zero-norm row (nulls/padding → _normalize maps it to zeros) has
+        # similarity 0 to EVERYTHING including itself — without this pin,
+        # argmin would re-select it every remaining iteration and collapse
+        # the seed set to 2 effective centroids
+        best[nxt] = np.inf
     c = x[np.array(seeds)].copy()
     for _ in range(n_iters):
         assign = np.argmax(x @ c.T, axis=1)
@@ -1131,7 +1150,7 @@ def knn_graph(
         ids = col_np(batch, id_col)
         sims = emb @ q.T
         sims[ids[:, None] == qids[None, :]] = -2.0  # mask self-pairs
-        return _batch_topk_rows(sims, ids, "nbr_id", k, margin)
+        return _drop_masked(_batch_topk_rows(sims, ids, "nbr_id", k, margin))
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     merged = _merge_topk_by_sim(partials, "nbr_id", k, tie_round)
@@ -1218,7 +1237,9 @@ def knn_graph_blocked(
         if i == j:
             sims = emb @ emb.T
             sims[ids[:, None] == ids[None, :]] = -2.0  # mask self-pairs
-            return _with_query_ids(_batch_topk_rows(sims, ids, "nbr_id", k, margin), ids)
+            return _drop_masked(
+                _with_query_ids(_batch_topk_rows(sims, ids, "nbr_id", k, margin), ids)
+            )
         li, ri = np.flatnonzero(blk == i), np.flatnonzero(blk == j)
         if li.size == 0 or ri.size == 0:
             return empty

@@ -238,7 +238,7 @@ def connected_components(
         raise RuntimeError(
             f"connected_components: no fixpoint after {max_iters} rounds of "
             "min-propagation + pointer-jumping — at O(log diameter) rounds "
-            "this graph's diameter exceeds ~2^{max_iters}; raise max_iters "
+            f"this graph's diameter exceeds ~2^{max_iters}; raise max_iters "
             "only if that is known-legitimate"
         )
 

@@ -115,32 +115,57 @@ def grouped_sum(
     if final == "partials":
         return partials
     if final == "driver":
-        tabs, seen = [], 0
+        # stream partial blocks in, folding into a running merged frame at
+        # budget checkpoints. The guard fires on MERGED DISTINCT KEYS, not
+        # raw partial rows — a bounded key domain read from many blocks
+        # (blocks × keys partial rows grows with scale) must keep working,
+        # while an unbounded domain (users, hashes, urls) must never
+        # silently land on the driver: the distributed finals exist for
+        # exactly that. Peak driver memory stays ≤ ~2× budget rows.
+        tabs, pending, merged = [], 0, None
+        schema_carrier = None
+
+        def _fold(blocks, prev):
+            cat = pa.concat_tables(blocks, promote_options="default").to_pandas()
+            if prev is not None:
+                cat = pd.concat([prev, cat], ignore_index=True)
+            # concat in ARROW, convert once: the driver final is the
+            # pipeline's SERIAL tail, and per-block to_pandas + pd.concat
+            # was its cost (256 blocks × 13k keys measured 0.62 s that way,
+            # 0.15 s this way)
+            return cat.groupby(key_cols, as_index=False, sort=False).sum()
+
         for t in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
-            seen += t.num_rows
-            if seen > driver_row_budget:
-                # an unbounded key domain (users, hashes, urls) must never
-                # silently land on the driver — the distributed finals exist
-                # for exactly this
-                raise ValueError(
-                    f"grouped_sum: driver-final partials exceed "
-                    f"{driver_row_budget} rows — the key domain "
-                    f"{key_cols!r} looks unbounded; pass "
-                    "final='partitioned' (distributed merge) or raise "
-                    "driver_row_budget explicitly"
-                )
+            if t.num_rows == 0:
+                # Ray emits 0-row blocks schema-LESS; keep one only as the
+                # all-empty-input schema carrier
+                schema_carrier = schema_carrier or t
+                continue
             tabs.append(t)
-        # drop 0-row blocks (Ray emits them schema-LESS, which would fail
-        # the Arrow concat; keep one as the schema carrier if all are empty)
-        tabs = [t for t in tabs if t.num_rows] or tabs[:1]
-        if not tabs:  # empty input: typed empty frame, not a concat error
+            pending += t.num_rows
+            if pending > driver_row_budget:
+                merged = _fold(tabs, merged)
+                tabs, pending = [], 0
+                if len(merged) > driver_row_budget:
+                    raise ValueError(
+                        f"grouped_sum: driver-final merged keys exceed "
+                        f"{driver_row_budget} rows — the key domain "
+                        f"{key_cols!r} looks unbounded; pass "
+                        "final='partitioned' (distributed merge) or raise "
+                        "driver_row_budget explicitly"
+                    )
+        if not tabs and merged is None:  # empty input: typed empty frame
+            if schema_carrier is not None and set(key_cols) <= set(
+                schema_carrier.schema.names
+            ):
+                return (
+                    schema_carrier.to_pandas()
+                    .groupby(key_cols, as_index=False, sort=False)
+                    .sum()
+                )
             cols = key_cols + list(int_sum_cols.values()) + list(cent_sum_cols.values()) + [count_col]
             return pd.DataFrame({c: [] for c in cols})
-        # concat in ARROW, convert once: the driver final is the pipeline's
-        # SERIAL tail, and per-block to_pandas + pd.concat was its cost
-        # (256 blocks × 13k keys measured 0.62 s that way, 0.15 s this way)
-        cat = pa.concat_tables(tabs, promote_options="default").to_pandas()
-        return cat.groupby(key_cols, as_index=False, sort=False).sum()
+        return _fold(tabs, merged) if tabs else merged
     if final == "partitioned":
         from .grouping import partitioned_map_groups
 
@@ -896,22 +921,31 @@ def exact_order_stats(ds, col: str, ks, bins: int = 4096, cap: int = 200_000, ma
         u, inv = np.unique(uv, return_inverse=True)
         return u, np.bincount(inv, weights=uc).astype(np.int64)
 
+    # accumulate chunks and fold only at budget checkpoints — a per-block
+    # concatenate would re-copy the whole accumulated array once per block
+    # (O(blocks × size) driver memcpy on corpus-scale inputs)
     uv = np.array([], dtype=np.float64)
     uc = np.array([], dtype=np.int64)
+    chunks_v, chunks_c, pending = [], [], 0
     for b in ds.map_batches(
         collect_partial, batch_format="pyarrow", zero_copy_batch=True
     ).iter_batches(batch_size=None, batch_format="pyarrow"):
-        uv = np.concatenate([uv, b.column("v").to_numpy(zero_copy_only=False)])
-        uc = np.concatenate([uc, b.column("c").to_numpy(zero_copy_only=False)])
-        if uv.size > budget:
-            uv, uc = _merge(uv, uc)  # re-fold duplicates before judging
+        bv = b.column("v").to_numpy(zero_copy_only=False)
+        chunks_v.append(bv)
+        chunks_c.append(b.column("c").to_numpy(zero_copy_only=False))
+        pending += bv.size
+        if uv.size + pending > budget:
+            uv, uc = _merge(
+                np.concatenate([uv, *chunks_v]), np.concatenate([uc, *chunks_c])
+            )  # re-fold duplicates before judging
+            chunks_v, chunks_c, pending = [], [], 0
             if uv.size > budget:
                 raise ValueError(
                     f"exact_order_stats: {uv.size} distinct candidate values "
                     f"exceed the driver budget ({budget}); raise `cap`/`bins` "
                     "or `max_rounds` so refinement can narrow further"
                 )
-    uv, uc = _merge(uv, uc)
+    uv, uc = _merge(np.concatenate([uv, *chunks_v]), np.concatenate([uc, *chunks_c]))
     cum = below + np.cumsum(uc)
     return [float(uv[int(np.searchsorted(cum, k + 1))]) for k in ks], n
 

@@ -72,12 +72,17 @@ def _range_boundaries(ds, key: str, n_parts: int, sample_per_batch: int = 4096) 
     if not parts:
         return np.array([], dtype=object)
     df = pd.concat(parts, ignore_index=True)
-    order = np.argsort(df["s"].to_numpy(), kind="mergesort")
-    s = df["s"].to_numpy()[order]
-    w = df["w"].to_numpy()[order]
+    return _weighted_quantile_bounds(df["s"].to_numpy(), df["w"].to_numpy(), n_parts)
+
+
+def _weighted_quantile_bounds(s: np.ndarray, w: np.ndarray, n_parts: int) -> np.ndarray:
+    """(n_parts − 1) boundary values from weighted samples — the one
+    quantile fold shared by the sampling and footer-seeded paths (a fix to
+    clamp/duplicate behavior must apply to both identically)."""
+    order = np.argsort(s, kind="mergesort")
+    s, w = s[order], w[order]
     cum = np.cumsum(w)
-    total = cum[-1]
-    targets = total * np.arange(1, n_parts) / n_parts
+    targets = cum[-1] * np.arange(1, n_parts) / n_parts
     return s[np.minimum(np.searchsorted(cum, targets), s.size - 1)]
 
 
@@ -115,7 +120,11 @@ def _boundaries_from_parquet_stats(paths, key: str, n_parts: int):
             maxs.append(st.max)
             wts.append(rgm.num_rows)
     if not mins:
-        return np.array([], dtype=np.float64)
+        # no stats found AT ALL (empty glob / all-empty row groups) — this
+        # must fall back to the sampling pass, not silently disable range
+        # partitioning (an empty bounds array tags every row part 0 and
+        # one task sorts the whole dataset)
+        return None
     lo = np.asarray(mins, dtype=np.float64)
     hi = np.asarray(maxs, dtype=np.float64)
     w = np.asarray(wts, dtype=np.float64)
@@ -125,11 +134,7 @@ def _boundaries_from_parquet_stats(paths, key: str, n_parts: int):
     frac = np.arange(m, dtype=np.float64) / (m - 1)
     s = (lo[:, None] + (hi - lo)[:, None] * frac[None, :]).ravel()
     ws = np.repeat(w / m, m)
-    order = np.argsort(s, kind="mergesort")
-    s, ws = s[order], ws[order]
-    cum = np.cumsum(ws)
-    targets = cum[-1] * np.arange(1, n_parts) / n_parts
-    return s[np.minimum(np.searchsorted(cum, targets), s.size - 1)]
+    return _weighted_quantile_bounds(s, ws, n_parts)
 
 
 def sorted_export(

@@ -728,3 +728,38 @@ def test_knn_graph_over_budget_validation(ray_session):
     t = pa.table({"vec_id": [1, 2], "embedding": [[1.0, 0.0], [0.0, 1.0]]})
     with pytest.raises(ValueError, match="over_budget must be"):
         knn_graph(rd.from_arrow(t), k=1, over_budget="Raise")
+
+
+def test_knn_graph_tiny_corpus_excludes_self(ray_session):
+    """n <= k: the masked self-pair must vanish (emitting n-1 ranks), not
+    survive as a phantom -2.0-sim edge — on both graph paths."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import knn_graph, knn_graph_blocked
+
+    x = np.eye(3) + 0.1  # 3 distinct, well-separated vectors
+    tbl = pa.table(
+        {"vec_id": pa.array([10, 20, 30], pa.int64()), "embedding": list(x)}
+    )
+    for got in (
+        knn_graph(rd.from_arrow(tbl), k=3).to_pandas(),
+        knn_graph_blocked(rd.from_arrow(tbl), k=3, n_blocks=2).to_pandas(),
+    ):
+        assert (got["vec_id"] != got["nbr_id"]).all()
+        # each vector has only 2 real candidates -> exactly 2 ranks
+        assert (got.groupby("vec_id").size() == 2).all()
+        assert set(got["rank"]) == {1, 2}
+
+
+def test_ivf_centroid_init_survives_zero_vector(ray_session):
+    """A zero-norm sample row (nulls/padding) has similarity 0 to everything
+    including itself; farthest-point init must not re-select it forever."""
+    from geodistpy_ray.stages.ann import train_ivf_centroids
+
+    rng = np.random.default_rng(3)
+    x = np.abs(rng.standard_normal((64, 8)))  # non-negative pairwise sims
+    x[7] = 0.0  # the degenerate row
+    c = train_ivf_centroids(x, n_centroids=6)
+    assert c.shape == (6, 8)
+    # seeds must be distinct: 6 effective centroids, not a collapsed pair
+    assert len(np.unique(np.round(c, 9), axis=0)) == 6

@@ -297,3 +297,35 @@ class TestFooterSeededBoundaries:
                 n_parts=2,
                 stats_paths=src,
             ).to_pandas()
+
+
+def test_empty_stats_glob_falls_back_to_sampling(ray_session, tmp_path):
+    """A stats_paths directory whose glob matches no parquet files must fall
+    back to the sampling pass — NOT silently disable range partitioning
+    (an empty bounds array would tag every row part 0 and one task would
+    sort the whole dataset)."""
+    import os
+
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sort import _boundaries_from_parquet_stats, sorted_export
+
+    # files nested one level down / differently named: glob('*.parquet') = []
+    nested = tmp_path / "hive" / "sub"
+    os.makedirs(nested)
+    df = pd.DataFrame({"k": np.random.default_rng(7).permutation(600), "sub": range(600)})
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False), str(nested / "d.parquet"))
+    assert _boundaries_from_parquet_stats([], "k", 4) is None
+
+    out = str(tmp_path / "sorted_fallback")
+    stats = sorted_export(
+        rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4),
+        out,
+        "k",
+        n_parts=4,
+        stats_paths=str(tmp_path / "hive"),  # empty glob at this level
+    ).to_pandas()
+    assert stats["rows"].sum() == 600
+    assert len(stats) > 1  # sampling produced real range boundaries
+    got = _read_in_name_order(out)
+    assert got["k"].is_monotonic_increasing

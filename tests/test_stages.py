@@ -185,6 +185,29 @@ class TestRelational:
         ok = grouped_sum(ds, ["k"], int_sum_cols={"v": "s"})  # default budget
         assert len(ok) == n and ok["s"].sum() == n
 
+    def test_grouped_sum_driver_budget_counts_keys_not_blocks(self, ray_session):
+        """A BOUNDED key domain split across many blocks produces far more
+        partial rows than distinct keys; the guard must judge merged keys
+        (scale-independent), not blocks x keys."""
+        import ray.data as rd
+
+        from geodistpy_ray.stages.relational import grouped_sum
+
+        n, keys = 4000, 10
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "k": pa.array(np.arange(n) % keys),
+                    "v": pa.array(np.ones(n)),
+                }
+            )
+        ).repartition(40)  # ~40 blocks x 10 keys = 400 partial rows
+        out = grouped_sum(
+            ds, ["k"], int_sum_cols={"v": "s"}, driver_row_budget=200
+        )
+        assert len(out) == keys
+        assert out["s"].sum() == n and out["n"].sum() == n
+
     def test_grouped_finals_partitioned_equals_driver(self, ray_session):
         import ray.data as rd
 
