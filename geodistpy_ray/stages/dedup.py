@@ -502,13 +502,39 @@ class MinHashBandEmitter:
         )
 
 
-def _bucket_pairs_partitioned(band_rows, key_col: str, id_col: str, n_parts: int = 64):
+_DEFAULT_MAX_BUCKET = 20_000
+
+
+def _guard_bucket(size: int, cap, where: str) -> None:
+    """Refuse O(size²) pair emission for a mega-bucket. A cluster of
+    near-identical documents collides in EVERY band, so its bucket grows
+    with the duplicate count and triu_indices allocates size²/2 pairs in
+    one task (100k identical docs → ~5e9 pairs, ~80 GB) — the loud failure
+    beats an OOM. Exact dedup first collapses identical docs to one id;
+    ``max_bucket=None`` disables the guard for callers that accept the
+    cost."""
+    if cap is not None and size > cap:
+        raise ValueError(
+            f"{where}: a candidate bucket holds {size} ids "
+            f"(> max_bucket={cap}) — a near-identical mega-cluster collides "
+            "in every band and its O(size²) pair emission would dominate; "
+            "run exact dedup first to collapse identical docs, or pass a "
+            "larger max_bucket (None disables the guard)"
+        )
+
+
+def _bucket_pairs_partitioned(
+    band_rows, key_col: str, id_col: str, n_parts: int = 64,
+    max_bucket: int | None = _DEFAULT_MAX_BUCKET,
+):
     """Distinct unordered id pairs per equal-key bucket → (id_a, id_b).
 
     One ``groupby`` on the hash partition (``n_parts`` groups total, via the
     shared :func:`~.grouping.partitioned_map_groups`); inside a partition,
     every bucket's pairs come from one sorted sweep — no per-bucket task or
-    frame overhead.
+    frame overhead. Bucket sizes are bounded by the LSH design only for
+    corpora WITHOUT mega-duplicate clusters — ``max_bucket`` guards the
+    rest (see :func:`_guard_bucket`).
     """
     def pairs_part(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, id_col])
@@ -520,6 +546,7 @@ def _bucket_pairs_partitioned(band_rows, key_col: str, id_col: str, n_parts: int
                 u = np.unique(ids[s:e])
                 if u.size < 2:
                     continue
+                _guard_bucket(u.size, max_bucket, "minhash/LSH bucket pairs")
                 ii, jj = np.triu_indices(u.size, k=1)
                 out_a.append(u[ii])
                 out_b.append(u[jj])
@@ -882,6 +909,7 @@ def minhash_lsh_pairs(
     seed: int = 1234,
     concurrency: int | tuple[int, int] = (1, 4),
     scheme: str = "oph",
+    max_bucket: int | None = _DEFAULT_MAX_BUCKET,
 ):
     """Near-duplicate pairs via MinHash+LSH → Dataset (id_a, id_b, jaccard).
 
@@ -933,7 +961,7 @@ def minhash_lsh_pairs(
     # pays ~4 ms per group — one group per band key turns a 500-doc corpus
     # into a minute of fixed overhead. Each partition emits every bucket's
     # pairs with one vectorized sweep over its sorted (band_key, id) rows.
-    cand = _bucket_pairs_partitioned(band_rows, "band_key", id_col)
+    cand = _bucket_pairs_partitioned(band_rows, "band_key", id_col, max_bucket=max_bucket)
     # materialize the (small) deduped pair set once: it feeds two joins, and
     # the empty-result guard below must not re-execute the band shuffle
     cand = distinct(cand, ["id_a", "id_b"]).materialize()
@@ -1066,15 +1094,19 @@ def simhash64_batch(texts, token_cache: dict | None = None) -> np.ndarray:
 
 def add_simhash(ds, id_col: str = "doc_id", text_col: str = "text"):
     def fn(batch: pa.Table) -> pa.Table:
-        sigs = (
-            simhash64_batch(batch.column(text_col)) & np.uint64(0x7FFFFFFFFFFFFFFF)
-        ).astype(np.int64)
+        # bit-preserving reinterpret: a 0x7FFF... mask would silently make
+        # the signature 63-bit and under-count Hamming distances vs the
+        # documented 64-bit simhash64
+        sigs = simhash64_batch(batch.column(text_col)).view(np.int64)
         return batch.append_column("simhash", pa.array(sigs, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
-def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3):
+def simhash_near_pairs(
+    ds, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3,
+    max_bucket: int | None = _DEFAULT_MAX_BUCKET,
+):
     """Hamming-near pairs via 4×16-bit band blocking → (id_a, id_b, hamming).
 
     Standard pigeonhole blocking: two signatures within Hamming distance 3
@@ -1120,6 +1152,7 @@ def simhash_near_pairs(ds, id_col: str = "doc_id", text_col: str = "text", max_h
         if keys.size:
             for s, e in zip(*key_spans(keys, min_size=2)):
                 bi, si = ids[s:e], sh[s:e]
+                _guard_bucket(bi.size, max_bucket, "simhash band bucket")
                 ii, jj = np.triu_indices(bi.size, k=1)
                 x = si[ii] ^ si[jj]
                 ham = np.zeros(x.size, dtype=np.int64)

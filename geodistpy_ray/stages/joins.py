@@ -45,6 +45,25 @@ def _hash_bucket(values: np.ndarray, n_buckets: int) -> np.ndarray:
     return (h % np.uint64(n_buckets)).astype(np.int64)
 
 
+def _key_hash_values(key) -> np.ndarray:
+    """Key column → numpy values safe to hash for bucket placement.
+
+    An int64 column containing ANY null converts to float64+NaN via
+    to_numpy, and pd.util.hash_array hashes float64 bytes differently than
+    int64 — so the same key value would land in DIFFERENT buckets depending
+    on whether its batch happens to carry a null elsewhere, silently losing
+    matches. Nulls are filled with the type's zero BEFORE conversion (their
+    placement is arbitrary anyway: the per-bucket Acero join already gives
+    SQL semantics — null never equals null — as long as both sides place
+    nulls consistently)."""
+    if getattr(key, "null_count", 0):
+        if pa.types.is_string(key.type) or pa.types.is_large_string(key.type):
+            key = pc.fill_null(key, "")
+        else:
+            key = pc.fill_null(key, pa.scalar(0).cast(key.type))
+    return key.to_numpy(zero_copy_only=False)
+
+
 _RESERVED = ("__bucket", "__side", "__salt", "__ts", "__part")
 
 
@@ -132,7 +151,7 @@ def _pad_side(side, key_out, own_key, lvals, rvals, ltypes, rtypes, n_buckets):
         for c in rvals:
             cols[c] = batch.column(c) if side == 1 else pa.nulls(n, rtypes[c])
         cols["__bucket"] = pa.array(
-            _hash_bucket(key.to_numpy(zero_copy_only=False), n_buckets), pa.int64()
+            _hash_bucket(_key_hash_values(key), n_buckets), pa.int64()
         )
         cols["__side"] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())
         return pa.table(cols)
@@ -331,7 +350,7 @@ def _salted_inner_join(left, right, left_key, right_key, n_buckets):
                 cols[c] = batch.column(c) if side == 0 else pa.nulls(n, ltypes[c])
             for c in rvals:
                 cols[c] = batch.column(c) if side == 1 else pa.nulls(n, rtypes[c])
-            base = pd.util.hash_array(key.to_numpy(zero_copy_only=False), categorize=False)
+            base = pd.util.hash_array(np.asarray(_key_hash_values(key)), categorize=False)
             cols["__bucket"] = pa.array(
                 ((base + np.uint64(0x9E3779B9) * salt.astype(np.uint64)) % np.uint64(n_buckets)).astype(np.int64),
                 pa.int64(),
@@ -400,6 +419,17 @@ def asof_join(
         own_ts = ts if side == 0 else right_ts
 
         def fn(batch: pa.Table) -> pa.Table:
+            # SQL ASOF semantics: a NULL key or NULL timestamp never matches
+            # (inner → the row is dropped). Filtering here also keeps the
+            # within-bucket np.unique key-coding honest — NaN-laundered
+            # nulls would collapse to ONE key code and as-of match each
+            # other
+            batch = batch.filter(
+                pc.and_(
+                    pc.is_valid(batch.column(key)),
+                    pc.is_valid(batch.column(own_ts)),
+                )
+            )
             n = batch.num_rows
             cols: dict[str, object] = {
                 key: batch.column(key),
@@ -410,7 +440,7 @@ def asof_join(
             for c in rvals:
                 cols[c] = batch.column(c) if side == 1 else pa.nulls(n, rtypes[c])
             cols["__bucket"] = pa.array(
-                _hash_bucket(batch.column(key).to_numpy(zero_copy_only=False), n_buckets),
+                _hash_bucket(_key_hash_values(batch.column(key)), n_buckets),
                 pa.int64(),
             )
             cols["__side"] = pa.array(np.full(n, side, dtype=np.int8), pa.int8())

@@ -31,12 +31,17 @@ def tumbling_window_agg(
     ts_col: str,
     window_us: int,
     value_col: str | None = None,
+    final: str = "driver",
 ):
     """Per-(key, tumbling-window) counts (+ value cents sum) — partial+final.
 
     Window assignment is stateless (``epoch_us // window_us``), so this is a
     pure ``map_batches`` combiner followed by the grouped merge — no per-key
-    ordering needed at all.
+    ordering needed at all. The (key × window) domain grows with BOTH
+    cardinality and time span — pass ``final="partitioned"`` (returns a
+    Dataset, not a DataFrame) when it is corpus-scale; the default driver
+    final raises past its distinct-key budget rather than silently
+    materializing.
     """
     from .relational import grouped_sum
 
@@ -46,7 +51,10 @@ def tumbling_window_agg(
 
     ds2 = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     cent_cols = {value_col: "sum_value_cents"} if value_col else None
-    return grouped_sum(ds2, [key_col, "window_key"], cent_sum_cols=cent_cols, count_col="n")
+    return grouped_sum(
+        ds2, [key_col, "window_key"], cent_sum_cols=cent_cols, count_col="n",
+        final=final,
+    )
 
 
 def hopping_window_agg(
@@ -57,6 +65,7 @@ def hopping_window_agg(
     hop_us: int,
     value_col: str | None = None,
     offset_us: int = 0,
+    final: str = "driver",
 ):
     """Per-(key, hopping-window) counts (+ value cents sum).
 
@@ -83,7 +92,10 @@ def hopping_window_agg(
 
     ds2 = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     cent_cols = {value_col: "sum_value_cents"} if value_col else None
-    return grouped_sum(ds2, [key_col, "window_key"], cent_sum_cols=cent_cols, count_col="n")
+    return grouped_sum(
+        ds2, [key_col, "window_key"], cent_sum_cols=cent_cols, count_col="n",
+        final=final,
+    )
 
 
 def sessionize(

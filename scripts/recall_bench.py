@@ -145,7 +145,7 @@ def dedup_recalls():
         )
 
     # simhash ground truth: all-pairs Hamming via the bit matrix (n=500 here)
-    sigs = simhash64_batch(docs_df["text"].tolist()) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    sigs = simhash64_batch(docs_df["text"].tolist())  # full 64-bit signatures
     bits = ((sigs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.float32
     )

@@ -387,7 +387,7 @@ def test_minhash_simhash_recall_vs_exact(ray_session):
     assert len(true_j & got_pairs) / len(true_j) >= 0.9
     assert got_pairs <= true_j  # precision 1.0
 
-    sigs = simhash64_batch(docs_df["text"].tolist()) & np.uint64(0x7FFFFFFFFFFFFFFF)
+    sigs = simhash64_batch(docs_df["text"].tolist())  # full 64-bit signatures
     bits = (
         (sigs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)
     ).astype(np.float32)
@@ -1031,3 +1031,62 @@ def test_jaccard_pair_join_matches_scalar(ray_session):
         assert r["jaccard"] == pytest.approx(want[(r["id_a"], r["id_b"])], abs=1e-12)
     exact = got[(got["id_a"] == 0) & (got["id_b"] == 3)]
     assert exact["jaccard"].iloc[0] == 1.0
+
+
+def test_minhash_mega_bucket_guard(ray_session):
+    """A cluster of identical docs collides in every band; the sweep must
+    refuse the O(size²) pair blowup loudly (exact dedup first), not OOM."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import minhash_lsh_pairs
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(np.arange(20, dtype=np.int64)),
+            "text": ["the same boilerplate text again and again"] * 20,
+        }
+    )
+    with pytest.raises(ValueError, match="max_bucket"):
+        minhash_lsh_pairs(rd.from_arrow(docs), max_bucket=10).to_pandas()
+    # above the cluster size: all 190 pairs come through
+    ok = minhash_lsh_pairs(rd.from_arrow(docs), max_bucket=None).to_pandas()
+    assert len(ok) == 190
+
+
+def test_simhash_signatures_are_full_64_bit(ray_session):
+    """add_simhash must preserve bit 63 (bit-reinterpret to int64, not a
+    63-bit mask) — distances between bit-63-differing docs were undercounted
+    before."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.dedup import add_simhash, simhash64_batch
+
+    texts = None
+    for trial in range(500):
+        cand = [
+            f"doc {trial} {i} " + " ".join(f"w{trial}x{i}y{j}" for j in range(12))
+            for i in range(10)
+        ]
+        if (simhash64_batch(cand) >> np.uint64(63)).max() == 1:
+            texts = cand
+            break
+    assert texts is not None, "no trial fixture set bit 63"
+    sigs64 = simhash64_batch(texts)
+    got = (
+        add_simhash(
+            rd.from_arrow(
+                pa.table(
+                    {
+                        "doc_id": np.arange(len(texts), dtype=np.int64),
+                        "text": texts,
+                    }
+                )
+            )
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    np.testing.assert_array_equal(
+        got["simhash"].to_numpy().astype(np.int64), sigs64.view(np.int64)
+    )
+    assert (sigs64 >> np.uint64(63)).max() == 1, "fixture must exercise bit 63"

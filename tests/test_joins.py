@@ -934,3 +934,73 @@ def test_session_spans_consistency(ray_session):
         assert (nxt - prv > gap).all()
     # event counts add up
     assert spans["n_events"].sum() == n
+
+
+def test_shuffle_join_nullable_keys(ray_session):
+    """A null in a batch FLOATS the whole key array via to_numpy, which used
+    to hash keys into different buckets than the null-free side — silently
+    losing matches. Placement must be dtype-stable; Acero gives the SQL
+    semantics (null never equals null)."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import shuffle_equi_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, None, 3, 5, 7], pa.int64()),
+            "a": pa.array([10, 20, 30, 50, 70]),
+        }
+    )
+    right = pa.table(
+        {
+            "k2": pa.array([1, 3, None, 7, 9], pa.int64()),
+            "b": pa.array([100, 300, 999, 700, 900]),
+        }
+    )
+    inner = (
+        shuffle_equi_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right).repartition(2),
+            "k",
+            "k2",
+            n_buckets=8,
+        )
+        .to_pandas()
+        .sort_values("k", ignore_index=True)
+    )
+    assert inner["k"].tolist() == [1, 3, 7]
+    assert inner["b"].tolist() == [100, 300, 700]
+    louter = shuffle_equi_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "k2",
+        join_type="left outer", n_buckets=8,
+    ).to_pandas()
+    assert len(louter) == 5  # every left row once, incl. the null key
+    assert louter.loc[louter["k"].isna(), "b"].isna().all()
+
+
+def test_asof_join_null_keys_never_match(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.joins import asof_join
+
+    left = pa.table(
+        {
+            "k": pa.array([1, None, 1], pa.int64()),
+            "ts": pa.array([10, 10, 20], pa.int64()),
+            "a": pa.array([1, 2, 3]),
+        }
+    )
+    right = pa.table(
+        {
+            "k": pa.array([None, 1], pa.int64()),
+            "rts": pa.array([5, 5], pa.int64()),
+            "b": pa.array([99, 7]),
+        }
+    )
+    out = asof_join(
+        rd.from_arrow(left), rd.from_arrow(right), "k", "ts",
+        right_ts_key="rts", n_buckets=4,
+    ).to_pandas()
+    # the null-key left row must NOT match the null-key right row
+    assert len(out) == 2
+    assert out["b"].tolist() == [7, 7]
