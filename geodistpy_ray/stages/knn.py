@@ -88,7 +88,9 @@ def knn_join(
         ids = col_np(batch, id_col)
         n = lat.size
         kk = min(k, n)
-        if n == 0:
+        if n == 0 or qid.size == 0:
+            # Q == 0 must short-circuit too: the chunk loop would never run
+            # and np.concatenate([]) raises on the empty output lists
             return pa.table(
                 {
                     "query_id": pa.array([], pa.int64()),
@@ -428,18 +430,21 @@ def knn_join_cells(
             kk = min(k, nc)
             # ONE kernel call per (cell × query-chunk): the same total
             # kernel work as per-query calls, minus their fixed setup
-            # overhead; chunks cap the distance matrix at ~4M elements so a
-            # hot cell with a large query load can't blow worker memory
-            step = max(1, int(4_000_000 // nc))
+            # overhead; chunks keep the distance matrix cache-resident at
+            # ~256k elements (4M-element chunks measured 2x slower from
+            # memory-bandwidth contention — see CLAUDE.md), which also caps
+            # hot-cell worker memory
+            step = max(1, int(256_000 // nc))
             for c0 in range(0, qm.size, step):
                 ql = qlats_c[c0 : c0 + step]
                 qo = qlons_c[c0 : c0 + step]
                 qi_ids = qids_c[c0 : c0 + step]
                 cq = ql.size
-                d = kfn(
-                    np.tile(clat, cq), np.tile(clon, cq),
-                    np.repeat(ql, nc), np.repeat(qo, nc), a, f,
-                ).reshape(cq, nc)
+                # broadcast, don't tile: materializing tiled inputs costs
+                # O(nc) EXTRA per chunk, which compounds as chunks shrink
+                # (the kernels broadcast natively — same idiom as
+                # pairs.close_pairs)
+                d = kfn(clat[None, :], clon[None, :], ql[:, None], qo[:, None], a, f)
                 if kk < nc:
                     # kth-margin tie window (see knn_join.partial_topk);
                     # dist here is raw meters and tie_margin_m is the
@@ -609,6 +614,10 @@ def knn_join_cells(
     # knn_join itself chunks queries internally so per-batch memory is
     # bounded regardless.
     for chunk in exp.iter_batches(batch_size=broadcast_tail_max, batch_format="pyarrow"):
+        # metric passes through UNCHANGED: tie keys round in OUTPUT units on
+        # every kNN path (a metric="meter" redo here would round ties in
+        # meters and could pick a different neighbor than the cell path for
+        # the same query — path-dependent output)
         redo = knn_join(
             ds,
             chunk.column("query_id").to_numpy(),
@@ -619,28 +628,11 @@ def knn_join_cells(
             lat_col=lat_col,
             lon_col=lon_col,
             kernel=kernel,
-            metric="meter",
+            metric=metric,
             ellipsoid=ellipsoid,
             tie_round=tie_round,
         )
-        def _to_output_units(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "query_id": batch.column("query_id"),
-                    id_col: batch.column(id_col),
-                    "dist": pa.array(
-                        batch.column("dist").to_numpy(zero_copy_only=False) * conv,
-                        pa.float64(),
-                    ),
-                    "rank": batch.column("rank"),
-                }
-            )
-
-        completes.append(
-            redo.map_batches(
-                _to_output_units, batch_format="pyarrow", zero_copy_batch=True
-            )
-        )
+        completes.append(redo)
     out = completes[0]
     for c in completes[1:]:
         out = out.union(c)

@@ -189,19 +189,27 @@ def close_pairs(
         m_lon = g[lon_col].to_numpy()
         thr = max_dist_m * conv
         out_l, out_r, out_d = [], [], []
-        # (P, chunk) fully-vectorized distance blocks; member_chunk caps peak
-        # memory in hot (city) cells without an extra shuffle.
+        # BOTH axes chunk: member_chunk bounds the secondary axis, and the
+        # primary axis chunks so each distance block stays cache-resident
+        # (~256k elements — see CLAUDE.md) regardless of P. Without it a
+        # hot city cell at salt=1 allocates a (P × member_chunk) block —
+        # 100k primaries × 4096 = 3.3 GB of float64 per chunk.
+        p_chunk = max(1, int(256_000 // member_chunk))
         for s in range(0, m_ids.size, member_chunk):
             mi = m_ids[s : s + member_chunk]
             ml = m_lat[s : s + member_chunk]
             mo = m_lon[s : s + member_chunk]
-            d = kfn(p_lat[:, None], p_lon[:, None], ml[None, :], mo[None, :], a, f) * conv
-            mask = (d <= thr) & (p_ids[:, None] < mi[None, :])
-            li, ri = np.nonzero(mask)
-            if li.size:
-                out_l.append(p_ids[li])
-                out_r.append(mi[ri])
-                out_d.append(d[li, ri])
+            for p0 in range(0, p_ids.size, p_chunk):
+                pi = slice(p0, p0 + p_chunk)
+                d = kfn(
+                    p_lat[pi][:, None], p_lon[pi][:, None], ml[None, :], mo[None, :], a, f
+                ) * conv
+                mask = (d <= thr) & (p_ids[pi][:, None] < mi[None, :])
+                li, ri = np.nonzero(mask)
+                if li.size:
+                    out_l.append(p_ids[pi][li])
+                    out_r.append(mi[ri])
+                    out_d.append(d[li, ri])
         if not out_l:
             return pd.DataFrame({"id_left": [], "id_right": [], "dist": []}).astype(
                 {"id_left": np.int64, "id_right": np.int64, "dist": np.float64}

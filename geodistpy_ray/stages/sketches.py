@@ -343,7 +343,10 @@ def bloom_semi_filter(ds, col: str, bloom, n_hashes: int | None = None):
         keep = np.ones(v.size, dtype=bool)
         for i in range(n_hashes):
             idx = ((a + np.uint64(i) * b) % np.uint64(m)).astype(np.int64)
-            keep &= (bm[idx >> 3] >> (idx & 7).astype(np.uint8)).astype(bool)
+            # the & 1 is load-bearing: without it any HIGHER bit set in the
+            # probed byte passes the test, silently destroying selectivity
+            # (no false negatives either way, so joins stayed correct)
+            keep &= ((bm[idx >> 3] >> (idx & 7).astype(np.uint8)) & 1).astype(bool)
         return batch.filter(pa.array(keep))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

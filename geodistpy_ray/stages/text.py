@@ -2,8 +2,9 @@
 
 Large-scale pipeline ops beyond the reference's geodesic surface: token
 counting, quality scoring, language ID, and document fingerprinting — each a
-vectorized ``map_batches`` stage. Regexes are compiled once per actor
-(:class:`TextAnalyzer` pattern) or at module import for task mode.
+vectorized ``map_batches`` stage. Hot-path string work runs on Arrow RE2
+kernels; the one stateful stage (:class:`LangIdActor`) compiles its
+patterns once per actor in ``__init__``.
 """
 
 from __future__ import annotations
@@ -13,9 +14,6 @@ import re
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-
-_TOKEN_RE = re.compile(r"\S+")
-_WORD_RE = re.compile(r"[^\W\d_]+", re.UNICODE)
 
 # Tiny per-language stopword profiles for the n-gram/stopword heuristic
 # language identifier (public-knowledge common-word lists).
@@ -138,8 +136,10 @@ def add_json_int_field(ds, col: str, field: str, out_col: str | None = None):
 
 
 def json_int_field_sql(col: str, field: str) -> str:
-    """The exact SQL mirror of :func:`add_json_int_field`."""
-    pat = f'"{field}"\\s*:\\s*(-?\\d+)'.replace("'", "''")
+    """The exact SQL mirror of :func:`add_json_int_field` — the field name
+    is regex-escaped exactly like the engine side (an unescaped '.' in a
+    field name would match any character only in the mirror)."""
+    pat = f'"{re.escape(field)}"\\s*:\\s*(-?\\d+)'.replace("'", "''")
     return f"CAST(NULLIF(regexp_extract({col}, '{pat}', 1), '') AS BIGINT)"
 
 
@@ -609,7 +609,11 @@ def canonicalize_urls_sql(url_col: str = "url") -> str:
     rebuilt = f"({head} || {tail})"
     rebuilt = f"regexp_replace({rebuilt}, '\\?$', '')"
     rebuilt = f"regexp_replace({rebuilt}, '^([a-z][a-z0-9+.-]*://[^/?#]*)/$', '\\1')"
-    parsed = f"regexp_matches({u}, '^[A-Za-z][A-Za-z0-9+.-]*://')"
+    # the parsed test uses the engine's FULL anchored pattern: RE2's '.'
+    # and '$' do not cross a newline, so a url containing one must fall to
+    # the passthrough branch on BOTH sides (an unanchored scheme test would
+    # rebuild a truncated head only in the mirror)
+    parsed = f"regexp_matches({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(.*)$')"
     return f"CASE WHEN {parsed} THEN {rebuilt} ELSE {u} END"
 
 
@@ -728,17 +732,20 @@ def count_column_mismatches(ds, a_col: str, b_col: str) -> int:
     return total
 
 
-_HOST_RE = r"^[a-z][a-z0-9+.-]*://(?P<host>[^/:?#]+)"
+_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?P<host>[^/:?#]+)"
 
 
 def add_host(ds, url_col: str = "url", out_col: str = "host"):
-    """url column → host column (one Arrow RE2 ``extract_regex`` kernel, no
-    Python-object detour; the SURVEY §2.4 url→host scalar function).
-    Unparseable and null urls get empty-string hosts."""
+    """url column → lowercased host column (one Arrow RE2 ``extract_regex``
+    kernel, no Python-object detour; the SURVEY §2.4 url→host scalar
+    function). Schemes are case-insensitive per RFC 3986 — the sibling url
+    ops (:func:`canonicalize_urls`, :func:`add_registrable_domain`) accept
+    ``HTTP://`` too, and the host lowercases so per-host rollup keys agree
+    across all three. Unparseable and null urls get empty-string hosts."""
 
     def fn(batch: pa.Table) -> pa.Table:
         m = pc.extract_regex(batch.column(url_col), _HOST_RE)
-        host = pc.fill_null(pc.struct_field(m, "host"), "")
+        host = pc.utf8_lower(pc.fill_null(pc.struct_field(m, "host"), ""))
         return batch.append_column(out_col, host)
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

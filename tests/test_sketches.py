@@ -379,3 +379,23 @@ class TestExactOrderStats:
         s = np.sort(w)
         got2, _ = exact_order_stats(ds2, "value", [0, 19_999, 20_000, 39_999], bins=16, cap=10)
         assert got2 == [s[0], s[19_999], s[20_000], s[39_999]]
+
+
+def test_bloom_filter_selectivity(ray_session):
+    """No false negatives AND a real false-positive rate: the probe must
+    test exactly the hashed bit (a leaked '& 1' passes whenever any HIGHER
+    bit in the byte is set, silently destroying selectivity)."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sketches import bloom_semi_filter, build_bloom_filter
+
+    members = pa.table({"k": pa.array(np.arange(0, 2000, dtype=np.int64))})
+    bm = build_bloom_filter(rd.from_arrow(members), "k", bits_log2=16, n_hashes=4)
+    probe = pa.table(
+        {"k": pa.array(np.arange(0, 40000, dtype=np.int64))}
+    )  # 2k members + 38k non-members
+    kept = bloom_semi_filter(rd.from_arrow(probe), "k", bm).to_pandas()["k"].to_numpy()
+    assert np.isin(np.arange(2000), kept).all()  # zero false negatives
+    fp = np.setdiff1d(kept, np.arange(2000)).size / 38000
+    # p=16 bits, k=4, n=2000 -> theoretical fpr ~ 0.036%; allow 10x slack
+    assert fp < 0.01, fp
