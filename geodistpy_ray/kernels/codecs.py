@@ -166,6 +166,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
             f"unsupported WAV encoding (format={audio_format}, bits={bits}); "
             "integer PCM16 only"
         )
+    if ch < 1:
+        raise ValueError(f"malformed WAV fmt chunk: channels={ch}")
     body_at, size = pcm
     size = min(size, len(data) - body_at)
     n = size // (2 * ch)

@@ -37,6 +37,12 @@ def simplify_mask(lat, lon, tol_m: float, radius: float = EARTH_RADIUS_M) -> np.
     Iterative stack form (no recursion depth limit); each split evaluates
     the whole open segment's deviations in one vectorized call. Endpoints
     are always kept; a 0/1-point line is kept whole.
+
+    Deviation is the distance to the anchor SEGMENT
+    (:func:`gc_segment_distance`), not the infinite great circle: a point
+    that backtracks ALONG the anchor line (an out-and-back spur) has zero
+    cross-track deviation but a large segment distance — the
+    infinite-circle variant silently deletes arbitrarily long spurs.
     """
     lat = np.asarray(lat, dtype=np.float64)
     lon = np.asarray(lon, dtype=np.float64)
@@ -53,7 +59,7 @@ def simplify_mask(lat, lon, tol_m: float, radius: float = EARTH_RADIUS_M) -> np.
         if j - i < 2:
             continue
         sl = slice(i + 1, j)
-        dev = cross_track_distance(
+        dev = gc_segment_distance(
             lat[sl], lon[sl], lat[i], lon[i], lat[j], lon[j], radius=radius
         )
         k = int(np.argmax(dev))

@@ -467,6 +467,8 @@ def hits(
     materialized once and reused every round — never a per-node group,
     never a dense matrix.
     """
+    if n_iters < 1:
+        raise ValueError("hits: n_iters must be >= 1 (the mutual recursion needs at least one round)")
 
     def oriented(key_src: bool):
         def fn(batch: pa.Table) -> pa.Table:

@@ -32,11 +32,23 @@ def _multi_partition_ids(batch: pa.Table, key_cols: list[str], n_parts: int) -> 
     collide (x, y) with (y, x) — re-creating the skew this helper prevents.
     Single-column keys reduce to ``hash * MIX``.
     """
+    import pyarrow.compute as pc
+
     h = np.zeros(batch.num_rows, dtype=np.uint64)
     for c in key_cols:
-        h ^= pd.util.hash_array(
-            batch.column(c).to_numpy(zero_copy_only=False), categorize=False
-        )
+        col = batch.column(c)
+        if getattr(col, "null_count", 0):
+            # dtype-stable hashing: an int64 column containing ANY null
+            # floats to float64+NaN in to_numpy, and hash_array hashes the
+            # float bit patterns — the same key VALUE would route to a
+            # different partition in a null-bearing batch, breaking the
+            # exactly-one-partition-per-key guarantee every consumer
+            # (CC, pagerank, per-key finalizers, kNN merges) builds on
+            if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+                col = pc.fill_null(col, "")
+            else:
+                col = pc.fill_null(col, pa.scalar(0).cast(col.type))
+        h ^= pd.util.hash_array(col.to_numpy(zero_copy_only=False), categorize=False)
         h *= _MIX
     # avalanche finalizer (splitmix64 tail): ``% n_parts`` reads LOW bits,
     # and the low bits of a multiplicative fold alias badly (measured: 2000

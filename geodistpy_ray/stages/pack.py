@@ -40,7 +40,8 @@ def ordered_prefix_sum(
     out_col: str = "cum_before",
     n_parts: int = 64,
 ):
-    """Append the EXCLUSIVE running sum of ``value_col`` in ``order_col``
+    """PROJECT to (``order_col``, ``value_col``) and append the EXCLUSIVE
+    running sum of ``value_col`` in ``order_col``
     order (SQL: ``SUM(v) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
     AND 1 PRECEDING)``, with 0 for the first row).
 

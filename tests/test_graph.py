@@ -465,3 +465,13 @@ def test_graph_op_guards(ray_session):
         colocation_pairs(
             rd.from_arrow(pts), 1000.0, 1_000_000, cell_deg=0.01
         ).to_pandas()
+
+
+def test_hits_rejects_zero_iters(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.graph import hits
+
+    e = pa.table({"src": [1], "dst": [2]})
+    with pytest.raises(ValueError, match="n_iters"):
+        hits(rd.from_arrow(e), n_iters=0)

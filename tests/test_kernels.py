@@ -187,8 +187,9 @@ class TestEllipsoidsUnits:
 class TestSimplify:
     @staticmethod
     def _ref_keep(lat, lon, tol):
-        """Scalar recursive Douglas–Peucker (the textbook form)."""
-        from geodistpy_ray.kernels.simplify import cross_track_distance
+        """Scalar recursive Douglas–Peucker (the textbook form: deviation
+        is distance to the anchor SEGMENT)."""
+        from geodistpy_ray.kernels.simplify import gc_segment_distance
 
         n = len(lat)
         keep = set([0, n - 1])
@@ -199,7 +200,7 @@ class TestSimplify:
             best, bk = -1.0, None
             for m in range(i + 1, j):
                 d = float(
-                    cross_track_distance(
+                    gc_segment_distance(
                         lat[m], lon[m], lat[i], lon[i], lat[j], lon[j]
                     )
                 )
@@ -225,7 +226,7 @@ class TestSimplify:
 
     def test_deviation_bound_and_idempotence(self):
         from geodistpy_ray.kernels.simplify import (
-            cross_track_distance,
+            gc_segment_distance,
             simplify_mask,
         )
 
@@ -240,7 +241,7 @@ class TestSimplify:
         for a, b in zip(kept[:-1], kept[1:]):
             if b - a > 1:
                 sl = slice(a + 1, b)
-                dev = cross_track_distance(
+                dev = gc_segment_distance(
                     lat[sl], lon[sl], lat[a], lon[a], lat[b], lon[b]
                 )
                 assert float(dev.max()) <= tol
@@ -250,6 +251,21 @@ class TestSimplify:
         # degenerate sizes
         assert simplify_mask(np.array([1.0]), np.array([2.0]), tol).tolist() == [True]
         assert simplify_mask(np.array([]), np.array([]), tol).size == 0
+
+    def test_out_and_back_spur_is_kept(self):
+        """A point that backtracks ALONG the anchor line has zero
+        cross-track deviation but a huge segment distance — the spur must
+        survive simplification (the infinite-circle metric deleted an
+        ~890 km excursion at a 1 m tolerance)."""
+        from geodistpy_ray.kernels.simplify import simplify_mask
+
+        lat = np.array([0.0, 0.0, 0.0])
+        lon = np.array([0.0, 10.0, 2.0])
+        assert simplify_mask(lat, lon, 1.0).tolist() == [True, True, True]
+        # spur BEHIND the start too
+        assert simplify_mask(
+            np.array([0.0, 0.0, 0.0]), np.array([0.0, -10.0, 2.0]), 1.0
+        ).tolist() == [True, True, True]
 
     def test_distributed_stage_matches_kernel(self, ray_session):
         import pandas as pd
