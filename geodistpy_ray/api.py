@@ -59,6 +59,16 @@ def _validate_ranges(coords):
         raise ValueError(_LON_MSG)
 
 
+def _validate_ranges_pair(coords1, coords2):
+    """Reference validation ORDER (``distance.py:155-158``): both arrays'
+    LATITUDES first, then both longitudes — a bad lon in coords1 alongside
+    a bad lat in coords2 must raise the latitude message."""
+    if (np.abs(coords1[:, 0]) > 90).any() or (np.abs(coords2[:, 0]) > 90).any():
+        raise ValueError(_LAT_MSG)
+    if (np.abs(coords1[:, 1]) > 180).any() or (np.abs(coords2[:, 1]) > 180).any():
+        raise ValueError(_LON_MSG)
+
+
 def geodist(coords1, coords2, metric="meter", ellipsoid="WGS-84"):
     """Elementwise distances ``dist[i] = d(coords1[i], coords2[i])``.
 
@@ -86,8 +96,7 @@ def geodist(coords1, coords2, metric="meter", ellipsoid="WGS-84"):
 
     if coords1.shape[1] != 2:
         raise ValueError(_SHAPE_MSG)
-    _validate_ranges(coords1)
-    _validate_ranges(coords2)
+    _validate_ranges_pair(coords1, coords2)
     d = geodesic_inverse(coords1[:, 0], coords1[:, 1], coords2[:, 0], coords2[:, 1], a, f)
     return d * conv
 
@@ -265,8 +274,7 @@ def greatcircle(coords1, coords2, metric="meter"):
         return float(_great_circle_kernel(coords1[0], coords1[1], coords2[0], coords2[1]) * conv)
     if coords1.shape[1] != 2:
         raise ValueError(_SHAPE_MSG)
-    _validate_ranges(coords1)
-    _validate_ranges(coords2)
+    _validate_ranges_pair(coords1, coords2)
     return _great_circle_kernel(coords1[:, 0], coords1[:, 1], coords2[:, 0], coords2[:, 1]) * conv
 
 

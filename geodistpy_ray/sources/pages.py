@@ -46,11 +46,17 @@ def generate_pages(n_rows: int, seed: int = 42, n_hosts: int = 1000, index_offse
     host_p = (1.0 / ranks) / (1.0 / ranks).sum()
     hosts = rng.choice(n_hosts, size=n_rows, p=host_p)
     path_id = rng.integers(0, 1 << 40, size=n_rows)
+    # dtype=object keeps n_rows=0 a STRING array (an empty float64 default
+    # would fail the pa.string() cast when a writer shards rows thinner
+    # than its fragment count)
     urls = np.array(
-        [f"https://host{h}.example.com/p/{p:x}" for h, p in zip(hosts, path_id)]
+        [f"https://host{h}.example.com/p/{p:x}" for h, p in zip(hosts, path_id)],
+        dtype=object,
     )
     # ensure uniqueness by suffixing the row index
-    urls = np.array([f"{u}-{i}" for i, u in enumerate(urls, start=index_offset)])
+    urls = np.array(
+        [f"{u}-{i}" for i, u in enumerate(urls, start=index_offset)], dtype=object
+    )
 
     base = np.datetime64("2026-01-01T00:00:00", "us")
     warc_ts = base + rng.integers(0, 30 * 24 * 3600 * 1_000_000, size=n_rows).astype(

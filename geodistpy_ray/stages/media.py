@@ -76,6 +76,22 @@ class ImageDecodeActor:
         return batch.append_column("payload_bytes", pa.array(sizes, pa.int64()))
 
 
+def _uniform_dim(batch: pa.Table, col: str) -> int:
+    """First-row read of a per-batch dimension column, VALIDATED uniform:
+    Ray can re-batch a union of differently-configured decodes into one
+    mixed batch, where a silent first-row read would reinterpret pixels at
+    the wrong stride (or crash the reshape with a size mismatch)."""
+    import pyarrow.compute as pc
+
+    mm = pc.min_max(batch.column(col)).as_py()
+    if mm["min"] != mm["max"]:
+        raise ValueError(
+            f"mixed {col} values in one batch ({mm['min']} vs {mm['max']}) — "
+            "repartition per decode configuration before feature extraction"
+        )
+    return int(mm["min"])
+
+
 class ImageFeatureActor:
     """Decoded image → small feature vector (mean-pooled patches).
 
@@ -89,8 +105,8 @@ class ImageFeatureActor:
         imgs = batch.column("image").combine_chunks()
         if len(imgs) == 0:
             return batch.append_column("img_feat", pa.array([], pa.list_(pa.float64())))
-        h = batch.column("img_h")[0].as_py()
-        w = batch.column("img_w")[0].as_py()
+        h = _uniform_dim(batch, "img_h")
+        w = _uniform_dim(batch, "img_w")
         flat = imgs.values.to_numpy(zero_copy_only=False).reshape(len(imgs), h, w)
         p = self.pool
         hh, ww = h // p, w // p
@@ -225,9 +241,16 @@ class AudioFeatureActor:
         pcm = batch.column("pcm").combine_chunks()
         if len(pcm) == 0:
             return batch.append_column("audio_feat", pa.array([], pa.list_(pa.float64())))
-        n = batch.column("n_samples")[0].as_py()
+        n = _uniform_dim(batch, "n_samples")
         flat = pcm.values.to_numpy(zero_copy_only=False).reshape(len(pcm), n)
         w = n // self.n_windows
+        if w == 0:
+            # same guard as ImageFeatureActor: an empty window axis would
+            # silently emit all-NaN features (mean over an empty slice)
+            raise ValueError(
+                f"n_windows {self.n_windows} exceeds n_samples ({n}); "
+                "decode with more samples or fewer windows"
+            )
         x = flat[:, : w * self.n_windows].reshape(len(pcm), self.n_windows, w)
         rms = np.sqrt((x.astype(np.float64) ** 2).mean(axis=2)) / 32768.0
         return batch.append_column(
@@ -276,8 +299,8 @@ def resize_images(ds, factor: int = 2, batch_size: int = 1024):
         imgs = batch.column("image").combine_chunks()
         if len(imgs) == 0:
             return batch
-        h = batch.column("img_h")[0].as_py()
-        w = batch.column("img_w")[0].as_py()
+        h = _uniform_dim(batch, "img_h")
+        w = _uniform_dim(batch, "img_w")
         flat = imgs.values.to_numpy(zero_copy_only=False).reshape(len(imgs), h, w)
         h2, w2 = h // factor, w // factor
         if h2 == 0 or w2 == 0:

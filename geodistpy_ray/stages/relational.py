@@ -104,7 +104,12 @@ def grouped_sum(
             df[c] = np.floor(v + 0.5).astype(np.int64)
         for c in cent_sum_cols:
             df[c] = cents(_clean(df[c].to_numpy(dtype=np.float64), c))
-        g = df.groupby(key_cols, as_index=False, sort=False).agg(
+        # dropna=False: SQL GROUP BY emits a NULL group — pandas' default
+        # silently DROPS null-key rows from every sum and count (a null
+        # int64 key rides as NaN here, so the null group surfaces as a
+        # NaN/float key in the result; document-grade divergence only in
+        # the key's dtype, never in the totals)
+        g = df.groupby(key_cols, as_index=False, sort=False, dropna=False).agg(
             **{out: (c, "sum") for c, out in int_sum_cols.items()},
             **{out: (c, "sum") for c, out in cent_sum_cols.items()},
             **{count_col: (key_cols[0], "size")},
@@ -133,7 +138,7 @@ def grouped_sum(
             # pipeline's SERIAL tail, and per-block to_pandas + pd.concat
             # was its cost (256 blocks × 13k keys measured 0.62 s that way,
             # 0.15 s this way)
-            return cat.groupby(key_cols, as_index=False, sort=False).sum()
+            return cat.groupby(key_cols, as_index=False, sort=False, dropna=False).sum()
 
         for t in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
             if t.num_rows == 0:
@@ -160,7 +165,7 @@ def grouped_sum(
             ):
                 return (
                     schema_carrier.to_pandas()
-                    .groupby(key_cols, as_index=False, sort=False)
+                    .groupby(key_cols, as_index=False, sort=False, dropna=False)
                     .sum()
                 )
             cols = key_cols + list(int_sum_cols.values()) + list(cent_sum_cols.values()) + [count_col]
@@ -172,7 +177,7 @@ def grouped_sum(
         outs = list(int_sum_cols.values()) + list(cent_sum_cols.values()) + [count_col]
 
         def merge(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby(key_cols, as_index=False, sort=False)[outs].sum()
+            return g.groupby(key_cols, as_index=False, sort=False, dropna=False)[outs].sum()
 
         return partitioned_map_groups(partials, key_cols, merge)
     aggs = [Sum(out, alias_name=out) for out in int_sum_cols.values()]
@@ -220,7 +225,34 @@ def top_k_per_group(
     return partitioned_map_groups(partials, keys, final_part)
 
 
-def distinct(ds, cols: list[str], final: str = "shuffle", n_parts: int = 64):
+def _driver_fold(partials, fold, driver_row_budget: int, what: str, distributed_hint: str):
+    """Stream partial blocks to the driver, folding at budget checkpoints
+    (same discipline as grouped_sum's driver final): the budget judges the
+    FOLDED result (distinct keys), so bounded domains across many blocks
+    keep working while an unbounded domain raises instead of silently
+    landing on the driver. Returns None for an all-empty stream."""
+    tabs, pending, merged = [], 0, None
+    for t in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if t.num_rows == 0:
+            continue
+        tabs.append(t)
+        pending += t.num_rows
+        if pending > driver_row_budget:
+            merged = fold(tabs, merged)
+            tabs, pending = [], 0
+            if len(merged) > driver_row_budget:
+                raise ValueError(
+                    f"{what}: driver-final merged rows exceed "
+                    f"{driver_row_budget} — the key domain looks unbounded; "
+                    f"use {distributed_hint} (distributed) or raise "
+                    "driver_row_budget explicitly"
+                )
+    if not tabs and merged is None:
+        return None
+    return fold(tabs, merged) if tabs else merged
+
+
+def distinct(ds, cols: list[str], final: str = "shuffle", n_parts: int = 64, driver_row_budget: int = 1_000_000):
     """Exact distinct over ``cols`` — per-batch dedup first, then a final merge.
 
     Per-batch ``drop_duplicates`` is the combiner: the shuffle (or driver
@@ -242,13 +274,15 @@ def distinct(ds, cols: list[str], final: str = "shuffle", n_parts: int = 64):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     if final == "driver":
-        frames = [
-            b.to_pandas()
-            for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
-        ]
-        if not frames:
-            return pd.DataFrame({c: [] for c in cols})
-        return pd.concat(frames, ignore_index=True).drop_duplicates().reset_index(drop=True)
+
+        def fold(blocks, prev):
+            cat = pa.concat_tables(blocks, promote_options="default").to_pandas()
+            if prev is not None:
+                cat = pd.concat([prev, cat], ignore_index=True)
+            return cat.drop_duplicates().reset_index(drop=True)
+
+        out = _driver_fold(partials, fold, driver_row_budget, "distinct", "final='shuffle'")
+        return pd.DataFrame({c: [] for c in cols}) if out is None else out
 
     from .grouping import partitioned_map_groups
 
@@ -263,10 +297,8 @@ def add_month_key(ds, ts_col: str, out_col: str = "ym"):
 
     def fn(batch: pa.Table) -> pa.Table:
         ts = batch.column(ts_col).combine_chunks().to_numpy(zero_copy_only=False)
-        ym = (
-            pd.DatetimeIndex(ts).year.to_numpy() * 100
-            + pd.DatetimeIndex(ts).month.to_numpy()
-        ).astype(np.int64)
+        idx = pd.DatetimeIndex(ts)
+        ym = (idx.year.to_numpy() * 100 + idx.month.to_numpy()).astype(np.int64)
         return batch.append_column(out_col, pa.array(ym, pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
@@ -373,7 +405,7 @@ def running_total(
     return partitioned_map_groups(ds, key_col, part_fn)
 
 
-def grouped_minmax(ds, key_cols: list[str], value_col: str, final: str = "driver"):
+def grouped_minmax(ds, key_cols: list[str], value_col: str, final: str = "driver", driver_row_budget: int = 1_000_000):
     """Per-key min/max of a float column — partial per batch, tiny final merge
     (min/max are decomposable, so the shuffle moves one row per key × batch)."""
 
@@ -386,17 +418,21 @@ def grouped_minmax(ds, key_cols: list[str], value_col: str, final: str = "driver
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     if final == "driver":
-        frames = [
-            b.to_pandas()
-            for b in partials.iter_batches(batch_size=None, batch_format="pyarrow")
-        ]
-        if not frames:
-            return pd.DataFrame({c: [] for c in key_cols + ["min_value", "max_value"]})
-        return (
-            pd.concat(frames, ignore_index=True)
-            .groupby(key_cols, as_index=False, sort=False)
-            .agg(min_value=("min_value", "min"), max_value=("max_value", "max"))
+
+        def fold(blocks, prev):
+            cat = pa.concat_tables(blocks, promote_options="default").to_pandas()
+            if prev is not None:
+                cat = pd.concat([prev, cat], ignore_index=True)
+            return cat.groupby(key_cols, as_index=False, sort=False).agg(
+                min_value=("min_value", "min"), max_value=("max_value", "max")
+            )
+
+        out = _driver_fold(
+            partials, fold, driver_row_budget, "grouped_minmax", "final='partitioned'"
         )
+        if out is None:
+            return pd.DataFrame({c: [] for c in key_cols + ["min_value", "max_value"]})
+        return out
     if final == "partitioned":
         # bounded-group distributed final — see grouped_sum's mode table
         from .grouping import partitioned_map_groups
@@ -741,10 +777,9 @@ def cube_sum(
     )
     frames = [finest.assign(grouping_id=0)]
     k = len(levels)
-    for r in range(0, k):  # kept-column subsets of size r (r=k is the finest)
+    for r in range(0, k):  # kept-column subsets of size r < k (the size-k
+        # finest grouping is handled separately above)
         for keep in combinations(range(k), r):
-            if len(keep) == k:
-                continue
             keep_cols = [levels[i] for i in keep]
             agg = (
                 finest.groupby(keep_cols, as_index=False, sort=False)[out_vals].sum()
@@ -825,7 +860,7 @@ def grouped_mode(ds, key_col: str, value_col: str, n_parts: int = 64):
     return partitioned_map_groups(pairs, key_col, pick_part, n_parts=n_parts)
 
 
-def exact_order_stats(ds, col: str, ks, bins: int = 4096, cap: int = 200_000, max_rounds: int = 12):
+def exact_order_stats(ds, col: str, ks=None, bins: int = 4096, cap: int = 200_000, max_rounds: int = 12, median: bool = False):
     """Exact 0-indexed order statistics of a numeric column — the
     distributed SELECTION algorithm (quantiles without a global sort):
 
@@ -841,8 +876,14 @@ def exact_order_stats(ds, col: str, ks, bins: int = 4096, cap: int = 200_000, ma
     `grouped_quantile` (exact) / `grouped_quantile_sketch` (mergeable).
     NaNs raise (no total order). ``ks`` may hold several ranks (e.g. both
     middle elements of an even-count median); they are refined JOINTLY.
+    ``median=True`` resolves the middle rank(s) from the row count this
+    function's own min/max pass already produces — callers that need the
+    median must not pay a separate full count scan just to compute ks.
     """
-    ks = sorted(int(k) for k in ks)
+    if median == (ks is not None):
+        raise ValueError("exact_order_stats: pass exactly one of ks / median=True")
+    if ks is not None:
+        ks = sorted(int(k) for k in ks)
 
     def minmax_partial(batch: pa.Table) -> pa.Table:
         v = batch.column(col).to_numpy(zero_copy_only=False)
@@ -864,6 +905,8 @@ def exact_order_stats(ds, col: str, ks, bins: int = 4096, cap: int = 200_000, ma
     lo = min(p["lo"] for p in parts)
     hi = max(p["hi"] for p in parts)
     n = sum(p["n"] for p in parts)
+    if median:
+        ks = [n // 2] if n % 2 else [n // 2 - 1, n // 2]
     if ks[0] < 0 or ks[-1] >= n:
         raise ValueError(f"ranks {ks} out of range for {n} rows")
     below = 0  # rows strictly below the current interval
@@ -953,21 +996,9 @@ def exact_order_stats(ds, col: str, ks, bins: int = 4096, cap: int = 200_000, ma
 def global_median(ds, col: str):
     """Exact global median (SQL ``MEDIAN`` semantics: even counts average
     the two middle values) via :func:`exact_order_stats` — never a global
-    sort."""
-
-    def n_partial(batch: pa.Table) -> pa.Table:
-        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
-
-    n = sum(
-        r["n"]
-        for r in ds.map_batches(
-            n_partial, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()
-    )
-    if n == 0:
-        raise ValueError("global_median: empty input")
+    sort, and no separate count pass: the middle ranks resolve from the
+    row count the selection's own min/max pass produces."""
+    vals, n = exact_order_stats(ds, col, median=True)
     if n % 2:
-        (v,), _ = exact_order_stats(ds, col, [n // 2])
-        return v
-    (a, b), _ = exact_order_stats(ds, col, [n // 2 - 1, n // 2])
-    return (a + b) / 2.0
+        return vals[0]
+    return (vals[0] + vals[1]) / 2.0

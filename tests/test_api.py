@@ -250,3 +250,19 @@ def test_driver_contract_registry_consistency():
     assert len(q) == n_q, (len(q), n_q)
     assert len(o) == n_o, (len(o), n_o)
     assert n_q - n_o == n_r, (n_q, n_o, n_r)
+
+
+def test_geodist_pair_validation_order_matches_reference():
+    """Reference checks BOTH arrays' latitudes before any longitude
+    (distance.py:155-158): bad lon in coords1 + bad lat in coords2 must
+    raise the latitude message."""
+    import numpy as np
+    import pytest
+
+    from geodistpy_ray.api import geodist, greatcircle
+
+    c1 = np.array([[10.0, 200.0], [0.0, 0.0]])
+    c2 = np.array([[95.0, 10.0], [0.0, 0.0]])
+    for fn in (geodist, greatcircle):
+        with pytest.raises(ValueError, match="Latitude"):
+            fn(c1, c2)

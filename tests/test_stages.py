@@ -1013,3 +1013,49 @@ def test_colocation_pairs_vs_bruteforce(ray_session):
     assert got["dt_us"].tolist() == want["dt_us"].tolist()
     # exactly-once: no duplicate unordered pairs
     assert not got.duplicated(["id_left", "id_right"]).any()
+
+
+def test_grouped_sum_keeps_null_key_group(ray_session):
+    """SQL GROUP BY emits a NULL group; pandas' default dropna used to
+    silently delete null-key rows from every sum and count."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    t = pa.table(
+        {
+            "k": pa.array([1, None, 1, None], pa.int64()),
+            "v": pa.array([10.0, 5.0, 20.0, 7.0]),
+        }
+    )
+    out = grouped_sum(rd.from_arrow(t), ["k"], int_sum_cols={"v": "s"})
+    assert out["n"].sum() == 4  # no silent row loss
+    byk = out.set_index("k")
+    assert byk.loc[1.0, "s"] == 30
+    nullrow = out[out["k"].isna()]
+    assert len(nullrow) == 1 and nullrow["s"].iloc[0] == 12
+
+
+def test_distinct_and_minmax_driver_budget(ray_session):
+    """The driver finals of distinct/grouped_minmax must refuse unbounded
+    key domains like grouped_sum does, and still merge bounded ones split
+    across many blocks."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.relational import distinct, grouped_minmax
+
+    n = 5000
+    wide = rd.from_arrow(
+        pa.table({"k": pa.array(np.arange(n)), "v": pa.array(np.ones(n))})
+    ).repartition(2)
+    with pytest.raises(ValueError, match="unbounded"):
+        distinct(wide, ["k"], final="driver", driver_row_budget=100)
+    with pytest.raises(ValueError, match="unbounded"):
+        grouped_minmax(wide, ["k"], "v", final="driver", driver_row_budget=100)
+    bounded = rd.from_arrow(
+        pa.table({"k": pa.array(np.arange(n) % 7), "v": pa.array(np.arange(n, dtype=np.float64))})
+    ).repartition(40)
+    d = distinct(bounded, ["k"], final="driver", driver_row_budget=200)
+    assert sorted(d["k"].tolist()) == list(range(7))
+    mm = grouped_minmax(bounded, ["k"], "v", final="driver", driver_row_budget=200)
+    assert len(mm) == 7 and mm["max_value"].max() == float(n - 1)
