@@ -10,11 +10,10 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-import ray.data as rd
 from ray.data.aggregate import Count
 
 from ..sources.polygons import diamond_polygons
-from ..stages.geo import GeocoderActor, add_cell
+from ..stages.geo import GeocoderActor
 from ..stages.pip import point_in_polygon_join
 
 

@@ -14,11 +14,18 @@ from __future__ import annotations
 import ray
 
 _CACHE: dict[str, object] = {}
+# a long-lived session (the oracle gate runs 160+ queries, several of which
+# ray.put a fresh index each call) must not grow worker RSS without bound —
+# evict insertion-oldest past the cap (dicts preserve insertion order; a
+# re-fetch after eviction just pays one extra ray.get)
+_CACHE_MAX = 32
 
 
 def get_broadcast(ref):
-    """ray.get(ref), cached for the lifetime of this worker process."""
+    """ray.get(ref), cached (size-capped) for this worker process."""
     key = ref.hex()
     if key not in _CACHE:
+        while len(_CACHE) >= _CACHE_MAX:
+            _CACHE.pop(next(iter(_CACHE)))
         _CACHE[key] = ray.get(ref)
     return _CACHE[key]

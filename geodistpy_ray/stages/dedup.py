@@ -439,10 +439,24 @@ class MinHasher:
                 rows += counts[doc_hi]
                 doc_hi += 1
             lo, hi = starts[doc_lo], starts[doc_lo] + rows
-            perm = _mulmod61_lazy(flat[lo:hi], self._a_hi, self._a_lo, self._b_row)
-            out[doc_lo:doc_hi] = np.minimum.reduceat(
-                perm, starts[doc_lo:doc_hi] - lo, axis=0
-            )
+            if doc_hi == doc_lo + 1 and rows > self.CHUNK_ROWS:
+                # ONE doc bigger than the whole row budget: min is
+                # associative, so fold sub-chunks instead of materializing
+                # a (rows × num_perm) matrix for the giant doc (an 8 MB
+                # document would otherwise allocate ~1 GB here)
+                sig = np.full(self.num_perm, np.iinfo(np.uint64).max, dtype=np.uint64)
+                for c0 in range(lo, hi, self.CHUNK_ROWS):
+                    perm = _mulmod61_lazy(
+                        flat[c0 : min(c0 + self.CHUNK_ROWS, hi)],
+                        self._a_hi, self._a_lo, self._b_row,
+                    )
+                    np.minimum(sig, perm.min(axis=0), out=sig)
+                out[doc_lo] = sig
+            else:
+                perm = _mulmod61_lazy(flat[lo:hi], self._a_hi, self._a_lo, self._b_row)
+                out[doc_lo:doc_hi] = np.minimum.reduceat(
+                    perm, starts[doc_lo:doc_hi] - lo, axis=0
+                )
             doc_lo = doc_hi
         return out
 
@@ -702,6 +716,7 @@ def shingle_overlap_pairs(
     min_common: int = 2,
     n_parts: int = 64,
     max_df: int | None = None,
+    max_bucket: int | None = _DEFAULT_MAX_BUCKET,
 ):
     """Distributed n-gram-overlap dedup join → Dataset
     (id_a, id_b, n_common): unordered doc pairs sharing at least
@@ -762,6 +777,10 @@ def shingle_overlap_pairs(
                 span = ids[s:e]  # already distinct per window (stage 1)
                 if max_df is not None and span.size > max_df:
                     continue
+                # max_df SKIPS common windows by design; without it, a
+                # boilerplate window shared by 100k docs must refuse the
+                # O(df²) expansion loudly (same guard as the LSH sweeps)
+                _guard_bucket(span.size, max_bucket, "shingle window pairs")
                 ii, jj = np.triu_indices(span.size, k=1)
                 out_a.append(span[ii])
                 out_b.append(span[jj])
@@ -840,6 +859,7 @@ def jaccard_pair_join(
     threshold: float = 0.2,
     n_parts: int = 64,
     max_df: int | None = None,
+    max_bucket: int | None = _DEFAULT_MAX_BUCKET,
 ):
     """Exact n-gram JACCARD similarity join → Dataset (id_a, id_b,
     n_common, jaccard) for unordered doc pairs with
@@ -855,7 +875,7 @@ def jaccard_pair_join(
 
     pairs = shingle_overlap_pairs(
         ds, id_col=id_col, text_col=text_col, shingle=shingle,
-        min_common=1, n_parts=n_parts, max_df=max_df,
+        min_common=1, n_parts=n_parts, max_df=max_df, max_bucket=max_bucket,
     )
     counts = distinct_window_counts(ds, id_col=id_col, text_col=text_col, shingle=shingle)
 
@@ -1077,14 +1097,25 @@ def simhash64_batch(texts, token_cache: dict | None = None) -> np.ndarray:
             hi_d += 1
         sel = doc_idx[lo_d:hi_d]
         lo = starts_all[sel[0]]
-        signs = (
-            ((h_flat[lo : lo + rows, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1))
-            .astype(np.int8)
-            .astype(np.int64)
-            * 2
-            - 1
-        )
-        acc[sel] = np.add.reduceat(signs, starts_all[sel] - lo, axis=0)
+        if sel.size == 1 and rows > CHUNK:
+            # ONE doc bigger than the whole chunk budget: bit-vote sums are
+            # associative — fold sub-chunks instead of materializing a
+            # (rows × 64) sign matrix for the giant doc
+            votes = np.zeros(64, dtype=np.int64)
+            for c0 in range(lo, lo + rows, CHUNK):
+                hseg = h_flat[c0 : min(c0 + CHUNK, lo + rows), None]
+                sseg = ((hseg >> _BIT_SHIFTS[None, :]) & np.uint64(1)).astype(np.int64)
+                votes += 2 * sseg.sum(axis=0) - sseg.shape[0]
+            acc[sel[0]] = votes
+        else:
+            signs = (
+                ((h_flat[lo : lo + rows, None] >> _BIT_SHIFTS[None, :]) & np.uint64(1))
+                .astype(np.int8)
+                .astype(np.int64)
+                * 2
+                - 1
+            )
+            acc[sel] = np.add.reduceat(signs, starts_all[sel] - lo, axis=0)
         lo_d = hi_d
     bits = (acc > 0).astype(np.uint64)
     out = bits @ _BIT_WEIGHTS

@@ -119,7 +119,14 @@ def key_spans(sorted_keys: np.ndarray, min_size: int = 1):
     if sorted_keys.size == 0:
         e = np.array([], dtype=np.int64)
         return e, e
-    change = np.flatnonzero(sorted_keys[1:] != sorted_keys[:-1]) + 1
+    neq = sorted_keys[1:] != sorted_keys[:-1]
+    if sorted_keys.dtype.kind == "f":
+        # NaN != NaN would split every null-laundered key row into its own
+        # run; sorting already made NaNs adjacent, so one NULL span — the
+        # SQL PARTITION BY convention (see relational.grouped_sum)
+        both_nan = np.isnan(sorted_keys[1:]) & np.isnan(sorted_keys[:-1])
+        neq &= ~both_nan
+    change = np.flatnonzero(neq) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [sorted_keys.size]))
     if min_size > 1:

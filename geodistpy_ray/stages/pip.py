@@ -88,8 +88,14 @@ class PolygonJoiner:
         from ..cells import cell_id
 
         if batch.num_rows == 0:
+            # type the id from the INPUT schema: a hardcoded int64 here
+            # would emit blocks whose schema conflicts with the non-empty
+            # branch for string/int32 id columns
             return pa.table(
-                {self.id_col: pa.array([], pa.int64()), "poly_id": pa.array([], pa.int64())}
+                {
+                    self.id_col: pa.array([], batch.schema.field(self.id_col).type),
+                    "poly_id": pa.array([], pa.int64()),
+                }
             )
         lat = col_np(batch, "lat")
         lon = col_np(batch, "lon")

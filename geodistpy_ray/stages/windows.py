@@ -121,9 +121,18 @@ def sessionize(
         g = g.sort_values(order, kind="mergesort")
         keys = g[key_col].to_numpy()
         us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
-        same_key = keys[1:] == keys[:-1]
+        # null keys form ONE group like SQL PARTITION BY (NaN == NaN is
+        # False, so the raw comparison would split every null row into its
+        # own session run; the sort already made them adjacent)
+        k1, k0 = keys[1:], keys[:-1]
+        same_key = (k1 == k0) | (pd.isna(k1) & pd.isna(k0))
         brk = np.concatenate(([False], same_key & (np.diff(us) > gap_us)))
-        counts = pd.Series(brk, index=g.index).groupby(g[key_col], sort=False).sum() + 1
+        counts = (
+            pd.Series(brk, index=g.index)
+            .groupby(g[key_col], sort=False, dropna=False)
+            .sum()
+            + 1
+        )
         out = counts.reset_index()
         out.columns = [key_col, "n_sessions"]
         out["n_sessions"] = out["n_sessions"].astype(np.int64)
@@ -152,10 +161,10 @@ def late_event_stats(ds, key_col: str, ts_col: str, watermark_us: int):
         us = pd.Series(
             g[ts_col].to_numpy("datetime64[us]").astype(np.int64), index=g.index
         )
-        mx = us.groupby(g[key_col], sort=False).transform("max")
+        mx = us.groupby(g[key_col], sort=False, dropna=False).transform("max")
         late = us < (mx - watermark_us)
         out = pd.DataFrame({key_col: g[key_col], "__late": late.astype(np.int64)})
-        agg = out.groupby(key_col, as_index=False, sort=False).agg(
+        agg = out.groupby(key_col, as_index=False, sort=False, dropna=False).agg(
             n_events=("__late", "size"), n_late=("__late", "sum")
         )
         agg["n_events"] = agg["n_events"].astype(np.int64)
@@ -302,7 +311,12 @@ def geodesic_track_length(
         keep = n_legs > 0
         return pa.table(
             {
-                key_col: pa.array(keys[starts][keep]),
+                # cast to the INPUT key type so empty and non-empty
+                # partitions emit identical schemas (inference from a numpy
+                # object array can differ, e.g. string vs large_string)
+                key_col: pa.array(keys[starts][keep]).cast(
+                    t.schema.field(key_col).type
+                ),
                 "n_legs": pa.array(n_legs[keep], pa.int64()),
                 "track_mm": pa.array(track[keep], pa.int64()),
             }
@@ -431,6 +445,15 @@ def densify_tracks(
         f = k.astype(np.float64) / leg_n.astype(np.float64)
         delta = (d[src] / radius)
         sd = np.sin(delta)
+        if (np.abs(sd) < 1e-12).any():
+            # slerp is undefined at antipodes (infinitely many great
+            # circles); silently emitting NaN waypoints would poison every
+            # downstream cell/rollup — refuse loudly instead
+            raise ValueError(
+                "densify_tracks: a leg is (near-)antipodal — the great "
+                "circle between antipodes is not unique; drop or split "
+                "such legs before densifying"
+            )
         A = np.sin((1.0 - f) * delta) / sd
         B = np.sin(f * delta) / sd
         rlat1, rlon1 = np.radians(lat[src]), np.radians(lon[src])
@@ -543,13 +566,7 @@ def session_spans(
         if n == 0:
             return empty
         keys = t.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
-        us = (
-            t.column(ts_col)
-            .combine_chunks()
-            .cast(pa.timestamp("us"))
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
+        us = _us(t, ts_col)
         brk = np.ones(n, dtype=bool)  # row starts a session
         if n > 1:
             same = keys[1:] == keys[:-1]

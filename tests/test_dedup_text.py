@@ -1090,3 +1090,33 @@ def test_simhash_signatures_are_full_64_bit(ray_session):
         got["simhash"].to_numpy().astype(np.int64), sigs64.view(np.int64)
     )
     assert (sigs64 >> np.uint64(63)).max() == 1, "fixture must exercise bit 63"
+
+
+def test_minhash_and_simhash_single_giant_doc(ray_session):
+    """A single document larger than the chunk budget must produce the
+    SAME signature as the unchunked path (min/sum folds are associative),
+    instead of materializing a giant per-doc matrix."""
+    from geodistpy_ray.stages.dedup import MinHasher, simhash64_batch
+
+    rng = np.random.default_rng(11)
+    giant = " ".join(f"tok{int(v)}" for v in rng.integers(0, 50_000, size=9000))
+    small = "a tiny doc"
+
+    h = MinHasher(num_perm=32, shingle=3, seed=5, scheme="classic")
+    h.CHUNK_ROWS = 1024  # force the giant-doc sub-chunk path
+    chunked = h.signatures([small, giant, small])
+    h2 = MinHasher(num_perm=32, shingle=3, seed=5, scheme="classic")
+    whole = h2.signatures([small, giant, small])
+    np.testing.assert_array_equal(chunked, whole)
+
+    # simhash giant-doc fold: a doc with more tokens than the 2^16 chunk
+    # budget takes the sub-chunk vote-fold path; it must agree with the
+    # per-token scalar formula (simhash64) exactly
+    import geodistpy_ray.stages.dedup as dd
+
+    giant_tokens = [f"t{int(v)}" for v in rng.integers(0, 30_000, size=70_000)]
+    giant2 = " ".join(giant_tokens)
+    assert dd._token_hash_stream([giant2])[1][0] > (1 << 16)
+    got = simhash64_batch([small, giant2])
+    assert got[1] == dd.simhash64(giant2)
+    assert got[0] == dd.simhash64(small)
