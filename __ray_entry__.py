@@ -95,7 +95,15 @@ def entry() -> Any:
             f"(reran {second['ran_now']} fragments)"
         )
     parts = rd.read_parquet(sorted(glob.glob(f"{out_dir}/fragment=*")))
-    return parts.groupby("cell").aggregate(Sum("n_matches", alias_name="n_matches"))
+    rollup = parts.groupby("cell").aggregate(Sum("n_matches", alias_name="n_matches"))
+    # the roll-up is tiny (one row per cell) — materialize it so the
+    # scratch sink can be removed NOW; returning a lazy reader over
+    # out_dir would leak one table-sized /tmp directory per invocation
+    out = rollup.to_pandas()
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
 
 
 # ── query implementations ────────────────────────────────────────────────
@@ -1336,13 +1344,11 @@ _CANON_URL_BUILD_SQL = (
 )
 
 
-def q_link_hops(sf_dir):
-    """Distributed BFS over the directed link graph: minimum hop count
-    from the seed pages {0, 1, 2} — the crawl-frontier / influence-radius
-    op (graph.py:bfs_hops, the CC idiom with a min-plus semilattice).
-    Oracle: a depth-capped recursive CTE taking MIN(d) per node."""
-    from geodistpy_ray.stages.graph import bfs_hops
-
+def _synth_link_edges(sf_dir):
+    """The deterministic 3-out doc link graph shared by every link-graph
+    query: dst = (id*7 + 13j + 1) % n_docs for j in 0..2 — ONE builder so
+    the engine sites can't drift from each other (the SQL mirrors re-derive
+    the same arithmetic; change both together)."""
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     n_docs = docs.count()
 
@@ -1352,8 +1358,17 @@ def q_link_hops(sf_dir):
         dst = np.concatenate([(ids * 7 + 13 * j + 1) % n_docs for j in range(3)])
         return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
 
-    e = docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
-    return bfs_hops(e, seeds=[0, 1, 2], n_parts=16)
+    return docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_link_hops(sf_dir):
+    """Distributed BFS over the directed link graph: minimum hop count
+    from the seed pages {0, 1, 2} — the crawl-frontier / influence-radius
+    op (graph.py:bfs_hops, the CC idiom with a min-plus semilattice).
+    Oracle: a depth-capped recursive CTE taking MIN(d) per node."""
+    from geodistpy_ray.stages.graph import bfs_hops
+
+    return bfs_hops(_synth_link_edges(sf_dir), seeds=[0, 1, 2], n_parts=16)
 
 
 def q_link_triangles(sf_dir):
@@ -1369,21 +1384,22 @@ def q_link_triangles(sf_dir):
     from geodistpy_ray.stages.joins import shuffle_equi_join
     from geodistpy_ray.stages.relational import distinct, grouped_sum
 
-    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    n_docs = docs.count()
-
-    def edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        src = np.concatenate([ids, ids, ids])
-        dst = np.concatenate([(ids * 7 + 13 * j + 1) % n_docs for j in range(3)])
+    def canonical(batch: pa.Table) -> pa.Table:
+        src = batch.column("src").to_numpy(zero_copy_only=False)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)
         a = np.minimum(src, dst)
         b = np.maximum(src, dst)
         keep = a != b  # drop self-loops
         return pa.table({"a": pa.array(a[keep], pa.int64()), "b": pa.array(b[keep], pa.int64())})
 
     e = distinct(
-        docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True), ["a", "b"]
+        _synth_link_edges(sf_dir).map_batches(
+            canonical, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        ["a", "b"],
     ).materialize()
+    # pair-packing base for the SEMI join below (metadata-only count)
+    n_docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
 
     # wedges a<b<c: e(a,b) ⋈ e(b,c) on the middle vertex b
     def rn(cols):
@@ -1472,17 +1488,7 @@ def q_pagerank_links(sf_dir):
     reference parity (1e-12) is pinned in tests/test_graph.py."""
     from geodistpy_ray.stages.graph import pagerank
 
-    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    n_docs = docs.count()
-
-    def edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        src = np.concatenate([ids, ids, ids])
-        dst = np.concatenate([(ids * 7 + 13 * j + 1) % n_docs for j in range(3)])
-        return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
-
-    e = docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
-    ranks = pagerank(e, n_iters=5, n_parts=32)
+    ranks = pagerank(_synth_link_edges(sf_dir), n_iters=5, n_parts=32)
     return _round_col(ranks, "rank", 9)
 
 
@@ -1493,17 +1499,7 @@ def q_hits_links(sf_dir):
     tests/test_graph.py::TestHits."""
     from geodistpy_ray.stages.graph import hits
 
-    docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"])
-    n_docs = docs.count()
-
-    def edges(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        src = np.concatenate([ids, ids, ids])
-        dst = np.concatenate([(ids * 7 + 13 * j + 1) % n_docs for j in range(3)])
-        return pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
-
-    e = docs.map_batches(edges, batch_format="pyarrow", zero_copy_batch=True)
-    scores = hits(e, n_iters=3, n_parts=16)
+    scores = hits(_synth_link_edges(sf_dir), n_iters=3, n_parts=16)
     scores = _round_col(scores, "hub", 9)
     return _round_col(scores, "auth", 9)
 
@@ -1549,18 +1545,23 @@ def q_sorted_export(sf_dir):
 
     from geodistpy_ray.stages.sort import sorted_export
 
+    import shutil
+
     ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "value"])
     out_dir = tempfile.mkdtemp(prefix="geodist_sorted_")
-    return sorted_export(
-        ev,
-        out_dir,
-        "value",
-        extra_order=["event_id"],
-        n_parts=16,
-        # file-backed input: seed range boundaries from the parquet
-        # row-group footers — one full read instead of two
-        stats_paths=f"{sf_dir}/events.parquet",
-    )
+    try:
+        return sorted_export(
+            ev,
+            out_dir,
+            "value",
+            extra_order=["event_id"],
+            n_parts=16,
+            # file-backed input: seed range boundaries from the parquet
+            # row-group footers — one full read instead of two
+            stats_paths=f"{sf_dir}/events.parquet",
+        ).to_pandas()  # 16 stats rows — materialize so the sink can go
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def q_audio_features_wav(sf_dir):
@@ -2788,7 +2789,19 @@ def q_dimwise_pairs(sf_dir):
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    ids_b = np.arange(DIMWISE_MAX_ID, dtype=np.int64)
+    # build the broadcast b-side from the TABLE, not np.arange: the oracle's
+    # b-side is `documents WHERE doc_id < N`, and the two relations must
+    # stay equal even on a fixture whose doc_ids are not contiguous from 0
+    import pyarrow.parquet as pq
+
+    ids_b = np.sort(
+        pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"],
+            filters=[("doc_id", "<", DIMWISE_MAX_ID)],
+        )
+        .column("doc_id")
+        .to_numpy()
+    ).astype(np.int64)
     blat, blon = geocode_ids(ids_b)
     side = ray.put({"id": ids_b, "lat": blat, "lon": blon})
 
@@ -3234,7 +3247,11 @@ def q_range_buckets(sf_dir):
     ev = _read(f"{sf_dir}/events.parquet", columns=["event_id", "ts"])
 
     def to_us(batch: pa.Table) -> pa.Table:
-        return batch.append_column("ts_us", batch.column("ts").cast(pa.int64()))
+        # µs cast FIRST (CLAUDE.md timestamps rule): a ns-typed ts cast
+        # straight to int64 silently yields nanoseconds
+        return batch.append_column(
+            "ts_us", batch.column("ts").cast(pa.timestamp("us")).cast(pa.int64())
+        )
 
     ev = ev.map_batches(to_us, batch_format="pyarrow", zero_copy_batch=True)
     los = EPOCH_2024_US + np.arange(N_RANGES, dtype=np.int64) * RANGE_STEP_US
@@ -3848,7 +3865,12 @@ def oracle_sql() -> dict[str, str]:
     )
     from geodistpy_ray.cells import zorder_sql
     from geodistpy_ray.sources.polygons import diamond_polygons_sql
-    from geodistpy_ray.stages.text import cap_rank_sql
+    from geodistpy_ray.stages.text import (
+        canonicalize_urls_sql,
+        cap_rank_sql,
+        json_int_field_sql,
+        split_sql,
+    )
 
     lat, lon = geocode_sql("doc_id")
     cell = cell_sql(lat, lon, CELL_DEG)
@@ -4232,7 +4254,7 @@ def oracle_sql() -> dict[str, str]:
                 f"AS revenue_cents, CAST(COUNT(*) AS BIGINT) AS n_orders "
                 f"FROM orders GROUP BY 1"
             )
-        )(cell_sql(*__import__("geodistpy_ray.functions.geocode", fromlist=["geocode_sql"]).geocode_sql("o_custkey"), CELL_DEG)),
+        )(cell_sql(*geocode_sql("o_custkey"), CELL_DEG)),
         "q1_pricing": (
             "SELECT l_returnflag, l_linestatus, "
             "CAST(SUM(CAST(FLOOR(l_quantity + 0.5) AS BIGINT)) AS BIGINT) AS sum_qty, "
@@ -4837,7 +4859,7 @@ def oracle_sql() -> dict[str, str]:
                 _CURATED_CTE
                 + f" SELECT doc_id, lang, {split_expr} AS split, clean_text FROM bal"
             )
-        )(__import__("geodistpy_ray.stages.text", fromlist=["split_sql"]).split_sql()),
+        )(split_sql()),
         "curated_packed": (
             # the capstone raw-to-packs mirror: curated CTE + token counts
             # of clean_text + the global ordered window + pack arithmetic
@@ -4860,9 +4882,7 @@ def oracle_sql() -> dict[str, str]:
                 f"CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY event_type"
             )
         )(
-            __import__(
-                "geodistpy_ray.stages.text", fromlist=["json_int_field_sql"]
-            ).json_int_field_sql("props", "k")
+            json_int_field_sql("props", "k")
         ),
         "label_centroids": (
             "SELECT label, CAST(i AS BIGINT) AS dim, "
@@ -4954,7 +4974,7 @@ def oracle_sql() -> dict[str, str]:
                 f"CAST(SUM(length(regexp_extract_all(text, '\\S+'))) AS BIGINT) AS sum_tokens, "
                 f"CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1"
             )
-        )(__import__("geodistpy_ray.stages.text", fromlist=["split_sql"]).split_sql()),
+        )(split_sql()),
         "sample_10pct": (
             "SELECT doc_id, n_chars FROM documents "
             "WHERE (CAST(((doc_id + 7) % 1000000 + 1000000) % 1000000 AS BIGINT) * 998244353) % 1000000 < 100000"
@@ -4967,9 +4987,7 @@ def oracle_sql() -> dict[str, str]:
                 "FROM raw GROUP BY 1"
             )
         )(
-            __import__(
-                "geodistpy_ray.stages.text", fromlist=["canonicalize_urls_sql"]
-            ).canonicalize_urls_sql("url")
+            canonicalize_urls_sql("url")
         ),
         "link_degrees": (
             "WITH e AS ("

@@ -474,14 +474,19 @@ def _scaling_pipeline(sf_dir: str, replicate: int):
     # re-measure ray.put — the declared measured work is the geodesic
     # compute + broadcast join + aggregation below
     cache = _scaling_pipeline.__dict__.setdefault("_cache", {})
-    if cache.get("sf") != sf_dir:
+    # key on the SESSION too: an ObjectRef put in a previous ray.init
+    # session is dead after shutdown — a cache hit on sf_dir alone would
+    # hand every map task a stale ref (the scaling harness runs each leg
+    # in a fresh process, but in-process callers must not crash)
+    job_id = ray.get_runtime_context().get_job_id()
+    if cache.get("sf") != sf_dir or cache.get("job") != job_id:
         t = pq.read_table(
             f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
         )
         keys = (
             t.column("l_orderkey").to_numpy() * 8 + t.column("l_linenumber").to_numpy()
         ).astype(np.int64)
-        cache.update(sf=sf_dir, n=keys.size, keys_ref=ray.put(keys))
+        cache.update(sf=sf_dir, job=job_id, n=keys.size, keys_ref=ray.put(keys))
     n = cache["n"]
     keys_ref = cache["keys_ref"]
 
@@ -520,11 +525,18 @@ def run_headline_scaled(sf_dir: str, num_cpus: int, replicate: int = 512) -> dic
     import ray
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if ray.is_initialized():
+        # ignore_reinit_error would silently KEEP the existing session and
+        # its CPU count — the returned record would then label a 32-CPU
+        # run as num_cpus=8 and fake a ~1.0 efficiency
+        raise RuntimeError(
+            "run_headline_scaled needs a fresh process per parallelism "
+            "level; Ray is already initialized here"
+        )
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
-        ignore_reinit_error=True,
         logging_level="ERROR",
     )
     from ray.data import DataContext

@@ -59,9 +59,17 @@ for t in TABLES:
 queries = entrymod.queries()
 oracles = entrymod.oracle_sql()
 fails = []
+if only:
+    unknown = only - set(queries)
+    if unknown:
+        # a typo must not skip everything and still print ALL OK
+        print(f"UNKNOWN query name(s): {sorted(unknown)}")
+        sys.exit(2)
+checked = 0
 for name, fn in queries.items():
     if only and name not in only:
         continue
+    checked += 1
     try:
         mine = to_pandas(fn(sf_dir))
     except Exception as e:
@@ -103,6 +111,7 @@ for name, fn in queries.items():
         else:
             print(f"   engine cols: {list(a.columns)}  oracle cols: {list(b.columns)}")
 
+print(f"\n({checked} queries checked)")
 print("\nFAILED:" if fails else "\nALL OK", fails if fails else "")
 ray.shutdown()
 sys.exit(1 if fails else 0)
