@@ -438,6 +438,49 @@ def grouped_vector_mean(
     )
 
 
+def _block_of(ids: np.ndarray, n_blocks: int) -> np.ndarray:
+    """Stable hash → block index; replicate and sweep MUST agree on this."""
+    return (pd.util.hash_array(ids, categorize=False) % np.uint64(n_blocks)).astype(
+        np.int64
+    )
+
+
+def _block_pair_replicate(ds, id_col: str, emb_col: str, n_blocks: int, where: str):
+    """Block-replicated cartesian shuffle prep shared by every blocked
+    all-pairs operator: rows hash into ``n_blocks`` blocks and each row
+    ships once per block PAIR it participates in (tag
+    ``__pair = lo * n_blocks + hi``, ONE shuffle, B·(B+1)/2 groups).
+    Raises if the reserved tag name collides with an input column."""
+    if "__pair" in (id_col, emb_col):
+        raise ValueError(
+            f"{where}: '__pair' is reserved for the block-pair tag; "
+            "rename the input column"
+        )
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column("__pair", pa.array([], pa.int64()))
+        blk = _block_of(col_np(batch, id_col), n_blocks)
+        outs = []
+        for j in range(n_blocks):
+            lo = np.minimum(blk, j)
+            hi = np.maximum(blk, j)
+            outs.append(
+                batch.append_column("__pair", pa.array(lo * n_blocks + hi, pa.int64()))
+            )
+        return pa.concat_tables(outs)
+
+    return ds.select_columns([id_col, emb_col]).map_batches(
+        replicate, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _decode_block_pair(t: pa.Table, n_blocks: int) -> tuple[int, int]:
+    """(i, j) block indices of a pair-group (inverse of the replicate tag)."""
+    pair = int(t.column("__pair")[0].as_py())
+    return pair // n_blocks, pair % n_blocks
+
+
 def exact_near_dup_pairs_blocked(
     ds,
     threshold: float,
@@ -461,31 +504,6 @@ def exact_near_dup_pairs_blocked(
     genuinely approximate corpora belong on
     :func:`embedding_near_dup_pairs`.
     """
-    import pandas as pd
-
-    if "__pair" in (id_col, emb_col):
-        raise ValueError(
-            "exact_near_dup_pairs_blocked: '__pair' is reserved for the "
-            "block-pair tag; rename the input column"
-        )
-
-    def replicate(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return batch.append_column("__pair", pa.array([], pa.int64()))
-        ids = col_np(batch, id_col)
-        blk = (pd.util.hash_array(ids, categorize=False) % np.uint64(n_blocks)).astype(
-            np.int64
-        )
-        outs = []
-        for j in range(n_blocks):
-            lo = np.minimum(blk, j)
-            hi = np.maximum(blk, j)
-            outs.append(
-                batch.append_column("__pair", pa.array(lo * n_blocks + hi, pa.int64()))
-            )
-        return pa.concat_tables(outs)
-
     def sweep(t: pa.Table) -> pa.Table:
         empty = pa.table(
             {
@@ -496,12 +514,9 @@ def exact_near_dup_pairs_blocked(
         )
         if t.num_rows == 0:
             return empty
-        pair = int(t.column("__pair")[0].as_py())
-        i, j = pair // n_blocks, pair % n_blocks
+        i, j = _decode_block_pair(t, n_blocks)
         ids = col_np(t, id_col)
-        blk = (pd.util.hash_array(ids, categorize=False) % np.uint64(n_blocks)).astype(
-            np.int64
-        )
+        blk = _block_of(ids, n_blocks)
         emb = _normalize(_emb_matrix(t, emb_col, np.float64))
         if i == j:
             # within-block pairs: the replicate pass emits each block-i row
@@ -523,8 +538,8 @@ def exact_near_dup_pairs_blocked(
         hi = np.maximum(a_ids, b_ids)
         return pa.table({"id_a": lo, "id_b": hi, "sim": sims[ai, bi]})
 
-    rep = ds.select_columns([id_col, emb_col]).map_batches(
-        replicate, batch_format="pyarrow", zero_copy_batch=True
+    rep = _block_pair_replicate(
+        ds, id_col, emb_col, n_blocks, "exact_near_dup_pairs_blocked"
     )
     return rep.groupby("__pair").map_groups(sweep, batch_format="pyarrow")
 
@@ -576,7 +591,14 @@ def embedding_near_dup_pairs(
             + (np.arange(n_tables, dtype=np.int64) << n_bits)[None, :]
         )
         ids = col_np(batch, id_col)
-        emb64 = pa.array(list(emb.astype(np.float64)), pa.list_(pa.float64()))
+        # vectorized list build (one flat buffer + offsets, the
+        # quantize_embeddings shape) — a per-row pa.array(list(...)) here
+        # would dominate this shuffle-prep stage's CPU on wide embeddings
+        d = emb.shape[1]
+        emb64 = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32)),
+            pa.array(emb.astype(np.float64).reshape(-1), pa.float64()),
+        )
         idx = np.tile(np.arange(n, dtype=np.int64), n_tables)
         return pa.table(
             {
@@ -1109,16 +1131,18 @@ def knn_graph(
             f"knn_graph: over_budget must be 'blocked' or 'raise', got {over_budget!r}"
         )
     # id-only probe: the embedding payload never reaches the driver just to
-    # learn the corpus is too big
-    over = ds.select_columns([id_col]).limit(max_rows + 1).count() > max_rows
-    if over:
+    # learn the corpus is too big. ONE projected count serves both the
+    # budget check and the block sizing — a LIMIT probe followed by a full
+    # ds.count() would execute the upstream pipeline (embeddings included)
+    # a second time for corpora that are over budget.
+    n = ds.select_columns([id_col]).count()
+    if n > max_rows:
         if over_budget == "raise":
             raise ValueError(
                 f"knn_graph broadcast budget exceeded (> {max_rows} rows); "
                 "use knn_graph_blocked (exact, no driver matrix) or the "
                 "IVF/LSH candidate paths for larger corpora"
             )
-        n = ds.count()
         n_blocks = max(2, -(-2 * n // max(1, max_rows)))
         return knn_graph_blocked(
             ds, k=k, id_col=id_col, emb_col=emb_col, tie_round=tie_round,
@@ -1195,29 +1219,7 @@ def knn_graph_blocked(
     (N/B)·d·8 bytes fits a worker. Total FLOPs stay N²·d (exactness is
     the point; approximate corpora belong on the IVF/LSH paths).
     """
-    if "__pair" in (id_col, emb_col):
-        raise ValueError(
-            "knn_graph_blocked: '__pair' is reserved for the block-pair tag; "
-            "rename the input column"
-        )
     margin = 10.0 ** -tie_round if tie_round is not None else 0.0
-
-    def replicate(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        if n == 0:
-            return batch.append_column("__pair", pa.array([], pa.int64()))
-        ids = col_np(batch, id_col)
-        blk = (pd.util.hash_array(ids, categorize=False) % np.uint64(n_blocks)).astype(
-            np.int64
-        )
-        outs = []
-        for j in range(n_blocks):
-            lo = np.minimum(blk, j)
-            hi = np.maximum(blk, j)
-            outs.append(
-                batch.append_column("__pair", pa.array(lo * n_blocks + hi, pa.int64()))
-            )
-        return pa.concat_tables(outs)
 
     def _with_query_ids(t: pa.Table, qids: np.ndarray) -> pa.Table:
         pos = t.column("query_id").to_numpy(zero_copy_only=False)
@@ -1227,12 +1229,9 @@ def knn_graph_blocked(
         empty = _empty_partial("nbr_id")
         if t.num_rows == 0:
             return empty
-        pair = int(t.column("__pair")[0].as_py())
-        i, j = pair // n_blocks, pair % n_blocks
+        i, j = _decode_block_pair(t, n_blocks)
         ids = col_np(t, id_col)
-        blk = (pd.util.hash_array(ids, categorize=False) % np.uint64(n_blocks)).astype(
-            np.int64
-        )
+        blk = _block_of(ids, n_blocks)
         emb = _normalize(_emb_matrix(t, emb_col, np.float64))
         if i == j:
             sims = emb @ emb.T
@@ -1257,9 +1256,7 @@ def knn_graph_blocked(
             ]
         )
 
-    rep = ds.select_columns([id_col, emb_col]).map_batches(
-        replicate, batch_format="pyarrow", zero_copy_batch=True
-    )
+    rep = _block_pair_replicate(ds, id_col, emb_col, n_blocks, "knn_graph_blocked")
     partials = rep.groupby("__pair").map_groups(sweep, batch_format="pyarrow")
     merged = _merge_topk_by_sim(partials, "nbr_id", k, tie_round)
 

@@ -357,8 +357,13 @@ def bbox_scan(
         for rg in range(md.num_row_groups):
             st_lat = md.row_group(rg).column(idx[lat_col]).statistics
             st_lon = md.row_group(rg).column(idx[lon_col]).statistics
-            if st_lat is None or st_lon is None:
-                return True  # no stats → cannot prune
+            if (
+                st_lat is None
+                or st_lon is None
+                or not st_lat.has_min_max
+                or not st_lon.has_min_max
+            ):
+                return True  # no stats / no min-max (e.g. all-NaN) → cannot prune
             if (
                 st_lat.max >= min_lat
                 and st_lat.min <= max_lat

@@ -190,6 +190,41 @@ def test_zorder_bbox_scan_prunes_and_matches(ray_session, tmp_path):
     assert n_read_e <= n_total
 
 
+def test_bbox_scan_keeps_file_with_min_max_free_stats(ray_session, tmp_path):
+    """A part file whose lat/lon statistics carry has_min_max=False (pyarrow
+    writes exactly that for an all-NaN float column) must be conservatively
+    KEPT, not crash the scan with a None comparison."""
+    import pyarrow.parquet as pq
+
+    from geodistpy_ray.stages.sort import bbox_scan
+
+    d = tmp_path / "parts"
+    d.mkdir()
+    good = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "lat": pa.array([20.0, 30.0]),
+            "lon": pa.array([0.0, 10.0]),
+        }
+    )
+    nan_only = pa.table(
+        {
+            "doc_id": pa.array([3, 4], pa.int64()),
+            "lat": pa.array([np.nan, np.nan]),
+            "lon": pa.array([np.nan, np.nan]),
+        }
+    )
+    pq.write_table(good, d / "part-00000.parquet")
+    pq.write_table(nan_only, d / "part-00001.parquet")
+    st = pq.ParquetFile(d / "part-00001.parquet").metadata.row_group(0).column(1).statistics
+    assert st is not None and not st.has_min_max  # the shape under test
+
+    ds, n_read, n_total = bbox_scan(str(d), 10.0, 50.0, -30.0, 30.0)
+    assert (n_read, n_total) == (2, 2)  # NaN file kept (cannot prune)
+    # exact filter still drops the NaN rows
+    assert set(ds.to_pandas()["doc_id"]) == {1, 2}
+
+
 class TestFooterSeededBoundaries:
     """stats_paths: boundaries from parquet row-group footers — the sink
     becomes a single full read; ordering contract must be identical."""
