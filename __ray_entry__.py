@@ -60,8 +60,9 @@ def entry() -> Any:
     geocode → PIP join → per-cell counts and checkpoints to a manifested
     parquet partition (``state/lineage.py``); a second runner pass proves
     resume is a byte-identical no-op; the returned Dataset is the per-cell
-    roll-up STREAMED from the written partitions (fragment counts are
-    partial aggregates, so the final SUM is exact)."""
+    roll-up over the written partitions (fragment counts are partial
+    aggregates, so the final SUM is exact), MATERIALIZED so the scratch
+    sink can be removed before returning."""
     import glob
     import hashlib
     import tempfile
@@ -96,14 +97,15 @@ def entry() -> Any:
         )
     parts = rd.read_parquet(sorted(glob.glob(f"{out_dir}/fragment=*")))
     rollup = parts.groupby("cell").aggregate(Sum("n_matches", alias_name="n_matches"))
-    # the roll-up is tiny (one row per cell) — materialize it so the
-    # scratch sink can be removed NOW; returning a lazy reader over
-    # out_dir would leak one table-sized /tmp directory per invocation
-    out = rollup.to_pandas()
+    # the roll-up is tiny (one row per cell) — materialize it (blocks pinned
+    # in the object store, exact Arrow schema preserved) so the scratch sink
+    # can be removed NOW; returning a lazy reader over out_dir would leak
+    # one table-sized /tmp directory per invocation
+    out = rollup.materialize()
     import shutil
 
     shutil.rmtree(out_dir, ignore_errors=True)
-    return rd.from_arrow(pa.Table.from_pandas(out, preserve_index=False))
+    return out
 
 
 # ── query implementations ────────────────────────────────────────────────
@@ -1398,8 +1400,14 @@ def q_link_triangles(sf_dir):
         ),
         ["a", "b"],
     ).materialize()
-    # pair-packing base for the SEMI join below (metadata-only count)
-    n_docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id"]).count()
+    # pair-packing base for the SEMI join below: strictly greater than any
+    # endpoint (b = max(src,dst) bounds both), so (a, b) -> a*base + b is
+    # injective even on fixtures whose doc_ids are NOT contiguous from 0 —
+    # a count()-derived base collides packed keys there. e is materialized,
+    # so this max is a cheap scan of the small edge table.
+    base = int(e.max("b")) + 1
+    if base >= 3_000_000_000:  # a*base + b needs a,b < ~3.03e9 for int64
+        raise ValueError(f"link_triangles: packed pair key would overflow int64 (base={base})")
 
     # wedges a<b<c: e(a,b) ⋈ e(b,c) on the middle vertex b
     def rn(cols):
@@ -1421,7 +1429,7 @@ def q_link_triangles(sf_dir):
     def tag_pair(batch: pa.Table) -> pa.Table:
         a = batch.column("a").to_numpy(zero_copy_only=False)
         b = batch.column("b").to_numpy(zero_copy_only=False)
-        return batch.append_column("pair", pa.array(a * np.int64(n_docs) + b, pa.int64()))
+        return batch.append_column("pair", pa.array(a * np.int64(base) + b, pa.int64()))
 
     w = w.map_batches(tag_pair, batch_format="pyarrow", zero_copy_batch=True)
     ek = e.map_batches(tag_pair, batch_format="pyarrow", zero_copy_batch=True).select_columns(["pair"])

@@ -23,10 +23,10 @@ from __future__ import annotations
 
 import numpy as np
 
-#: meters per degree of latitude, lower bound (used for conservative covers).
+#: meters per degree of latitude, lower bound — every conservative cover
+#: (latitude AND longitude margins) divides by this; using the smaller
+#: constant for longitude keeps the superset guarantee at all latitudes.
 MIN_M_PER_DEG_LAT = 110_567.0
-#: meters per degree of longitude at the equator, upper bound for shrink rate.
-M_PER_DEG_LON_EQ = 111_320.0
 
 DEFAULT_CELL_DEG = 2.0
 

@@ -252,6 +252,44 @@ def test_driver_contract_registry_consistency():
     assert n_q - n_o == n_r, (n_q, n_o, n_r)
 
 
+def test_link_triangles_non_contiguous_doc_ids(ray_session, tmp_path):
+    """The triangle-close SEMI join packs (a, b) -> a*base + b; the base
+    must exceed every endpoint, not just COUNT(docs). doc_id = 7i + 3
+    (i < 48) is a fixture where a count-derived base collides packed keys
+    and fabricates a phantom triangle at node 4 (verified divergence)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as m
+
+    ids = np.arange(48, dtype=np.int64) * 7 + 3
+    pq.write_table(
+        pa.table({"doc_id": pa.array(ids), "text": pa.array(["x"] * ids.size)}),
+        tmp_path / "documents.parquet",
+    )
+
+    n = ids.size
+    edges = set()
+    for i in ids:
+        for j in range(3):
+            d = (i * 7 + 13 * j + 1) % n
+            a, b = min(int(i), int(d)), max(int(i), int(d))
+            if a != b:
+                edges.add((a, b))
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want: dict[int, int] = {}
+    for a, b in edges:
+        for c in adj[a] & adj[b]:
+            if c > b:
+                want[a] = want.get(a, 0) + 1
+
+    got = m.queries()["link_triangles"](str(tmp_path)).to_pandas()
+    assert dict(zip(got["node"], got["n_triangles"])) == want
+
+
 def test_geodist_pair_validation_order_matches_reference():
     """Reference checks BOTH arrays' latitudes before any longitude
     (distance.py:155-158): bad lon in coords1 + bad lat in coords2 must
