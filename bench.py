@@ -24,13 +24,13 @@ SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 
-def _spatial_pipeline(sf_dir: str, replicate: int = 1):
+def _spatial_pipeline(sf_dir: str):
     """Headline: lineitem points → geocode → cell → polygon join → tile agg.
 
-    600k rows at sf0.1 (× ``replicate`` with distinct key offsets — used by
-    the scaling run so compute dominates fixed session overheads); the full
-    north-star shape (geocode, cell shuffle currency, broadcast spatial
-    join, partial+final aggregation).
+    600k rows at sf0.1; the full north-star shape (geocode, cell shuffle
+    currency, broadcast spatial join, partial+final aggregation). The
+    scaling run measures the separate :func:`_scaling_pipeline`, which
+    replicates its input so compute dominates fixed session overheads.
     """
     import pyarrow as pa
     import ray.data as rd
@@ -39,32 +39,27 @@ def _spatial_pipeline(sf_dir: str, replicate: int = 1):
     from geodistpy_ray.stages import add_cell, add_geocode, point_in_polygon_join
     from geodistpy_ray.stages.relational import grouped_sum
 
-    def make_pts(offset: int):
-        # 16 read blocks (~37k rows each): the default single-row-group read
-        # splits to 64 tiny blocks whose per-block orchestration dominates at
-        # this input size — measured 1.21s vs 0.50s for the identical full
-        # pipeline. At real scale blocks are full-size and this is a no-op
-        # (same tuning as _join_orders_lines / _knn_orders below).
-        li = rd.read_parquet(
-            f"{sf_dir}/lineitem.parquet",
-            columns=["l_orderkey", "l_linenumber"],
-            override_num_blocks=16,
+    # 16 read blocks (~37k rows each): the default single-row-group read
+    # splits to 64 tiny blocks whose per-block orchestration dominates at
+    # this input size — measured 1.21s vs 0.50s for the identical full
+    # pipeline. At real scale blocks are full-size and this is a no-op
+    # (same tuning as _join_orders_lines / _knn_orders below).
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber"],
+        override_num_blocks=16,
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        k = (
+            batch.column("l_orderkey").to_numpy() * 8
+            + batch.column("l_linenumber").to_numpy()
         )
+        return pa.table({"point_id": k.astype(np.int64)})
 
-        def key(batch: pa.Table) -> pa.Table:
-            import numpy as np
-
-            k = (
-                batch.column("l_orderkey").to_numpy() * 8
-                + batch.column("l_linenumber").to_numpy()
-                + offset
-            )
-            return pa.table({"point_id": k.astype(np.int64)})
-
-        return li.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
-
-    parts = [make_pts(r * (1 << 40)) for r in range(replicate)]
-    pts = parts[0] if len(parts) == 1 else parts[0].union(*parts[1:])
+    pts = li.map_batches(key, batch_format="pyarrow", zero_copy_batch=True)
     pts = add_geocode(pts, id_col="point_id")
     matches = point_in_polygon_join(pts, diamond_polygons(), id_col="point_id", cell_deg=2.0)
 
@@ -371,6 +366,9 @@ def run_bench(sf_dir: str, num_cpus: int, only=None) -> dict:
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    # a pre-initialized session keeps ITS cpu count — record the truth so a
+    # reused 8-CPU session can't be labeled as a 32-CPU run
+    num_cpus = int(ray.cluster_resources().get("CPU", num_cpus))
     from ray.data import DataContext
 
     ctx = DataContext.get_current()
@@ -679,6 +677,8 @@ def run_scale8(sf_dir: str, num_cpus: int) -> dict:
             ignore_reinit_error=True,
             logging_level="ERROR",
         )
+    # record the session's REAL cpu count (see run_bench)
+    num_cpus = int(ray.cluster_resources().get("CPU", num_cpus))
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

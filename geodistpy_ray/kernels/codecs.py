@@ -105,6 +105,11 @@ def decode_bmp(data: bytes) -> np.ndarray:
             data, dtype=np.uint8, count=4 * n_colors, offset=pal_off
         ).reshape(n_colors, 4)
         # palette quads are BGRA
+        if n_colors < 256 and int(rows.max(initial=0)) >= n_colors:
+            raise ValueError(
+                f"BMP pixel index {int(rows.max())} out of palette range "
+                f"({n_colors} colors)"
+            )
         gray = _luma(pal[:, 2], pal[:, 1], pal[:, 0])
         return gray[rows]
     if bpp == 24:

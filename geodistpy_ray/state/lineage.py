@@ -9,8 +9,8 @@ file of the fragmented input table). For each fragment the runner:
 2. runs the pipeline ``Dataset -> Dataset`` on just that fragment,
 3. writes the output to a fragment-scoped directory **atomically**
    (tmp dir + rename), and
-4. appends a manifest line with lineage (fragment path, epoch, row counts,
-   cell range if present, wall time) — the per-partition metrics record.
+4. appends a manifest line with lineage (fragment path, epoch, output
+   path, row count, wall time) — the per-partition metrics record.
 
 A killed run leaves at most one un-renamed tmp dir (ignored on resume);
 re-running completes the remaining fragments and yields byte-identical

@@ -134,8 +134,6 @@ for _ in range(3):
     samples.append(time.perf_counter() - t0)
 out["cross_track_pairs_per_sec_core"] = round(N / sorted(samples)[1])
 
-import pyarrow as _pa
-
 from geodistpy_ray.cells import cell_area_km2
 
 _cells = (np.arange(N, dtype=np.int64) * 7919) % 16200

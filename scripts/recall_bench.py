@@ -157,6 +157,9 @@ def dedup_recalls():
     got_s_pairs = set(zip(got_s["id_a"].astype(int), got_s["id_b"].astype(int)))
     out["simhash_true_pairs"] = len(true_s)
     out["simhash_recall"] = round(len(true_s & got_s_pairs) / max(len(true_s), 1), 4)
+    # the 4x16 pigeonhole blocking guarantees recall 1.0 (Hamming <= 3 over
+    # 4 bands forces at least one identical band) — enforce, don't just print
+    assert out["simhash_recall"] == 1.0, out["simhash_recall"]
     return out
 
 

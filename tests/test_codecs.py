@@ -57,6 +57,15 @@ class TestBmp:
         with pytest.raises(ValueError, match="compression"):
             decode_bmp(bytes(data))
 
+    def test_rejects_pixel_past_palette(self):
+        # biClrUsed=16 but pixel bytes reach 255: must fail with the
+        # codec's typed error, not a bare numpy IndexError
+        img = np.full((4, 4), 255, dtype=np.uint8)
+        data = bytearray(encode_bmp(img))
+        struct.pack_into("<I", data, 46, 16)  # shrink declared palette
+        with pytest.raises(ValueError, match="palette"):
+            decode_bmp(bytes(data))
+
 
 class TestWav:
     def test_mono_roundtrip(self):
