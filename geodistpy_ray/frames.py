@@ -69,9 +69,15 @@ def coordinates_from_df(df, lat_col=None, lon_col=None):
     # duck-typed frames whose library is missing get the install hint; the
     # DataFrame check comes first (a GeoDataFrame also has iloc/columns)
     if hasattr(df, "iloc") and hasattr(df, "columns"):
-        raise ImportError("pandas is required to use DataFrame input.")
+        raise ImportError(
+            "pandas is required to use DataFrame input. "
+            "Install with: pip install geodistpy[pandas]"
+        )
     if hasattr(df, "geometry"):
-        raise ImportError("geopandas is required to use GeoDataFrame input.")
+        raise ImportError(
+            "geopandas is required to use GeoDataFrame input. "
+            "Install with: pip install geodistpy[geopandas]"
+        )
     raise TypeError(
         "coordinates_from_df expects a pandas DataFrame or GeoPandas GeoDataFrame, "
         f"got {type(df).__name__}"

@@ -310,7 +310,7 @@ def _vincenty_direct_flat(latv, lonv, azv, dv, a, f):
     c = f / 16.0 * cos_sq_alpha * (4.0 + f * (4.0 - 3.0 * cos_sq_alpha))
     L = lam - (1.0 - c) * f * sin_alpha * (
         sigma
-        + c * np.sin(sigma) * (cos_2sigma_m + c * np.cos(sigma) * (-1.0 + 2.0 * cos_2sigma_m**2))
+        + c * sin_sigma * (cos_2sigma_m + c * cos_sigma * (-1.0 + 2.0 * cos_2sigma_m**2))
     )
     lon2 = np.radians(lonv) + L
     return np.degrees(lat2), np.degrees(lon2)

@@ -98,10 +98,17 @@ def write_partitioned(
     import pandas as pd
 
     def assign(batch: pa.Table) -> pa.Table:
-        v = batch.column(by_col).to_numpy(zero_copy_only=False)
-        if np.issubdtype(np.asarray(v).dtype, np.integer):
-            b = np.asarray(v) % n_buckets
+        col = batch.column(by_col)
+        # branch on the ARROW type, not the numpy dtype: an int64 column
+        # containing any null converts to float64 via to_numpy, which would
+        # route the SAME key into different buckets depending on batch
+        # composition (the nullable-key laundering bug class — see
+        # stages/grouping.py). Nulls deterministically join bucket 0.
+        if pa.types.is_integer(col.type):
+            v = pc.fill_null(col, 0).to_numpy(zero_copy_only=False).astype(np.int64)
+            b = v % n_buckets
         else:
+            v = col.to_numpy(zero_copy_only=False)
             b = pd.util.hash_array(np.asarray(v), categorize=False) % np.uint64(n_buckets)
         return batch.append_column(bucket_col, pa.array(b.astype(np.int64), pa.int64()))
 

@@ -81,9 +81,18 @@ def test_polygons() -> pa.Table:
     rng = np.random.default_rng(42)
     polys = []
 
-    # star-ish rings around a few centers
+    # star-ish rings around a few centers, incl. the documented NEAR-POLAR
+    # cases (|lat| up to ~88°, where the lon/cos(lat) stretch is extreme;
+    # rings still don't ENCLOSE a pole — true pole caps use
+    # stages.pip.polar_cap_join)
     for i, (clat, clon, rad) in enumerate(
-        [(40.0, -100.0, 8.0), (-20.0, 30.0, 6.0), (55.0, 10.0, 4.0)]
+        [
+            (40.0, -100.0, 8.0),
+            (-20.0, 30.0, 6.0),
+            (55.0, 10.0, 4.0),
+            (86.0, 45.0, 1.5),
+            (-85.5, -120.0, 2.0),
+        ]
     ):
         k = 16
         ang = np.linspace(0.0, 2 * np.pi, k, endpoint=False)

@@ -66,6 +66,27 @@ def test_write_partitioned_roundtrip(tmp_sources, tmp_path):
     assert back["text"].equals(want["text"])
 
 
+def test_write_partitioned_null_key_placement(ray_session, tmp_path):
+    """Bucket assignment must be a pure function of the KEY: an int64 key
+    column with a null in one batch must not re-route that batch's non-null
+    keys through the float hash branch (the nullable-key laundering bug
+    class — same key would land in two bucket dirs)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    t_nullfree = pa.table({"k": pa.array([1, 9], pa.int64()), "v": pa.array([0, 1])})
+    t_withnull = pa.table({"k": pa.array([1, None], pa.int64()), "v": pa.array([2, 3])})
+    ds = rd.from_arrow([t_nullfree, t_withnull])
+    out = write_partitioned(ds, str(tmp_path / "out"), by_col="k", n_buckets=8)
+    back = rd.read_parquet(out).to_pandas()
+    back["bucket"] = back["bucket"].astype(np.int64)  # hive values read as str
+    # key 1 came from BOTH batches — it must live in exactly one bucket dir
+    assert back.loc[back["k"] == 1, "bucket"].nunique() == 1
+    # null keys land deterministically (bucket 0) and survive the round trip
+    assert back["k"].isna().sum() == 1
+    assert (back.loc[back["k"].isna(), "bucket"] == 0).all()
+
+
 def test_write_csv_jsonl_roundtrip(tmp_sources, tmp_path):
     """CSV and JSONL sinks round-trip through the schema-enforced readers
     (timestamps survive the string→timestamp[us] cast)."""
