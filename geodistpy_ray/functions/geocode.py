@@ -35,10 +35,20 @@ def center_latlon(center_id):
     return clat, clon
 
 
-def geocode_ids(doc_id):
-    """doc_id column → (lat, lon) float64 columns, bit-reproducible in SQL."""
+def geocode_ids(doc_id, center_table=None):
+    """doc_id column → (lat, lon) float64 columns, bit-reproducible in SQL.
+
+    ``center_table`` is an optional precomputed ``center_latlon(arange(
+    N_CENTERS))`` pair (the GeocoderActor's per-actor state): looking the
+    centers up by index yields the SAME float64 values as recomputing
+    them, so the fast path stays bit-identical to the SQL mirror.
+    """
     d = np.asarray(doc_id, dtype=np.int64)
-    clat, clon = center_latlon(d % N_CENTERS)
+    c = d % N_CENTERS
+    if center_table is not None:
+        clat, clon = center_table[0][c], center_table[1][c]
+    else:
+        clat, clon = center_latlon(c)
     # mod BEFORE multiply: (d*m) mod M == ((d mod M)*m) mod M, and the
     # reduced product stays < 2^63 for any int64 id (a straight multiply
     # silently wraps in numpy and overflows in DuckDB for ids >= ~3.5e9)

@@ -43,6 +43,25 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(n, 1e-30)
 
 
+#: cache-resident sweep chunk (elements of one sims sub-matrix) — the same
+#: ~256k-element bound the kNN sweeps use; 4M-element chunks measured 2x
+#: slower from memory-bandwidth contention.
+_SWEEP_CHUNK = 1 << 18
+
+
+def _check_id_col(fn_name: str, id_col: str, out_cols: tuple = ("query_id", "sim", "rank")) -> None:
+    """Single-sided twin of the check inside :func:`_check_two_sided_cols`:
+    an ``id_col`` named like one of the fixed output columns would silently
+    collapse the ``pa.table`` dict literal (one array overwrites the other,
+    no error) — the merge would then rank garbage."""
+    if id_col in out_cols:
+        cols = "/".join(f"'{c}'" for c in out_cols)
+        raise ValueError(
+            f"{fn_name}: id_col={id_col!r} collides with an output column "
+            f"({cols}); rename the id column"
+        )
+
+
 def _batch_topk_rows(sims: np.ndarray, ids: np.ndarray, id_col: str, k: int, margin: float) -> pa.Table:
     """Per-batch windowed top-k over a (B, Q) similarity matrix — keeps a
     rounding-margin window past the raw kth so boundary ties survive to the
@@ -81,6 +100,7 @@ def ann_topk(
     ``query_matrix`` is (Q, d); it is closed over (broadcast once per task).
     Deterministic tie-break: (-round(sim), id).
     """
+    _check_id_col("ann_topk", id_col)
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
     margin = 10.0 ** -tie_round if tie_round is not None else 0.0
 
@@ -148,6 +168,7 @@ def ann_topk_quantized(
     (≤ scale/2 per-dimension rounding); recall vs the exact path is pinned
     in tests and tracked in scripts/recall_bench.py.
     """
+    _check_id_col("ann_topk_quantized", id_col)
     q = _normalize(np.asarray(query_matrix, dtype=np.float64))
     margin = 10.0 ** -tie_round if tie_round is not None else 0.0
 
@@ -242,6 +263,7 @@ def lsh_ann_topk(
     fewer ``n_bits`` (bigger buckets) and more ``n_tables`` (independent
     chances to collide) — measured in ``scripts/recall_bench.py``.
     """
+    _check_id_col("lsh_ann_topk", id_col)
     qm = _normalize(np.asarray(query_matrix, dtype=np.float32))
     lsh = HyperplaneLSH(qm.shape[1], n_bits, seed, n_tables)
     q_buckets = lsh.bucket(qm)  # (Q, T)
@@ -290,6 +312,7 @@ def exact_near_dup_pairs(
     id_col: str = "vec_id",
     emb_col: str = "embedding",
     broadcast_budget_bytes: int = 2 << 30,
+    sweep_chunk: int = _SWEEP_CHUNK,
 ):
     """Exact cosine near-duplicate pairs via a broadcast right side.
 
@@ -348,14 +371,35 @@ def exact_near_dup_pairs(
         ids_r, emb_r = get_broadcast(ref)
         emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
         ids = col_np(batch, id_col)
-        sims = emb @ emb_r.T  # (B, N)
-        mask = (sims >= threshold) & (ids[:, None] < ids_r[None, :])
-        bi, ri = np.nonzero(mask)
+        # chunk the corpus axis: the broadcast budget bounds DRIVER memory,
+        # not this task's peak — a corpus that passes the 2 GiB guard at
+        # d=64 is ~4M rows, and an unchunked (1024, 4M) sims matrix plus
+        # its two boolean masks (~42 GB) would OOM the worker. Chunks stay
+        # cache-resident per the measured _SWEEP_CHUNK bound.
+        step = max(1, sweep_chunk // max(ids.size, 1))
+        out_a, out_b, out_s = [], [], []
+        for s0 in range(0, ids_r.size, step):
+            sl = slice(s0, s0 + step)
+            sims = emb @ emb_r[sl].T  # (B, step)
+            mask = (sims >= threshold) & (ids[:, None] < ids_r[sl][None, :])
+            bi, ri = np.nonzero(mask)
+            if bi.size:
+                out_a.append(ids[bi])
+                out_b.append(ids_r[sl][ri])
+                out_s.append(sims[bi, ri])
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "sim": pa.array([], pa.float64()),
+                }
+            )
         return pa.table(
             {
-                "id_a": ids[bi],
-                "id_b": ids_r[ri],
-                "sim": sims[bi, ri],
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s),
             }
         )
 
@@ -490,7 +534,11 @@ def exact_near_dup_pairs_blocked(
 ):
     """Exact cosine near-duplicate pairs with NO driver-side matrix — the
     distributed twin of :func:`exact_near_dup_pairs` for corpora past its
-    broadcast budget (same output, bit-equal sims).
+    broadcast budget: the same pair set away from the threshold boundary,
+    sims equal to ~1 ulp (a matmul's BLAS blocking varies with submatrix
+    shape, so a cosine within an ulp of ``threshold`` can differ between
+    the two paths — the same caveat :func:`embedding_near_dup_pairs`
+    documents for its bucketed products).
 
     Block-replicated cartesian: vectors hash into ``n_blocks`` blocks; each
     vector ships once per block PAIR it participates in (``n_blocks``
@@ -727,6 +775,7 @@ def ivf_ann_topk(
 
     from .broadcast import get_broadcast
 
+    _check_id_col("ivf_ann_topk", id_col)
     sample_pd = ds.select_columns([emb_col]).limit(train_sample).to_pandas()
     cents = train_ivf_centroids(np.stack(sample_pd[emb_col].to_numpy()), n_centroids)
 
@@ -790,11 +839,7 @@ def _check_two_sided_cols(fn_name, reserved_tags, query_id_col, query_emb_col, i
             f"{fn_name}: {tags} are reserved for the internal tags; "
             "rename the input columns"
         )
-    if id_col in ("query_id", "sim", "rank"):
-        raise ValueError(
-            f"{fn_name}: id_col={id_col!r} collides with an output column "
-            "('query_id'/'sim'/'rank'); rename the corpus id column"
-        )
+    _check_id_col(fn_name, id_col)
 
 
 def _two_sided_sweep(t: pa.Table, id_col: str, k: int, margin: float) -> pa.Table:
@@ -874,7 +919,7 @@ def ann_join_blocked(
         if n == 0:
             return base.append_column("__pair", pa.array([], pa.int64()))
         ids = base.column("__id").to_numpy(zero_copy_only=False)
-        blk = (pd.util.hash_array(ids, categorize=False) % np.uint64(my_n)).astype(np.int64)
+        blk = _block_of(ids, my_n)
         outs = []
         for j in range(other_n):
             # pair id is always qblock * CB + cblock
@@ -995,7 +1040,7 @@ def ivf_ann_join(
         emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
         ids = batch.column(id_col).cast(pa.int64()).to_numpy(zero_copy_only=False)
         assign = np.argpartition(-(emb @ c.T), na - 1, axis=1)[:, :na]
-        sub = (pd.util.hash_array(ids, categorize=False) % np.uint64(ns)).astype(np.int64)
+        sub = _block_of(ids, ns)
         idx = np.repeat(np.arange(n, dtype=np.int64), na)
         keys = assign.ravel().astype(np.int64) * ns + np.repeat(sub, na)
         return _tagged(batch, id_col, emb_col, 1, idx, keys)
@@ -1058,13 +1103,29 @@ def embedding_pca(
             }
         )
 
-    rows = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
-    n = sum(r["n"] for r in rows)
+    # fold the partials STREAMING — take_all() would hold every per-batch
+    # d×d Gram list (as Python floats) on the driver at once,
+    # O(n_batches·d²); the running (n, s, g) fold is the O(d²)
+    # independent-of-row-count memory the docstring promises.
+    parts = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    n = 0
+    s = g = None
+    for b in parts.iter_batches(batch_size=None, batch_format="pyarrow"):
+        ns = b.column("n").to_numpy(zero_copy_only=False)
+        svals, gvals = b.column("s"), b.column("g")
+        for i in range(b.num_rows):
+            n += int(ns[i])
+            sv = np.asarray(svals[i].as_py(), dtype=np.float64)
+            gv = np.asarray(gvals[i].as_py(), dtype=np.float64)
+            if s is None:
+                s, g = sv, gv
+            else:
+                s += sv
+                g += gv
     if n < 2:
         raise ValueError(f"embedding_pca needs >= 2 vectors, got {n}")
-    s = np.sum([np.asarray(r["s"]) for r in rows], axis=0)
     d = s.size
-    g = np.sum([np.asarray(r["g"]).reshape(d, d) for r in rows], axis=0)
+    g = g.reshape(d, d)
     mu = s / n
     cov = (g - n * np.outer(mu, mu)) / (n - 1)
     evals, evecs = np.linalg.eigh(cov)  # ascending
@@ -1130,6 +1191,7 @@ def knn_graph(
         raise ValueError(
             f"knn_graph: over_budget must be 'blocked' or 'raise', got {over_budget!r}"
         )
+    _check_id_col("knn_graph", id_col, ("nbr_id", "rank", "query_id", "sim"))
     # id-only probe: the embedding payload never reaches the driver just to
     # learn the corpus is too big. ONE projected count serves both the
     # budget check and the block sizing — a LIMIT probe followed by a full
@@ -1219,6 +1281,7 @@ def knn_graph_blocked(
     (N/B)·d·8 bytes fits a worker. Total FLOPs stay N²·d (exactness is
     the point; approximate corpora belong on the IVF/LSH paths).
     """
+    _check_id_col("knn_graph_blocked", id_col, ("nbr_id", "rank", "query_id", "sim"))
     margin = 10.0 ** -tie_round if tie_round is not None else 0.0
 
     def _with_query_ids(t: pa.Table, qids: np.ndarray) -> pa.Table:

@@ -64,11 +64,13 @@ class GeocoderActor:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         # delegate to the ONE jitter implementation (overflow-safe, SQL-
-        # mirrored) — a re-derived formula here drifted once already
+        # mirrored) — a re-derived formula here drifted once already; the
+        # per-actor center table rides in as an indexed lookup (same
+        # float64 values, so parity with the SQL mirror is untouched)
         from ..functions.geocode import geocode_ids
 
         d = col_np(batch, self.id_col).astype(np.int64)
-        lat, lon = geocode_ids(d)
+        lat, lon = geocode_ids(d, center_table=(self.center_lat, self.center_lon))
         batch = batch.append_column("lat", pa.array(lat, pa.float64()))
         return batch.append_column("lon", pa.array(lon, pa.float64()))
 

@@ -39,6 +39,24 @@ _KIND_LABEL = 0
 _KIND_EDGE = 1
 
 
+def _edge_ids(batch: pa.Table, col: str) -> np.ndarray:
+    """Null-checked int64 endpoint column.
+
+    A null int64 endpoint would otherwise launder through float64/NaN in
+    ``to_numpy(zero_copy_only=False)`` and ``astype(int64)`` into
+    INT64_MIN — a phantom node that joins a real component and, being the
+    minimum label, can even become its cluster_id. Raise instead; the
+    caller decides whether to drop or fill null endpoints upstream.
+    """
+    arr = batch.column(col)
+    if arr.null_count:
+        raise ValueError(
+            f"edge column {col!r} contains nulls; drop or fill null "
+            "endpoints before the graph stage"
+        )
+    return arr.to_numpy(zero_copy_only=False).astype(np.int64)
+
+
 def connected_components(
     edges,
     src_col: str = "id_a",
@@ -72,8 +90,8 @@ def connected_components(
     """
 
     def sym(batch: pa.Table) -> pa.Table:
-        a = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        b = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        a = _edge_ids(batch, src_col)
+        b = _edge_ids(batch, dst_col)
         n2 = a.size + b.size
         return pa.table(
             {
@@ -278,8 +296,8 @@ def pagerank(
         raise ValueError("damping must be in (0, 1)")
 
     def directed(batch: pa.Table) -> pa.Table:
-        s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = _edge_ids(batch, src_col)
+        d = _edge_ids(batch, dst_col)
         return pa.table(
             {
                 "node": pa.array(s),
@@ -472,8 +490,8 @@ def hits(
 
     def oriented(key_src: bool):
         def fn(batch: pa.Table) -> pa.Table:
-            s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
-            d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            s = _edge_ids(batch, src_col)
+            d = _edge_ids(batch, dst_col)
             a, b = (s, d) if key_src else (d, s)
             return pa.table(
                 {
@@ -671,8 +689,8 @@ def bfs_hops(
     INF = np.int64(1 << 62)
 
     def directed(batch: pa.Table) -> pa.Table:
-        s = batch.column(src_col).to_numpy(zero_copy_only=False).astype(np.int64)
-        d = batch.column(dst_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        s = _edge_ids(batch, src_col)
+        d = _edge_ids(batch, dst_col)
         return pa.table(
             {
                 "node": pa.array(s),
@@ -733,16 +751,31 @@ def bfs_hops(
     def min_part(g: pd.DataFrame) -> pd.DataFrame:
         return g.groupby("node", sort=False, as_index=False).agg(lbl=("lbl", "min"))
 
-    def _lbl_sum(st) -> int:
+    def _lbl_state(st) -> tuple:
+        # Labels include INF = 2**62 sentinels: a raw int64 sum wraps mod
+        # 2**64 and can collide across a genuinely-changed round (four INF
+        # rows sum to 0, so INF→1,1,1,1 plus a 6→2 drop leaves the wrapped
+        # sum equal and breaks the loop one round early). Track
+        # (finite hop sum, unreached count) instead — a label only moves
+        # INF→finite or strictly down, so the pair is unchanged iff the
+        # round was a fixpoint; finite hops are < V so the sum can't wrap.
         def partial(batch: pa.Table) -> pa.Table:
             v = batch.column("lbl").to_numpy(zero_copy_only=False)
-            return pa.table({"s": pa.array([int(v.sum())], pa.int64())})
+            fin = v < INF
+            return pa.table(
+                {
+                    "s": pa.array([int(v[fin].sum())], pa.int64()),
+                    "u": pa.array([int((~fin).sum())], pa.int64()),
+                }
+            )
 
-        return sum(
-            r["s"] for r in st.map_batches(partial, batch_format="pyarrow").take_all()
-        )
+        s = u = 0
+        for r in st.map_batches(partial, batch_format="pyarrow").take_all():
+            s += r["s"]
+            u += r["u"]
+        return (s, u)
 
-    s_old = _lbl_sum(state)
+    s_old = _lbl_state(state)
     for it in range(max_iters):
         msgs = partitioned_map_groups(state.union(e), "node", msgs_part, n_parts=n_parts)
         new = partitioned_map_groups(msgs, "node", min_part, n_parts=n_parts)
@@ -761,9 +794,10 @@ def bfs_hops(
         new_state = new.map_batches(
             relabel, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
-        # convergence: total label sum is strictly decreasing until fixed
-        # (the previous round's sum is carried, not recomputed)
-        s_new = _lbl_sum(new_state)
+        # convergence: (finite sum, unreached count) changes on every
+        # non-fixpoint round (the previous round's state is carried,
+        # not recomputed)
+        s_new = _lbl_state(new_state)
         state = new_state
         if s_new == s_old:
             break

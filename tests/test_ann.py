@@ -128,6 +128,26 @@ class TestNearDup:
         with pytest.raises(ValueError, match="broadcast budget"):
             exact_near_dup_pairs(_emb_ds(), 0.4, broadcast_budget_bytes=64)
 
+    def test_chunked_corpus_sweep_matches_unchunked(self, emb_data):
+        """The worker-memory chunking of the (B, N) sims matrix must not
+        change the pair set or sims: a sweep_chunk smaller than one corpus
+        row forces step=1 (maximal chunking) and must reproduce the
+        default run exactly (same dot products, just sliced)."""
+        from geodistpy_ray.stages.ann import exact_near_dup_pairs
+
+        base = (
+            exact_near_dup_pairs(_emb_ds(), 0.4)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        chunked = (
+            exact_near_dup_pairs(_emb_ds(), 0.4, sweep_chunk=1)
+            .to_pandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        assert base[["id_a", "id_b"]].values.tolist() == chunked[["id_a", "id_b"]].values.tolist()
+        np.testing.assert_allclose(base["sim"].to_numpy(), chunked["sim"].to_numpy(), atol=1e-12)
+
     def test_lsh_cross_check_vs_exact_sf001(self, ray_session):
         """The scale path vs its exact twin on the driver's own table at
         sf0.01: every LSH pair must be an exact pair (precision 1.0 — the
@@ -763,3 +783,26 @@ def test_ivf_centroid_init_survives_zero_vector(ray_session):
     assert c.shape == (6, 8)
     # seeds must be distinct: 6 effective centroids, not a collapsed pair
     assert len(np.unique(np.round(c, 9), axis=0)) == 6
+
+
+def test_id_col_output_collision_raises(ray_session):
+    """An id_col named like a fixed output column would silently collapse
+    the pa.table dict literal in the top-k sweeps — must refuse up front."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import ann_topk, knn_graph, lsh_ann_topk
+
+    tbl = pa.table(
+        {
+            "sim": pa.array([1, 2], pa.int64()),
+            "nbr_id": pa.array([3, 4], pa.int64()),
+            "embedding": pa.array([[1.0, 0.0], [0.0, 1.0]], pa.list_(pa.float64())),
+        }
+    )
+    q = np.eye(2)
+    with pytest.raises(ValueError, match="id_col"):
+        ann_topk(rd.from_arrow(tbl), q, k=1, id_col="sim")
+    with pytest.raises(ValueError, match="id_col"):
+        lsh_ann_topk(rd.from_arrow(tbl), q, k=1, id_col="sim")
+    with pytest.raises(ValueError, match="id_col"):
+        knn_graph(rd.from_arrow(tbl), k=1, id_col="nbr_id")

@@ -475,3 +475,26 @@ def test_hits_rejects_zero_iters(ray_session):
     e = pa.table({"src": [1], "dst": [2]})
     with pytest.raises(ValueError, match="n_iters"):
         hits(rd.from_arrow(e), n_iters=0)
+
+
+def test_null_edge_endpoint_raises(ray_session):
+    """A null int64 endpoint would launder through float64/NaN into
+    INT64_MIN — a phantom minimum-label node — so graph stages refuse."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.graph import bfs_hops, connected_components, pagerank
+
+    e = rd.from_arrow(
+        pa.table(
+            {
+                "id_a": pa.array([1, None], pa.int64()),
+                "id_b": pa.array([2, 3], pa.int64()),
+            }
+        )
+    )
+    with pytest.raises(Exception, match="null"):
+        connected_components(e).to_pandas()
+    with pytest.raises(Exception, match="null"):
+        pagerank(e, src_col="id_a", dst_col="id_b", n_iters=1).to_pandas()
+    with pytest.raises(Exception, match="null"):
+        bfs_hops(e, [1], src_col="id_a", dst_col="id_b").to_pandas()

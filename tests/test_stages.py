@@ -1059,3 +1059,15 @@ def test_distinct_and_minmax_driver_budget(ray_session):
     assert sorted(d["k"].tolist()) == list(range(7))
     mm = grouped_minmax(bounded, ["k"], "v", final="driver", driver_row_budget=200)
     assert len(mm) == 7 and mm["max_value"].max() == float(n - 1)
+
+
+def test_geocode_center_table_parity():
+    """GeocoderActor's indexed center lookup must stay bit-identical to
+    the recompute path (the SQL mirror recomputes)."""
+    from geodistpy_ray.functions.geocode import N_CENTERS, center_latlon, geocode_ids
+
+    ids = np.arange(0, 100_000, 97, dtype=np.int64)
+    ct = center_latlon(np.arange(N_CENTERS, dtype=np.int64))
+    lat0, lon0 = geocode_ids(ids)
+    lat1, lon1 = geocode_ids(ids, center_table=ct)
+    assert (lat0 == lat1).all() and (lon0 == lon1).all()
