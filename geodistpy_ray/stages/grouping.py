@@ -119,13 +119,7 @@ def key_spans(sorted_keys: np.ndarray, min_size: int = 1):
     if sorted_keys.size == 0:
         e = np.array([], dtype=np.int64)
         return e, e
-    neq = sorted_keys[1:] != sorted_keys[:-1]
-    if sorted_keys.dtype.kind == "f":
-        # NaN != NaN would split every null-laundered key row into its own
-        # run; sorting already made NaNs adjacent, so one NULL span — the
-        # SQL PARTITION BY convention (see relational.grouped_sum)
-        both_nan = np.isnan(sorted_keys[1:]) & np.isnan(sorted_keys[:-1])
-        neq &= ~both_nan
+    neq = ~same_adjacent(sorted_keys)
     change = np.flatnonzero(neq) + 1
     starts = np.concatenate(([0], change))
     ends = np.concatenate((change, [sorted_keys.size]))
@@ -133,6 +127,32 @@ def key_spans(sorted_keys: np.ndarray, min_size: int = 1):
         keep = np.flatnonzero(ends - starts >= min_size)
         return starts[keep], ends[keep]
     return starts, ends
+
+
+def same_adjacent(sorted_keys: np.ndarray) -> np.ndarray:
+    """Null-aware ``keys[1:] == keys[:-1]`` over a SORTED key array — the
+    elementwise twin of :func:`key_spans`' run detection, shared by every
+    window/sketch that marks key boundaries with an adjacent compare.
+
+    Raw ``==`` silently splits the SQL NULL group, dtype-dependently: a
+    null int64 key launders to float64 NaN (NaN == NaN is False) and a
+    null timestamp to NaT (same); object arrays carry None (None == None
+    is True) but may also carry NaN. Sorting already made nulls adjacent,
+    so merging them yields exactly one NULL run — the SQL PARTITION BY
+    convention (see relational.grouped_sum).
+    """
+    k1, k0 = sorted_keys[1:], sorted_keys[:-1]
+    kind = sorted_keys.dtype.kind
+    if kind in "mM":
+        # NaT == NaT is False on the datetime view but NaT is one fixed
+        # int64 bit pattern — the integer view compares nulls equal for free
+        return k1.view("i8") == k0.view("i8")
+    same = np.asarray(k1 == k0, dtype=bool)
+    if kind == "f":
+        same |= np.isnan(k1) & np.isnan(k0)
+    elif kind == "O":
+        same |= pd.isna(k1) & pd.isna(k0)
+    return same
 
 
 def map_key_spans(g: pd.DataFrame, key_col: str, frame_fn) -> pd.DataFrame:

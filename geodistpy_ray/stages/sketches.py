@@ -72,12 +72,19 @@ def approx_distinct_count(ds, col: str, p: int = 14) -> float:
         raise ValueError("p must be in [11, 18]")
 
     def partial(batch: pa.Table) -> pa.Table:
-        regs = _hll_registers(batch.column(col).to_numpy(zero_copy_only=False), p)
+        # drop_null BEFORE to_numpy: SQL COUNT(DISTINCT) ignores NULLs, and
+        # (worse) one null would launder the whole batch's int64 values to
+        # float64 whose bit patterns hash differently from the null-free
+        # batches' — the same value would then count twice
+        v = batch.column(col).drop_null().to_numpy(zero_copy_only=False)
+        regs = _hll_registers(v, p)
         return pa.table({"regs": pa.array([regs.tobytes()], pa.binary())})
 
     merged = np.zeros(1 << p, dtype=np.uint8)
+    # batch_size=None: one register row per BLOCK, not per default 1024-row
+    # batch (build_bloom_filter documents the same choice)
     partials = ds.select_columns([col]).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
     for b in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
         for buf in b.column("regs").to_pylist():
@@ -88,60 +95,77 @@ def approx_distinct_count(ds, col: str, p: int = 14) -> float:
 def approx_distinct_per_key(ds, key_col: str, col: str, p: int = 12):
     """Per-key approximate distinct counts → Dataset (key, approx_distinct).
 
-    Per-batch combiner: one register row per (key × batch) — the shuffle
-    moves 2^p bytes per key-batch instead of every raw value, which is the
-    win when per-key value cardinality is huge. The merge groups on a hash
-    partition of the key (stages/grouping.py) and max-folds each key's
-    registers vectorized.
+    Per-block combiner (``batch_size=None``): one register row per
+    (key × block) — the shuffle moves 2^p bytes per key-block instead of
+    every raw value, which is the win when per-key value cardinality is
+    huge. The merge groups on a hash partition of the key
+    (stages/grouping.py) and max-folds each key's registers vectorized.
+
+    NULL values are ignored (SQL COUNT(DISTINCT) semantics) — a key whose
+    values are ALL null therefore emits no row; NULL KEYS form one SQL-style
+    group.
     """
     if not 11 <= p <= 16:
         raise ValueError("p must be in [11, 16]")
+    from .grouping import key_spans, partitioned_map_groups
 
     def partial(batch: pa.Table) -> pa.Table:
-        from .grouping import key_spans
-
         key_type = batch.schema.field(key_col).type
+        # null values out first: SQL semantics, AND one null would launder
+        # the batch's int64 values to float64 whose bit patterns hash
+        # differently from null-free batches' (double counting)
+        batch = batch.filter(batch.column(col).is_valid())
         if batch.num_rows == 0:
             # typed empty — an untyped pa.array([]) infers null and makes
             # the block schema unstable across the stream
             return pa.table(
                 {key_col: pa.array([], key_type), "regs": pa.array([], pa.binary())}
             )
-        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        vals = batch.column(col).to_numpy(zero_copy_only=False)
-        # one argsort + span sweep, not an O(keys × rows) mask per key
-        order = np.argsort(keys, kind="mergesort")
-        sk, sv = keys[order], vals[order]
-        out_k, bufs = [], []
-        for s, e in zip(*key_spans(sk)):
-            out_k.append(sk[s])
-            bufs.append(_hll_registers(sv[s:e], p).tobytes())
+        # Arrow sort (null keys adjacent, no object-array Python compares)
+        # + span sweep, not an O(keys × rows) mask per key
+        b = batch.sort_by([(key_col, "ascending")])
+        keys = b.column(key_col).to_numpy(zero_copy_only=False)
+        vals = b.column(col).to_numpy(zero_copy_only=False)
+        starts, ends = key_spans(keys)
+        bufs = [_hll_registers(vals[s:e], p).tobytes() for s, e in zip(starts, ends)]
         return pa.table(
-            {key_col: pa.array(out_k, key_type), "regs": pa.array(bufs, pa.binary())}
+            {
+                # take() from the sorted column: exact input type and null
+                # keys survive (the numpy detour yields NaN, untypable)
+                key_col: b.column(key_col).combine_chunks().take(pa.array(starts)),
+                "regs": pa.array(bufs, pa.binary()),
+            }
         )
 
     partials = ds.select_columns([key_col, col]).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
-    from .grouping import partitioned_map_groups
 
-    from .grouping import key_spans
-
-    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
+    def merge_part(t: pa.Table) -> pa.Table:
         # stack every register row into one (rows, 2^p) matrix and max-fold
         # each key's span with a single reduceat — no per-key Python merge
-        g = g.sort_values(key_col, kind="mergesort")
-        keys = g[key_col].to_numpy()
-        mat = np.frombuffer(b"".join(g["regs"].tolist()), dtype=np.uint8).reshape(
-            len(g), -1
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    "approx_distinct": pa.array([], pa.float64()),
+                }
+            )
+        t = t.sort_by([(key_col, "ascending")])
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
+        mat = np.frombuffer(b"".join(t.column("regs").to_pylist()), dtype=np.uint8).reshape(
+            t.num_rows, -1
         )
         starts, _ = key_spans(keys)
         merged = np.maximum.reduceat(mat, starts, axis=0)
-        return pd.DataFrame(
-            {key_col: keys[starts], "approx_distinct": hll_estimate_many(merged)}
+        return pa.table(
+            {
+                key_col: t.column(key_col).combine_chunks().take(pa.array(starts)),
+                "approx_distinct": pa.array(hll_estimate_many(merged), pa.float64()),
+            }
         )
 
-    return partitioned_map_groups(partials, key_col, merge_part)
+    return partitioned_map_groups(partials, key_col, merge_part, part_format="pyarrow")
 
 
 def grouped_quantile_sketch(
@@ -176,6 +200,10 @@ def grouped_quantile_sketch(
 
     def partial(batch: pa.Table) -> pa.Table:
         key_type = batch.schema.field(key_col).type
+        # null values out first (SQL quantile/percentile ignores NULLs; a
+        # laundered NaN would also poison the sorted summary); null KEYS
+        # stay — one SQL-style group
+        batch = batch.filter(batch.column(value_col).is_valid())
         if batch.num_rows == 0:
             return pa.table(
                 {
@@ -184,54 +212,68 @@ def grouped_quantile_sketch(
                     "wts": pa.array([], pa.binary()),
                 }
             )
-        keys = batch.column(key_col).to_numpy(zero_copy_only=False)
-        vals = batch.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
-        order = np.lexsort((vals, keys))
-        sk, sv = keys[order], vals[order]
-        out_k, vbufs, wbufs = [], [], []
-        for s, e in zip(*key_spans(sk)):
+        # Arrow sort handles null keys (adjacent, no object-array Python
+        # compares the numpy lexsort would choke on)
+        sb = batch.sort_by([(key_col, "ascending"), (value_col, "ascending")])
+        keys = sb.column(key_col).to_numpy(zero_copy_only=False)
+        vals = sb.column(value_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        starts_all, ends_all = key_spans(keys)
+        vbufs, wbufs = [], []
+        for s, e in zip(starts_all, ends_all):
             n = e - s
-            v = sv[s:e]  # already sorted within the key span
+            v = vals[s:e]  # already sorted within the key span
             if n <= b:
                 w = np.ones(n, dtype=np.float64)
             else:
                 idx = ((np.arange(b, dtype=np.float64) + 0.5) * n / b).astype(np.int64)
                 v = v[idx]
                 w = np.full(b, n / b, dtype=np.float64)
-            out_k.append(sk[s])
             vbufs.append(v.tobytes())
             wbufs.append(w.tobytes())
         return pa.table(
             {
-                key_col: pa.array(out_k, key_type),
+                key_col: sb.column(key_col).combine_chunks().take(pa.array(starts_all)),
                 "vals": pa.array(vbufs, pa.binary()),
                 "wts": pa.array(wbufs, pa.binary()),
             }
         )
 
     partials = ds.select_columns([key_col, value_col]).map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
     )
 
-    def merge_part(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(key_col, kind="mergesort")
-        keys = g[key_col].to_numpy()
+    def merge_part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], t.schema.field(key_col).type),
+                    out_col: pa.array([], pa.float64()),
+                }
+            )
+        t = t.sort_by([(key_col, "ascending")])
+        keys = t.column(key_col).to_numpy(zero_copy_only=False)
         starts, ends = key_spans(keys)
-        out_k, out_v = [], []
+        vbufs = t.column("vals").to_pylist()
+        wbufs = t.column("wts").to_pylist()
+        out_v = []
         for s, e in zip(starts, ends):
-            v = np.frombuffer(b"".join(g["vals"].iloc[s:e]), dtype=np.float64)
-            w = np.frombuffer(b"".join(g["wts"].iloc[s:e]), dtype=np.float64)
+            v = np.frombuffer(b"".join(vbufs[s:e]), dtype=np.float64)
+            w = np.frombuffer(b"".join(wbufs[s:e]), dtype=np.float64)
             o = np.argsort(v, kind="mergesort")
             cw = np.cumsum(w[o])
             # weighted lower quantile: first point whose cumulative weight
             # reaches q·W (W = true row count, since weights sum to n_batch)
             target = q * cw[-1]
             i = min(int(np.searchsorted(cw, target, side="left")), cw.size - 1)
-            out_k.append(keys[s])
             out_v.append(v[o][i])
-        return pd.DataFrame({key_col: out_k, out_col: out_v})
+        return pa.table(
+            {
+                key_col: t.column(key_col).combine_chunks().take(pa.array(starts)),
+                out_col: pa.array(out_v, pa.float64()),
+            }
+        )
 
-    return partitioned_map_groups(partials, key_col, merge_part)
+    return partitioned_map_groups(partials, key_col, merge_part, part_format="pyarrow")
 
 
 def _bloom_hash_pair(values: np.ndarray):
@@ -370,7 +412,9 @@ def heavy_hitters(ds, col: str, threshold_frac: float, k: int | None = None) -> 
     silently incomplete answer.
     Pass 2 (verify): the ≤O(k) candidate set is broadcast and counted
     EXACTLY per batch (np.isin mask + unique), driver-summed, thresholded.
-    Output is bit-identical to SQL
+    NULL values form one group (SQL GROUP BY keeps it) counted exactly
+    through a scalar channel in pass 1 — it never enters the Misra-Gries
+    summary, so no error applies to it. Output is bit-identical to SQL
     ``GROUP BY col HAVING COUNT(*) >= threshold_frac * N``.
     """
     if not 0.0 < threshold_frac <= 1.0:
@@ -380,8 +424,14 @@ def heavy_hitters(ds, col: str, threshold_frac: float, k: int | None = None) -> 
     sel = ds.select_columns([col])
 
     def partial(batch: pa.Table) -> pa.Table:
+        arr = batch.column(col)
         key_type = batch.schema.field(col).type
-        v = batch.column(col).to_numpy(zero_copy_only=False)
+        n_null = arr.null_count
+        # non-null values only: np.unique's Python compares raise on
+        # None-vs-str object arrays, and a null int64 column would launder
+        # every key to float64. The NULL group is counted EXACTLY through
+        # its own scalar channel (no Misra-Gries error ever applies to it).
+        v = arr.drop_null().to_numpy(zero_copy_only=False)
         keys, counts = np.unique(v, return_counts=True)
         counts = counts.astype(np.int64)
         err = 0
@@ -390,21 +440,26 @@ def heavy_hitters(ds, col: str, threshold_frac: float, k: int | None = None) -> 
             err = int(kth)
             keep = counts > kth
             keys, counts = keys[keep], counts[keep] - kth
-            if keys.size == 0:
-                # the prune evicted every key (uniform batch) — emit one
-                # zero-count carrier row so the __tot/__err scalars still
-                # reach the driver; a 0 add never changes any key's count
-                keys, counts = v[:1], np.zeros(1, dtype=np.int64)
-        tot = np.zeros(keys.size, dtype=np.int64)
-        errs = np.zeros(keys.size, dtype=np.int64)
-        if keys.size:
-            tot[0], errs[0] = v.size, err  # one scalar per partial; sums stay exact
+        key_arr = pa.array(keys, key_type)
+        if keys.size == 0:
+            # every key pruned (uniform batch) or all-null batch — emit one
+            # zero-count NULL-key carrier row so the scalar channels still
+            # reach the driver (the driver drops null-key summary rows)
+            key_arr = pa.array([None], key_type)
+            counts = np.zeros(1, dtype=np.int64)
+        tot = np.zeros(len(key_arr), dtype=np.int64)
+        errs = np.zeros(len(key_arr), dtype=np.int64)
+        nulls = np.zeros(len(key_arr), dtype=np.int64)
+        # one scalar per partial; sums stay exact. __tot counts ALL rows
+        # (SQL COUNT(*) defines N), __nnull the NULL group's exact count.
+        tot[0], errs[0], nulls[0] = v.size + n_null, err, n_null
         return pa.table(
             {
-                col: pa.array(keys, key_type),
+                col: key_arr,
                 "__n": counts,
                 "__tot": tot,
                 "__err": errs,
+                "__nnull": nulls,
             }
         )
 
@@ -414,15 +469,21 @@ def heavy_hitters(ds, col: str, threshold_frac: float, k: int | None = None) -> 
     summary = pd.Series(dtype=np.int64)
     total = 0
     err_total = 0
+    null_total = 0
     for bt in partials.iter_batches(batch_size=None, batch_format="pyarrow"):
         df = bt.to_pandas()
         if df.empty:
             continue
         total += int(df["__tot"].sum())
         err_total += int(df["__err"].sum())
-        summary = (
-            pd.concat([summary, df.set_index(col)["__n"]]).groupby(level=0).sum()
-        )
+        null_total += int(df["__nnull"].sum())
+        # null-key rows are carriers for the scalars above, never summary
+        # candidates — the NULL group is tracked exactly via __nnull
+        df = df.dropna(subset=[col])
+        if not df.empty:
+            summary = (
+                pd.concat([summary, df.set_index(col)["__n"]]).groupby(level=0).sum()
+            )
         if len(summary) > k:
             vals = summary.to_numpy()
             kth = int(np.partition(vals, vals.size - k - 1)[vals.size - k - 1])
@@ -437,9 +498,15 @@ def heavy_hitters(ds, col: str, threshold_frac: float, k: int | None = None) -> 
             f"heavy_hitters: accumulated summary error {err_total} reaches the "
             f"threshold {thresh}; raise k (got {k}) for this distribution"
         )
+    null_hh = (
+        pa.table({col: pa.array([None], key_type), "cnt": pa.array([null_total], pa.int64())})
+        if total > 0 and null_total >= thresh
+        else None
+    )
     cand = summary.index[summary.to_numpy() + err_total >= thresh].to_numpy()
     if cand.size == 0:
-        return pa.table({col: pa.array([], key_type), "cnt": pa.array([], pa.int64())})
+        empty = pa.table({col: pa.array([], key_type), "cnt": pa.array([], pa.int64())})
+        return pa.concat_tables([empty, null_hh]) if null_hh is not None else empty
 
     import ray
 
@@ -449,7 +516,8 @@ def heavy_hitters(ds, col: str, threshold_frac: float, k: int | None = None) -> 
         from .broadcast import get_broadcast
 
         key_t = batch.schema.field(col).type
-        v = batch.column(col).to_numpy(zero_copy_only=False)
+        # non-null only, matching pass 1 (and np.isin never matches NaN)
+        v = batch.column(col).drop_null().to_numpy(zero_copy_only=False)
         c = get_broadcast(cand_ref)
         hit = v[np.isin(v, c)]
         keys, counts = np.unique(hit, return_counts=True)
@@ -463,9 +531,10 @@ def heavy_hitters(ds, col: str, threshold_frac: float, k: int | None = None) -> 
         if not df.empty:
             acc = pd.concat([acc, df.set_index(col)["cnt"]]).groupby(level=0).sum()
     acc = acc[acc >= thresh].sort_index()
-    return pa.table(
+    out = pa.table(
         {col: pa.array(acc.index.to_numpy(), key_type), "cnt": acc.to_numpy().astype(np.int64)}
     )
+    return pa.concat_tables([out, null_hh]) if null_hh is not None else out
 
 
 def approx_quantile(ds, value_col: str, q: float, pct: int = 10, id_col: str = "event_id"):

@@ -25,6 +25,23 @@ def _us(batch: pa.Table, ts_col: str) -> np.ndarray:
     return ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
 
 
+def _window_key(us: np.ndarray, div: int, sub: int = 0) -> pa.Array:
+    """``(us - sub) // div`` as a NULLABLE int64 window key.
+
+    A null timestamp launders ``_us`` to float64 NaN; ``pa.array(NaN,
+    int64)`` would kill the whole aggregation, while SQL's
+    ``(epoch_us(ts) - sub) // div`` yields a NULL key that GROUP BY keeps
+    as one group — emit exactly that.
+    """
+    if us.dtype.kind == "f":
+        nan = np.isnan(us)
+        w = np.zeros(us.size, dtype=np.int64)
+        v = us[~nan]
+        w[~nan] = (v.astype(np.int64) - sub) // div
+        return pa.array(w, pa.int64(), mask=nan)
+    return pa.array((us - sub) // div, pa.int64())
+
+
 def tumbling_window_agg(
     ds,
     key_col: str,
@@ -46,8 +63,9 @@ def tumbling_window_agg(
     from .relational import grouped_sum
 
     def assign(batch: pa.Table) -> pa.Table:
-        w = _us(batch, ts_col) // window_us
-        return batch.append_column("window_key", pa.array(w, pa.int64()))
+        return batch.append_column(
+            "window_key", _window_key(_us(batch, ts_col), window_us)
+        )
 
     ds2 = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     cent_cols = {value_col: "sum_value_cents"} if value_col else None
@@ -83,12 +101,19 @@ def hopping_window_agg(
     m = window_us // hop_us
 
     def assign(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = batch.num_rows
-        base = (_us(batch, ts_col) - offset_us) // hop_us
+        base = _window_key(_us(batch, ts_col), hop_us, sub=offset_us)
         idx = np.repeat(np.arange(n, dtype=np.int64), m)
-        wk = np.repeat(base, m) - np.tile(np.arange(m, dtype=np.int64), n)
+        # null-ts rows replicate as m NULL window keys, matching the SQL
+        # mirror's m per-hop NULL rows (arithmetic on a null stays null)
+        wk = pc.subtract(
+            base.take(pa.array(idx)),
+            pa.array(np.tile(np.arange(m, dtype=np.int64), n)),
+        )
         out = batch.take(pa.array(idx))
-        return out.append_column("window_key", pa.array(wk, pa.int64()))
+        return out.append_column("window_key", wk)
 
     ds2 = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
     cent_cols = {value_col: "sum_value_cents"} if value_col else None
@@ -278,7 +303,7 @@ def geodesic_track_length(
     """
     from ..kernels import resolve_ellipsoid
     from .geo import distance_kernel
-    from .grouping import key_spans, partitioned_map_groups
+    from .grouping import key_spans, partitioned_map_groups, same_adjacent
 
     kfn = distance_kernel(kernel)
     _a, _f = resolve_ellipsoid("WGS-84")
@@ -303,7 +328,10 @@ def geodesic_track_length(
         leg_mm = np.zeros(n, dtype=np.int64)  # leg_mm[i] = leg ENDING at row i
         if n > 1:
             d = kfn(lat[:-1], lon[:-1], lat[1:], lon[1:], _a, _f)
-            same = keys[1:] == keys[:-1]
+            # null-aware compare (grouping.same_adjacent): a raw == mask is
+            # NaN-blind on null-laundered numeric keys, zeroing the NULL
+            # group's legs while key_spans still keeps its span
+            same = same_adjacent(keys)
             leg_mm[1:] = np.where(same, np.floor(d * 1000.0 + 0.5).astype(np.int64), 0)
         starts, ends = key_spans(keys)
         track = np.add.reduceat(leg_mm, starts)  # leg_mm[start-of-key] is 0
@@ -311,12 +339,13 @@ def geodesic_track_length(
         keep = n_legs > 0
         return pa.table(
             {
-                # cast to the INPUT key type so empty and non-empty
-                # partitions emit identical schemas (inference from a numpy
-                # object array can differ, e.g. string vs large_string)
-                key_col: pa.array(keys[starts][keep]).cast(
-                    t.schema.field(key_col).type
-                ),
+                # take() from the SORTED input column: exact input type for
+                # cross-partition schema stability AND null keys survive
+                # (the numpy detour would yield NaN, which no int64 cast
+                # accepts)
+                key_col: t.column(key_col)
+                .combine_chunks()
+                .take(pa.array(starts[keep])),
                 "n_legs": pa.array(n_legs[keep], pa.int64()),
                 "track_mm": pa.array(track[keep], pa.int64()),
             }
@@ -400,8 +429,15 @@ def densify_tracks(
     one Arrow sort + vectorized kernel math + one repeat-explode — no
     Python per row.
     """
-    from .grouping import key_spans, partitioned_map_groups
+    from .grouping import key_spans, partitioned_map_groups, same_adjacent
 
+    if key_col in ("leg_idx", "k"):
+        # the output table is a dict literal — a key column named like a
+        # fixed output column would silently overwrite it, not error
+        raise ValueError(
+            f"densify_tracks: key_col={key_col!r} collides with an output "
+            "column ('leg_idx'/'k'); rename the key column"
+        )
     sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
         [(tiebreak_col, "ascending")] if tiebreak_col else []
     )
@@ -425,9 +461,10 @@ def densify_tracks(
             return empty
         from ..kernels.sphere import haversine
 
-        # leg starting at row i (same key as row i+1 only)
+        # leg starting at row i (same key as row i+1 only); null-aware
+        # compare so the SQL NULL partition's legs densify too
         d = haversine(lat[:-1], lon[:-1], lat[1:], lon[1:], radius=radius)
-        same = keys[1:] == keys[:-1]
+        same = same_adjacent(keys)
         # 1-based rank of each row within its key span = leg_idx of the leg
         # it starts
         starts, ends = key_spans(keys)
@@ -468,7 +505,10 @@ def densify_tracks(
             plon = np.round(plon, round_to)
         return pa.table(
             {
-                key_col: pa.array(keys[src]),
+                # take() from the sorted input column: exact input type
+                # (geodesic_track_length documents the inference hazard)
+                # and null keys survive
+                key_col: t.column(key_col).combine_chunks().take(pa.array(src)),
                 "leg_idx": pa.array(rnk[src], pa.int64()),
                 "k": pa.array(k, pa.int64()),
                 lat_col: pa.array(plat, pa.float64()),
@@ -502,7 +542,7 @@ def add_lag_delta(
     import numpy as np
     import pandas as pd
 
-    from .grouping import partitioned_map_groups
+    from .grouping import partitioned_map_groups, same_adjacent
 
     if direction not in ("lag", "lead"):
         raise ValueError(f"direction must be 'lag' or 'lead', got {direction!r}")
@@ -517,7 +557,9 @@ def add_lag_delta(
         delta = np.full(len(g), np.nan)
         if len(g) > 1:
             d = (v[1:] - v[:-1]).astype(np.float64)
-            same = keys[1:] == keys[:-1]
+            # null-aware: SQL's LAG partitions NULL keys together, the raw
+            # == would NULL every delta of a null-laundered numeric key
+            same = same_adjacent(keys)
             if direction == "lag":
                 delta[1:] = np.where(same, d, np.nan)
             else:
@@ -545,7 +587,7 @@ def session_spans(
     frames. Exact-tie timestamps can't straddle a session boundary
     (gap 0 ≤ any positive gap), so the output is tiebreak-independent.
     """
-    from .grouping import partitioned_map_groups
+    from .grouping import partitioned_map_groups, same_adjacent
 
     sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
         [(tiebreak_col, "ascending")] if tiebreak_col else []
@@ -569,19 +611,24 @@ def session_spans(
         us = _us(t, ts_col)
         brk = np.ones(n, dtype=bool)  # row starts a session
         if n > 1:
-            same = keys[1:] == keys[:-1]
+            # null-aware like sessionize: a raw == splits the SQL NULL
+            # partition into one singleton session per null row
+            same = same_adjacent(keys)
             brk[1:] = ~same | (np.diff(us) > gap_us)
         starts = np.flatnonzero(brk)
         ends = np.append(starts[1:], n)
         # 1-based session index within each key: global session ordinal
         # minus the ordinal of the key's FIRST session
         key_of_sess = keys[starts]
-        newkey = np.r_[True, key_of_sess[1:] != key_of_sess[:-1]]
+        newkey = np.r_[True, ~same_adjacent(key_of_sess)]
         base_idx = np.maximum.accumulate(np.where(newkey, np.arange(starts.size), 0))
         sidx = np.arange(starts.size, dtype=np.int64) - base_idx + 1
         return pa.table(
             {
-                key_col: pa.array(key_of_sess),
+                # take() from the sorted input column: exact input type per
+                # partition (numpy inference floats null-bearing int keys)
+                # and null keys survive
+                key_col: t.column(key_col).combine_chunks().take(pa.array(starts)),
                 "session_idx": pa.array(sidx, pa.int64()),
                 "start_us": pa.array(us[starts], pa.int64()),
                 "end_us": pa.array(us[ends - 1], pa.int64()),

@@ -864,7 +864,7 @@ def test_densify_tracks_properties(ray_session):
     # one user, three points: a 12000 km leg, a short leg (no inserts)
     df = pd.DataFrame(
         {
-            "k": [1, 1, 1],
+            "trk": [1, 1, 1],
             "t": [0, 1, 2],
             "lat": [10.0, 20.0, 20.1],
             "lon": [-60.0, 70.0, 70.1],
@@ -872,11 +872,12 @@ def test_densify_tracks_properties(ray_session):
     )
     out = (
         densify_tracks(
-            rd.from_pandas(df), "k", "t", max_leg_m=5_000_000.0, round_to=None
+            rd.from_pandas(df), "trk", "t", max_leg_m=5_000_000.0, round_to=None
         )
         .to_pandas()
         .sort_values(["leg_idx", "k"], ignore_index=True)
     )
+    assert (out["trk"] == 1).all()  # the key column survives alongside 'k'
     d = float(haversine(10.0, -60.0, 20.0, 70.0))
     n = int(np.ceil(d / 5_000_000.0))
     assert (out["leg_idx"] == 1).all()  # only the long leg densifies

@@ -399,3 +399,72 @@ def test_bloom_filter_selectivity(ray_session):
     fp = np.setdiff1d(kept, np.arange(2000)).size / 38000
     # p=16 bits, k=4, n=2000 -> theoretical fpr ~ 0.036%; allow 10x slack
     assert fp < 0.01, fp
+
+
+def test_per_key_sketches_survive_null_keys_and_values(ray_session):
+    """Null keys form ONE group (SQL PARTITION BY); null values are ignored
+    (SQL aggregate semantics). Pre-fix: np.argsort/np.lexsort raised on
+    object arrays with None, and NaN keys failed the typed pa.array."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sketches import (
+        approx_distinct_per_key,
+        grouped_quantile_sketch,
+    )
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", None, None, "b"], pa.large_string()),
+            "v": pa.array([1, 2, 5, 5, None], pa.int64()),
+        }
+    )
+    got = approx_distinct_per_key(rd.from_arrow(t), "k", "v", p=12).to_pandas()
+    # 'b' has only a null value -> no row (COUNT(DISTINCT v) over nothing)
+    assert len(got) == 2
+    byk = {("NULL" if pd.isna(k) else k): round(d) for k, d in got.itertuples(index=False)}
+    assert byk == {"a": 2, "NULL": 1}
+
+    ki = pa.table(
+        {
+            "k": pa.array([1, 1, None, None], pa.int64()),
+            "v": pa.array([10.0, 20.0, 30.0, 40.0]),
+        }
+    )
+    q = grouped_quantile_sketch(rd.from_arrow(ki), "k", "v", q=0.5, b=8).to_pandas()
+    assert len(q) == 2
+    assert q[q["k"].isna()]["quantile_value"].iloc[0] in (30.0, 40.0)
+
+
+def test_heavy_hitters_counts_null_group(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sketches import heavy_hitters
+
+    vals = ["x"] * 40 + [None] * 40 + [f"r{i}" for i in range(20)]
+    ds = rd.from_arrow(pa.table({"c": pa.array(vals, pa.string())})).repartition(4)
+    hh = heavy_hitters(ds, "c", threshold_frac=0.3).to_pandas()
+    assert len(hh) == 2
+    assert int(hh[hh["c"] == "x"]["cnt"].iloc[0]) == 40
+    assert int(hh[hh["c"].isna()]["cnt"].iloc[0]) == 40
+    # below-threshold null group must NOT appear
+    hh2 = heavy_hitters(ds, "c", threshold_frac=0.41).to_pandas()
+    assert len(hh2) == 0
+
+
+def test_approx_distinct_count_stable_under_null_laundering(ray_session):
+    """One null in a block laundered the WHOLE block's int64 values to
+    float64, whose bit patterns hash differently — the same value then
+    counted twice across blocks. Nulls are dropped (SQL COUNT(DISTINCT))
+    and the estimate must match the null-free run."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.sketches import approx_distinct_count
+
+    clean = pa.table({"v": pa.array(list(range(500)) * 2, pa.int64())})
+    dirty = pa.table(
+        {"v": pa.array(list(range(500)) + [None] + list(range(500)), pa.int64())}
+    )
+    a = approx_distinct_count(rd.from_arrow(clean).repartition(2), "v")
+    b = approx_distinct_count(rd.from_arrow(dirty).repartition(2), "v")
+    assert a == b
+    assert abs(a - 500) / 500 < 0.05
