@@ -127,6 +127,24 @@ def neighbor_cells(cell, cell_deg: float = DEFAULT_CELL_DEG, ring: int = 1):
     return src, neigh
 
 
+def expand_by_counts(counts: np.ndarray):
+    """``(src, within)`` expansion of rows by per-row counts — row ``i``
+    repeats ``counts[i]`` times and ``within`` counts 0..counts[i]-1 inside
+    each run. The shared ragged-replication primitive behind
+    :func:`disc_cover`, the salted replicas in ``pairs.close_pairs`` and
+    ``knn.knn_join_cells`` (the index arithmetic is subtle enough that the
+    three hand-rolled copies had started to drift)."""
+    counts = np.asarray(counts, dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy()
+    src = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    starts = np.cumsum(counts) - counts
+    within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    return src, within
+
+
 def disc_cover(lat, lon, radius_m, cell_deg: float = DEFAULT_CELL_DEG):
     """Conservative cell cover of geodesic discs (vectorized, ragged output).
 
@@ -147,7 +165,11 @@ def disc_cover(lat, lon, radius_m, cell_deg: float = DEFAULT_CELL_DEG):
     extreme = np.maximum(np.abs(lat_lo), np.abs(lat_hi))
     cos_lat = np.cos(np.radians(np.minimum(extreme, 89.999)))
     dlon_deg = radius_m / (MIN_M_PER_DEG_LAT * cos_lat)
-    full_ring = (dlon_deg >= 180.0) | (lat_hi >= 90.0 - 1e-9) | (lat_lo <= -90.0 + 1e-9)
+    # full ring as soon as the band's extreme reaches the cos clamp: past
+    # it the clamp INFLATES cos_lat and under-sizes dlon_deg, which would
+    # drop covered cells for bands ending in (89.999, 90) — the ring is at
+    # most ~111 m of extra latitude, and the exact test follows anyway
+    full_ring = (dlon_deg >= 180.0) | (extreme >= 89.999)
 
     lat_idx_lo = np.clip(np.floor((lat_lo + 90.0) / cell_deg), 0, nlat - 1).astype(np.int64)
     lat_idx_hi = np.clip(np.floor((lat_hi + 90.0) / cell_deg), 0, nlat - 1).astype(np.int64)
@@ -165,12 +187,9 @@ def disc_cover(lat, lon, radius_m, cell_deg: float = DEFAULT_CELL_DEG):
     n_lat_rows = (lat_idx_hi - lat_idx_lo + 1).astype(np.int64)
     n_lon_cols = np.minimum(2 * half_w + 1, nlon)
     counts = n_lat_rows * n_lon_cols
-    total = int(counts.sum())
-    if total == 0:
-        return np.array([], dtype=np.int64), np.array([], dtype=np.int64)
-    src = np.repeat(np.arange(lat.size, dtype=np.int64), counts)
-    starts = np.cumsum(counts) - counts
-    j = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+    src, j = expand_by_counts(counts)
+    if src.size == 0:
+        return src, j
     w = n_lon_cols[src]
     row = lat_idx_lo[src] + j // w
     col = (lon_idx[src] - half_w[src] + j % w) % nlon

@@ -129,6 +129,56 @@ def key_spans(sorted_keys: np.ndarray, min_size: int = 1):
     return starts, ends
 
 
+def hot_key_salts(
+    ds,
+    columns: list[str],
+    batch_keys_fn,
+    target_rows: int,
+    max_salt: int,
+    frac_threshold: float = 0.01,
+    top_n: int = 64,
+) -> dict[int, int]:
+    """Hot-key salt factors from a cheap stats pre-pass → {key: n_subgroups}.
+
+    The shared engine behind ``pairs.cell_salt_stats`` and the kNN query-side
+    ``_query_cell_salts`` (one drifted copy of the threshold/merge logic is
+    one too many): ``batch_keys_fn(batch) -> int64 array`` emits one key per
+    LOAD unit (own cell, replicated neighbor cell, ...); each block ships its
+    top-``top_n`` counts plus one total scalar (row 0 of ``__tot`` — sums
+    stay exact), the driver merges the tiny partials, and every key holding
+    at least ``frac_threshold`` of the total load gets
+    ``ceil(load / target_rows)`` subgroups, capped at ``max_salt``. Cold
+    keys stay unsalted so replication is paid only at actual hot spots.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = batch_keys_fn(batch)
+        cells, counts = np.unique(keys, return_counts=True)
+        if cells.size > top_n:
+            keep = np.argsort(-counts)[:top_n]
+            cells, counts = cells[keep], counts[keep]
+        tot = np.zeros(cells.size, dtype=np.int64)
+        if cells.size:
+            tot[0] = keys.size
+        return pa.table(
+            {"cell": cells.astype(np.int64), "__n": counts.astype(np.int64), "__tot": tot}
+        )
+
+    parts = [
+        b.to_pandas()
+        for b in ds.select_columns(columns)
+        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    if not parts:
+        return {}
+    df = pd.concat(parts, ignore_index=True)
+    total = int(df["__tot"].sum())
+    agg = df.groupby("cell")["__n"].sum()
+    hot = agg[(agg >= frac_threshold * max(total, 1)) & (agg > target_rows)]
+    return {int(c): int(min(-(-n // target_rows), max_salt)) for c, n in hot.items()}
+
+
 def same_adjacent(sorted_keys: np.ndarray) -> np.ndarray:
     """Null-aware ``keys[1:] == keys[:-1]`` over a SORTED key array — the
     elementwise twin of :func:`key_spans`' run detection, shared by every

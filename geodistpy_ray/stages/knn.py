@@ -133,13 +133,9 @@ def knn_join(
                 qrow, ci = np.nonzero(cosc >= cut_c[:, None])
                 d = kfn(lat[ci], lon[ci], ql[qrow], qo[qrow], a, f) * conv
             else:
-                dm = (
-                    kfn(
-                        np.tile(lat, c), np.tile(lon, c),
-                        np.repeat(ql, n), np.repeat(qo, n), a, f,
-                    )
-                    * conv
-                ).reshape(c, n)
+                # broadcast, don't tile (the file's own rule): tiling
+                # materializes four c·n inputs before the kernel runs
+                dm = kfn(lat[None, :], lon[None, :], ql[:, None], qo[:, None], a, f) * conv
                 if kk < n:
                     kth = np.partition(dm, kk - 1, axis=1)[:, kk - 1]
                     qrow, ci = np.nonzero(dm <= kth[:, None] + margin)
@@ -203,36 +199,25 @@ def _query_cell_salts(
     replicated count is the actual per-group load). Returns
     ``{cell: n_subgroups}`` for cells above both thresholds; cold cells
     stay unsalted so candidate replication is paid only where queries
-    cluster."""
+    cluster. Shares :func:`~.grouping.hot_key_salts` with
+    ``pairs.cell_salt_stats`` — only the per-batch key function differs."""
     from ..cells import cell_id, neighbor_cells
+    from .grouping import hot_key_salts
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def batch_keys(batch: pa.Table) -> np.ndarray:
         own = cell_id(col_np(batch, "lat"), col_np(batch, "lon"), cell_deg)
         _, neigh = neighbor_cells(own, cell_deg, ring=ring)
-        cells, counts = np.unique(neigh, return_counts=True)
-        if cells.size > top_n:
-            keep = np.argsort(-counts)[:top_n]
-            cells, counts = cells[keep], counts[keep]
-        tot = np.zeros(cells.size, dtype=np.int64)
-        if cells.size:
-            tot[0] = neigh.size
-        return pa.table(
-            {"cell": cells.astype(np.int64), "__n": counts.astype(np.int64), "__tot": tot}
-        )
+        return neigh
 
-    parts = [
-        b.to_pandas()
-        for b in queries_ds.select_columns(["query_id", "lat", "lon"])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    ]
-    if not parts:
-        return {}
-    df = pd.concat(parts, ignore_index=True)
-    total = int(df["__tot"].sum())
-    agg = df.groupby("cell")["__n"].sum()
-    hot = agg[(agg >= frac_threshold * max(total, 1)) & (agg > target_rows)]
-    return {int(c): int(min(-(-n // target_rows), max_salt)) for c, n in hot.items()}
+    return hot_key_salts(
+        queries_ds,
+        ["query_id", "lat", "lon"],
+        batch_keys,
+        target_rows=target_rows,
+        max_salt=max_salt,
+        frac_threshold=frac_threshold,
+        top_n=top_n,
+    )
 
 
 _SALT_PACK = 64  # (cell, salt) packs as cell*_SALT_PACK + salt; salts < 64
@@ -287,7 +272,13 @@ def knn_join_cells(
     ``queries_ds``: Dataset with columns (query_id, lat, lon).
     Returns (query_id, {id_col}, dist, rank), nearest-first.
     """
-    from ..cells import DEFAULT_CELL_DEG, MIN_M_PER_DEG_LAT, cell_id, neighbor_cells
+    from ..cells import (
+        DEFAULT_CELL_DEG,
+        MIN_M_PER_DEG_LAT,
+        cell_id,
+        expand_by_counts,
+        neighbor_cells,
+    )
 
     if k < 1:
         raise ValueError("k must be >= 1")
@@ -346,14 +337,7 @@ def knn_join_cells(
         if salt_of is None:
             key = own
         else:
-            s = salt_of(own)
-            idx = np.repeat(np.arange(own.size), s)
-            starts = np.cumsum(s) - s
-            salts = (
-                np.arange(idx.size, dtype=np.int64) - np.repeat(starts, s)
-                if own.size
-                else np.array([], dtype=np.int64)
-            )
+            idx, salts = expand_by_counts(salt_of(own))
             key = own[idx] * _SALT_PACK + salts
             lat, lon, ids = lat[idx], lon[idx], ids[idx]
         return pa.table(
@@ -838,6 +822,11 @@ def knn_join_indexed(
     answered by :class:`KnnIndexActor`'s exact band-pruned search."""
     import ray
 
+    if k < 1:
+        # same up-front guard as knn_join/knn_join_cells: k=0 would either
+        # crash deep in the actor's np.partition (opaque, retried) or
+        # silently return an empty dataset depending on the query's band
+        raise ValueError("k must be >= 1")
     ref = ray.put(
         (
             np.asarray(cand_ids, dtype=np.int64),

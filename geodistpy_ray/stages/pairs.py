@@ -27,7 +27,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ..cells import DEFAULT_CELL_DEG, cell_id, disc_cover
+from ..cells import DEFAULT_CELL_DEG, cell_id, disc_cover, expand_by_counts
 from ..kernels import resolve_ellipsoid, unit_factor
 from .geo import col_np, distance_kernel
 
@@ -44,42 +44,25 @@ def cell_salt_stats(
 ) -> dict[int, int]:
     """Hot-cell salt factors from a cheap stats pre-pass → {cell_id: salt}.
 
-    The :func:`~.joins.detect_hot_keys` idiom applied to grid cells: each
-    batch emits its top-``top_n`` own-cell counts (and one total), the
-    driver merges the tiny partials, and every cell holding at least
-    ``frac_threshold`` of all rows gets ``ceil(rows / target_rows)`` salt
-    subgroups (capped at ``max_salt``). Cold cells stay unsalted — the
-    candidate replication cost is paid only where a city actually is.
+    The :func:`~.joins.detect_hot_keys` idiom applied to grid cells, via
+    the shared :func:`~.grouping.hot_key_salts` engine: each block emits
+    its top-``top_n`` own-cell counts (and one total), the driver merges
+    the tiny partials, and every cell holding at least ``frac_threshold``
+    of all rows gets ``ceil(rows / target_rows)`` salt subgroups (capped
+    at ``max_salt``). Cold cells stay unsalted — the candidate replication
+    cost is paid only where a city actually is.
     """
+    from .grouping import hot_key_salts
 
-    def partial(batch: pa.Table) -> pa.Table:
-        own = cell_id(col_np(batch, lat_col), col_np(batch, lon_col), cell_deg)
-        cells, counts = np.unique(own, return_counts=True)
-        if cells.size > top_n:
-            keep = np.argsort(-counts)[:top_n]
-            cells, counts = cells[keep], counts[keep]
-        tot = np.zeros(cells.size, dtype=np.int64)
-        if cells.size:
-            tot[0] = own.size
-        return pa.table(
-            {"cell": cells.astype(np.int64), "__n": counts.astype(np.int64), "__tot": tot}
-        )
-
-    parts = [
-        b.to_pandas()
-        for b in ds.select_columns([lat_col, lon_col])
-        .map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
-        .iter_batches(batch_size=None, batch_format="pyarrow")
-    ]
-    if not parts:
-        return {}
-    df = pd.concat(parts, ignore_index=True)
-    total = int(df["__tot"].sum())
-    agg = df.groupby("cell")["__n"].sum()
-    hot = agg[(agg >= frac_threshold * max(total, 1)) & (agg > target_rows)]
-    return {
-        int(c): int(min(-(-n // target_rows), max_salt)) for c, n in hot.items()
-    }
+    return hot_key_salts(
+        ds,
+        [lat_col, lon_col],
+        lambda batch: cell_id(col_np(batch, lat_col), col_np(batch, lon_col), cell_deg),
+        target_rows=target_rows,
+        max_salt=max_salt,
+        frac_threshold=frac_threshold,
+        top_n=top_n,
+    )
 
 
 def close_pairs(
@@ -155,13 +138,10 @@ def close_pairs(
                 s_arr[cover == c] = sc
         else:
             s_arr = np.full(cover.size, global_salt, dtype=np.int64)
-        tot = int(s_arr.sum())
-        src_r = np.repeat(src, s_arr)
-        cover_r = np.repeat(cover, s_arr)
-        s_r = np.repeat(s_arr, s_arr)
-        salt_r = np.arange(tot, dtype=np.int64) - np.repeat(
-            np.cumsum(s_arr) - s_arr, s_arr
-        )
+        idx, salt_r = expand_by_counts(s_arr)
+        src_r = src[idx]
+        cover_r = cover[idx]
+        s_r = s_arr[idx]
         return pa.table(
             {
                 "cell": cover_r * max_s + salt_r,
@@ -385,30 +365,40 @@ def colocation_pairs(
         lon = g[lon_col].to_numpy()[order]
         prim = g["is_primary"].to_numpy()[order]
         out_l, out_r, out_d, out_t = [], [], [], []
+        # BOTH axes chunk (the close_pairs.group_pairs idiom): member_chunk
+        # bounds the candidate axis and p_chunk the primary axis so every
+        # distance/dt block stays cache-resident (~256k elements) — a burst
+        # (cell, bucket) group with 100k primaries would otherwise allocate
+        # 100k × member_chunk float64 blocks (GBs of temporaries per chunk)
+        p_chunk = max(1, int(256_000 // member_chunk))
         for s, e in zip(*key_spans(gk, min_size=2)):
             pm = prim[s:e]
             if not pm.any():
                 continue
             p = np.flatnonzero(pm) + s
+            p_ids, p_lat, p_lon = ids[p], lat[p], lon[p]
+            p_ts, p_users = ts[p], users[p]
             for cs in range(s, e, member_chunk):
                 ce = min(cs + member_chunk, e)
-                d = kfn(
-                    lat[p][:, None], lon[p][:, None],
-                    lat[cs:ce][None, :], lon[cs:ce][None, :], a, f,
-                )
-                dt = np.abs(ts[p][:, None] - ts[cs:ce][None, :])
-                mask = (
-                    (d <= max_dist_m)
-                    & (dt <= window_us)
-                    & (ids[p][:, None] < ids[cs:ce][None, :])
-                    & (users[p][:, None] != users[cs:ce][None, :])
-                )
-                li, ri = np.nonzero(mask)
-                if li.size:
-                    out_l.append(ids[p][li])
-                    out_r.append(ids[cs:ce][ri])
-                    out_d.append(d[li, ri])
-                    out_t.append(dt[li, ri])
+                for p0 in range(0, p_ids.size, p_chunk):
+                    pi = slice(p0, p0 + p_chunk)
+                    d = kfn(
+                        p_lat[pi][:, None], p_lon[pi][:, None],
+                        lat[cs:ce][None, :], lon[cs:ce][None, :], a, f,
+                    )
+                    dt = np.abs(p_ts[pi][:, None] - ts[cs:ce][None, :])
+                    mask = (
+                        (d <= max_dist_m)
+                        & (dt <= window_us)
+                        & (p_ids[pi][:, None] < ids[cs:ce][None, :])
+                        & (p_users[pi][:, None] != users[cs:ce][None, :])
+                    )
+                    li, ri = np.nonzero(mask)
+                    if li.size:
+                        out_l.append(p_ids[pi][li])
+                        out_r.append(ids[cs:ce][ri])
+                        out_d.append(d[li, ri])
+                        out_t.append(dt[li, ri])
         if not out_l:
             return pd.DataFrame(
                 {

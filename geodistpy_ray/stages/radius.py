@@ -49,11 +49,15 @@ def radius_join(
     # the longitude bound, a 10 km query runs the exact kernel on every
     # point worldwide inside a 0.2°-tall, 360°-wide strip.
     dlat_deg = radius_m / MIN_M_PER_DEG_LAT
-    extreme = np.minimum(np.abs(clat) + dlat_deg, 89.999)
-    dlon_deg = radius_m / (MIN_M_PER_DEG_LAT * np.cos(np.radians(extreme)))
-    # a disc whose latitude band touches the pole wraps every longitude —
-    # same full-ring condition as cells.disc_cover
-    full_ring = (np.abs(clat) + dlat_deg >= 90.0 - 1e-9) | (dlon_deg >= 180.0)
+    extreme = np.abs(clat) + dlat_deg
+    dlon_deg = radius_m / (
+        MIN_M_PER_DEG_LAT * np.cos(np.radians(np.minimum(extreme, 89.999)))
+    )
+    # a band whose extreme latitude reaches the cos clamp wraps every
+    # longitude (same as cells.disc_cover): the clamp would otherwise
+    # INFLATE cos(extreme) and under-size the lon box for extremes in
+    # (89.999, 90), silently pruning true in-radius points near the pole
+    full_ring = (extreme >= 89.999) | (dlon_deg >= 180.0)
 
     def fn(batch: pa.Table) -> pa.Table:
         lat = col_np(batch, lat_col)
@@ -163,6 +167,8 @@ def radius_join_cells(
         queries_ds.map_batches(query_rows, batch_format="pyarrow", zero_copy_batch=True)
     )
 
+    member_chunk = 4096
+
     def local_filter(g: pd.DataFrame) -> pd.DataFrame:
         isq = g["is_query"].to_numpy()
         q, c = g[isq], g[~isq]
@@ -172,13 +178,36 @@ def radius_join_cells(
         if q.empty or c.empty:
             return empty
         clat, clon, cids = c["rlat"].to_numpy(), c["rlon"].to_numpy(), c["rid"].to_numpy()
-        out = []
-        for qid_, qlat_, qlon_ in zip(q["rid"].to_numpy(), q["rlat"].to_numpy(), q["rlon"].to_numpy()):
-            d = kfn(clat, clon, qlat_, qlon_, a, f) * conv
-            m = d <= radius
-            if m.any():
-                out.append(pd.DataFrame({"query_id": qid_, id_col: cids[m], "dist": d[m]}))
-        return pd.concat(out, ignore_index=True) if out else empty
+        qlat, qlon, qids = q["rlat"].to_numpy(), q["rlon"].to_numpy(), q["rid"].to_numpy()
+        # chunked (query × candidate) kernel blocks, cache-resident (~256k
+        # elements) on both axes — the knn.py local_topk idiom; one kernel
+        # call per block instead of one call + one DataFrame PER QUERY
+        q_chunk = max(1, int(256_000 // member_chunk))
+        out_q, out_i, out_d = [], [], []
+        for cs in range(0, cids.size, member_chunk):
+            ce = min(cs + member_chunk, cids.size)
+            for q0 in range(0, qids.size, q_chunk):
+                qi = slice(q0, q0 + q_chunk)
+                # candidates stay the FIRST kernel operand (as the per-query
+                # loop had it): the SQL mirror fixes that fp orientation
+                d = kfn(
+                    clat[cs:ce][None, :], clon[cs:ce][None, :],
+                    qlat[qi][:, None], qlon[qi][:, None], a, f,
+                ) * conv
+                ri, ci = np.nonzero(d <= radius)
+                if ri.size:
+                    out_q.append(qids[qi][ri])
+                    out_i.append(cids[cs:ce][ci])
+                    out_d.append(d[ri, ci])
+        if not out_q:
+            return empty
+        return pd.DataFrame(
+            {
+                "query_id": np.concatenate(out_q),
+                id_col: np.concatenate(out_i),
+                "dist": np.concatenate(out_d),
+            }
+        )
 
     # hash-partition the cells (bounded group count, see stages/grouping.py)
     # and sweep each cell's span inside the partition

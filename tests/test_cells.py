@@ -174,3 +174,19 @@ def test_zorder_key_locality_and_sql_mirror():
     assert (za >> 18) != (zc >> 18)
     with pytest.raises(ValueError, match="bits"):
         zorder_key(lat, lon, bits=0)
+
+
+def test_near_pole_band_is_full_ring():
+    """A disc whose latitude band ends in (89.999, 90): the cos clamp would
+    inflate cos(extreme) and under-size the lon box — such bands must wrap
+    every longitude so no covered cell (or in-radius point) is pruned."""
+    from geodistpy_ray.cells import DEFAULT_CELL_DEG, disc_cover, grid_shape
+
+    nlat, nlon = grid_shape(DEFAULT_CELL_DEG)
+    # center 89.9996N: radius 2 m keeps |lat|+dlat below 90-1e-9 (the old
+    # full-ring trigger) but inside the clamp zone
+    src, cells = disc_cover(89.9996, 0.0, 2.0)
+    # the candidate at lon 2.5 deg is ~1.94 m away -> its cell MUST be covered
+    row = int(np.floor((89.9996 + 90.0) / DEFAULT_CELL_DEG))
+    col = int(np.floor((2.5 + 180.0) / DEFAULT_CELL_DEG))
+    assert row * nlon + col in set(cells.tolist())

@@ -1071,3 +1071,29 @@ def test_geocode_center_table_parity():
     lat0, lon0 = geocode_ids(ids)
     lat1, lon1 = geocode_ids(ids, center_table=ct)
     assert (lat0 == lat1).all() and (lon0 == lon1).all()
+
+
+def test_radius_join_near_pole_finds_cross_lon_points(ray_session):
+    """Two points ~2 m apart at 89.9996N but 2.5 deg of longitude apart:
+    the pre-fix lon-box prune (cos clamped at 89.999) dropped the match."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.radius import radius_join
+
+    pts = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "lat": pa.array([89.9996, 0.0]),
+            "lon": pa.array([2.5, 10.0]),
+        }
+    )
+    out = radius_join(
+        rd.from_arrow(pts),
+        radius=5.0,
+        center_ids=[0],
+        center_lats=[89.9996],
+        center_lons=[0.0],
+        kernel="haversine",
+    ).to_pandas()
+    assert out["doc_id"].tolist() == [1]
+    assert 0.0 < out["dist"].iloc[0] <= 5.0
