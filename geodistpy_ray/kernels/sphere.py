@@ -64,9 +64,15 @@ def great_circle(lat1, lon1, lat2, lon2, a: float = WGS84_A, f: float = WGS84_F)
     C = cosG2 * cosL2 + sinF2 * sinL2
     omega = np.arctan2(np.sqrt(S), np.sqrt(C))
 
-    degenerate = (S == 0.0) | (C == 0.0) | (omega == 0.0)
-    S_safe = np.where(S == 0.0, 1.0, S)
-    C_safe = np.where(C == 0.0, 1.0, C)
+    # The zero guards must also catch SUBNORMAL S/C: a near-coincident pair
+    # (dlon ~ 1e-157 deg) gives S ~ 1e-318 != 0, H2 = (3R+1)/(2S) overflows
+    # to inf, and inf * (sinG2 == 0) lands NaN. Below `tiny` the pair sits
+    # within ~1e-154 rad of the exact degenerate case the reference returns
+    # 2*omega*a for, so widening the guard changes nothing measurable.
+    tiny = np.finfo(np.float64).tiny
+    degenerate = (S < tiny) | (C < tiny) | (omega == 0.0)
+    S_safe = np.where(S < tiny, 1.0, S)
+    C_safe = np.where(C < tiny, 1.0, C)
     omega_safe = np.where(omega == 0.0, 1.0, omega)
 
     R = np.sqrt(S * C) / omega_safe

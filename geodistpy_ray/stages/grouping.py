@@ -129,27 +129,26 @@ def key_spans(sorted_keys: np.ndarray, min_size: int = 1):
     return starts, ends
 
 
-def hot_key_salts(
+def hot_key_counts(
     ds,
     columns: list[str],
     batch_keys_fn,
-    target_rows: int,
-    max_salt: int,
-    frac_threshold: float = 0.01,
     top_n: int = 64,
-) -> dict[int, int]:
-    """Hot-key salt factors from a cheap stats pre-pass → {key: n_subgroups}.
+    key_type: pa.DataType | None = None,
+):
+    """``(total_load, per-key counts)`` from a cheap streaming stats pass —
+    the shared top-n/total-scalar machinery behind every skew pre-pass
+    (:func:`hot_key_salts`, ``joins.detect_hot_keys``): each block ships its
+    top-``top_n`` key counts plus one total scalar (row 0 of ``__tot`` —
+    sums stay exact after block merges), and the driver folds the tiny
+    partials into one pandas Series. A key must reach some block's top-n to
+    be counted at all — fine for heavy hitters, not a general counter.
 
-    The shared engine behind ``pairs.cell_salt_stats`` and the kNN query-side
-    ``_query_cell_salts`` (one drifted copy of the threshold/merge logic is
-    one too many): ``batch_keys_fn(batch) -> int64 array`` emits one key per
-    LOAD unit (own cell, replicated neighbor cell, ...); each block ships its
-    top-``top_n`` counts plus one total scalar (row 0 of ``__tot`` — sums
-    stay exact), the driver merges the tiny partials, and every key holding
-    at least ``frac_threshold`` of the total load gets
-    ``ceil(load / target_rows)`` subgroups, capped at ``max_salt``. Cold
-    keys stay unsalted so replication is paid only at actual hot spots.
+    ``key_type`` pins the emitted key column's Arrow type (pass it when keys
+    are column VALUES whose inference from an empty numpy array would be
+    unstable across blocks); the default int64 suits derived integer keys.
     """
+    key_type = key_type or pa.int64()
 
     def partial(batch: pa.Table) -> pa.Table:
         keys = batch_keys_fn(batch)
@@ -161,7 +160,11 @@ def hot_key_salts(
         if cells.size:
             tot[0] = keys.size
         return pa.table(
-            {"cell": cells.astype(np.int64), "__n": counts.astype(np.int64), "__tot": tot}
+            {
+                "key": pa.array(cells, key_type),
+                "__n": pa.array(counts.astype(np.int64)),
+                "__tot": pa.array(tot),
+            }
         )
 
     parts = [
@@ -171,10 +174,33 @@ def hot_key_salts(
         .iter_batches(batch_size=None, batch_format="pyarrow")
     ]
     if not parts:
-        return {}
+        return 0, pd.Series(dtype=np.int64)
     df = pd.concat(parts, ignore_index=True)
     total = int(df["__tot"].sum())
-    agg = df.groupby("cell")["__n"].sum()
+    return total, df.groupby("key")["__n"].sum()
+
+
+def hot_key_salts(
+    ds,
+    columns: list[str],
+    batch_keys_fn,
+    target_rows: int,
+    max_salt: int,
+    frac_threshold: float = 0.01,
+    top_n: int = 64,
+) -> dict[int, int]:
+    """Hot-key salt factors from a :func:`hot_key_counts` pre-pass →
+    {key: n_subgroups}.
+
+    The shared engine behind ``pairs.cell_salt_stats`` and the kNN query-side
+    ``_query_cell_salts`` (one drifted copy of the threshold/merge logic is
+    one too many): ``batch_keys_fn(batch) -> int64 array`` emits one key per
+    LOAD unit (own cell, replicated neighbor cell, ...); every key holding at
+    least ``frac_threshold`` of the total load gets
+    ``ceil(load / target_rows)`` subgroups, capped at ``max_salt``. Cold
+    keys stay unsalted so replication is paid only at actual hot spots.
+    """
+    total, agg = hot_key_counts(ds, columns, batch_keys_fn, top_n=top_n)
     hot = agg[(agg >= frac_threshold * max(total, 1)) & (agg > target_rows)]
     return {int(c): int(min(-(-n // target_rows), max_salt)) for c, n in hot.items()}
 
@@ -230,7 +256,9 @@ def topk_per_group_part(
     ``group_col`` may be one column name or a list (composite key)."""
     groups = [group_col] if isinstance(group_col, str) else list(group_col)
     g = g.sort_values(groups + order, ascending=[True] * len(groups) + ascending, kind="mergesort")
-    pos = g.groupby(groups, sort=False).cumcount()
+    # dropna=False: the default cumcount yields NaN for null-key rows,
+    # silently dropping the SQL NULL partition from every top-k
+    pos = g.groupby(groups, sort=False, dropna=False).cumcount()
     keep = pos < k
     out = g[keep].copy()
     out[rank_col] = (pos[keep] + 1).to_numpy(dtype=np.int64)

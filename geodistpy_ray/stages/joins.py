@@ -92,30 +92,24 @@ def detect_hot_keys(ds, key_col: str, frac_threshold: float = 0.05, top_n: int =
     globally is orders of magnitude above a typical batch's 64th-most-common
     key, so misses require adversarial key distributions; raise ``top_n``
     if thresholds below ~1% are needed.
+
+    Shares :func:`~.grouping.hot_key_counts` with the cell-salt pre-passes.
+    NULL keys are never reported: np.unique's Python compares would raise on
+    None-bearing object arrays (and one null would launder an int64 column
+    to float64), and the salting this feeds applies to VALUE equality —
+    null-heavy columns are better pre-filtered than salted.
     """
+    from .grouping import hot_key_counts
 
-    def partial(batch: pa.Table) -> pa.Table:
-        v = batch.column(key_col).to_numpy(zero_copy_only=False)
-        keys, counts = np.unique(v, return_counts=True)
-        if keys.size > top_n:
-            keep = np.argsort(-counts)[:top_n]
-            keys, counts = keys[keep], counts[keep]
-        tot = np.zeros(keys.size, dtype=np.int64)
-        if keys.size:
-            tot[0] = v.size  # one total per partial; summing stays exact after block merges
-        return pa.table({key_col: keys, "__n": counts.astype(np.int64), "__tot": tot})
-
-    parts = [
-        b.to_pandas()
-        for b in ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True).iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
-    ]
-    if not parts:
-        return []
-    df = pd.concat(parts, ignore_index=True)
-    total_rows = int(df["__tot"].sum())
-    agg = df.groupby(key_col)["__n"].sum()
+    sch = ds.schema()
+    key_type = getattr(sch, "base_schema", sch).field(key_col).type
+    total_rows, agg = hot_key_counts(
+        ds,
+        [key_col],
+        lambda b: b.column(key_col).drop_null().to_numpy(zero_copy_only=False),
+        top_n=top_n,
+        key_type=key_type,
+    )
     hot = agg[agg >= frac_threshold * max(total_rows, 1)]
     return hot.index.tolist()
 
@@ -125,7 +119,21 @@ def broadcast_join(ds, right: pa.Table, keys, right_keys=None, join_type: str = 
 
     ``right`` is shipped to the object store once; each map task fetches it
     once per worker (per-worker cache) and runs an Acero hash join per batch.
+
+    Only LEFT-oriented join types are valid: the right side joins every
+    batch independently, so any type that emits the right side's unmatched
+    rows ('full outer', 'right outer/semi/anti') would re-emit them once
+    PER BATCH (a right row unmatched in batch A but matched in batch B is
+    both null-padded and joined). Use :func:`shuffle_equi_join` for those.
     """
+    allowed = ("inner", "left outer", "left semi", "left anti")
+    if join_type not in allowed:
+        raise ValueError(
+            f"broadcast_join: join_type={join_type!r} is per-batch wrong for "
+            f"a broadcast right side (unmatched right rows would duplicate "
+            f"per batch); allowed: {allowed} — use shuffle_equi_join for "
+            "right/full joins"
+        )
     if isinstance(keys, str):
         keys = [keys]
     if isinstance(right_keys, str):

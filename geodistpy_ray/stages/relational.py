@@ -19,7 +19,6 @@ import pyarrow as pa
 
 from ray.data.aggregate import Sum
 
-from .geo import col_np
 
 
 def cents(x: np.ndarray) -> np.ndarray:
@@ -211,7 +210,11 @@ def top_k_per_group(
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df.sort_values(order, ascending=asc, kind="mergesort")
-        return pa.Table.from_pandas(df.groupby(keys, sort=False).head(k), preserve_index=False)
+        return pa.Table.from_pandas(
+            # dropna=False: SQL ROW_NUMBER partitions NULL keys too
+            df.groupby(keys, sort=False, dropna=False).head(k),
+            preserve_index=False,
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     # final merge groups on a hash PARTITION of the key (bounded group
@@ -357,8 +360,11 @@ def grouped_ntile(
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col] + order, kind="mergesort", ignore_index=True)
-        rn = g.groupby(key_col, sort=False).cumcount().to_numpy() + 1
-        cnt = g.groupby(key_col, sort=False)[key_col].transform("size").to_numpy()
+        # dropna=False: the default yields NaN rn/cnt for null-key rows,
+        # which astype(int64) silently turns into INT64_MIN bucket ids
+        gb = g.groupby(key_col, sort=False, dropna=False)
+        rn = gb.cumcount().to_numpy() + 1
+        cnt = gb[key_col].transform("size").to_numpy()
         g[out_col] = ntile_buckets(rn, cnt, n)
         return g
 
@@ -375,7 +381,7 @@ def grouped_median(ds, key_col: str, value_col: str, out_col: str = "median_valu
     from .grouping import partitioned_map_groups
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
-        m = g.groupby(key_col, as_index=False, sort=False)[value_col].median()
+        m = g.groupby(key_col, as_index=False, sort=False, dropna=False)[value_col].median()
         return m.rename(columns={value_col: out_col})
 
     return partitioned_map_groups(ds, key_col, part_fn)
@@ -399,7 +405,9 @@ def running_total(
         order = [key_col, order_col] + ([tiebreak_col] if tiebreak_col else [])
         g = g.sort_values(order, kind="mergesort")
         c = pd.Series(cents(g[value_col].to_numpy()), index=g.index)
-        g[out_col] = c.groupby(g[key_col], sort=False).cumsum()
+        # dropna=False: the default emits NaN totals for the SQL NULL
+        # partition (and launders the cents column to float64)
+        g[out_col] = c.groupby(g[key_col], sort=False, dropna=False).cumsum()
         return g
 
     return partitioned_map_groups(ds, key_col, part_fn)
@@ -411,7 +419,7 @@ def grouped_minmax(ds, key_cols: list[str], value_col: str, final: str = "driver
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(key_cols + [value_col]).to_pandas()
-        g = df.groupby(key_cols, as_index=False, sort=False).agg(
+        g = df.groupby(key_cols, as_index=False, sort=False, dropna=False).agg(
             min_value=(value_col, "min"), max_value=(value_col, "max")
         )
         return pa.Table.from_pandas(g, preserve_index=False)
@@ -423,7 +431,7 @@ def grouped_minmax(ds, key_cols: list[str], value_col: str, final: str = "driver
             cat = pa.concat_tables(blocks, promote_options="default").to_pandas()
             if prev is not None:
                 cat = pd.concat([prev, cat], ignore_index=True)
-            return cat.groupby(key_cols, as_index=False, sort=False).agg(
+            return cat.groupby(key_cols, as_index=False, sort=False, dropna=False).agg(
                 min_value=("min_value", "min"), max_value=("max_value", "max")
             )
 
@@ -438,7 +446,7 @@ def grouped_minmax(ds, key_cols: list[str], value_col: str, final: str = "driver
         from .grouping import partitioned_map_groups
 
         def merge(g: pd.DataFrame) -> pd.DataFrame:
-            return g.groupby(key_cols, as_index=False, sort=False).agg(
+            return g.groupby(key_cols, as_index=False, sort=False, dropna=False).agg(
                 min_value=("min_value", "min"), max_value=("max_value", "max")
             )
 
@@ -465,7 +473,7 @@ def grouped_string_agg(
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values([key_col, value_col], kind="mergesort")
-        agg = g.groupby(key_col, sort=False)[value_col].agg(
+        agg = g.groupby(key_col, sort=False, dropna=False)[value_col].agg(
             lambda s: sep.join(str(v) for v in s)
         )
         return agg.reset_index().rename(columns={value_col: out_col})
@@ -485,7 +493,7 @@ def grouped_quantile(
     from .grouping import partitioned_map_groups
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
-        out = g.groupby(key_col, as_index=False, sort=False)[value_col].quantile(q)
+        out = g.groupby(key_col, as_index=False, sort=False, dropna=False)[value_col].quantile(q)
         return out.rename(columns={value_col: out_col})
 
     return partitioned_map_groups(ds, key_col, part_fn)
@@ -559,8 +567,9 @@ def rollup_sum(
 ):
     """``GROUP BY ROLLUP(levels...)``: aggregates at every prefix of the
     hierarchy — (a, b), (a), () — with rolled-up key columns NULL and a
-    ``grouping_id`` marker (0 = finest, len(levels) = grand total; the SQL
-    mirror's ``GROUPING(...)`` bitmask for prefix sets).
+    ``grouping_id`` marker — DuckDB's ``GROUPING(...)`` bitmask for prefix
+    sets: 0 = finest, ``2^len(levels) - 1`` = grand total (matching
+    :func:`cube_sum`).
 
     Computed the classic way: ONE corpus-scale pass builds the finest
     aggregate (the `grouped_sum` combiner + its shuffle), and every coarser
@@ -580,7 +589,7 @@ def rollup_sum(
     for g in range(1, len(levels) + 1):
         keep = levels[: len(levels) - g]
         agg = (
-            finest.groupby(keep, as_index=False, sort=False)[out_vals].sum()
+            finest.groupby(keep, as_index=False, sort=False, dropna=False)[out_vals].sum()
             if keep
             else finest[out_vals].sum().to_frame().T
         )
@@ -644,7 +653,7 @@ def _merged_chan_moments(partials, key_cols):
         return []
     allp = pd.concat(rows, ignore_index=True)
     out = []
-    for key, grp in allp.groupby(key_cols, sort=False):
+    for key, grp in allp.groupby(key_cols, sort=False, dropna=False):
         n = mx = my = m2x = m2y = cxy = 0.0
         for r in grp.itertuples(index=False):
             nb, mxb, myb = float(r.n), float(r.mean_x), float(r.mean_y)
@@ -731,7 +740,7 @@ def _chan_partial(key_cols, x_col, y_col):
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(key_cols + [x_col, y_col]).to_pandas()
-        g = df.groupby(key_cols, sort=False)
+        g = df.groupby(key_cols, sort=False, dropna=False)
         mx = g[x_col].transform("mean")
         my = g[y_col].transform("mean")
         dx = df[x_col] - mx
@@ -741,7 +750,7 @@ def _chan_partial(key_cols, x_col, y_col):
             n=(x_col, "size"), mean_x=(x_col, "mean"), mean_y=(y_col, "mean")
         ).reset_index()
         sums = (
-            df.groupby(key_cols, sort=False)[["_m2x", "_m2y", "_cxy"]]
+            df.groupby(key_cols, sort=False, dropna=False)[["_m2x", "_m2y", "_cxy"]]
             .sum()
             .reset_index(drop=True)
         )
@@ -782,7 +791,7 @@ def cube_sum(
         for keep in combinations(range(k), r):
             keep_cols = [levels[i] for i in keep]
             agg = (
-                finest.groupby(keep_cols, as_index=False, sort=False)[out_vals].sum()
+                finest.groupby(keep_cols, as_index=False, sort=False, dropna=False)[out_vals].sum()
                 if keep_cols
                 else finest[out_vals].sum().to_frame().T
             )
@@ -851,7 +860,7 @@ def grouped_mode(ds, key_col: str, value_col: str, n_parts: int = 64):
 
     def pick_part(g: pd.DataFrame) -> pd.DataFrame:
         merged = (
-            g.groupby([key_col, value_col], sort=False, as_index=False)["c"].sum()
+            g.groupby([key_col, value_col], sort=False, as_index=False, dropna=False)["c"].sum()
             .sort_values([key_col, "c", value_col], ascending=[True, False, True], kind="mergesort")
         )
         top = merged.drop_duplicates(key_col, keep="first")

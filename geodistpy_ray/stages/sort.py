@@ -36,6 +36,23 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 
+def _check_total_order(v: np.ndarray, key: str) -> None:
+    """NaN breaks searchsorted range assignment SILENTLY (NaN rows all land
+    in the last partition unsorted — and descending flips them to the FIRST
+    file); a null timestamp launders to NaT with the same sort-vs-searchsorted
+    placement mismatch, so both refuse up front."""
+    bad = None
+    if v.dtype.kind == "f" and np.isnan(v).any():
+        bad = "NaN"
+    elif v.dtype.kind in "mM" and np.isnat(v).any():
+        bad = "NaT (null timestamp)"
+    if bad:
+        raise ValueError(
+            f"sorted_export: key column {key!r} contains {bad} — a total "
+            "order needs null-free keys (filter or fill first)"
+        )
+
+
 def _range_boundaries(ds, key: str, n_parts: int, sample_per_batch: int = 4096) -> np.ndarray:
     """(n_parts − 1) ascending boundary values from weighted per-batch
     order-statistic samples (one streaming pass, driver holds samples only)."""
@@ -45,13 +62,7 @@ def _range_boundaries(ds, key: str, n_parts: int, sample_per_batch: int = 4096) 
         if v.size == 0:
             return pa.table({"s": pa.array([], batch.schema.field(key).type),
                              "w": pa.array([], pa.float64())})
-        if v.dtype.kind == "f" and np.isnan(v).any():
-            # NaN breaks searchsorted range assignment SILENTLY (NaN rows
-            # would all land in the last partition unsorted) — refuse
-            raise ValueError(
-                f"sorted_export: key column {key!r} contains NaN — a total "
-                "order needs NaN-free keys (filter or fill first)"
-            )
+        _check_total_order(v, key)
         v = np.sort(v)
         if v.size > sample_per_batch:
             idx = ((np.arange(sample_per_batch) + 0.5) * v.size / sample_per_batch).astype(
@@ -188,14 +199,9 @@ def sorted_export(
                 "rename it — the name is reserved for the range tag"
             )
         v = batch.column(key).to_numpy(zero_copy_only=False)
-        if v.dtype.kind == "f" and np.isnan(v).any():
-            # the sampling pass raises on NaN before the shuffle; the
-            # footer-seeded path skips that pass, so guard here too (NaN
-            # searchsorted lands in the last partition UNSORTED, silently)
-            raise ValueError(
-                f"sorted_export: key column {key!r} contains NaN — a total "
-                "order needs NaN-free keys (filter or fill first)"
-            )
+        # the sampling pass raises before the shuffle; the footer-seeded
+        # path skips that pass, so guard here too
+        _check_total_order(v, key)
         part = np.searchsorted(bounds, v, side="right") if bounds.size else np.zeros(
             batch.num_rows, dtype=np.int64
         )

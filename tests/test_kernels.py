@@ -67,6 +67,17 @@ class TestGoldenValues:
         h = haversine(*BERLIN, *PARIS)
         assert abs(h - 879699.0) < 5000.0
 
+    def test_great_circle_subnormal_separation_not_nan(self):
+        # hypothesis-found: dlon ~ 2e-157 deg makes S subnormal (!= 0), the
+        # exact-zero guard missed it and (3R+1)/(2S) overflowed to inf ->
+        # inf * 0 = NaN. Both S-side (coincident) and C-side (antipodal).
+        d = great_circle(0.0, 0.0, 0.0, 2.0701568411718013e-157)
+        assert d >= 0.0 and np.isfinite(d) and d < 1e-140
+        d2 = great_circle(0.0, 0.0, 0.0, 180.0 - 1e-155)
+        assert np.isfinite(d2) and d2 == pytest.approx(2.0015e7, rel=1e-2)
+        # symmetry on the repro pair
+        assert great_circle(0.0, 2.0701568411718013e-157, 0.0, 0.0) == d
+
 
 class TestMetricProperties:
     @pytest.fixture(scope="class")
