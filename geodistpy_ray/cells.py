@@ -31,6 +31,30 @@ MIN_M_PER_DEG_LAT = 110_567.0
 DEFAULT_CELL_DEG = 2.0
 
 
+def prune_band(lat, radius_m):
+    """Conservative lat/lon degree band around each center →
+    ``(dlat_deg, dlon_deg, full_ring)``.
+
+    THE shared prune-box derivation (this math drifted between
+    :func:`disc_cover` and ``stages/radius.py`` once — commit 28a2c1a had
+    to fix the pole clamp in both copies): a latitude half-height from the
+    meters-per-degree lower bound, a longitude half-width shrunk by cos at
+    the band's EXTREME latitude, and a ``full_ring`` flag that wraps every
+    longitude once the extreme reaches the 89.999° cos clamp — past it the
+    clamp would INFLATE cos and under-size the lon box, silently pruning
+    true in-radius points near the pole. Guaranteed a superset of the
+    geodesic disc; callers apply the exact kernel afterwards.
+    """
+    lat = np.asarray(lat, dtype=np.float64)
+    radius_m = np.asarray(radius_m, dtype=np.float64)
+    dlat_deg = radius_m / MIN_M_PER_DEG_LAT
+    extreme = np.minimum(np.abs(lat) + dlat_deg, 90.0)
+    cos_lat = np.cos(np.radians(np.minimum(extreme, 89.999)))
+    dlon_deg = radius_m / (MIN_M_PER_DEG_LAT * cos_lat)
+    full_ring = (dlon_deg >= 180.0) | (extreme >= 89.999)
+    return dlat_deg, dlon_deg, full_ring
+
+
 def grid_shape(cell_deg: float = DEFAULT_CELL_DEG) -> tuple[int, int]:
     nlat = int(round(180.0 / cell_deg))
     nlon = int(round(360.0 / cell_deg))
@@ -158,18 +182,9 @@ def disc_cover(lat, lon, radius_m, cell_deg: float = DEFAULT_CELL_DEG):
     lon = np.atleast_1d(np.asarray(lon, dtype=np.float64))
     radius_m = np.broadcast_to(np.asarray(radius_m, dtype=np.float64), lat.shape)
 
-    dlat_deg = radius_m / MIN_M_PER_DEG_LAT
+    dlat_deg, dlon_deg, full_ring = prune_band(lat, radius_m)
     lat_lo = np.maximum(lat - dlat_deg, -90.0)
     lat_hi = np.minimum(lat + dlat_deg, 90.0)
-    # Shrink factor for longitude degrees at the extreme latitude of the band.
-    extreme = np.maximum(np.abs(lat_lo), np.abs(lat_hi))
-    cos_lat = np.cos(np.radians(np.minimum(extreme, 89.999)))
-    dlon_deg = radius_m / (MIN_M_PER_DEG_LAT * cos_lat)
-    # full ring as soon as the band's extreme reaches the cos clamp: past
-    # it the clamp INFLATES cos_lat and under-sizes dlon_deg, which would
-    # drop covered cells for bands ending in (89.999, 90) — the ring is at
-    # most ~111 m of extra latitude, and the exact test follows anyway
-    full_ring = (dlon_deg >= 180.0) | (extreme >= 89.999)
 
     lat_idx_lo = np.clip(np.floor((lat_lo + 90.0) / cell_deg), 0, nlat - 1).astype(np.int64)
     lat_idx_hi = np.clip(np.floor((lat_hi + 90.0) / cell_deg), 0, nlat - 1).astype(np.int64)

@@ -508,8 +508,22 @@ def hits(
     e_fwd = picked.map_batches(
         oriented(True), batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
-    e_rev = picked.map_batches(
-        oriented(False), batch_format="pyarrow", zero_copy_batch=True
+
+    # e_rev is e_fwd with node/nbr swapped — derive it with a cheap column
+    # swap instead of a second materialize of `picked`, which would re-run
+    # the entire upstream edge pipeline end to end
+    def swapped(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": batch.column("nbr"),
+                "nbr": batch.column("node"),
+                "val": batch.column("val"),
+                "kind": batch.column("kind"),
+            }
+        )
+
+    e_rev = e_fwd.map_batches(
+        swapped, batch_format="pyarrow", zero_copy_batch=True
     ).materialize()
 
     # node set = every endpoint, deduplicated with one partitioned sweep
@@ -729,8 +743,16 @@ def bfs_hops(
         )
         return pa.table({"node": both})
 
+    # node set = edge endpoints UNION the seeds themselves: a seed that
+    # appears in no edge is still reached (at hops 0) by definition —
+    # built from endpoints alone it would be silently absent, which a
+    # caller cannot distinguish from unreachable (and the SQL-mirror
+    # recursive CTE anchors seeds unconditionally)
+    import ray.data as rd
+
+    seed_tbl = rd.from_arrow(pa.table({"node": pa.array(np.unique(seeds), pa.int64())}))
     state = partitioned_map_groups(
-        e.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True),
+        e.map_batches(endpoints, batch_format="pyarrow", zero_copy_batch=True).union(seed_tbl),
         "node",
         init_part,
         n_parts=n_parts,
@@ -794,6 +816,12 @@ def bfs_hops(
         new_state = new.map_batches(
             relabel, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
+        # same block-growth clamp as connected_components: each round's
+        # groupby output block count tracks its INPUT blocks (state + e),
+        # so state gains ~|e blocks| per round — over diameter-many rounds
+        # that turns into linear per-round scheduling cost
+        if new_state.num_blocks() > 4 * n_parts:
+            new_state = new_state.repartition(n_parts).materialize()
         # convergence: (finite sum, unreached count) changes on every
         # non-fixpoint round (the previous round's state is carried,
         # not recomputed)

@@ -14,7 +14,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..cells import MIN_M_PER_DEG_LAT
+from ..cells import prune_band
 from ..kernels import resolve_ellipsoid, unit_factor
 from .geo import col_np, distance_kernel
 
@@ -43,21 +43,12 @@ def radius_join(
     conv = unit_factor(metric)
     kfn = distance_kernel(kernel)
     radius_m = radius / conv
-    # Conservative prune box in degrees (superset of the geodesic disc):
-    # latitude band plus a per-center longitude band shrunk by cos at the
-    # band's extreme latitude — the same math as cells.disc_cover. Without
-    # the longitude bound, a 10 km query runs the exact kernel on every
-    # point worldwide inside a 0.2°-tall, 360°-wide strip.
-    dlat_deg = radius_m / MIN_M_PER_DEG_LAT
-    extreme = np.abs(clat) + dlat_deg
-    dlon_deg = radius_m / (
-        MIN_M_PER_DEG_LAT * np.cos(np.radians(np.minimum(extreme, 89.999)))
-    )
-    # a band whose extreme latitude reaches the cos clamp wraps every
-    # longitude (same as cells.disc_cover): the clamp would otherwise
-    # INFLATE cos(extreme) and under-size the lon box for extremes in
-    # (89.999, 90), silently pruning true in-radius points near the pole
-    full_ring = (extreme >= 89.999) | (dlon_deg >= 180.0)
+    # Conservative prune box in degrees (superset of the geodesic disc) —
+    # ONE derivation shared with cells.disc_cover (the two copies drifted
+    # once; see cells.prune_band). Without the longitude bound, a 10 km
+    # query runs the exact kernel on every point worldwide inside a
+    # 0.2°-tall, 360°-wide strip.
+    dlat_deg, dlon_deg, full_ring = prune_band(clat, radius_m)
 
     def fn(batch: pa.Table) -> pa.Table:
         lat = col_np(batch, lat_col)

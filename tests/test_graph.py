@@ -434,6 +434,25 @@ class TestBfsHops:
         with pytest.raises(ValueError, match="seed"):
             bfs_hops(rd.from_arrow(tbl), [])
 
+    def test_isolated_seed_is_reached_at_zero(self, ray_session):
+        # a seed in NO edge row is still reached (hops 0) by definition —
+        # the node state built from edge endpoints alone used to drop it,
+        # indistinguishable from unreachable (SQL anchors seeds directly)
+        import ray.data as rd
+
+        from geodistpy_ray.stages.graph import bfs_hops
+
+        tbl = pa.table(
+            {"src": pa.array([1, 2], pa.int64()), "dst": pa.array([2, 3], pa.int64())}
+        )
+        got = (
+            bfs_hops(rd.from_arrow(tbl), seeds=[1, 99], n_parts=4)
+            .to_pandas()
+            .set_index("node")["hops"]
+            .to_dict()
+        )
+        assert got == {1: 0, 2: 1, 3: 2, 99: 0}
+
 
 def test_graph_op_guards(ray_session):
     import ray.data as rd
