@@ -395,8 +395,13 @@ def q_reverse_geocode(sf_dir):
         lat = col_np(batch, "lat")
         lon = col_np(batch, "lon")
         d = haversine(lat[:, None], lon[:, None], clat[None, :], clon[None, :])
-        best = np.argmin(d, axis=1)  # first min → smallest center id
-        dk = np.round(d[np.arange(lat.size), best] / 1000.0, 6)
+        # rank on the ROUND-6 km value (the repo's tie convention): argmin
+        # over raw meters could disagree with the oracle's ORDER BY on a
+        # numpy-vs-DuckDB trig ulp near-tie; at 1e-6 km both sides see the
+        # same key (trig values never land exactly on the boundary)
+        dkm = np.round(d / 1000.0, 6)
+        best = np.argmin(dkm, axis=1)  # first min → smallest center id
+        dk = dkm[np.arange(lat.size), best]
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -577,37 +582,55 @@ def q_polygon_perimeters(sf_dir):
     return add_ring_perimeter(polys).select_columns(["poly_id", "perimeter_mm"])
 
 
-def q_cell_centroids(sf_dir):
-    """Per-cell doc centroid: mean lat/lon of the docs in each occupied
-    cell, via INTEGER micro-degree sums (floor(deg·1e6 + 0.5)) so the
-    per-cell SUM is order-independent and the mean divides exactly the
-    same integers on both sides — the raster density-centroid op."""
-    from geodistpy_ray.stages import add_cell
+def _micro_centroid_sums(ds, key_col: str, count_col: str, final: str):
+    """Shared micro-degree centroid partials (cell_centroids /
+    track_centroids): floor(deg·1e6 + 0.5) integer partials so the per-key
+    SUM is order-independent and both sides divide exactly the same
+    integers, summed per ``key_col`` by :func:`grouped_sum`. ONE copy of
+    the oracle-critical arithmetic — a tie-rule fix here reaches every
+    centroid query at once."""
     from geodistpy_ray.stages.relational import grouped_sum
-
-    ds = add_cell(_docs_geo(sf_dir), CELL_DEG)
 
     def to_micro(batch: pa.Table) -> pa.Table:
         lat = batch.column("lat").to_numpy(zero_copy_only=False)
         lon = batch.column("lon").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "cell": batch.column("cell"),
+                key_col: batch.column(key_col),
                 "ulat": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64), pa.int64()),
                 "ulon": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64), pa.int64()),
             }
         )
 
     ds = ds.map_batches(to_micro, batch_format="pyarrow", zero_copy_batch=True)
-    out = grouped_sum(
-        ds, ["cell"], int_sum_cols={"ulat": "sum_ulat", "ulon": "sum_ulon"}, count_col="n_docs"
+    return grouped_sum(
+        ds,
+        [key_col],
+        int_sum_cols={"ulat": "sum_ulat", "ulon": "sum_ulon"},
+        count_col=count_col,
+        final=final,
     )
-    # FLOOR(x + 0.5), not ROUND: integer-ratio means land EXACTLY on the
-    # half-µdeg boundary whenever sum % n == n/2, where np.round
-    # (half-even) and SQL ROUND (half-away) disagree — floor+0.5 is the
-    # same fp op on both sides
-    out["clat"] = np.floor(out["sum_ulat"] / out["n_docs"] + 0.5) / 1e6
-    out["clon"] = np.floor(out["sum_ulon"] / out["n_docs"] + 0.5) / 1e6
+
+
+def _micro_mean(usum, n) -> np.ndarray:
+    """µdeg sums → degree mean. FLOOR(x + 0.5), not ROUND: integer-ratio
+    means land EXACTLY on the half-µdeg boundary whenever sum % n == n/2,
+    where np.round (half-even) and SQL ROUND (half-away) disagree —
+    floor+0.5 is the same fp op on both sides (CLAUDE.md tie rule)."""
+    return np.floor(np.asarray(usum) / np.asarray(n) + 0.5) / 1e6
+
+
+def q_cell_centroids(sf_dir):
+    """Per-cell doc centroid: mean lat/lon of the docs in each occupied
+    cell, via INTEGER micro-degree sums (floor(deg·1e6 + 0.5)) so the
+    per-cell SUM is order-independent and the mean divides exactly the
+    same integers on both sides — the raster density-centroid op."""
+    from geodistpy_ray.stages import add_cell
+
+    ds = add_cell(_docs_geo(sf_dir), CELL_DEG)
+    out = _micro_centroid_sums(ds, "cell", "n_docs", final="driver")
+    out["clat"] = _micro_mean(out["sum_ulat"], out["n_docs"])
+    out["clon"] = _micro_mean(out["sum_ulon"], out["n_docs"])
     return out[["cell", "n_docs", "clat", "clon"]]
 
 
@@ -777,15 +800,15 @@ def q_token_counts(sf_dir):
 
 def q_quality(sf_dir):
 
-    from geodistpy_ray.stages.text import add_quality_score
+    from geodistpy_ray.stages.text import add_quality_score, space_ratio_ppm
 
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = add_quality_score(docs)
 
     def ppm(batch: pa.Table) -> pa.Table:
-        ns = batch.column("n_spaces").to_numpy().astype(np.float64)
-        nc = np.maximum(batch.column("n_chars_q").to_numpy(), 1).astype(np.float64)
-        v = np.floor(ns * 1000000.0 / nc).astype(np.int64)
+        v = space_ratio_ppm(
+            batch.column("n_spaces").to_numpy(), batch.column("n_chars_q").to_numpy()
+        )
         return batch.append_column("space_ratio_ppm", pa.array(v, pa.int64()))
 
     return ds.map_batches(ppm, batch_format="pyarrow", zero_copy_batch=True).select_columns(
@@ -1194,7 +1217,9 @@ def q_image_features(sf_dir):
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_payload(batch: pa.Table) -> pa.Table:
-        payload = [t.encode() for t in batch.column("text").to_pylist()]
+        # (t or "") keeps a NULL text deterministic (empty payload) instead
+        # of crashing the actor pool on t.encode()
+        payload = [(t or "").encode() for t in batch.column("text").to_pylist()]
         return batch.append_column("payload", pa.array(payload, pa.binary()))
 
     ds = docs.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
@@ -1218,7 +1243,7 @@ def q_image_features_bmp(sf_dir):
     def to_bmp(batch: pa.Table) -> pa.Table:
         payloads = []
         for t in batch.column("text").to_pylist():
-            raw = np.frombuffer(t.encode() or b"\x00", dtype=np.uint8)
+            raw = np.frombuffer((t or "").encode() or b"\x00", dtype=np.uint8)
             img = np.resize(raw, (24, 24))  # tile/truncate to a fixed canvas
             payloads.append(encode_bmp(img))
         return pa.table(
@@ -1265,13 +1290,15 @@ def q_link_degrees(sf_dir):
     out of the html with `extract_links` (Arrow list-kernel multi-match),
     and count per-target in-degree. A parse that drops or garbles any edge
     fails the value-hash."""
-    from ray.data.aggregate import Count
-
+    from geodistpy_ray.stages.relational import grouped_sum
     from geodistpy_ray.stages.text import extract_links
 
     pages = _synth_link_pages(sf_dir)
     edges = extract_links(pages, html_col="html", url_col="url")
-    return edges.groupby("href").aggregate(Count(alias_name="n_links"))
+    # href is an unbounded key domain (~one per page): partitioned final,
+    # not Ray's native sort-aggregate (per-group machinery ~0.1 ms/key)
+    # and never the driver
+    return grouped_sum(edges, ["href"], count_col="n_links", final="partitioned")
 
 
 def q_link_components(sf_dir):
@@ -1585,7 +1612,7 @@ def q_audio_features_wav(sf_dir):
     def to_wav(batch: pa.Table) -> pa.Table:
         payloads = []
         for t in batch.column("text").to_pylist():
-            raw = np.frombuffer(t.encode() or b"\x00", dtype=np.uint8)
+            raw = np.frombuffer((t or "").encode() or b"\x00", dtype=np.uint8)
             pcm = (np.resize(raw, 1024).astype(np.int16) - 128) * 256
             payloads.append(encode_wav(pcm, 16_000))
         return pa.table(
@@ -1626,10 +1653,12 @@ def q_clean_corpus(sf_dir):
     ds = add_quality_score(ds)
 
     def gate(batch: pa.Table) -> pa.Table:
+        from geodistpy_ray.stages.text import space_ratio_ppm
+
         nt = batch.column("n_tokens").to_numpy()
-        ns = batch.column("n_spaces").to_numpy().astype(np.float64)
-        nc = np.maximum(batch.column("n_chars_q").to_numpy(), 1).astype(np.float64)
-        ppm = np.floor(ns * 1000000.0 / nc).astype(np.int64)
+        ppm = space_ratio_ppm(
+            batch.column("n_spaces").to_numpy(), batch.column("n_chars_q").to_numpy()
+        )
         mask = (nt >= MIN_TOKENS) & (ppm <= MAX_SPACE_PPM)
         return batch.filter(pa.array(mask)).select(["doc_id", "n_tokens"])
 
@@ -2355,30 +2384,10 @@ def q_track_centroids(sf_dir):
     partials (order-independent sums) merged on hash partitions of the
     user, FLOOR(x+0.5) mean on both sides (the CLAUDE.md tie rule)."""
     from geodistpy_ray.stages import add_geocode
-    from geodistpy_ray.stages.relational import grouped_sum
 
     ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_id"])
     pts = add_geocode(ev, id_col="event_id")
-
-    def to_micro(batch: pa.Table) -> pa.Table:
-        lat = batch.column("lat").to_numpy(zero_copy_only=False)
-        lon = batch.column("lon").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "user_id": batch.column("user_id"),
-                "ulat": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64), pa.int64()),
-                "ulon": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64), pa.int64()),
-            }
-        )
-
-    ds = pts.map_batches(to_micro, batch_format="pyarrow", zero_copy_batch=True)
-    out = grouped_sum(
-        ds,
-        ["user_id"],
-        int_sum_cols={"ulat": "sum_ulat", "ulon": "sum_ulon"},
-        count_col="n_pts",
-        final="partitioned",
-    )
+    out = _micro_centroid_sums(pts, "user_id", "n_pts", final="partitioned")
 
     def finish(batch: pa.Table) -> pa.Table:
         su = batch.column("sum_ulat").to_numpy(zero_copy_only=False)
@@ -2388,8 +2397,8 @@ def q_track_centroids(sf_dir):
             {
                 "user_id": batch.column("user_id"),
                 "n_pts": batch.column("n_pts"),
-                "clat": pa.array(np.floor(su / n + 0.5) / 1e6, pa.float64()),
-                "clon": pa.array(np.floor(so / n + 0.5) / 1e6, pa.float64()),
+                "clat": pa.array(_micro_mean(su, n), pa.float64()),
+                "clon": pa.array(_micro_mean(so, n), pa.float64()),
             }
         )
 
@@ -2528,9 +2537,10 @@ def _curated_balanced(sf_dir):
     )
 
     def quality_gate(t: pa.Table) -> pa.Table:
+        from geodistpy_ray.stages.text import space_ratio_ppm
+
         nc = t.column("n_chars_q").to_numpy()
-        ns = t.column("n_spaces").to_numpy().astype(np.float64)
-        ppm = np.floor(ns * 1000000.0 / np.maximum(nc, 1)).astype(np.int64)
+        ppm = space_ratio_ppm(t.column("n_spaces").to_numpy(), nc)
         mask = (nc >= 50) & (ppm >= 120000) & (ppm <= 250000)
         return t.filter(pa.array(mask)).select(["doc_id", "lang", "text"])
 
@@ -2842,7 +2852,9 @@ def q_audio_features(sf_dir):
     docs = _read(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
     def to_payload(batch: pa.Table) -> pa.Table:
-        payload = [t.encode() for t in batch.column("text").to_pylist()]
+        # (t or "") keeps a NULL text deterministic (empty payload) instead
+        # of crashing the actor pool on t.encode()
+        payload = [(t or "").encode() for t in batch.column("text").to_pylist()]
         return batch.append_column("payload", pa.array(payload, pa.binary()))
 
     ds = docs.map_batches(to_payload, batch_format="pyarrow", zero_copy_batch=True)
@@ -2868,7 +2880,9 @@ def q_video_pipeline(sf_dir):
 
     def to_frames(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_numpy()
-        payload = [t.encode() for t in batch.column("text").to_pylist()]
+        # (t or "") keeps a NULL text deterministic (empty payload) instead
+        # of crashing the actor pool on t.encode()
+        payload = [(t or "").encode() for t in batch.column("text").to_pylist()]
         return pa.table(
             {
                 "video_id": ids // 10,
@@ -2918,22 +2932,26 @@ def q_q1_pricing(sf_dir):
 
 
 def q_top_customers(sf_dir):
-    import duckdb
+    """Top 10 customers by total order value — per-customer sums finalize
+    PARTITIONED (o_custkey is an unbounded key domain; a driver final
+    would ship every customer's partials and full-sort them for a top-10),
+    then the top-k combiner picks the survivors; the name attaches via a
+    driver-bounded dimension lookup, the same shape as Q10."""
+    import pyarrow.parquet as pq
 
-    from geodistpy_ray.stages.relational import grouped_sum
+    from geodistpy_ray.stages.relational import global_topk, grouped_sum
 
     orders = _read(f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
     agg = grouped_sum(
-        orders, ["o_custkey"], cent_sum_cols={"o_totalprice": "total_cents"}, count_col="n_orders"
+        orders,
+        ["o_custkey"],
+        cent_sum_cols={"o_totalprice": "total_cents"},
+        count_col="n_orders",
+        final="partitioned",
     )
-    top = agg.sort_values(["total_cents", "o_custkey"], ascending=[False, True]).head(10)
-    # customer is a small dimension table → broadcast-join driver-side
-    con = duckdb.connect()
-    cust = con.execute(
-        f"SELECT c_custkey, c_name FROM read_parquet('{sf_dir}/customer.parquet')"
-    ).df()
-    con.close()
-    out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    top = global_topk(agg, ["total_cents", "o_custkey"], 10, descending=[True, False])
+    cust = pq.read_table(f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"])
+    out = top.merge(cust.to_pandas(), left_on="o_custkey", right_on="c_custkey")
     return out[["c_custkey", "c_name", "total_cents", "n_orders"]].reset_index(drop=True)
 
 
@@ -3699,7 +3717,9 @@ def _redacted_texts_sql() -> str:
     from geodistpy_ray.stages.text import redact_pii_sql
 
     footer = (
-        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        # COALESCE mirrors the engine's fill_null(text, ''): a NULL text
+        # would otherwise NULL the whole concatenation on this side only
+        "COALESCE(text, '') || ' contact user' || CAST(doc_id AS VARCHAR) || "
         "'@mail.example from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || "
         "'.7 call +1 (555) 010-' || CAST(1000 + doc_id % 9000 AS VARCHAR)"
     )
@@ -4052,10 +4072,10 @@ def oracle_sql() -> dict[str, str]:
             f"d AS (SELECT doc_id, center_id, "
             f"{haversine_sql(lat, lon, 'cc.clat', 'cc.clon')} AS dist "
             "FROM documents, cc), "
-            "r AS (SELECT doc_id, center_id, dist, ROW_NUMBER() OVER ("
-            "PARTITION BY doc_id ORDER BY dist, center_id) AS rn FROM d) "
-            "SELECT doc_id, center_id, ROUND(dist / 1000.0, 6) AS center_km "
-            "FROM r WHERE rn = 1"
+            "r AS (SELECT doc_id, center_id, ROUND(dist / 1000.0, 6) AS km, "
+            "ROW_NUMBER() OVER (PARTITION BY doc_id "
+            "ORDER BY ROUND(dist / 1000.0, 6), center_id) AS rn FROM d) "
+            "SELECT doc_id, center_id, km AS center_km FROM r WHERE rn = 1"
         ),
         "idw_estimate": (
             f"WITH nb AS (SELECT q.query_id, d.doc_id, "

@@ -157,7 +157,10 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         size = struct.unpack_from("<I", data, pos + 4)[0]
         body_at = pos + 8
         if cid == b"fmt ":
-            if size < 16:
+            # body_at + 16 bounds-check keeps the error contract: a chunk
+            # size that runs past the buffer would raise struct.error from
+            # unpack_from, escaping callers' `except ValueError` handlers
+            if size < 16 or body_at + 16 > len(data):
                 raise ValueError("malformed WAV fmt chunk")
             fmt = struct.unpack_from("<HHIIHH", data, body_at)
         elif cid == b"data":

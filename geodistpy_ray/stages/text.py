@@ -92,6 +92,19 @@ def redact_pii_sql(expr: str) -> str:
     return out
 
 
+def space_ratio_ppm(n_spaces, n_chars) -> np.ndarray:
+    """``floor(n_spaces * 1e6 / max(n_chars, 1))`` as int64 — THE quality
+    space-ratio key, oracle-critical: it must stay bit-identical to the SQL
+    mirror ``FLOOR(CAST(n_spaces AS DOUBLE) * 1000000.0 /
+    GREATEST(n_chars, 1))`` (same fp ops, FLOOR not ROUND so integer-ratio
+    ties can't split half-even vs half-away). One shared helper so the
+    formula cannot drift between the quality queries and the curation
+    gates that reuse it."""
+    ns = np.asarray(n_spaces).astype(np.float64)
+    nc = np.maximum(np.asarray(n_chars), 1).astype(np.float64)
+    return np.floor(ns * 1000000.0 / nc).astype(np.int64)
+
+
 def add_quality_score(ds, text_col: str = "text"):
     """Length/space-ratio quality features, fully Arrow-vectorized.
 

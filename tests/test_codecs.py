@@ -102,6 +102,16 @@ class TestWav:
         assert rate == 8000
         np.testing.assert_array_equal(got[:, 0], wave)
 
+    def test_truncated_fmt_chunk_raises_valueerror(self):
+        # a fmt chunk whose declared size runs past the buffer must raise
+        # the documented ValueError, not struct.error (which would escape
+        # callers' `except ValueError` handlers)
+        raw = encode_wav(np.zeros(4, dtype=np.int16), 8000)
+        fmt_at = raw.index(b"fmt ")
+        truncated = raw[: fmt_at + 8 + 8]  # header + half the fmt body
+        with pytest.raises(ValueError, match="fmt"):
+            decode_wav(truncated)
+
     def test_rejects_non_pcm16(self):
         raw = bytearray(encode_wav(np.zeros(10, dtype=np.int16), 8000))
         struct.pack_into("<H", raw, 20, 3)  # IEEE float format tag
