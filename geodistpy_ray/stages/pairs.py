@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..cells import DEFAULT_CELL_DEG, cell_id, disc_cover, expand_by_counts
 from ..kernels import resolve_ellipsoid, unit_factor
@@ -230,9 +231,6 @@ def distance_table(
     the left side streams and only the small side is dense — output is rows,
     never a matrix. For two LARGE sides use the cell-bucketed joins instead.
     """
-    from ..kernels import resolve_ellipsoid, unit_factor
-    from .geo import col_np, distance_kernel
-
     qid = np.asarray(point_ids, dtype=np.int64)
     qlat = np.asarray(point_lats, dtype=np.float64)
     qlon = np.asarray(point_lons, dtype=np.float64)
@@ -291,6 +289,18 @@ def colocation_pairs(
         raise ValueError("window_us must be > 0")
 
     def replicate(batch: pa.Table) -> pa.Table:
+        # SQL inner self-join semantics: a NULL in ANY predicate operand
+        # (ts, user, id, lat, lon) never satisfies the join, so the row
+        # drops. Filtering up front also keeps the numpy columns in their
+        # native dtypes — ONE null ts would launder the whole batch's ts
+        # to float64, and the packed (cell << 40) + bucket key computed in
+        # float64 loses low bits above 2^53 (cell ids shifted by 40 reach
+        # ~9e18), silently colliding unrelated groups.
+        valid = None
+        for c in (ts_col, user_col, id_col, lat_col, lon_col):
+            v = pc.is_valid(batch.column(c))
+            valid = v if valid is None else pc.and_(valid, v)
+        batch = batch.filter(valid)
         lat = col_np(batch, lat_col)
         lon = col_np(batch, lon_col)
         ids = col_np(batch, id_col)

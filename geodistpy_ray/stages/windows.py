@@ -145,13 +145,23 @@ def sessionize(
         order = [key_col, ts_col] + ([order_tiebreak_col] if order_tiebreak_col else [])
         g = g.sort_values(order, kind="mergesort")
         keys = g[key_col].to_numpy()
-        us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        dt = g[ts_col].to_numpy("datetime64[us]")
+        nat = np.isnat(dt)
+        us = dt.astype(np.int64)
         # null keys form ONE group like SQL PARTITION BY (NaN == NaN is
         # False, so the raw comparison would split every null row into its
         # own session run; the sort already made them adjacent)
         k1, k0 = keys[1:], keys[:-1]
         same_key = (k1 == k0) | (pd.isna(k1) & pd.isna(k0))
-        brk = np.concatenate(([False], same_key & (np.diff(us) > gap_us)))
+        # null-ts parity with the LAG mirror (`prev_us IS NULL OR
+        # us - prev_us > gap`): NaT sorts last within the key, so a row
+        # whose PREDECESSOR is null always breaks (LAG(us) IS NULL), a
+        # null row after a valid one never does (NULL - x is NULL, not
+        # > gap), and the raw int64 diff (NaT = INT64_MIN, wrapping) is
+        # masked out of both cases
+        d = us[1:] - us[:-1]
+        gap_brk = nat[:-1] | (~nat[1:] & (d > gap_us))
+        brk = np.concatenate(([False], same_key & gap_brk))
         counts = (
             pd.Series(brk, index=g.index)
             .groupby(g[key_col], sort=False, dropna=False)
@@ -183,9 +193,15 @@ def late_event_stats(ds, key_col: str, ts_col: str, watermark_us: int):
     from .grouping import partitioned_map_groups
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
-        us = pd.Series(
-            g[ts_col].to_numpy("datetime64[us]").astype(np.int64), index=g.index
-        )
+        # NaN-float timestamps give the SQL mirror's null semantics for
+        # free: a null ts is never late (`NULL < x` is NULL → CASE else 0)
+        # but still counts in n_events, and an all-null key's MAX is NULL
+        # (the int64 path's NaT = INT64_MIN would classify every null row
+        # late AND wrap `mx - watermark_us`). Exact below 2^53 µs.
+        dt = g[ts_col].to_numpy("datetime64[us]")
+        usv = dt.astype(np.int64).astype(np.float64)
+        usv[np.isnat(dt)] = np.nan
+        us = pd.Series(usv, index=g.index)
         mx = us.groupby(g[key_col], sort=False, dropna=False).transform("max")
         late = us < (mx - watermark_us)
         out = pd.DataFrame({key_col: g[key_col], "__late": late.astype(np.int64)})
@@ -226,13 +242,23 @@ def rolling_count(
         order = [key_col, ts_col] + ([tiebreak_col] if tiebreak_col else [])
         g = g.sort_values(order, kind="mergesort").reset_index(drop=True)
         keys = g[key_col].to_numpy()
-        us = g[ts_col].to_numpy("datetime64[us]").astype(np.int64)
+        dt = g[ts_col].to_numpy("datetime64[us]")
+        nat = np.isnat(dt)
+        us = dt.astype(np.int64)
         out = np.empty(us.size, dtype=np.int64)
         for s, e in zip(*key_spans(keys)):
-            seg = us[s:e]
+            # NaT sorts last within the key; its INT64_MIN int64 image
+            # would break searchsorted's sortedness AND underflow the
+            # window subtraction — split the span at the null boundary.
+            # SQL RANGE frames make null ordering keys one peer group
+            # whose frame is exactly its peers (verified against DuckDB),
+            # so every null row counts the key's null rows.
+            nv = int((~nat[s:e]).sum())
+            seg = us[s : s + nv]
             lo = np.searchsorted(seg, seg - window_us + 1, side="left")
             hi = np.searchsorted(seg, seg, side="right")
-            out[s:e] = hi - lo
+            out[s : s + nv] = hi - lo
+            out[s + nv : e] = (e - s) - nv
         g[out_col] = out
         return g
 
@@ -552,7 +578,11 @@ def add_lag_delta(
         g = g.sort_values(order, kind="mergesort", ignore_index=True)
         v = g[order_col].to_numpy()
         if np.issubdtype(v.dtype, np.datetime64):
-            v = v.astype("datetime64[us]").view("i8")
+            # NaN, not the raw NaT int64 image (INT64_MIN): a null ts must
+            # yield SQL's NULL delta (x - NULL is NULL), not wrap garbage
+            dt = v.astype("datetime64[us]")
+            v = dt.view("i8").astype(np.float64)
+            v[np.isnat(dt)] = np.nan
         keys = g[key_col].to_numpy()
         delta = np.full(len(g), np.nan)
         if len(g) > 1:
@@ -608,13 +638,16 @@ def session_spans(
         if n == 0:
             return empty
         keys = t.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
-        us = _us(t, ts_col)
+        us = _us(t, ts_col)  # null ts → NaN (Arrow sort put them last per key)
         brk = np.ones(n, dtype=bool)  # row starts a session
         if n > 1:
             # null-aware like sessionize: a raw == splits the SQL NULL
-            # partition into one singleton session per null row
+            # partition into one singleton session per null row; on the
+            # ts side the LAG-mirror parity is: predecessor-null always
+            # breaks (LAG(us) IS NULL), a null after a valid ts never
+            # does (NULL > gap is NULL) — NaN diffs give the latter free
             same = same_adjacent(keys)
-            brk[1:] = ~same | (np.diff(us) > gap_us)
+            brk[1:] = ~same | (np.diff(us) > gap_us) | np.isnan(us[:-1])
         starts = np.flatnonzero(brk)
         ends = np.append(starts[1:], n)
         # 1-based session index within each key: global session ordinal
@@ -623,6 +656,18 @@ def session_spans(
         newkey = np.r_[True, ~same_adjacent(key_of_sess)]
         base_idx = np.maximum.accumulate(np.where(newkey, np.arange(starts.size), 0))
         sidx = np.arange(starts.size, dtype=np.int64) - base_idx + 1
+        # session extremes ignore null ts like SQL MIN/MAX: nulls sort
+        # last per key, so a session's valid rows are its prefix — the
+        # start is row `starts` and the end is its LAST VALID row; an
+        # all-null session gets NULL bounds (pa.array would otherwise
+        # refuse the NaN outright, killing the whole query)
+        cs = np.concatenate(([0], np.cumsum(~np.isnan(us)).astype(np.int64)))
+        n_valid = cs[ends] - cs[starts]
+        has_ts = n_valid > 0
+        start_vals = np.where(has_ts, us[starts], 0.0).astype(np.int64)
+        end_vals = np.where(
+            has_ts, us[starts + np.maximum(n_valid, 1) - 1], 0.0
+        ).astype(np.int64)
         return pa.table(
             {
                 # take() from the sorted input column: exact input type per
@@ -630,8 +675,8 @@ def session_spans(
                 # and null keys survive
                 key_col: t.column(key_col).combine_chunks().take(pa.array(starts)),
                 "session_idx": pa.array(sidx, pa.int64()),
-                "start_us": pa.array(us[starts], pa.int64()),
-                "end_us": pa.array(us[ends - 1], pa.int64()),
+                "start_us": pa.array(start_vals, pa.int64(), mask=~has_ts),
+                "end_us": pa.array(end_vals, pa.int64(), mask=~has_ts),
                 "n_events": pa.array((ends - starts).astype(np.int64)),
             }
         )
