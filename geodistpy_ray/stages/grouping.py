@@ -98,8 +98,9 @@ def partitioned_map_groups(ds, key_col, part_fn, n_parts: int = 64, part_format:
     elif part_format == "pandas":
 
         def run(t: pa.Table) -> pa.Table:
-            out = part_fn(t.drop_columns(["__part"]).to_pandas())
-            return pa.Table.from_pandas(out, preserve_index=False)
+            src = t.drop_columns(["__part"])
+            out = pa.Table.from_pandas(part_fn(src.to_pandas()), preserve_index=False)
+            return restore_block_types(out, src.schema)
 
     else:
         raise ValueError(f"part_format must be 'pandas' or 'pyarrow', got {part_format!r}")
@@ -109,6 +110,32 @@ def partitioned_map_groups(ds, key_col, part_fn, n_parts: int = 64, part_format:
         .groupby("__part")
         .map_groups(run, batch_format="pyarrow")
     )
+
+
+def restore_block_types(res: pa.Table, like: pa.Schema) -> pa.Table:
+    """Cast columns of ``res`` back to their type in ``like`` where the name
+    matches — the mandatory epilogue of every pandas round-trip that emits
+    into a block STREAM (a shuffle tag, a driver fold's ``concat_tables``).
+
+    The pandas detour launders a null-padded int64 column to float64 (and
+    any timestamp to ns), but only in the blocks that happen to contain a
+    null — so the same key VALUE hashes to DIFFERENT partitions in
+    ``_multi_partition_ids`` (float bit patterns vs int bit patterns) and
+    ``pa.concat_tables`` refuses the mixed double/int64 schemas on the
+    driver. Casting here is safe=True: ``from_pandas`` already turned NaN
+    into nulls, so integral values round-trip exactly (int64 keys beyond
+    2^53 would already have been corrupted BY the float detour itself —
+    hash-derived keys that large are computed, never null, so they don't
+    take this path). Columns the part_fn created (new names) pass through.
+    """
+    for i, name in enumerate(res.column_names):
+        j = like.get_field_index(name)
+        if j < 0:
+            continue
+        want = like.field(j).type
+        if res.schema.field(i).type != want:
+            res = res.set_column(i, pa.field(name, want), res.column(i).cast(want))
+    return res
 
 
 def key_spans(sorted_keys: np.ndarray, min_size: int = 1):

@@ -124,3 +124,94 @@ def test_sorted_export_refuses_nat_keys(ray_session, tmp_path):
     t = pa.table({"ts": pa.array(ts, pa.timestamp("us")), "x": pa.array([1, 2, 3], pa.int64())})
     with pytest.raises(Exception, match="NaT|null"):
         sorted_export(_ds(t), str(tmp_path / "out"), "ts", n_parts=2)
+
+
+def _split_null_blocks():
+    """Nulls confined to ONE block: the pandas round-trip used to emit that
+    block's partial with a double-typed key while the null-free block stayed
+    int64 — the same key then hashed to different partitions (duplicate,
+    wrong per-key results) and driver folds crashed in concat_tables."""
+    import ray.data as rd
+
+    b1 = pa.table(
+        {
+            "k": pa.array([1, None], pa.int64()),
+            "v": pa.array([1.0, 9.0]),
+            "id": pa.array([0, 1], pa.int64()),
+        }
+    )
+    b2 = pa.table(
+        {
+            "k": pa.array([1, 2], pa.int64()),
+            "v": pa.array([3.0, 7.0]),
+            "id": pa.array([2, 3], pa.int64()),
+        }
+    )
+    return rd.from_arrow([b1, b2])
+
+
+def test_top_k_per_group_null_in_one_block(ray_session):
+    from geodistpy_ray.stages.relational import top_k_per_group
+
+    out = (
+        top_k_per_group(_split_null_blocks(), "k", "v", k=1, tiebreak_col="id")
+        .to_pandas()
+        .sort_values("v", ignore_index=True)
+    )
+    # exactly ONE row per key — key 1 must not rank in two partitions
+    assert len(out) == 3
+    assert out["v"].tolist() == [3.0, 7.0, 9.0]
+    assert (out["rank"] == 1).all()
+
+
+def test_grouped_minmax_null_in_one_block(ray_session):
+    from geodistpy_ray.stages.relational import grouped_minmax
+
+    want = {1: (1.0, 3.0), 2: (7.0, 7.0)}
+    drv = grouped_minmax(_split_null_blocks(), ["k"], "v", final="driver")
+    part = grouped_minmax(
+        _split_null_blocks(), ["k"], "v", final="partitioned"
+    ).to_pandas()
+    for out in (drv, part):
+        assert len(out) == 3  # one row per key incl. the NULL group
+        for k, (lo, hi) in want.items():
+            row = out[out["k"] == k]
+            assert len(row) == 1 and (row["min_value"].iloc[0], row["max_value"].iloc[0]) == (lo, hi)
+        nr = out[out["k"].isna()]
+        assert len(nr) == 1 and nr["min_value"].iloc[0] == nr["max_value"].iloc[0] == 9.0
+
+
+def test_grouped_sum_null_in_one_block(ray_session):
+    from geodistpy_ray.stages.relational import grouped_sum
+
+    drv = grouped_sum(_split_null_blocks(), ["k"], cent_sum_cols={"v": "sum_cents"})
+    part = (
+        grouped_sum(
+            _split_null_blocks(), ["k"], cent_sum_cols={"v": "sum_cents"},
+            final="partitioned",
+        ).to_pandas()
+    )
+    for out in (drv, part):
+        assert len(out) == 3
+        assert out[out["k"] == 1]["sum_cents"].iloc[0] == 400
+        assert out[out["k"] == 1]["n"].iloc[0] == 2
+        assert out[out["k"] == 2]["sum_cents"].iloc[0] == 700
+        assert out[out["k"].isna()]["sum_cents"].iloc[0] == 900
+
+
+def test_distinct_null_in_one_block(ray_session):
+    from geodistpy_ray.stages.relational import distinct
+
+    out = distinct(_split_null_blocks(), ["k"], final="driver")
+    ks = sorted(out["k"].dropna().tolist())
+    assert ks == [1, 2] and out["k"].isna().sum() == 1 and len(out) == 3
+
+
+def test_grouped_corr_null_in_one_block(ray_session):
+    from geodistpy_ray.stages.relational import grouped_corr
+
+    out = grouped_corr(_split_null_blocks(), ["k"], "v", "id")
+    assert len(out) == 3  # key 1's moments merged across blocks, not split
+    # key 1: (v, id) = (1,0),(3,2) → perfect correlation; singletons NULL
+    assert out[out["k"] == 1]["corr"].iloc[0] == 1.0
+    assert out[out["k"] == 2]["corr"].isna().all()
