@@ -99,8 +99,7 @@ def partitioned_map_groups(ds, key_col, part_fn, n_parts: int = 64, part_format:
 
         def run(t: pa.Table) -> pa.Table:
             src = t.drop_columns(["__part"])
-            out = pa.Table.from_pandas(part_fn(src.to_pandas()), preserve_index=False)
-            return restore_block_types(out, src.schema)
+            return from_pandas_like(part_fn(src.to_pandas()), src.schema)
 
     else:
         raise ValueError(f"part_format must be 'pandas' or 'pyarrow', got {part_format!r}")
@@ -110,6 +109,14 @@ def partitioned_map_groups(ds, key_col, part_fn, n_parts: int = 64, part_format:
         .groupby("__part")
         .map_groups(run, batch_format="pyarrow")
     )
+
+
+def from_pandas_like(df, like: pa.Schema) -> pa.Table:
+    """``pa.Table.from_pandas`` + :func:`restore_block_types` in one call —
+    THE way to emit a pandas result into a block stream. Composing the two
+    by hand is exactly how the null-key dtype-laundering bug class happens
+    (each new partial author must remember the epilogue)."""
+    return restore_block_types(pa.Table.from_pandas(df, preserve_index=False), like)
 
 
 def restore_block_types(res: pa.Table, like: pa.Schema) -> pa.Table:

@@ -296,11 +296,13 @@ def colocation_pairs(
         # to float64, and the packed (cell << 40) + bucket key computed in
         # float64 loses low bits above 2^53 (cell ids shifted by 40 reach
         # ~9e18), silently colliding unrelated groups.
-        valid = None
-        for c in (ts_col, user_col, id_col, lat_col, lon_col):
-            v = pc.is_valid(batch.column(c))
-            valid = v if valid is None else pc.and_(valid, v)
-        batch = batch.filter(valid)
+        cols = (ts_col, user_col, id_col, lat_col, lon_col)
+        if any(batch.column(c).null_count for c in cols):
+            valid = None
+            for c in cols:
+                v = pc.is_valid(batch.column(c))
+                valid = v if valid is None else pc.and_(valid, v)
+            batch = batch.filter(valid)
         lat = col_np(batch, lat_col)
         lon = col_np(batch, lon_col)
         ids = col_np(batch, id_col)

@@ -19,7 +19,7 @@ import pyarrow as pa
 
 from ray.data.aggregate import Sum
 
-from .grouping import restore_block_types
+from .grouping import from_pandas_like
 
 
 
@@ -115,13 +115,11 @@ def grouped_sum(
             **{out: (c, "sum") for c, out in cent_sum_cols.items()},
             **{count_col: (key_cols[0], "size")},
         )
-        # restore pandas-laundered key dtypes: a null-bearing block would
-        # otherwise emit double-typed keys next to other blocks' int64,
-        # splitting the same key across hash partitions and crashing the
-        # driver fold's concat_tables
-        return restore_block_types(
-            pa.Table.from_pandas(g, preserve_index=False), batch.schema
-        )
+        # from_pandas_like restores pandas-laundered key dtypes: a
+        # null-bearing block would otherwise emit double-typed keys next to
+        # other blocks' int64, splitting the same key across hash partitions
+        # and crashing the driver fold's concat_tables
+        return from_pandas_like(g, batch.schema)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     if final == "partials":
@@ -218,12 +216,9 @@ def top_k_per_group(
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         df = df.sort_values(order, ascending=asc, kind="mergesort")
-        out = pa.Table.from_pandas(
-            # dropna=False: SQL ROW_NUMBER partitions NULL keys too
-            df.groupby(keys, sort=False, dropna=False).head(k),
-            preserve_index=False,
-        )
-        return restore_block_types(out, batch.schema)  # null-laundered dtypes
+        # dropna=False: SQL ROW_NUMBER partitions NULL keys too
+        top = df.groupby(keys, sort=False, dropna=False).head(k)
+        return from_pandas_like(top, batch.schema)  # null-laundered dtypes
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     # final merge groups on a hash PARTITION of the key (bounded group
@@ -282,9 +277,7 @@ def distinct(ds, cols: list[str], final: str = "shuffle", n_parts: int = 64, dri
 
     def partial(batch: pa.Table) -> pa.Table:
         df = batch.select(cols).to_pandas().drop_duplicates()
-        return restore_block_types(
-            pa.Table.from_pandas(df, preserve_index=False), batch.schema
-        )
+        return from_pandas_like(df, batch.schema)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     if final == "driver":
@@ -433,9 +426,7 @@ def grouped_minmax(ds, key_cols: list[str], value_col: str, final: str = "driver
         g = df.groupby(key_cols, as_index=False, sort=False, dropna=False).agg(
             min_value=(value_col, "min"), max_value=(value_col, "max")
         )
-        return restore_block_types(
-            pa.Table.from_pandas(g, preserve_index=False), batch.schema
-        )
+        return from_pandas_like(g, batch.schema)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     if final == "driver":
@@ -768,9 +759,7 @@ def _chan_partial(key_cols, x_col, y_col):
             .reset_index(drop=True)
         )
         agg[["m2x", "m2y", "cxy"]] = sums.to_numpy()
-        return restore_block_types(
-            pa.Table.from_pandas(agg, preserve_index=False), batch.schema
-        )
+        return from_pandas_like(agg, batch.schema)
 
     return partial
 

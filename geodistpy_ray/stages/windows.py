@@ -16,30 +16,36 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
-def _us(batch: pa.Table, ts_col: str) -> np.ndarray:
-    # Explicit µs cast first: a timestamp[ns] column cast straight to int64
-    # silently yields NANOseconds (caught by tests/test_joins.py offset test).
+def _us(batch: pa.Table, ts_col: str) -> tuple[np.ndarray, np.ndarray]:
+    """(int64 µs, null mask) — EXACT over the full timestamp range.
+
+    Explicit µs cast first: a timestamp[ns] column cast straight to int64
+    silently yields NANOseconds (caught by tests/test_joins.py offset test).
+    Null handling stays in Arrow (``fill_null`` + ``is_null``): a numpy
+    round-trip of a null-bearing column floats the VALID lanes too, and
+    float64 rounds µs values above 2^53 (~year 2255) — the SQL mirrors all
+    compute on exact ``epoch_us`` integers.
+    """
     ts = batch.column(ts_col).combine_chunks()
-    return ts.cast(pa.timestamp("us")).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    arr = ts.cast(pa.timestamp("us")).cast(pa.int64())
+    nat = pc.is_null(arr).to_numpy(zero_copy_only=False)
+    return arr.fill_null(0).to_numpy(), nat
 
 
-def _window_key(us: np.ndarray, div: int, sub: int = 0) -> pa.Array:
+def _window_key(us: np.ndarray, div: int, sub: int = 0, mask: np.ndarray | None = None) -> pa.Array:
     """``(us - sub) // div`` as a NULLABLE int64 window key.
 
-    A null timestamp launders ``_us`` to float64 NaN; ``pa.array(NaN,
-    int64)`` would kill the whole aggregation, while SQL's
-    ``(epoch_us(ts) - sub) // div`` yields a NULL key that GROUP BY keeps
-    as one group — emit exactly that.
+    SQL's ``(epoch_us(ts) - sub) // div`` on a null timestamp yields a NULL
+    key that GROUP BY keeps as one group — ``mask`` marks those lanes (their
+    filled-zero arithmetic is discarded by Arrow's validity bitmap).
     """
-    if us.dtype.kind == "f":
-        nan = np.isnan(us)
-        w = np.zeros(us.size, dtype=np.int64)
-        v = us[~nan]
-        w[~nan] = (v.astype(np.int64) - sub) // div
-        return pa.array(w, pa.int64(), mask=nan)
-    return pa.array((us - sub) // div, pa.int64())
+    w = (us - sub) // div
+    if mask is not None and mask.any():
+        return pa.array(w, pa.int64(), mask=mask)
+    return pa.array(w, pa.int64())
 
 
 def tumbling_window_agg(
@@ -63,8 +69,9 @@ def tumbling_window_agg(
     from .relational import grouped_sum
 
     def assign(batch: pa.Table) -> pa.Table:
+        us, nat = _us(batch, ts_col)
         return batch.append_column(
-            "window_key", _window_key(_us(batch, ts_col), window_us)
+            "window_key", _window_key(us, window_us, mask=nat)
         )
 
     ds2 = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
@@ -101,10 +108,9 @@ def hopping_window_agg(
     m = window_us // hop_us
 
     def assign(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
         n = batch.num_rows
-        base = _window_key(_us(batch, ts_col), hop_us, sub=offset_us)
+        us, nat = _us(batch, ts_col)
+        base = _window_key(us, hop_us, sub=offset_us, mask=nat)
         idx = np.repeat(np.arange(n, dtype=np.int64), m)
         # null-ts rows replicate as m NULL window keys, matching the SQL
         # mirror's m per-hop NULL rows (arithmetic on a null stays null)
@@ -193,17 +199,19 @@ def late_event_stats(ds, key_col: str, ts_col: str, watermark_us: int):
     from .grouping import partitioned_map_groups
 
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
-        # NaN-float timestamps give the SQL mirror's null semantics for
-        # free: a null ts is never late (`NULL < x` is NULL → CASE else 0)
-        # but still counts in n_events, and an all-null key's MAX is NULL
-        # (the int64 path's NaT = INT64_MIN would classify every null row
-        # late AND wrap `mx - watermark_us`). Exact below 2^53 µs.
+        # Nullable Int64 gives the SQL mirror's null semantics with EXACT
+        # arithmetic: a null ts is never late (`NULL < x` is NA → CASE
+        # else 0) but still counts in n_events, an all-null key's MAX is
+        # NULL, and the valid lanes never round through float64 (the
+        # int64 NaT image would classify every null row late AND wrap
+        # `mx - watermark_us`; a NaN-float detour rounds µs above 2^53).
         dt = g[ts_col].to_numpy("datetime64[us]")
-        usv = dt.astype(np.int64).astype(np.float64)
-        usv[np.isnat(dt)] = np.nan
-        us = pd.Series(usv, index=g.index)
+        us = pd.Series(
+            pd.arrays.IntegerArray(dt.view("i8"), mask=np.isnat(dt)),
+            index=g.index,
+        )
         mx = us.groupby(g[key_col], sort=False, dropna=False).transform("max")
-        late = us < (mx - watermark_us)
+        late = (us < (mx - watermark_us)).fillna(False)
         out = pd.DataFrame({key_col: g[key_col], "__late": late.astype(np.int64)})
         agg = out.groupby(key_col, as_index=False, sort=False, dropna=False).agg(
             n_events=("__late", "size"), n_late=("__late", "sum")
@@ -577,16 +585,22 @@ def add_lag_delta(
     def part_fn(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order, kind="mergesort", ignore_index=True)
         v = g[order_col].to_numpy()
+        nat = None
         if np.issubdtype(v.dtype, np.datetime64):
-            # NaN, not the raw NaT int64 image (INT64_MIN): a null ts must
-            # yield SQL's NULL delta (x - NULL is NULL), not wrap garbage
+            # Subtract in int64 and NULL the null-adjacent lanes afterwards
+            # (x - NULL is NULL): rounding the OPERANDS through float64
+            # would lose µs precision above 2^53 even on null-free data,
+            # while an int64 DIFF is exact and its float image is exact up
+            # to a 2^53 µs (~285-year) gap.
             dt = v.astype("datetime64[us]")
-            v = dt.view("i8").astype(np.float64)
-            v[np.isnat(dt)] = np.nan
+            nat = np.isnat(dt)
+            v = dt.view("i8")
         keys = g[key_col].to_numpy()
         delta = np.full(len(g), np.nan)
         if len(g) > 1:
             d = (v[1:] - v[:-1]).astype(np.float64)
+            if nat is not None and nat.any():
+                d[nat[1:] | nat[:-1]] = np.nan
             # null-aware: SQL's LAG partitions NULL keys together, the raw
             # == would NULL every delta of a null-laundered numeric key
             same = same_adjacent(keys)
@@ -638,16 +652,18 @@ def session_spans(
         if n == 0:
             return empty
         keys = t.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
-        us = _us(t, ts_col)  # null ts → NaN (Arrow sort put them last per key)
+        us, nat = _us(t, ts_col)  # exact int64; nulls filled 0 + masked
         brk = np.ones(n, dtype=bool)  # row starts a session
         if n > 1:
             # null-aware like sessionize: a raw == splits the SQL NULL
             # partition into one singleton session per null row; on the
             # ts side the LAG-mirror parity is: predecessor-null always
             # breaks (LAG(us) IS NULL), a null after a valid ts never
-            # does (NULL > gap is NULL) — NaN diffs give the latter free
+            # does (NULL > gap is NULL) — both diff lanes masked so the
+            # filled zeros never fake a gap
             same = same_adjacent(keys)
-            brk[1:] = ~same | (np.diff(us) > gap_us) | np.isnan(us[:-1])
+            gap = ~nat[1:] & ~nat[:-1] & (np.diff(us) > gap_us)
+            brk[1:] = ~same | gap | nat[:-1]
         starts = np.flatnonzero(brk)
         ends = np.append(starts[1:], n)
         # 1-based session index within each key: global session ordinal
@@ -659,15 +675,13 @@ def session_spans(
         # session extremes ignore null ts like SQL MIN/MAX: nulls sort
         # last per key, so a session's valid rows are its prefix — the
         # start is row `starts` and the end is its LAST VALID row; an
-        # all-null session gets NULL bounds (pa.array would otherwise
-        # refuse the NaN outright, killing the whole query)
-        cs = np.concatenate(([0], np.cumsum(~np.isnan(us)).astype(np.int64)))
+        # all-null session gets NULL bounds. Pure int64 indexing: no lane
+        # ever visits float64, so far-future timestamps stay bit-exact.
+        cs = np.concatenate(([0], np.cumsum(~nat).astype(np.int64)))
         n_valid = cs[ends] - cs[starts]
         has_ts = n_valid > 0
-        start_vals = np.where(has_ts, us[starts], 0.0).astype(np.int64)
-        end_vals = np.where(
-            has_ts, us[starts + np.maximum(n_valid, 1) - 1], 0.0
-        ).astype(np.int64)
+        start_vals = us[starts]
+        end_vals = us[starts + np.maximum(n_valid, 1) - 1]
         return pa.table(
             {
                 # take() from the sorted input column: exact input type per

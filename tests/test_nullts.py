@@ -206,3 +206,129 @@ def test_colocation_null_operands_drop_like_sql(ray_session):
     assert len(want) > 30  # fixture has real pairs to miss
     assert got["id_left"].tolist() == want["id_left"].tolist()
     assert got["id_right"].tolist() == want["id_right"].tolist()
+
+
+# ---------------------------------------------------------------------------
+# Far-future timestamps (> 2^53 µs): every window operator must stay EXACT.
+# float64 ulp at year-9999 epochs is 32 µs — any path that rounds timestamp
+# OPERANDS through float collapses µs-level gaps; SQL computes on exact
+# epoch_us integers throughout.
+# ---------------------------------------------------------------------------
+
+T0 = 253_370_764_800_000_000  # 9999-01-01 in µs; ulp(float64(T0)) = 32 µs
+
+
+def _far_fixture() -> pa.Table:
+    ts = [
+        T0, T0 + 10, T0 + GAP_US + 11, None,   # key 1: 10 µs, then a break
+        T0 + 7, T0 + 8,                         # key 2: 1 µs apart
+    ]
+    keys = [1, 1, 1, 1, 2, 2]
+    return pa.table(
+        {
+            "user_id": pa.array(keys, pa.int64()),
+            "event_id": pa.array(list(range(len(keys))), pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+
+
+def _far_oracle(sql: str) -> pd.DataFrame:
+    con = duckdb.connect()
+    con.register("ev", _far_fixture())
+    out = con.execute(sql).df()
+    con.close()
+    return out
+
+
+def test_session_spans_far_future_exact(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import session_spans
+
+    got = session_spans(
+        rd.from_arrow(_far_fixture()), "user_id", "ts", GAP_US, tiebreak_col="event_id"
+    ).to_pandas()
+    want = _far_oracle(
+        "WITH o AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM ev), "
+        "f AS (SELECT user_id, event_id, us, CASE WHEN LAG(us) OVER w IS NULL "
+        f"OR us - LAG(us) OVER w > {GAP_US} THEN 1 ELSE 0 END AS brk "
+        "FROM o WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+        "s AS (SELECT user_id, us, SUM(brk) OVER (PARTITION BY user_id "
+        "ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM f) "
+        "SELECT user_id, CAST(sid AS BIGINT) AS session_idx, "
+        "CAST(MIN(us) AS BIGINT) AS start_us, CAST(MAX(us) AS BIGINT) AS end_us, "
+        "CAST(COUNT(*) AS BIGINT) AS n_events FROM s GROUP BY user_id, sid"
+    )
+    _cmp(got, want, ["user_id", "session_idx"])
+    # the µs-exact spot check a float detour cannot pass (ulp here is 32 µs)
+    k2 = got[got["user_id"] == 2]
+    assert int(k2["start_us"].iloc[0]) == T0 + 7
+    assert int(k2["end_us"].iloc[0]) == T0 + 8
+
+
+def test_lag_delta_far_future_exact(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import add_lag_delta
+
+    got = (
+        add_lag_delta(rd.from_arrow(_far_fixture()), "user_id", "ts", tiebreak_col="event_id")
+        .to_pandas()
+        .set_index("event_id")["gap"]
+    )
+    assert got[1] == 10.0 and got[2] == float(GAP_US + 1) and got[5] == 1.0
+    assert np.isnan(got[0]) and np.isnan(got[3]) and np.isnan(got[4])
+
+
+def test_rolling_count_far_future_exact(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import rolling_count
+
+    got = rolling_count(
+        rd.from_arrow(_far_fixture()), "user_id", "ts", GAP_US, tiebreak_col="event_id"
+    ).to_pandas()[["user_id", "event_id", "n_in_window"]]
+    want = _far_oracle(
+        "SELECT user_id, event_id, CAST(COUNT(*) OVER (PARTITION BY user_id "
+        f"ORDER BY epoch_us(ts) RANGE BETWEEN {GAP_US - 1} PRECEDING "
+        "AND CURRENT ROW) AS BIGINT) AS n_in_window FROM ev"
+    )
+    _cmp(got, want, ["user_id", "event_id"])
+
+
+def test_late_event_stats_far_future_exact(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import late_event_stats
+
+    # key 1 max = T0+GAP+11, watermark GAP+1 → late iff us < T0+10: row T0
+    # is late, row T0+10 is NOT (equality) — a 32 µs float ulp flips this
+    wm = GAP_US + 1
+    got = late_event_stats(rd.from_arrow(_far_fixture()), "user_id", "ts", wm).to_pandas()
+    want = _far_oracle(
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events, "
+        "CAST(SUM(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late "
+        "FROM (SELECT user_id, epoch_us(ts) < "
+        f"MAX(epoch_us(ts)) OVER (PARTITION BY user_id) - {wm} AS late "
+        "FROM ev) GROUP BY user_id"
+    )
+    _cmp(got, want, ["user_id"])
+    assert int(got[got["user_id"] == 1]["n_late"].iloc[0]) == 1
+
+
+def test_tumbling_window_far_future_exact(ray_session):
+    import ray.data as rd
+
+    from geodistpy_ray.stages.windows import tumbling_window_agg
+
+    # 16 µs windows: T0 % 16 == 0, so (T0, T0+10) share a key and T0+7/T0+8
+    # share one; float64 rounding (ulp 32) would merge or split arbitrarily
+    got = tumbling_window_agg(rd.from_arrow(_far_fixture()), "user_id", "ts", 16)
+    want = _far_oracle(
+        "SELECT user_id, epoch_us(ts) // 16 AS window_key, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM ev GROUP BY 1, 2"
+    )
+    _cmp(got, want, ["user_id", "window_key"])
+    k1 = got[(got["user_id"] == 1) & got["window_key"].notna()]
+    assert sorted(k1["window_key"].astype(np.int64) * 16 - T0) == [0, GAP_US + 11 - (GAP_US + 11) % 16]
