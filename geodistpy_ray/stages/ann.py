@@ -62,10 +62,17 @@ def _check_id_col(fn_name: str, id_col: str, out_cols: tuple = ("query_id", "sim
         )
 
 
-def _batch_topk_rows(sims: np.ndarray, ids: np.ndarray, id_col: str, k: int, margin: float) -> pa.Table:
+def _batch_topk_rows(
+    sims: np.ndarray, ids: np.ndarray, id_col: str, k: int, margin: float,
+    q_offset: int = 0,
+) -> pa.Table:
     """Per-batch windowed top-k over a (B, Q) similarity matrix — keeps a
     rounding-margin window past the raw kth so boundary ties survive to the
-    merge (which tie-breaks on round(sim, tie_round))."""
+    merge (which tie-breaks on round(sim, tie_round)). ``q_offset`` shifts
+    the emitted query ids when ``sims`` covers a column CHUNK of the full
+    query set (cache-resident sweeps). The id column is pinned to int64 so
+    a narrower source dtype (int32 ids) can't mix block schemas with
+    :func:`_empty_partial` across empty/non-empty batches."""
     kk = min(k, ids.size)
     out_q, out_i, out_s = [], [], []
     for j in range(sims.shape[1]):
@@ -75,13 +82,13 @@ def _batch_topk_rows(sims: np.ndarray, ids: np.ndarray, id_col: str, k: int, mar
             part = np.flatnonzero(s >= kth - margin)
         else:
             part = np.arange(ids.size)
-        out_q.append(np.full(part.size, j, dtype=np.int64))
+        out_q.append(np.full(part.size, j + q_offset, dtype=np.int64))
         out_i.append(ids[part])
         out_s.append(s[part].astype(np.float64))
     return pa.table(
         {
             "query_id": np.concatenate(out_q),
-            id_col: np.concatenate(out_i),
+            id_col: np.concatenate(out_i).astype(np.int64, copy=False),
             "sim": np.concatenate(out_s),
         }
     )
@@ -290,8 +297,10 @@ def lsh_ann_topk(
         return pa.table(
             {
                 "query_id": np.concatenate(out_q),
-                id_col: np.concatenate(out_i),
-                "sim": np.concatenate(out_s),
+                # int64 pin: see _batch_topk_rows (schema parity with
+                # _empty_partial on int32-id corpora)
+                id_col: np.concatenate(out_i).astype(np.int64, copy=False),
+                "sim": np.concatenate(out_s).astype(np.float64, copy=False),
             }
         )
 
@@ -819,8 +828,10 @@ def ivf_ann_topk(
         return pa.table(
             {
                 "query_id": np.concatenate(out_q),
-                id_col: np.concatenate(out_i),
-                "sim": np.concatenate(out_s),
+                # int64 pin: see _batch_topk_rows (schema parity with
+                # _empty_partial on int32-id corpora)
+                id_col: np.concatenate(out_i).astype(np.int64, copy=False),
+                "sim": np.concatenate(out_s).astype(np.float64, copy=False),
             }
         )
 
@@ -1223,20 +1234,39 @@ def knn_graph(
                 }
             )
         )
+    import ray
+
+    from .broadcast import get_broadcast
+
     qids = np.array([r[id_col] for r in rows], dtype=np.int64)
     q = _normalize(
         np.stack([np.asarray(r[emb_col], dtype=np.float64) for r in rows])
     )
     margin = 10.0 ** -tie_round if tie_round is not None else 0.0
+    # ray.put once, fetch via the per-worker cache: a closed-over corpus
+    # matrix near the max_rows budget (~600 MB at d=768) would otherwise
+    # ship inside the cloudpickled UDF and deserialize into a PRIVATE heap
+    # copy per worker instead of shared object-store memory
+    corpus_ref = ray.put((qids, q))
 
     def partial(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
             return _empty_partial("nbr_id")
+        qids_w, q_w = get_broadcast(corpus_ref)
         emb = _normalize(_emb_matrix(batch, emb_col, np.float64))
         ids = col_np(batch, id_col)
-        sims = emb @ q.T
-        sims[ids[:, None] == qids[None, :]] = -2.0  # mask self-pairs
-        return _drop_masked(_batch_topk_rows(sims, ids, "nbr_id", k, margin))
+        # chunk the (B, N) product cache-resident (_SWEEP_CHUNK): a full
+        # 1024 × 100k float64 sims block is ~0.8 GB of transients PER TASK
+        step = max(1, _SWEEP_CHUNK // max(1, emb.shape[0]))
+        parts = []
+        for c0 in range(0, q_w.shape[0], step):
+            c1 = min(c0 + step, q_w.shape[0])
+            sims = emb @ q_w[c0:c1].T
+            sims[ids[:, None] == qids_w[None, c0:c1]] = -2.0  # mask self-pairs
+            parts.append(
+                _batch_topk_rows(sims, ids, "nbr_id", k, margin, q_offset=c0)
+            )
+        return _drop_masked(pa.concat_tables(parts))
 
     partials = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
     merged = _merge_topk_by_sim(partials, "nbr_id", k, tie_round)

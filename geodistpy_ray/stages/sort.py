@@ -314,7 +314,7 @@ def zorder_export(
     Because the space-filling curve keeps nearby points in nearby key
     ranges, each output file covers a tight lat/lon envelope — which makes
     the parquet column statistics in each file's footer an effective
-    spatial index: :func:`read_bbox` skips whole files without opening them. This
+    spatial index: :func:`bbox_scan` skips whole files without opening them. This
     is the data-skipping layout a 100 TB spatial corpus wants (the
     Delta/Iceberg OPTIMIZE ZORDER idiom, built from the engine's own sort
     sink). Returns the per-part stats Dataset from `sorted_export`."""

@@ -59,7 +59,10 @@ def tile_aggregate(
         ren = {"part_n": "n", **{f"part_sum_{vc}": f"sum_{vc}" for vc in value_cols}}
 
         def merge(g: pd.DataFrame) -> pd.DataFrame:
-            out = g.groupby("cell", as_index=False, sort=False).sum()
+            # dropna=False: a null-laundered cell key (NaN) is one SQL NULL
+            # group — the default would silently delete those rows from the
+            # partitioned final while the shuffle final keeps them
+            out = g.groupby("cell", as_index=False, sort=False, dropna=False).sum()
             return out.rename(columns=ren)
 
         return partitioned_map_groups(partials, "cell", merge)

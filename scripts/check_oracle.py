@@ -59,6 +59,13 @@ for t in TABLES:
 queries = entrymod.queries()
 oracles = entrymod.oracle_sql()
 fails = []
+stale = set(oracles) - set(queries)
+if stale:
+    # an oracle key matching no query would otherwise never execute — the
+    # renamed/typo'd query silently downgrades to rows-only and the gate
+    # still prints ALL OK (same failure mode as a typo'd `only` argument)
+    print(f"ORACLE key(s) with no matching query: {sorted(stale)}")
+    sys.exit(2)
 if only:
     unknown = only - set(queries)
     if unknown:

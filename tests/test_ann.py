@@ -806,3 +806,72 @@ def test_id_col_output_collision_raises(ray_session):
         lsh_ann_topk(rd.from_arrow(tbl), q, k=1, id_col="sim")
     with pytest.raises(ValueError, match="id_col"):
         knn_graph(rd.from_arrow(tbl), k=1, id_col="nbr_id")
+
+
+def test_knn_graph_broadcast_chunked_sweep_parity(ray_session):
+    """Corpus large enough that one batch × query count exceeds _SWEEP_CHUNK:
+    the broadcast partial must sweep the query matrix in column chunks
+    (cache-resident, no 0.8 GB sims transient) and still emit the exact
+    brute-force edge list with the (-round(sim), id) tie-break."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import _SWEEP_CHUNK, knn_graph
+
+    rng = np.random.default_rng(311)
+    n, d, k = 1500, 6, 3
+    x = rng.normal(size=(n, d))
+    ids = (rng.permutation(n).astype(np.int64) * 11 + 5)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(list(x), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(2)  # ~750-row batches → multi-chunk
+    assert (n // 2) * n > _SWEEP_CHUNK  # the fixture actually forces chunking
+    got = (
+        knn_graph(ds, k=k, max_rows=n)
+        .to_pandas()
+        .sort_values(["vec_id", "rank"], ignore_index=True)
+    )
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    sims = np.round(xn @ xn.T, 6)
+    want_rows = []
+    for i in range(n):
+        order = np.lexsort((ids, -sims[:, i]))
+        order = order[order != i][:k]
+        want_rows.append(ids[order])
+    want = np.concatenate(want_rows)
+    assert (got.groupby("vec_id").size() == k).all()
+    by_id = got.sort_values(["vec_id", "rank"]).groupby("vec_id", sort=True)
+    got_mat = np.stack([g["nbr_id"].to_numpy() for _, g in by_id])
+    want_mat = np.stack(want_rows)[np.argsort(ids)]
+    np.testing.assert_array_equal(got_mat, want_mat)
+
+
+def test_ann_topk_int32_ids_with_empty_block(ray_session):
+    """An int32 id corpus where one block is EMPTY: the typed-empty partial
+    is int64, so the non-empty partials must pin ids to int64 too — mixed
+    block schemas would otherwise dtype-launder in the merge shuffle."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.ann import ann_topk
+
+    rng = np.random.default_rng(41)
+    n, d = 40, 4
+    x = rng.normal(size=(n, d))
+    t1 = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int32), pa.int32()),
+            "embedding": pa.array(list(x), pa.list_(pa.float64())),
+        }
+    )
+    empty = t1.slice(0, 0)
+    ds = rd.from_arrow([t1, empty])
+    q = x[:2] + rng.normal(scale=1e-3, size=(2, d))
+    out = ann_topk(ds, q, k=3).to_pandas()
+    assert len(out) == 6
+    assert out["vec_id"].dtype == np.int64
+    # nearest neighbor of a barely-perturbed corpus vector is itself
+    top = out[out["rank"] == 1].sort_values("query_id")
+    assert top["vec_id"].tolist() == [0, 1]

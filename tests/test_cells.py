@@ -1,6 +1,7 @@
 """Grid-cell index: encode/decode roundtrips, covers are supersets, parents."""
 
 import numpy as np
+import pyarrow as pa
 import pytest
 
 from geodistpy_ray.cells import (
@@ -190,3 +191,27 @@ def test_near_pole_band_is_full_ring():
     row = int(np.floor((89.9996 + 90.0) / DEFAULT_CELL_DEG))
     col = int(np.floor((2.5 + 180.0) / DEFAULT_CELL_DEG))
     assert row * nlon + col in set(cells.tolist())
+
+
+def test_tile_aggregate_partitioned_keeps_null_cell_group(ray_session):
+    """A null-laundered cell key (NaN) is one SQL NULL group: the
+    partitioned final's pandas merge must keep it (dropna=False) exactly
+    like the shuffle final does."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.tiles import tile_aggregate
+
+    tbl = pa.table(
+        {
+            "cell": pa.array([7, 7, None, None, 9], pa.int64()),
+            "v": pa.array([1.0, 2.0, 4.0, 8.0, 16.0]),
+        }
+    )
+    ds = rd.from_arrow(tbl).repartition(2)
+    for final in ("shuffle", "partitioned"):
+        out = tile_aggregate(ds, "cell", ("v",), final=final).to_pandas()
+        assert len(out) == 3, final
+        null_row = out[out["cell"].isna()]
+        assert len(null_row) == 1, final
+        assert null_row["n"].iloc[0] == 2 and null_row["sum_v"].iloc[0] == 12.0
+        assert out[out["cell"] == 7]["sum_v"].iloc[0] == 3.0
