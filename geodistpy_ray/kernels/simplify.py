@@ -2,9 +2,13 @@
 
 The reference has no simplification op (its API stops at distance /
 bearing / interpolation); tracks at web scale want the classic DP pass
-before storage or rendering. Deviation is the great-circle CROSS-TRACK
-distance (the standard spherical formula: ``asin(sin(d13/R)·sin(θ13−θ12))·R``),
-degenerating to plain point distance when a segment's endpoints coincide.
+before storage or rendering. Deviation is the great-circle distance to the
+anchor SEGMENT (``gc_segment_distance``: endpoint distance when the point
+projects behind/beyond the chord, cross-track otherwise), degenerating to
+plain point distance when a segment's endpoints coincide. NOT the infinite
+great-circle cross-track formula alone — that has zero deviation along the
+anchor line, so an out-and-back spur on the same great circle would be
+silently deleted (the bug class pinned in tests/test_kernels.py).
 
 Import-clean of Ray (CLAUDE.md kernels rule); the distributed stage wraps
 :func:`simplify_mask` per key span inside one co-located partition

@@ -46,9 +46,9 @@ def flagship_transform(docs, cell_deg: float = 2.0):
     from ..functions.geocode import geocode_ids
 
     def with_cell(batch: pa.Table) -> pa.Table:
-        import numpy as np
+        from ..stages.geo import col_np
 
-        ids = batch.column("doc_id").to_numpy()
+        ids = col_np(batch, "doc_id")
         lat, lon = geocode_ids(ids)
         return batch.append_column("cell", pa.array(_cell_id(lat, lon, cell_deg), pa.int64()))
 

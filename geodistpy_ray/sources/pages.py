@@ -91,17 +91,32 @@ def write_pages(out_dir: str, n_rows: int, seed: int = 42, n_fragments: int = 8)
     per = n_rows // n_fragments
     for frag in range(n_fragments):
         rows = per if frag < n_fragments - 1 else n_rows - per * (n_fragments - 1)
-        t = generate_pages(rows, seed=seed + frag, index_offset=frag * per)
+        # seed*n_fragments+frag, NOT seed+frag: adjacent base seeds must not
+        # share fragment RNG streams (seed 42's fragment 1 == seed 43's
+        # fragment 0 would duplicate 7/8 of a "different" corpus)
+        t = generate_pages(
+            rows, seed=seed * n_fragments + frag, index_offset=frag * per
+        )
         pq.write_table(t, os.path.join(out_dir, f"fragment-{frag:04d}.parquet"))
     return out_dir
 
 
 def read_pages(path, columns=None):
-    """Pages reader: ``ray.data.read_parquet`` with schema pruning.
+    """Pages reader: column-pruned ``read_parquet`` with the PAGES_SCHEMA
+    types ENFORCED per batch (sources/io.py:read_table) — a drifted file
+    (e.g. ``warc_ts`` written as timestamp[ns]) would otherwise flow through
+    untouched and hit the ns→int64 cast hazard downstream.
 
     Pass ``columns`` to prune at the read (never load ``html`` for
     text-only stages — BASELINE scale rule).
     """
-    import ray.data as rd
+    from .io import read_table
 
-    return rd.read_parquet(path, columns=columns)
+    if columns is None:
+        schema = PAGES_SCHEMA
+    else:
+        unknown = [c for c in columns if PAGES_SCHEMA.get_field_index(c) < 0]
+        if unknown:
+            raise ValueError(f"read_pages: unknown column(s) {unknown}")
+        schema = pa.schema([PAGES_SCHEMA.field(c) for c in columns])
+    return read_table(path, schema)

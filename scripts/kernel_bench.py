@@ -150,9 +150,11 @@ out["cell_area_cells_per_sec_core"] = round(N / sorted(samples)[1])
 from geodistpy_ray.kernels.simplify import gc_segment_distance
 from geodistpy_ray.kernels.sphere import destination_sphere, rhumb_inverse
 
+bearing = lon2 % 360.0  # hoisted: the mod must not be charged to the kernel
+
 for name, fn in [
     ("rhumb_pairs_per_sec_core", lambda: rhumb_inverse(lat1, lon1, lat2, lon2)),
-    ("sphere_direct_pairs_per_sec_core", lambda: destination_sphere(lat1, lon1, lon2 % 360.0, 1e5)),
+    ("sphere_direct_pairs_per_sec_core", lambda: destination_sphere(lat1, lon1, bearing, 1e5)),
     ("segment_dist_pairs_per_sec_core", lambda: gc_segment_distance(lat1, lon1, 40.0, -5.0, 48.0, 10.0)),
 ]:
     fn()  # warm

@@ -205,18 +205,24 @@ def quantile_sketch_err():
         .set_index("user_id")["quantile_value"]
     )
     worst = 0.0
+    n_min = None
     for uid, grp in df.groupby("user_id")["value"]:
         sv = np.sort(grp.to_numpy())
         n = sv.size
+        n_min = n if n_min is None else min(n_min, n)
         x = got.loc[uid]
         lo = np.searchsorted(sv, x, side="left")
         hi = np.searchsorted(sv, x, side="right")
         d = max(lo - q * n, q * n - hi, 0.0)
         worst = max(worst, d / n)
+    # the documented guarantee is n/(2b)+1 RANKS per key → as a fraction,
+    # 1/(2b) + 1/n; the worst key can be the smallest one, so the honest
+    # scalar bound is 1/(2b) + 1/min(n) (dropping the +1 rank made a
+    # correct sketch look broken on small keys)
     return {
         "quantile_sketch_b": b,
         "quantile_sketch_max_rank_err_frac": round(worst, 4),
-        "quantile_sketch_bound_frac": round(1 / (2 * b), 4),
+        "quantile_sketch_bound_frac": round(1 / (2 * b) + 1 / n_min, 4),
     }
 
 

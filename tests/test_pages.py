@@ -263,3 +263,44 @@ def test_registrable_domain_matches_sql_mirror(ray_session):
     assert by["https://localhost/x"] == "localhost"
     assert by["https://co.uk/suffix-only"] == "co.uk"
     assert by["https://x.com.au/"] == "x.com.au"
+
+
+def test_write_pages_adjacent_seeds_distinct(ray_session, tmp_path):
+    """seed 42 and seed 43 corpora must not share fragment RNG streams
+    (seed+frag made dir1/fragment-0001 byte-identical to dir2/fragment-0000
+    up to the url index)."""
+    import pyarrow.parquet as pq
+
+    from geodistpy_ray.sources.pages import write_pages
+
+    d1 = write_pages(str(tmp_path / "a"), 400, seed=42, n_fragments=8)
+    d2 = write_pages(str(tmp_path / "b"), 400, seed=43, n_fragments=8)
+    t1 = pq.read_table(f"{d1}/fragment-0001.parquet")
+    t2 = pq.read_table(f"{d2}/fragment-0000.parquet")
+    assert t1.column("text").to_pylist() != t2.column("text").to_pylist()
+
+
+def test_read_pages_enforces_schema_and_rejects_unknown(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from geodistpy_ray.sources.pages import PAGES_SCHEMA, generate_pages, read_pages
+
+    # write with a DRIFTED warc_ts type (ns): the reader must cast to µs
+    t = generate_pages(50, seed=5)
+    drift = t.set_column(
+        t.schema.get_field_index("warc_ts"),
+        "warc_ts",
+        t.column("warc_ts").cast(pa.timestamp("ns")),
+    )
+    path = str(tmp_path / "drifted.parquet")
+    pq.write_table(drift, path)
+    ds = read_pages(path)
+    assert ds.schema().base_schema.field("warc_ts").type == pa.timestamp("us")
+    ds2 = read_pages(path, columns=["url", "warc_ts"])
+    sch = ds2.schema().base_schema
+    assert sch.names == ["url", "warc_ts"]
+    assert sch.field("warc_ts").type == pa.timestamp("us")
+    with pytest.raises(ValueError, match="unknown column"):
+        read_pages(path, columns=["url", "nope"])
