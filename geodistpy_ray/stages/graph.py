@@ -449,6 +449,12 @@ def pagerank(
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).materialize()
+        # same block-growth clamp as connected_components/bfs_hops: the
+        # prop groupby's output block count tracks its INPUT blocks
+        # (state + e), so the O(V) state gains ~|e blocks| per round —
+        # unclamped, per-round scheduling cost grows linearly over rounds
+        if state.num_blocks() > 4 * n_parts:
+            state = state.repartition(n_parts).materialize()
 
     def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -621,9 +627,14 @@ def hits(
                 }
             )
 
-        return scored.map_batches(
+        out = scored.map_batches(
             div, batch_format="pyarrow", zero_copy_batch=True
         ).materialize()
+        # block-growth clamp (see pagerank): hub/auth gain ~|e blocks|
+        # per propagate, and hits runs TWO propagates per iteration
+        if out.num_blocks() > 4 * n_parts:
+            out = out.repartition(n_parts).materialize()
+        return out
 
     hub = nodes.map_batches(
         with_val(1.0 / np.sqrt(n_nodes)), batch_format="pyarrow", zero_copy_batch=True

@@ -24,6 +24,20 @@ from ..kernels import resolve_ellipsoid, unit_factor
 from .geo import col_np, distance_kernel
 
 
+#: Sliver-safety constants — ONE spelling of the haversine-vs-kernel proof
+#: (this math has drifted between copies before: cells.prune_band exists
+#: because the pole-clamp fix had to land twice). The spherical and exact
+#: ellipsoid distances differ by < 0.56% relative (_KERNEL_GAP). A SPHERE
+#: kth converts to a window provably containing the KERNEL top-k by paying
+#: the gap twice (the sphere kth under-bounds the kernel kth, and each
+#: candidate's sphere distance is off by the gap again), so the window
+#: multiplier must be >= (1 + _KERNEL_GAP)^2 ~ 1.0112 — 1.013 is used.
+#: Rounding-tie margins travel the gap once: inflate by >= 1 + _KERNEL_GAP
+#: (1.006 is used).
+_KERNEL_GAP = 0.0056
+_SLIVER_WINDOW = 1.013
+_TIE_INFLATE = 1.006
+
 def knn_join(
     ds,
     query_ids,
@@ -90,11 +104,14 @@ def knn_join(
         kk = min(k, n)
         if n == 0 or qid.size == 0:
             # Q == 0 must short-circuit too: the chunk loop would never run
-            # and np.concatenate([]) raises on the empty output lists
+            # and np.concatenate([]) raises on the empty output lists.
+            # id column: SOURCE-typed empty (slice, not a hardcoded int64) —
+            # a non-int64 id corpus with one empty block would otherwise
+            # mix block schemas in the merge shuffle
             return pa.table(
                 {
                     "query_id": pa.array([], pa.int64()),
-                    id_col: pa.array([], pa.int64()),
+                    id_col: batch.column(id_col).combine_chunks().slice(0, 0),
                     "dist": pa.array([], pa.float64()),
                 }
             )
@@ -125,7 +142,7 @@ def knn_join(
                 if prefilter:
                     # exact-kernel sliver: 1.013x kth-sphere window (the
                     # <0.56% kernel-vs-sphere gap squared) + tie margin
-                    cut_m = kth_h * 1.013 + 1.0 + margin_m * 1.006
+                    cut_m = kth_h * _SLIVER_WINDOW + 1.0 + margin_m * _TIE_INFLATE
                 else:
                     # kernel IS the sphere distance: kth + tie margin
                     cut_m = kth_h + margin_m + 1.0
@@ -140,7 +157,8 @@ def knn_join(
                     kth = np.partition(dm, kk - 1, axis=1)[:, kk - 1]
                     qrow, ci = np.nonzero(dm <= kth[:, None] + margin)
                 else:
-                    qrow, ci = np.nonzero(np.ones((c, n), dtype=bool))
+                    # full grid without the throwaway (c, n) bool matrix
+                    qrow, ci = np.divmod(np.arange(c * n, dtype=np.int64), n)
                 d = dm[qrow, ci]
             # per-query exact tie-window selection over the (superset) sliver
             counts = np.bincount(qrow, minlength=c)
@@ -436,7 +454,8 @@ def knn_join_cells(
                     kth = np.partition(d, kk - 1, axis=1)[:, kk - 1]
                     qrow, ci = np.nonzero(d <= kth[:, None] + tie_margin_m)
                 else:
-                    qrow, ci = np.nonzero(np.ones((cq, nc), dtype=bool))
+                    # full grid without the throwaway (cq, nc) bool matrix
+                    qrow, ci = np.divmod(np.arange(cq * nc, dtype=np.int64), nc)
                 out_q.append(qi_ids[qrow].astype(np.int64))
                 out_i.append(cids[ci])
                 out_d.append(d[qrow, ci])
@@ -642,7 +661,7 @@ class KnnIndexActor:
     remaining latitudes can't compete.
     """
 
-    SLOP = 0.006  # haversine-vs-ellipsoid relative gap bound (< 0.56%)
+    SLOP = _TIE_INFLATE - 1.0  # one-gap inflation (module constant)
 
     def __init__(self, cand_ref, k, kernel="vincenty", metric="meter", ellipsoid="WGS-84", tie_round=6):
         import ray
@@ -673,12 +692,12 @@ class KnnIndexActor:
         # coarse tie_round values
         tie_m = 10.0 ** -tie_round / self.conv if tie_round is not None else 0.0
         self._tie_m = tie_m
-        self._slack = 1.0 + tie_m * (1.0 + self.GAP)
+        self._slack = 1.0 + tie_m * _TIE_INFLATE
 
     #: haversine-vs-kernel relative gap (same 0.56% bound the prune uses) —
     #: converts a haversine kth into an upper bound on the kernel kth for the
     #: band-completeness certificate.
-    GAP = 0.0056
+    GAP = _KERNEL_GAP
 
     def _sliver(self, qlat, qlon):
         """Certified candidate sliver indices for one query.
@@ -720,7 +739,7 @@ class KnnIndexActor:
                 if (hi - lo == n) or (kth_h * (1.0 + self.GAP) + self._tie_m) * (
                     1.0 + self.SLOP
                 ) <= band_deg * self.m_per_deg:
-                    cut = min((kth_h * 1.013 + self._slack) / EARTH_RADIUS_M, np.pi)
+                    cut = min((kth_h * _SLIVER_WINDOW + self._slack) / EARTH_RADIUS_M, np.pi)
                     keep = np.flatnonzero(cosc >= np.cos(cut))
                     return keep + lo
             # hi-lo == n always certifies above, so widening is productive

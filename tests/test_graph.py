@@ -517,3 +517,25 @@ def test_null_edge_endpoint_raises(ray_session):
         pagerank(e, src_col="id_a", dst_col="id_b", n_iters=1).to_pandas()
     with pytest.raises(Exception, match="null"):
         bfs_hops(e, [1], src_col="id_a", dst_col="id_b").to_pandas()
+
+
+def test_pagerank_hits_block_growth_clamped(ray_session):
+    """Iterative state must not gain ~|edge blocks| per round (the CC/BFS
+    clamp, extended to pagerank/hits): with a 40-block edge table and 6
+    rounds, unclamped state would exceed 200 blocks."""
+    import ray.data as rd
+
+    from geodistpy_ray.stages.graph import hits, pagerank
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 60, 400)
+    dst = (src + 1 + rng.integers(0, 5, 400)) % 60
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, pa.int64()), "dst": pa.array(dst, pa.int64())})
+    ).repartition(40)
+    n_parts = 8
+    pr = pagerank(edges, n_iters=6, n_parts=n_parts).materialize()
+    assert pr.num_blocks() <= 4 * n_parts
+    assert pr.count() == 60
+    h = hits(edges, n_iters=4, n_parts=n_parts).materialize()
+    assert h.count() == 60
