@@ -2727,6 +2727,26 @@ def q_doc_clusters(sf_dir):
     return kmeans_assign(emb, c).select_columns(["vec_id", "cluster"])
 
 
+def q_semdedup(sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means the embedding corpus, then
+    within each cluster drop every row whose cosine similarity to an
+    earlier-ordered row (similarity-to-centroid ascending — keep the
+    edge examples) reaches the threshold. Centroids broadcast once, ONE
+    bounded hash-partition shuffle on the cluster id, per-cluster sweeps
+    vectorized in cache-resident chunks with a mega-cluster guard.
+    k-means is iterative → no SQL oracle; the keep rule is pinned against
+    a scalar reference and partition-independence in tests/test_cluster.py
+    (rows-only here: every input row returns with a keep flag)."""
+
+    from geodistpy_ray.stages.cluster import kmeans_fit, semantic_dedup
+
+    emb = _read(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    c, _ = kmeans_fit(emb, k=8, iters=4)
+    return semantic_dedup(emb, c, eps=NEAR_DUP_T)
+
+
 def q_user_p90_sketch(sf_dir):
     """Per-key quantile via the FIXED-SIZE mergeable summary (the scale
     path for unbounded per-key cardinality — shuffles <= 16·b bytes per
@@ -3683,6 +3703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ── rows-only queries (no SQL-expressible oracle) from here down ──
         "approx_distinct": q_approx_distinct,
         "doc_clusters": q_doc_clusters,
+        "semdedup": q_semdedup,
         "user_p90_sketch": q_user_p90_sketch,
         "interpolate_waypoints": q_interpolate,
         "destinations": q_destinations,

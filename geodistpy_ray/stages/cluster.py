@@ -218,3 +218,91 @@ def kmeans_assign(
         )
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def semantic_dedup(
+    ds,
+    centroids: np.ndarray,
+    eps: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_parts: int = 64,
+    max_cluster_rows: int = 50_000,
+    sweep_chunk: int | None = None,
+):
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) keep/drop flags →
+    Dataset ``(id_col, cluster, keep)``.
+
+    The published algorithm: assign every embedding to its nearest
+    centroid, order each cluster by similarity to the centroid ASCENDING
+    (so the survivor of a duplicate chain is the cluster's most "edge-like"
+    example, the paper's keep rule; ties broken by id for determinism), and
+    drop a row iff ANY earlier row of its cluster has cosine similarity
+    ≥ ``eps`` — the triu-max rule of the reference implementation, which is
+    embarrassingly parallel within a cluster (no sequential keep-set
+    dependence).
+
+    Scale shape: centroids broadcast once (``kmeans_assign``), then ONE
+    hash-partition shuffle on the bounded cluster id; inside a partition
+    each cluster is swept vectorized in cache-resident chunks (peak
+    ``sweep_chunk`` sim elements per matmul). Per-cluster work is O(m²d/2)
+    — the paper's own cost — so ``max_cluster_rows`` raises with
+    increase-k guidance before a mega-cluster can quadratically blow up a
+    task (the LSH mega-bucket convention, stages/dedup.py).
+    """
+    from .ann import _SWEEP_CHUNK, _normalize
+
+    if sweep_chunk is None:
+        sweep_chunk = _SWEEP_CHUNK
+    assigned = kmeans_assign(
+        ds.select_columns([id_col, vec_col]), centroids, vec_col=vec_col
+    )
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                id_col: pa.array([], pa.int64()),
+                "cluster": pa.array([], pa.int64()),
+                "keep": pa.array([], pa.bool_()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        # cluster_sq DESCENDING == similarity-to-centroid ascending (the
+        # sweep order the keep rule is defined over)
+        t = t.sort_by(
+            [("cluster", "ascending"), ("cluster_sq", "descending"), (id_col, "ascending")]
+        )
+        cl = t.column("cluster").to_numpy(zero_copy_only=False)
+        x = _normalize(_emb_matrix(t, vec_col))
+        keep = np.ones(t.num_rows, dtype=bool)
+        starts = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1]])
+        ends = np.r_[starts[1:], cl.size]
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m > max_cluster_rows:
+                raise ValueError(
+                    f"semantic_dedup: cluster {int(cl[s])} has {m} rows "
+                    f"(> max_cluster_rows={max_cluster_rows}); the per-cluster "
+                    f"sweep is O(m²·d) — refit with a larger k so clusters "
+                    f"shrink, or raise max_cluster_rows explicitly"
+                )
+            xx = x[s:e]
+            step = max(1, sweep_chunk // m)
+            for a in range(1, m, step):
+                b = min(a + step, m)
+                sims = xx[a:b] @ xx[:b].T  # (b-a, b)
+                # only strictly-earlier rows count
+                sims[np.arange(b)[None, :] >= np.arange(a, b)[:, None]] = -np.inf
+                keep[s + a : s + b] = sims.max(axis=1) < eps
+        return pa.table(
+            {
+                id_col: t.column(id_col),
+                "cluster": t.column("cluster"),
+                "keep": pa.array(keep),
+            }
+        )
+
+    return partitioned_map_groups(
+        assigned, "cluster", part_fn, n_parts=n_parts, part_format="pyarrow"
+    )

@@ -25,11 +25,18 @@ def tile_aggregate(
     cell_deg: float = DEFAULT_CELL_DEG,
     coarsen_factor: int | None = None,
     final: str = "shuffle",
+    nulls: str = "raise",
 ):
     """Per-cell counts (plus optional value sums) → Dataset (cell, n, sum_*).
 
     With ``coarsen_factor`` the aggregation happens at the parent resolution
     (hierarchical raster roll-up).
+
+    ``nulls`` follows :func:`~.relational.grouped_sum`'s convention for NULL
+    VALUES in ``value_cols`` (null cells are fine — they form the SQL NULL
+    group): ``"raise"`` (default) fails loudly — a NaN weight would silently
+    poison the whole cell's ``bincount`` sum where SQL SUM ignores NULLs;
+    ``"zero"`` counts them as 0, i.e. ``COALESCE(SUM(x), 0)``.
 
     ``final="shuffle"`` (default) is Ray's sort-aggregate — fine while the
     occupied-cell count is modest (coarse grids), but it pays per-GROUP
@@ -38,6 +45,8 @@ def tile_aggregate(
     64 hash partitions of the cell id with one vectorized pandas groupby
     each (see stages/grouping.py).
     """
+    if nulls not in ("raise", "zero"):
+        raise ValueError(f"nulls must be 'raise' or 'zero', got {nulls!r}")
 
     def partial(batch: pa.Table) -> pa.Table:
         cells = col_np(batch, cell_col)
@@ -47,6 +56,15 @@ def tile_aggregate(
         cols = {"cell": uniq, "part_n": counts.astype(np.int64)}
         for vc in value_cols:
             v = col_np(batch, vc).astype(np.float64)
+            nan = np.isnan(v)
+            if nan.any():
+                if nulls == "raise":
+                    raise ValueError(
+                        f"tile_aggregate: column {vc!r} has {int(nan.sum())} "
+                        f"null(s); pass nulls='zero' for COALESCE(SUM(x), 0) "
+                        f"semantics"
+                    )
+                v = np.where(nan, 0.0, v)
             cols[f"part_sum_{vc}"] = np.bincount(inv, weights=v, minlength=uniq.size)
         return pa.table(cols)
 

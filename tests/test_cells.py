@@ -215,3 +215,33 @@ def test_tile_aggregate_partitioned_keeps_null_cell_group(ray_session):
         assert len(null_row) == 1, final
         assert null_row["n"].iloc[0] == 2 and null_row["sum_v"].iloc[0] == 12.0
         assert out[out["cell"] == 7]["sum_v"].iloc[0] == 3.0
+
+
+def test_tile_aggregate_null_values_follow_grouped_sum_convention(ray_session):
+    """NULL VALUES in a sum column must never reach the bincount, where one
+    NaN weight silently poisons the whole cell's sum (SQL SUM ignores
+    NULLs): default raises naming nulls='zero'; 'zero' gives COALESCE
+    semantics while n still counts every row (COUNT(*))."""
+    import ray
+    import ray.data as rd
+
+    from geodistpy_ray.stages.tiles import tile_aggregate
+
+    tbl = pa.table(
+        {
+            "cell": pa.array([7, 7, 9], pa.int64()),
+            "v": pa.array([1.0, None, 16.0]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    with pytest.raises(ray.exceptions.RayTaskError, match="nulls='zero'"):
+        tile_aggregate(ds, "cell", ("v",), final="shuffle").to_pandas()
+    out = (
+        tile_aggregate(ds, "cell", ("v",), final="shuffle", nulls="zero")
+        .to_pandas()
+        .set_index("cell")
+    )
+    assert out.loc[7, "sum_v"] == 1.0 and out.loc[7, "n"] == 2
+    assert out.loc[9, "sum_v"] == 16.0
+    with pytest.raises(ValueError, match="nulls must be"):
+        tile_aggregate(ds, "cell", ("v",), nulls="bogus")
