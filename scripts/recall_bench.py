@@ -79,17 +79,24 @@ def ann_recalls():
         to_queries, batch_format="pyarrow", zero_copy_batch=True
     )
     exact_j = topk_sets(ann_join_blocked(queries(), emb(), k=ANN_K))
-    approx_j = topk_sets(
-        ivf_ann_join(
-            queries(), emb(), k=ANN_K,
-            n_centroids=8, n_probe=4, n_assign=2, train_sample=512,
+    # assign 3 is the >=0.95 operating point (measured curve in BASELINE.md:
+    # (4 probes, assign 2) 0.936 -> (4, 3) 0.986 -> (5, 3) 0.994, latency
+    # +14% worst case); the assign-2 point stays recorded as the curve's
+    # cheap end
+    for suffix, n_assign in (("", 3), ("_assign2", 2)):
+        approx_j = topk_sets(
+            ivf_ann_join(
+                queries(), emb(), k=ANN_K,
+                n_centroids=8, n_probe=4, n_assign=n_assign, train_sample=512,
+            )
         )
-    )
-    recalls = [
-        len(exact_j[qid] & approx_j.get(qid, set())) / max(len(exact_j[qid]), 1)
-        for qid in exact_j
-    ]
-    out[f"ivf_ann_join_recall_at_{ANN_K}"] = round(float(np.mean(recalls)), 4)
+        recalls = [
+            len(exact_j[qid] & approx_j.get(qid, set())) / max(len(exact_j[qid]), 1)
+            for qid in exact_j
+        ]
+        out[f"ivf_ann_join_recall_at_{ANN_K}{suffix}"] = round(
+            float(np.mean(recalls)), 4
+        )
     return out
 
 
