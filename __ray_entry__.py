@@ -25,6 +25,8 @@ PAIR_DIST_M = 150_000.0
 KNN_K = 5
 ANN_K = 10
 NEAR_DUP_T = 0.40
+STAY_EPS_M = 600_000.0  # stay-point leg radius (jitter is ±~350 km per axis)
+STAY_MIN_DUR_US = 6 * 3600 * 1_000_000  # stays must span >= 6 h
 
 
 def _round_col(ds, col, digits, out=None, div=1.0):
@@ -589,6 +591,7 @@ def _micro_centroid_sums(ds, key_col: str, count_col: str, final: str):
     integers, summed per ``key_col`` by :func:`grouped_sum`. ONE copy of
     the oracle-critical arithmetic — a tie-rule fix here reaches every
     centroid query at once."""
+    from geodistpy_ray.stages.geo import micro_deg
     from geodistpy_ray.stages.relational import grouped_sum
 
     def to_micro(batch: pa.Table) -> pa.Table:
@@ -597,8 +600,8 @@ def _micro_centroid_sums(ds, key_col: str, count_col: str, final: str):
         return pa.table(
             {
                 key_col: batch.column(key_col),
-                "ulat": pa.array(np.floor(lat * 1e6 + 0.5).astype(np.int64), pa.int64()),
-                "ulon": pa.array(np.floor(lon * 1e6 + 0.5).astype(np.int64), pa.int64()),
+                "ulat": pa.array(micro_deg(lat), pa.int64()),
+                "ulon": pa.array(micro_deg(lon), pa.int64()),
             }
         )
 
@@ -613,11 +616,11 @@ def _micro_centroid_sums(ds, key_col: str, count_col: str, final: str):
 
 
 def _micro_mean(usum, n) -> np.ndarray:
-    """µdeg sums → degree mean. FLOOR(x + 0.5), not ROUND: integer-ratio
-    means land EXACTLY on the half-µdeg boundary whenever sum % n == n/2,
-    where np.round (half-even) and SQL ROUND (half-away) disagree —
-    floor+0.5 is the same fp op on both sides (CLAUDE.md tie rule)."""
-    return np.floor(np.asarray(usum) / np.asarray(n) + 0.5) / 1e6
+    """µdeg sums → degree mean (delegates to the ONE shared copy of the
+    oracle-critical formula, stages/geo.py:micro_mean)."""
+    from geodistpy_ray.stages.geo import micro_mean
+
+    return micro_mean(usum, n)
 
 
 def q_cell_centroids(sf_dir):
@@ -2747,6 +2750,45 @@ def q_semdedup(sf_dir):
     return semantic_dedup(emb, c, eps=NEAR_DUP_T)
 
 
+def q_geo_dbscan(sf_dir):
+    """Geodesic DBSCAN over the geocoded documents: density clusters under
+    a 150 km ε-radius and min_pts=3 (neighborhood counts the point itself,
+    the sklearn convention). Border assignment is DETERMINISTIC (minimum
+    core-neighbor cluster id — exactly SQL MIN, unlike sklearn's
+    scan-order rule); noise is absent. Composed entirely from proven
+    bounded exchanges: close_pairs ε-graph → partitioned degree count →
+    two semi-joins (core subgraph) → connected_components →
+    anti+inner join + partitioned MIN (borders). Oracle: O(n²) ε-self-join
+    + recursive min-reachable CTE over the core subgraph."""
+    from geodistpy_ray.stages.cluster import geo_dbscan
+
+    return geo_dbscan(
+        _docs_geo(sf_dir), PAIR_DIST_M, 3, kernel="haversine", cell_deg=CELL_DEG
+    )
+
+
+def q_stay_points(sf_dir):
+    """Trajectory stay-point detection over each user's geocoded event
+    stream: maximal runs of consecutive points whose every leg stays
+    within 600 km, kept when the run spans >= 6 h and >= 2 points —
+    start/end/duration (exact int64 µs) + the run centroid (shared integer
+    micro-degree tie rule). Legs compare in integer millimeters on both
+    sides, so the break decision is bit-identical to the SQL LAG mirror."""
+    from geodistpy_ray.stages import add_geocode
+    from geodistpy_ray.stages.windows import stay_points
+
+    ev = _read(f"{sf_dir}/events.parquet", columns=["user_id", "event_id", "ts"])
+    pts = add_geocode(ev, id_col="event_id")
+    return stay_points(
+        pts,
+        STAY_EPS_M,
+        STAY_MIN_DUR_US,
+        key_col="user_id",
+        ts_col="ts",
+        tiebreak_col="event_id",
+    )
+
+
 def q_user_p90_sketch(sf_dir):
     """Per-key quantile via the FIXED-SIZE mergeable summary (the scale
     path for unbounded per-key cardinality — shuffles <= 16·b bytes per
@@ -3700,6 +3742,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the distributed exact near-dup twin, value-checked against the
         # same SQL as embed_near_dup's in-window broadcast-path row
         "embed_near_dup_blocked": q_embed_near_dup_blocked,
+        # geo_dbscan composes close_pairs + connected_components + the
+        # join family; stay_points composes the LAG/session machinery +
+        # haversine legs + the micro-degree centroid — every component has
+        # its own in-window row, so these compositions sit past the window
+        # (check_oracle still value-hash-checks them every round)
+        "geo_dbscan": q_geo_dbscan,
+        "stay_points": q_stay_points,
         # ── rows-only queries (no SQL-expressible oracle) from here down ──
         "approx_distinct": q_approx_distinct,
         "doc_clusters": q_doc_clusters,
@@ -4129,6 +4178,56 @@ def oracle_sql() -> dict[str, str]:
             "FLOOR(CAST(su AS DOUBLE) / n_pts + 0.5) / 1000000.0 AS clat, "
             "FLOOR(CAST(so AS DOUBLE) / n_pts + 0.5) / 1000000.0 AS clon "
             "FROM a"
+        ),
+        "geo_dbscan": (
+            # geodesic DBSCAN: ε-self-join neighbor graph, density bar
+            # counts the point itself (sklearn min_samples), core labels =
+            # min-reachable over the core subgraph (+ self-loops so
+            # isolated cores keep their own id), borders take the MIN
+            # core-neighbor cluster (the engine's deterministic rule)
+            f"WITH RECURSIVE nb AS (SELECT a.doc_id AS ida, b.doc_id AS idb "
+            f"FROM documents a, documents b "
+            f"WHERE a.doc_id <> b.doc_id AND {hav_ab} <= {PAIR_DIST_M}), "
+            "deg AS (SELECT ida AS id, COUNT(*) AS d FROM nb GROUP BY 1), "
+            "core AS (SELECT id FROM deg WHERE d + 1 >= 3), "
+            "ce AS (SELECT n.ida AS src, n.idb AS dst FROM nb n "
+            "JOIN core c1 ON n.ida = c1.id JOIN core c2 ON n.idb = c2.id "
+            "UNION ALL SELECT id, id FROM core), "
+            "nodes AS (SELECT DISTINCT src AS node FROM ce), "
+            "reach(node, r) AS (SELECT node, node FROM nodes "
+            "UNION SELECT s.dst, reach.r FROM reach JOIN ce s ON s.src = reach.node), "
+            "lbl AS (SELECT node, MIN(r) AS cluster_id FROM reach GROUP BY node), "
+            "brd AS (SELECT n.ida AS node, MIN(l.cluster_id) AS cluster_id "
+            "FROM nb n JOIN lbl l ON n.idb = l.node "
+            "WHERE n.ida NOT IN (SELECT id FROM core) GROUP BY 1) "
+            "SELECT node AS doc_id, cluster_id, TRUE AS is_core FROM lbl "
+            "UNION ALL SELECT node AS doc_id, cluster_id, FALSE AS is_core FROM brd"
+        ),
+        "stay_points": (
+            # the LAG + break-flag run id + GROUP BY ... HAVING mirror of
+            # the consecutive-leg stay rule; legs compare in integer mm
+            # (the haversine_sql resolution) so the break decision is
+            # bit-identical; centroids use the shared micro-degree tie rule
+            f"WITH pts AS (SELECT user_id, event_id, epoch_us(ts) AS us, "
+            f"{elat} AS lat, {elon} AS lon FROM events "
+            "WHERE user_id IS NOT NULL AND ts IS NOT NULL), "
+            "o AS (SELECT *, LAG(lat) OVER w AS plat, LAG(lon) OVER w AS plon, "
+            "LAG(us) OVER w AS pus FROM pts "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)), "
+            "b AS (SELECT *, CASE WHEN pus IS NULL OR "
+            f"FLOOR({haversine_sql('plat', 'plon', 'lat', 'lon')} * 1000.0 + 0.5) "
+            f"> {int(STAY_EPS_M * 1000)} THEN 1 ELSE 0 END AS brk FROM o), "
+            "r AS (SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY us, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS run FROM b), "
+            "s AS (SELECT user_id, run, MIN(us) AS start_us, MAX(us) AS end_us, "
+            "CAST(COUNT(*) AS BIGINT) AS n_pts, "
+            "CAST(SUM(CAST(FLOOR(lat * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS su, "
+            "CAST(SUM(CAST(FLOOR(lon * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS so "
+            "FROM r GROUP BY 1, 2) "
+            "SELECT user_id, start_us, end_us, n_pts, end_us - start_us AS dur_us, "
+            "FLOOR(CAST(su AS DOUBLE) / n_pts + 0.5) / 1000000.0 AS clat, "
+            "FLOOR(CAST(so AS DOUBLE) / n_pts + 0.5) / 1000000.0 AS clon "
+            f"FROM s WHERE end_us - start_us >= {STAY_MIN_DUR_US} AND n_pts >= 2"
         ),
         "track_envelopes": (
             f"WITH pts AS (SELECT user_id, {elat} AS lat, {elon} AS lon "

@@ -306,3 +306,170 @@ def semantic_dedup(
     return partitioned_map_groups(
         assigned, "cluster", part_fn, n_parts=n_parts, part_format="pyarrow"
     )
+
+
+def geo_dbscan(
+    ds,
+    eps_m: float,
+    min_pts: int,
+    id_col: str = "doc_id",
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    cell_deg: float | None = None,
+    kernel: str = "haversine",
+    n_parts: int = 64,
+    salt: int | str = 1,
+):
+    """Geodesic DBSCAN over a lat/lon point Dataset → ``(id_col,
+    cluster_id, is_core)``: density clusters under the ``eps_m`` geodesic
+    radius and ``min_pts`` density bar (the neighborhood COUNTS THE POINT
+    ITSELF, the scikit-learn ``min_samples`` convention). Noise points —
+    neither core nor within ``eps_m`` of a core — are absent from the
+    output (like :func:`~.graph.connected_components`, whose singleton
+    convention this inherits).
+
+    DBSCAN's one order-dependence is border assignment (a border point in
+    two clusters' reach goes to whichever core claims it first in the
+    scan). This engine makes it DETERMINISTIC: a border point joins the
+    MINIMUM ``cluster_id`` among its core neighbors — partition- and
+    order-independent, and exactly SQL ``MIN()`` (the oracle relies on it).
+    Core labels are the component MINIMUM id, inherited from
+    connected_components.
+
+    Composition (every exchange a proven bounded primitive):
+
+    1. ``close_pairs`` — the exactly-once cell-bucketed ε-pair table
+       (ONE shuffle, hot-cell salting via ``salt``);
+    2. symmetrize → per-node neighbor COUNT (``grouped_sum``,
+       partitioned final — node domain is corpus-scale);
+    3. core flags filter; core-core edges by two bucketed SEMI-joins of
+       the pair table; PLUS (core, core) self-loops so isolated cores
+       (no core neighbor) surface as their own single-core clusters;
+    4. ``connected_components`` over the core subgraph —
+       O(log diameter) bounded rounds;
+    5. borders: non-core endpoints of symmetric edges whose neighbor is a
+       labeled core — one bucketed ANTI-join (vs cores) + one bucketed
+       INNER join (label lookup) + a partitioned MIN.
+
+    Never materializes points or pairs on the driver; shuffle volume is
+    O(|pairs|) throughout — the ε-graph itself, which any DBSCAN must ship.
+    """
+    from ..cells import DEFAULT_CELL_DEG
+    from .graph import connected_components
+    from .joins import shuffle_equi_join
+    from .pairs import close_pairs
+    from .relational import grouped_minmax, grouped_sum
+
+    if min_pts < 1:
+        raise ValueError("geo_dbscan: min_pts must be >= 1")
+    if cell_deg is None:
+        cell_deg = DEFAULT_CELL_DEG
+
+    # The ε-pair table feeds FOUR consumers (degree count, two semi-joins,
+    # the border sweep); a lazy Dataset re-executes the whole ε-join per
+    # consumer, so pin it once — O(|pairs|) of two int64 columns, the
+    # unavoidable DBSCAN artifact (the `hits` materialize-for-reuse
+    # convention, stages/graph.py).
+    def narrow(batch: pa.Table) -> pa.Table:
+        # per-batch select, NOT Dataset.select_columns: the lazy Project
+        # skips the pair sweep's empty blocks, leaving a mixed-schema block
+        # stream (stale `dist` column) that breaks the joins' side-padding
+        return batch.select(["id_left", "id_right"])
+
+    pairs = (
+        close_pairs(
+            ds,
+            eps_m,
+            id_col=id_col,
+            lat_col=lat_col,
+            lon_col=lon_col,
+            cell_deg=cell_deg,
+            kernel=kernel,
+            salt=salt,
+        )
+        .map_batches(narrow, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    def symmetrize(batch: pa.Table) -> pa.Table:
+        l = batch.column("id_left").combine_chunks()
+        r = batch.column("id_right").combine_chunks()
+        return pa.table(
+            {"node": pa.concat_arrays([l, r]), "nbr": pa.concat_arrays([r, l])}
+        )
+
+    sym = pairs.map_batches(symmetrize, batch_format="pyarrow", zero_copy_batch=True)
+
+    deg = grouped_sum(sym, ["node"], count_col="n_nbrs", final="partitioned")
+
+    def core_filter(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = batch.column("n_nbrs")
+        # neighborhood includes the point itself (sklearn min_samples)
+        keep = pc.greater_equal(pc.add(n, 1), min_pts)
+        return batch.filter(keep).select(["node"])
+
+    # cores is consumed three times (two semi-joins, the self-loop emit)
+    # and again by the border anti-join — O(#cores) of one int64 column
+    cores = deg.map_batches(
+        core_filter, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # core-core edges: two bucketed semi-joins of the (narrow) pair table
+    cc_edges = shuffle_equi_join(
+        pairs, cores, left_key="id_left", right_key="node", join_type="left semi"
+    )
+    cc_edges = shuffle_equi_join(
+        cc_edges, cores, left_key="id_right", right_key="node", join_type="left semi"
+    )
+
+    def self_loops(batch: pa.Table) -> pa.Table:
+        n = batch.column("node")
+        return pa.table({"id_left": n, "id_right": n})
+
+    loops = cores.map_batches(self_loops, batch_format="pyarrow", zero_copy_batch=True)
+    labels = connected_components(
+        cc_edges.union(loops),
+        src_col="id_left",
+        dst_col="id_right",
+        node_col=id_col,
+        out_col="cluster_id",
+        n_parts=n_parts,
+    )
+
+    # borders: symmetric edges whose NODE is non-core — label lookup on the
+    # nbr side keeps only rows whose neighbor is a labeled core
+    non_core = shuffle_equi_join(
+        sym, cores, left_key="node", right_key="node", join_type="left anti"
+    )
+    reached = shuffle_equi_join(
+        non_core, labels, left_key="nbr", right_key=id_col, join_type="inner"
+    )
+    border_min = grouped_minmax(
+        reached, ["node"], "cluster_id", final="partitioned"
+    )
+
+    def finish_core(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column(id_col).cast(pa.int64()),
+                "cluster_id": batch.column("cluster_id").cast(pa.int64()),
+                "is_core": pa.array(np.ones(batch.num_rows, dtype=bool)),
+            }
+        )
+
+    def finish_border(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: batch.column("node").cast(pa.int64()),
+                "cluster_id": batch.column("min_value").cast(pa.int64()),
+                "is_core": pa.array(np.zeros(batch.num_rows, dtype=bool)),
+            }
+        )
+
+    out_core = labels.map_batches(finish_core, batch_format="pyarrow", zero_copy_batch=True)
+    out_border = border_min.map_batches(
+        finish_border, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return out_core.union(out_border)

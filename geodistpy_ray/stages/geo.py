@@ -28,6 +28,27 @@ def col_np(batch: pa.Table, name: str) -> np.ndarray:
     return batch.column(name).combine_chunks().to_numpy(zero_copy_only=False)
 
 
+def micro_deg(x: np.ndarray) -> np.ndarray:
+    """Degrees → integer micro-degrees, ``floor(deg·1e6 + 0.5)`` int64.
+
+    THE oracle-critical centroid quantization (one copy — a tie-rule fix
+    here reaches every centroid consumer): integer partials make per-key
+    sums order-independent, and FLOOR(x + 0.5) is the same fp op on both
+    engine and SQL sides (np.round half-even vs SQL ROUND half-away
+    disagree exactly on the .5 boundary integer ratios land on)."""
+    return np.floor(np.asarray(x) * 1e6 + 0.5).astype(np.int64)
+
+
+def micro_mean(usum, n) -> np.ndarray:
+    """µdeg integer sums → degree mean, ``floor(sum/n + 0.5) / 1e6``.
+
+    FLOOR(x + 0.5), not ROUND: integer-ratio means land EXACTLY on the
+    half-µdeg boundary whenever ``sum % n == n/2``, where np.round
+    (half-even) and SQL ROUND (half-away) disagree — floor+0.5 is the same
+    fp op on both sides (CLAUDE.md tie rule)."""
+    return np.floor(np.asarray(usum) / np.asarray(n) + 0.5) / 1e6
+
+
 def add_geocode(ds, id_col: str = "doc_id", lat_col: str = "lat", lon_col: str = "lon"):
     """Append deterministic (lat, lon) derived from an integer key column.
 

@@ -698,3 +698,121 @@ def session_spans(
     return partitioned_map_groups(
         ds, key_col, part_fn, n_parts=n_parts, part_format="pyarrow"
     )
+
+
+def stay_points(
+    ds,
+    eps_m: float,
+    min_dur_us: int,
+    key_col: str,
+    ts_col: str,
+    lat_col: str = "lat",
+    lon_col: str = "lon",
+    tiebreak_col: str | None = None,
+    max_gap_us: int | None = None,
+    min_pts: int = 2,
+    kernel: str = "haversine",
+    n_parts: int = 64,
+):
+    """Trajectory stay-point detection → ``(key, start_us, end_us, n_pts,
+    dur_us, clat, clon)``: one row per maximal run of a key's consecutive
+    time-ordered points whose every LEG stays within ``eps_m`` (and, when
+    ``max_gap_us`` is set, whose every time gap stays within it), kept when
+    the run spans ``>= min_dur_us`` and ``>= min_pts`` points.
+
+    The consecutive-leg variant of the classic GPS stay-point extraction
+    (Li et al. 2008 use an anchor-distance rule; the leg rule is its
+    window-function-expressible sibling — exactly a SQL ``LAG`` + break-flag
+    ``SUM() OVER`` run id + ``GROUP BY ... HAVING``, which is what the
+    oracle mirrors). Legs compare in INTEGER millimeters
+    (``floor(m·1000 + 0.5)``, the haversine_sql comparison resolution) so
+    the break decision is bit-identical on both sides; run centroids use
+    the shared integer micro-degree tie rule (stages/geo.py:micro_deg /
+    micro_mean); timestamps stay exact int64 µs throughout (``_us``).
+
+    Scale shape: rows with a NULL key or timestamp are dropped up front
+    (the sessionize convention — SQL window PARTITION BY cannot order
+    them), then ONE bounded hash-partition co-location on the key; inside
+    a partition everything is one Arrow sort + one vectorized kernel call
+    over consecutive rows + ``reduceat`` over run spans — no per-key
+    frames, Arrow in/out.
+    """
+    from .geo import distance_kernel, micro_deg, micro_mean
+    from .grouping import key_spans, partitioned_map_groups, same_adjacent
+
+    if min_pts < 1:
+        raise ValueError("stay_points: min_pts must be >= 1")
+    kfn = distance_kernel(kernel)
+    from ..kernels import resolve_ellipsoid
+
+    _a, _f = resolve_ellipsoid("WGS-84")
+    eps_mm = np.int64(np.floor(float(eps_m) * 1000.0 + 0.5))
+    sort_keys = [(key_col, "ascending"), (ts_col, "ascending")] + (
+        [(tiebreak_col, "ascending")] if tiebreak_col else []
+    )
+
+    def drop_nulls(batch: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_valid(batch.column(key_col)), pc.is_valid(batch.column(ts_col))
+        )
+        return batch.filter(mask)
+
+    ds = ds.map_batches(drop_nulls, batch_format="pyarrow", zero_copy_batch=True)
+
+    def part_fn(t: pa.Table) -> pa.Table:
+        key_type = t.schema.field(key_col).type
+        empty = pa.table(
+            {
+                key_col: pa.array([], key_type),
+                "start_us": pa.array([], pa.int64()),
+                "end_us": pa.array([], pa.int64()),
+                "n_pts": pa.array([], pa.int64()),
+                "dur_us": pa.array([], pa.int64()),
+                "clat": pa.array([], pa.float64()),
+                "clon": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        t = t.sort_by(sort_keys)
+        keys = t.column(key_col).combine_chunks().to_numpy(zero_copy_only=False)
+        lat = t.column(lat_col).combine_chunks().to_numpy(zero_copy_only=False)
+        lon = t.column(lon_col).combine_chunks().to_numpy(zero_copy_only=False)
+        us, _nat = _us(t, ts_col)  # nulls already dropped
+        n = keys.size
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            d = kfn(lat[:-1], lon[:-1], lat[1:], lon[1:], _a, _f)
+            leg_mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+            far = leg_mm > eps_mm
+            if max_gap_us is not None:
+                far |= (us[1:] - us[:-1]) > np.int64(max_gap_us)
+            brk[1:] = far | ~same_adjacent(keys)
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], n]
+        n_run = (ends - starts).astype(np.int64)
+        start_us = us[starts]
+        end_us = us[ends - 1]
+        dur = end_us - start_us
+        sulat = np.add.reduceat(micro_deg(lat), starts)
+        sulon = np.add.reduceat(micro_deg(lon), starts)
+        keep = (dur >= np.int64(min_dur_us)) & (n_run >= min_pts)
+        if not keep.any():
+            return empty
+        return pa.table(
+            {
+                # take() from the SORTED input column: exact input key type
+                # for cross-partition schema stability
+                key_col: t.column(key_col).combine_chunks().take(pa.array(starts[keep])),
+                "start_us": pa.array(start_us[keep], pa.int64()),
+                "end_us": pa.array(end_us[keep], pa.int64()),
+                "n_pts": pa.array(n_run[keep], pa.int64()),
+                "dur_us": pa.array(dur[keep], pa.int64()),
+                "clat": pa.array(micro_mean(sulat[keep], n_run[keep]), pa.float64()),
+                "clon": pa.array(micro_mean(sulon[keep], n_run[keep]), pa.float64()),
+            }
+        )
+
+    return partitioned_map_groups(
+        ds, key_col, part_fn, n_parts=n_parts, part_format="pyarrow"
+    )

@@ -1,6 +1,7 @@
 """Distributed k-means: recovery, monotonicity, partition independence."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
 
@@ -204,3 +205,153 @@ class TestSemanticDedup:
             semantic_dedup(
                 rd.from_arrow(tab), anchors, eps=0.9, max_cluster_rows=3
             ).to_pandas()
+
+
+class TestGeoDbscan:
+    def _ref(self, ids, lat, lon, eps_m, min_pts):
+        """Scalar DBSCAN with the engine's deterministic rules: density
+        counts the point itself; core labels = min id of the core-core
+        component; borders take the MIN core-neighbor label; noise absent."""
+        from geodistpy_ray.kernels import haversine
+
+        n = ids.size
+        adj = [set() for _ in range(n)]
+        for i in range(n):
+            d = haversine(
+                np.full(n, lat[i]), np.full(n, lon[i]), lat, lon
+            )
+            for j in np.flatnonzero(d <= eps_m):
+                if j != i:
+                    adj[i].add(int(j))
+        core = {i for i in range(n) if len(adj[i]) + 1 >= min_pts}
+        # union-find over core-core edges
+        parent = {i: i for i in core}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for i in core:
+            for j in adj[i]:
+                if j in core:
+                    ra, rb = find(i), find(j)
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+        comp = {}
+        for i in core:
+            comp.setdefault(find(i), []).append(i)
+        lbl = {}
+        for members in comp.values():
+            m = min(ids[i] for i in members)
+            for i in members:
+                lbl[i] = int(m)
+        rows = [(int(ids[i]), lbl[i], True) for i in core]
+        for i in range(n):
+            if i in core:
+                continue
+            cn = [lbl[j] for j in adj[i] if j in core]
+            if cn:
+                rows.append((int(ids[i]), min(cn), False))
+        return (
+            pd.DataFrame(rows, columns=["doc_id", "cluster_id", "is_core"])
+            .sort_values("doc_id", ignore_index=True)
+        )
+
+    def _points(self, seed=5, n=60):
+        # dense blobs (cores) each with a meridional tail: the mid point
+        # still reaches the blob (core), the tip reaches only the mid
+        # (border, deg 1) — plus scattered singles/pairs (noise); degrees
+        # span the min_pts boundary. eps in tests = 60 km ≈ 0.54° lat.
+        rng = np.random.default_rng(seed)
+        lat, lon = [], []
+        for _ in range(4):
+            c = rng.uniform(-60, 60, 2)
+            m = int(rng.integers(4, 8))
+            lat += list(c[0] + rng.normal(0, 0.1, m))
+            lon += list(c[1] + rng.normal(0, 0.1, m))
+            lat += [c[0] + 0.45, c[0] + 0.95]  # mid (core), tip (border)
+            lon += [c[1], c[1]]
+        while len(lat) < n:  # scattered singles/pairs
+            c = rng.uniform(-70, 70, 2)
+            m = int(rng.integers(1, 3))
+            lat += list(c[0] + rng.normal(0, 0.4, m))
+            lon += list(c[1] + rng.normal(0, 0.4, m))
+        lat, lon = np.array(lat[:n]), np.array(lon[:n])
+        ids = rng.permutation(lat.size).astype(np.int64) + 100
+        return ids, lat, lon
+
+    def _run(self, ids, lat, lon, eps_m, min_pts, parts=4):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.cluster import geo_dbscan
+
+        tab = pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "lat": pa.array(lat, pa.float64()),
+                "lon": pa.array(lon, pa.float64()),
+            }
+        )
+        return (
+            geo_dbscan(
+                rd.from_arrow(tab).repartition(parts), eps_m, min_pts,
+                kernel="haversine",
+            )
+            .to_pandas()
+            .sort_values("doc_id", ignore_index=True)
+        )
+
+    def test_vs_reference(self, ray_session):
+        ids, lat, lon = self._points()
+        eps, mp = 60_000.0, 3
+        got = self._run(ids, lat, lon, eps, mp)
+        exp = self._ref(ids, lat, lon, eps, mp)
+        assert (~exp["is_core"]).sum() >= 1  # borders exercised
+        assert exp["is_core"].sum() >= 10
+        assert len(exp) < len(ids)  # noise exercised
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    def test_border_takes_min_cluster(self, ray_session):
+        # two arm-shaped core blobs; point 42 sits between the arm tips,
+        # within eps of core 11 (cluster 3) AND core 30 (cluster 8) but
+        # with only 2 neighbors (< min_pts=4) -> non-core, deterministic
+        # MIN cluster (geometry verified: deg(42)=2, both nbrs core)
+        lat = np.array([10.0, 10.0, 10.0, 10.1, 10.0, 10.0, 10.0, 10.0, 10.1, 10.0, 10.0])
+        lon = np.array([20.0, 20.1, 19.9, 20.0, 20.45, 21.9, 21.8, 22.0, 21.9, 21.45, 20.95])
+        ids = np.array([7, 3, 9, 20, 11, 12, 8, 15, 22, 30, 42], dtype=np.int64)
+        got = self._run(ids, lat, lon, 58_000.0, 4)
+        exp = self._ref(ids, lat, lon, 58_000.0, 4)
+        pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+        border = got[got["doc_id"] == 42]
+        assert len(border) == 1 and not border["is_core"].iloc[0]
+        assert border["cluster_id"].iloc[0] == 3  # min of clusters {3, 8}
+        # the two blobs stay separate clusters (42 is non-core, no bridge)
+        assert set(got["cluster_id"]) == {3, 8}
+
+    def test_isolated_core_is_singleton_cluster(self, ray_session):
+        # a 2-point pair at min_pts=2: both core, each other's neighbor
+        # -> one cluster; plus one isolated point -> absent (noise)
+        lat = np.array([0.0, 0.1, 50.0])
+        lon = np.array([0.0, 0.0, 50.0])
+        ids = np.array([5, 2, 30], dtype=np.int64)
+        got = self._run(ids, lat, lon, 20_000.0, 2)
+        assert got["doc_id"].tolist() == [2, 5]
+        assert got["cluster_id"].tolist() == [2, 2]
+        assert got["is_core"].all()
+
+    def test_partition_independence(self, ray_session):
+        ids, lat, lon = self._points(seed=9)
+        a = self._run(ids, lat, lon, 60_000.0, 3, parts=1)
+        b = self._run(ids, lat, lon, 60_000.0, 3, parts=7)
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_min_pts_validation(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.cluster import geo_dbscan
+
+        tab = pa.table({"doc_id": [1], "lat": [0.0], "lon": [0.0]})
+        with pytest.raises(ValueError, match="min_pts"):
+            geo_dbscan(rd.from_arrow(tab), 10.0, 0)

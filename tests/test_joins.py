@@ -1005,3 +1005,178 @@ def test_asof_join_null_keys_never_match(ray_session):
     # the null-key left row must NOT match the null-key right row
     assert len(out) == 2
     assert out["b"].tolist() == [7, 7]
+
+
+class TestStayPoints:
+    def _ref(self, df, eps_m, min_dur, max_gap=None, min_pts=2):
+        from geodistpy_ray.kernels import haversine
+
+        s = df.dropna(subset=["k", "t"]).sort_values(
+            ["k", "t", "id"], ignore_index=True
+        )
+        k = s["k"].to_numpy()
+        t = s["t"].to_numpy().astype(np.int64)
+        lat, lon = s["lat"].to_numpy(), s["lon"].to_numpy()
+        n = len(s)
+        brk = np.ones(n, dtype=bool)
+        if n > 1:
+            d = haversine(lat[:-1], lon[:-1], lat[1:], lon[1:])
+            leg_mm = np.floor(d * 1000.0 + 0.5).astype(np.int64)
+            far = leg_mm > np.int64(np.floor(eps_m * 1000.0 + 0.5))
+            if max_gap is not None:
+                far |= (t[1:] - t[:-1]) > max_gap
+            brk[1:] = far | (k[1:] != k[:-1])
+        run = np.cumsum(brk)
+        out = []
+        for r in np.unique(run):
+            m = run == r
+            tt = t[m]
+            dur = int(tt[-1] - tt[0])
+            if dur >= min_dur and m.sum() >= min_pts:
+                su = np.floor(lat[m] * 1e6 + 0.5).astype(np.int64).sum()
+                so = np.floor(lon[m] * 1e6 + 0.5).astype(np.int64).sum()
+                out.append(
+                    (
+                        k[m][0],
+                        int(tt[0]),
+                        int(tt[-1]),
+                        int(m.sum()),
+                        dur,
+                        np.floor(su / m.sum() + 0.5) / 1e6,
+                        np.floor(so / m.sum() + 0.5) / 1e6,
+                    )
+                )
+        return pd.DataFrame(
+            out,
+            columns=["k", "start_us", "end_us", "n_pts", "dur_us", "clat", "clon"],
+        ).sort_values(["k", "start_us"], ignore_index=True)
+
+    def _mixed_df(self, seed=7, n=300):
+        # dwell-segment walks: each key stays near a center for a few
+        # consecutive points (small jitter, advancing clock) then jumps to
+        # a new center — real stay runs broken by genuine moves
+        rng = np.random.default_rng(seed)
+        centers = rng.uniform(-60, 60, (8, 2))
+        rows = []
+        i = 0
+        for k in range(6):
+            t = int(rng.integers(0, 1000))
+            while i < n * (k + 1) // 6:
+                c = centers[rng.integers(0, 8)]
+                for _ in range(int(rng.integers(1, 6))):  # dwell 1-5 points
+                    rows.append(
+                        (
+                            k,
+                            t,
+                            i,
+                            c[0] + rng.normal(0, 0.3),
+                            c[1] + rng.normal(0, 0.3),
+                        )
+                    )
+                    t += int(rng.integers(1_000, 60_000))
+                    i += 1
+                    if i >= n * (k + 1) // 6:
+                        break
+        return pd.DataFrame(rows, columns=["k", "t", "id", "lat", "lon"]).astype(
+            {"t": np.int64}
+        )
+
+    def _run(self, df, eps_m, min_dur, **kw):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.windows import stay_points
+
+        got = (
+            stay_points(
+                rd.from_pandas(df).repartition(4),
+                eps_m,
+                min_dur,
+                key_col="k",
+                ts_col="t",
+                tiebreak_col="id",
+                **kw,
+            )
+            .to_pandas()
+            .sort_values(["k", "start_us"], ignore_index=True)
+        )
+        return got
+
+    def test_vs_reference(self, ray_session):
+        df = self._mixed_df()
+        eps, dur = 200_000.0, 50_000
+        got = self._run(df, eps, dur)
+        exp = self._ref(df, eps, dur)
+        assert len(got) > 3  # fixture actually exercises the operator
+        pd.testing.assert_frame_equal(
+            got, exp, check_dtype=False, check_exact=True
+        )
+
+    def test_max_gap_breaks_runs(self, ray_session):
+        # three same-place points, middle gap exceeds max_gap -> two runs
+        df = pd.DataFrame(
+            {
+                "k": [1, 1, 1, 1],
+                "t": np.array([0, 10, 500, 510], dtype=np.int64),
+                "id": np.arange(4),
+                "lat": [10.0, 10.001, 10.002, 10.003],
+                "lon": [20.0, 20.0, 20.0, 20.0],
+            }
+        )
+        whole = self._run(df, 10_000.0, 0, min_pts=2)
+        assert len(whole) == 1 and whole["n_pts"].iloc[0] == 4
+        split = self._run(df, 10_000.0, 0, min_pts=2, max_gap_us=100)
+        assert split["n_pts"].tolist() == [2, 2]
+        exp = self._ref(df, 10_000.0, 0, max_gap=100)
+        pd.testing.assert_frame_equal(split, exp, check_dtype=False)
+
+    def test_null_key_and_ts_dropped(self, ray_session):
+        df = pd.DataFrame(
+            {
+                "k": pd.array([1, 1, None, 1], dtype="Int64"),
+                "t": pd.array([0, 10, 20, None], dtype="Int64"),
+                "id": np.arange(4),
+                "lat": [10.0] * 4,
+                "lon": [20.0] * 4,
+            }
+        )
+        got = self._run(df, 10_000.0, 0)
+        # only rows 0,1 survive -> one 2-point run
+        assert len(got) == 1
+        assert got["n_pts"].iloc[0] == 2 and got["end_us"].iloc[0] == 10
+
+    def test_partition_independence(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.windows import stay_points
+
+        df = self._mixed_df(seed=11)
+        outs = []
+        for parts in (1, 7):
+            outs.append(
+                stay_points(
+                    rd.from_pandas(df).repartition(parts),
+                    200_000.0,
+                    50_000,
+                    key_col="k",
+                    ts_col="t",
+                    tiebreak_col="id",
+                )
+                .to_pandas()
+                .sort_values(["k", "start_us"], ignore_index=True)
+            )
+        pd.testing.assert_frame_equal(outs[0], outs[1])
+
+    def test_min_pts_validation(self, ray_session):
+        import ray.data as rd
+
+        from geodistpy_ray.stages.windows import stay_points
+
+        with pytest.raises(ValueError, match="min_pts"):
+            stay_points(
+                rd.from_pandas(self._mixed_df(seed=1, n=10)),
+                1.0,
+                0,
+                key_col="k",
+                ts_col="t",
+                min_pts=0,
+            )
